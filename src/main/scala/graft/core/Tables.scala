@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated synthetic tables (TESTDATA.md).
+  *
+  * The tables are a TPC-H-ish star schema plus an `events` stream table and
+  * the LLM-pipeline tables `documents` / `embeddings`. All readers go through
+  * here so scan-level concerns (nanosecond timestamps, column pruning) are
+  * handled once.
+  *
+  * Scale note: these are plain parquet scans — predicate pushdown and column
+  * pruning are preserved as long as callers `select`/`filter` on the returned
+  * DataFrame before any wide transform.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's TimestampType
+    * (µs) cannot represent; `nanosAsLong` reads it as epoch-nanos Long.
+    * We expose both the exact nanos (`ts`, Long) and a µs-truncated
+    * TimestampType view (`ts_us`) for time arithmetic.
+    */
+  private def configure(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    configure(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** events with `ts` = epoch nanos (Long) and `ts_us` = TimestampType. */
+  def events(s: SparkSession, d: String): DataFrame =
+    apply(s, d, "events")
+      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+}

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import OracleParity._
+
+/** Temporal / stateful-table semantics in batch form (SURVEY §2.10, §2.6).
+  *
+  * The reference keeps keyed mutable state (latest vessel row per MMSI with
+  * TTL expiry, `ais-proxy/server.js:390-426`, `:621-649`) and windowed rate
+  * counters (`:193-208`). The streaming forms live in `graft.streaming`;
+  * these queries are their deterministic batch equivalents over `events`,
+  * each with a DuckDB oracle:
+  *
+  *  - T1 latest-state upsert        → argmax row per key (q09)
+  *  - J9/U3 dedup by business key   → argmin row per key (q10)
+  *  - T2/F8/T5 TTL/stale expiry     → event-time horizon filter (q11)
+  *  - T6 rate window                → tumbling count per key (q12)
+  *  - A7/T9 active-session rollup   → 24h activity window (q13)
+  *  - O4 eviction top-K             → keep newest 80% (q14)
+  *  - running totals                → cumulative window agg (q15)
+  *  - J5/T1 fill-if-missing merge   → last non-null per key (q16)
+  *
+  * `events.ts` is epoch-nanos (Long) end-to-end — exact, total ordering with
+  * `event_id` tiebreak, no float time arithmetic.
+  *
+  * Scale notes: all windows partition by `user_id` (hash shuffle on the state
+  * key, same as the streaming state-store partitioning); nothing sorts
+  * globally except final small outputs. The global-max-timestamp scalars are
+  * one-row aggregates broadcast to the fact scan, not a window over a single
+  * partition — at 100 TB a `Window.partitionBy()` (empty) would serialize on
+  * one task, so the broadcast-join form is used.
+  */
+object Temporal {
+
+  /** All event-time arithmetic runs on `tsu` = epoch-MICROS (ts div 1000):
+    * DuckDB truncates parquet nano timestamps to µs, so µs is the finest
+    * portable unit for oracle parity. `event_id` breaks any residual tie.
+    */
+  private val tsu = expr("ts div 1000")
+  private val byKeyDesc =
+    Window.partitionBy(col("user_id")).orderBy(col("tsu").desc, col("event_id").desc)
+  private val byKeyAsc =
+    Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+
+  /** T1: latest event per key — the batch form of the vessel latest-state
+    * table (`ais-proxy/server.js:592`).
+    */
+  val q09 = GraftQuery(
+    "q09_latest_state_per_key", "T1 S14 O3",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("tsu", tsu)
+        .withColumn("rn", row_number().over(byKeyDesc))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("tsu"), col("event_type"), col("value"))
+        .orderBy(col("user_id")),
+    Some("""SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1 ORDER BY user_id"""))
+
+  /** J9/U3: dedup by business key keeping the first-seen row (Aurora
+    * `seen` set on data-event-number). Deterministic survivor = min event_id.
+    */
+  val q10 = GraftQuery(
+    "q10_dedup_business_key", "J9 U3",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("event_type")).orderBy(col("event_id"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("event_type")),
+    Some("""SELECT user_id, event_type, event_id, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+        FROM events) WHERE rn = 1 ORDER BY user_id, event_type"""))
+
+  /** T2/F8: TTL expiry — keep rows within 6h of the corpus max event time
+    * (the vessel 6h TTL sweep / stale-feature drop). The horizon is a one-row
+    * aggregate broadcast against the scan.
+    */
+  val q11 = GraftQuery(
+    "q11_ttl_stale_filter", "T2 F8 T5 F4",
+    (s, d) => {
+      val e = Tables.events(s, d).withColumn("tsu", tsu)
+      val horizon = e.agg((max(col("tsu")) - lit(21600000000L)).as("h"))
+      e.crossJoin(broadcast(horizon))
+        .filter(col("tsu") >= col("h"))
+        .select(col("event_id"), col("user_id"), col("tsu"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events
+      WHERE epoch_us(ts) >= (SELECT MAX(epoch_us(ts)) - 21600000000 FROM events)
+      ORDER BY event_id"""))
+
+  /** T6: windowed rate counting — events per key per tumbling hour, keyed
+    * hours exceeding a threshold (the 600-req/min limiter as analytics).
+    */
+  val q12 = GraftQuery(
+    "q12_rate_window", "T6 A7",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), window(col("ts_us"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .select(col("user_id"), unix_millis(col("w.start")).as("hour_ms"), col("n"))
+        .orderBy(col("user_id"), col("hour_ms")),
+    Some("""SELECT user_id, epoch_ms(date_trunc('hour', ts)) AS hour_ms, COUNT(*) AS n
+      FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY user_id, hour_ms"""))
+
+  /** A7/T9: active-client sessions — per key totals, kept only if last
+    * activity falls within 24h of the corpus max (the 24h active roll-off).
+    */
+  val q13 = GraftQuery(
+    "q13_active_sessions", "A7 T9 A6",
+    (s, d) => {
+      val e = Tables.events(s, d).withColumn("tsu", tsu)
+      val horizon = e.agg((max(col("tsu")) - lit(86400000000L)).as("h"))
+      e.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("total_messages"),
+             max(col("tsu")).as("last_seen"),
+             min(col("tsu")).as("first_seen"))
+        .crossJoin(broadcast(horizon))
+        .filter(col("last_seen") >= col("h"))
+        .select(col("user_id"), col("total_messages"), col("last_seen"), col("first_seen"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, COUNT(*) AS total_messages,
+        MAX(epoch_us(ts)) AS last_seen, MIN(epoch_us(ts)) AS first_seen
+      FROM events GROUP BY user_id
+      HAVING MAX(epoch_us(ts)) >= (SELECT MAX(epoch_us(ts)) - 86400000000 FROM events)
+      ORDER BY user_id"""))
+
+  /** O4: eviction top-K — keep the newest 80% of rows by event time (the
+    * 50k-vessel cache eviction policy).
+    */
+  val q14 = GraftQuery(
+    "q14_eviction_topk", "O4",
+    (s, d) => {
+      val e = Tables.events(s, d).withColumn("tsu", tsu)
+      val cap = e.agg(floor(count(lit(1)) * 0.8).as("cap"))
+      e.withColumn("rn", row_number().over(
+          Window.orderBy(col("tsu").desc, col("event_id").desc)))
+        .crossJoin(broadcast(cap))
+        .filter(col("rn") <= col("cap"))
+        .select(col("event_id"), col("tsu"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, epoch_us(ts) AS tsu FROM (
+        SELECT *, row_number() OVER (ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
+      WHERE rn <= (SELECT FLOOR(COUNT(*) * 0.8) FROM events) ORDER BY event_id"""))
+
+  /** Cumulative window aggregation: running per-key totals (the reference's
+    * incrementally-maintained per-client counters, `ais-proxy/server.js:909-915`).
+    */
+  val q15 = GraftQuery(
+    "q15_running_totals", "A7 T1",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("tsu", tsu)
+        .withColumn("running_n", count(lit(1)).over(
+          byKeyAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("running_value", sum(dec(col("value"))).over(
+          byKeyAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
+        .select(col("event_id"), col("user_id"), col("running_n"), col("running_value"))
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id, user_id,
+        COUNT(*) OVER w AS running_n,
+        CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
+  /** J5/T1: fill-if-missing merge — per key, the latest non-null observation
+    * wins (the AIS⟕Marinesia per-field precedence merge). `error` events are
+    * treated as carrying no reading (null), so the merge must look past them.
+    */
+  val q16 = GraftQuery(
+    "q16_fill_if_missing_merge", "J5 T1 T3",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("tsu", tsu)
+        .withColumn("reading",
+          when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+        .withColumn("filled", last(col("reading"), ignoreNulls = true).over(
+          byKeyAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(byKeyDesc))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("filled"))
+        .orderBy(col("user_id")),
+    Some("""SELECT user_id, filled FROM (
+        SELECT user_id,
+          last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+          row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1 ORDER BY user_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q09, q10, q11, q12, q13, q14, q15, q16)
+}

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local dev harness mirroring the driver's correctness gate.
+
+Runs AFTER `graft.Verify` has dumped query outputs: compares each
+<outDir>/<name> parquet against the DuckDB result of oracle_sql.json
+over the same sf directory. Row order is ignored (both sides sorted by
+all columns); values must match exactly (floats bit-for-bit), which is
+what a hash-based compare implies.
+
+Usage: tools/oracle_check.py <sfDir> <outDir>
+"""
+import json
+import sys
+
+import duckdb
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    tables = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]
+    for t in tables:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    failures = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            failures += 1
+            continue
+        try:
+            want = con.sql(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            failures += 1
+            continue
+        gcols, wcols = sorted(got.columns), sorted(want.columns)
+        if gcols != wcols:
+            print(f"FAIL {name}: columns differ: spark={gcols} oracle={wcols}")
+            failures += 1
+            continue
+        g = got[gcols].sort_values(gcols).reset_index(drop=True)
+        w = want[wcols].sort_values(wcols).reset_index(drop=True)
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows differ: spark={len(g)} oracle={len(w)}")
+            failures += 1
+            continue
+        try:
+            import pandas as pd
+            pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+            print(f"OK   {name}: {len(g)} rows")
+        except AssertionError as e:
+            print(f"FAIL {name}: values differ:\n{str(e)[:800]}")
+            # show first mismatching cells
+            for c in gcols:
+                neq = (g[c] != w[c]) & ~(g[c].isna() & w[c].isna())
+                if neq.any():
+                    i = neq.idxmax()
+                    print(f"  first diff col={c} row={i}: spark={g[c][i]!r} oracle={w[c][i]!r}")
+            failures += 1
+    print(f"\n{len(oracles) - failures}/{len(oracles)} oracle queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
