@@ -1,0 +1,134 @@
+package graft.functions
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions: key normalization (C10), plus the LLM-pipeline
+  * text operators (language ID, quality scoring, token counting, document
+  * fingerprinting) built on codegen'd built-ins wherever possible.
+  */
+object TextFunctions {
+
+  // --- C10: locality key normalization (tlc-localities.js:281-284) ---
+
+  /** NFD-decompose, strip combining marks, lowercase, trim. */
+  def normalizeKey(s: String): String =
+    Normalizer.normalize(s, Normalizer.Form.NFD)
+      .replaceAll("\\p{M}", "").toLowerCase.trim
+
+  val normalizeKeyUdf = udf(normalizeKey _)
+
+  // --- Tokenization ---
+
+  /** Whitespace token count — pure Column (no UDF). */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-space symbols (a portable approximation of subword pre-tokenization).
+    */
+  val BpeIshPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def tokenCountBpeIsh(text: Column): Column = {
+    // regexp_count keeps this inside codegen; pattern identical in RE2/Java
+    regexp_count(text, lit(BpeIshPattern))
+  }
+
+  /** Distinct word n-gram shingles as an array Column (dedup pre-step). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = split(trim(text), "\\s+")
+    val count = size(words)
+    val idx = sequence(lit(0), greatest(count - n, lit(0)))
+    array_distinct(
+      when(count >= n,
+        transform(idx, i => array_join(slice(words, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  // --- Language ID (n-gram/stopword heuristic) ---
+
+  /** Tiny public stopword profiles. Scoring: fraction of words that are
+    * stopwords of each language; argmax with deterministic (alphabetical)
+    * tie-break, 'und' (undetermined) when nothing scores.
+    */
+  val StopwordProfiles: Seq[(String, Set[String])] = Seq(
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "von", "zu"),
+    "en" -> Set("the", "a", "of", "and", "is", "to", "in", "that", "it", "for"),
+    "es" -> Set("el", "la", "de", "que", "y", "los", "un", "es", "en", "por"),
+    "fr" -> Set("le", "la", "de", "et", "un", "est", "pour", "que", "dans", "les"),
+    "zh" -> Set("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"))
+
+  def langIdHeuristic(text: String): String = {
+    val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty) "und"
+    else {
+      val scores = StopwordProfiles.map { case (lang, sw) =>
+        lang -> words.count(sw.contains).toDouble / words.length
+      }
+      val best = scores.maxBy { case (lang, sc) => (sc, lang) } // ties → last alphabetically; deterministic
+      if (best._2 == 0.0) "und" else best._1
+    }
+  }
+
+  /** Column form: per-language stopword-hit fraction via array intersection
+    * (codegen'd, no UDF), argmax by (score, lang) with 'und' floor.
+    */
+  def langIdColumn(text: Column): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    val n = size(words)
+    val scored = StopwordProfiles.map { case (lang, sw) =>
+      val hits = size(filter(words, w => w.isin(sw.toSeq.sorted: _*)))
+      struct((hits.cast("double") / n).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(n === 0 || best.getField("score") === 0.0, lit("und"))
+      .otherwise(best.getField("lang"))
+  }
+
+  // --- Quality scoring ---
+
+  /** Heuristic quality score in [0,1]: mixes length saturation, stopword
+    * ratio, alpha ratio and mean word length (the standard pretraining
+    * quality signals). Deterministic double math, same in SQL.
+    */
+  def qualityScoreColumn(text: Column): Column = {
+    val t = trim(text)
+    val nChars = length(t).cast("double")
+    val words = split(t, "\\s+")
+    val nWords = size(words).cast("double")
+    val lenScore = least(nChars / 500.0, lit(1.0))
+    val en = StopwordProfiles.toMap.apply("en")
+    val stopRatio = size(filter(words, w => lower(w).isin(en.toSeq.sorted: _*))).cast("double") / nWords
+    val meanWordLen = (nChars - (nWords - 1)) / nWords
+    val wordLenScore = lit(1.0) - least(abs(meanWordLen - 5.0) / 5.0, lit(1.0))
+    lenScore * 0.4 + least(stopRatio * 5.0, lit(1.0)) * 0.3 + wordLenScore * 0.3
+  }
+
+  // --- Document fingerprinting ---
+
+  /** 64-bit FNV-1a over the UTF-8 bytes — a rolling document fingerprint
+    * (stable across partitions/engines, unlike JVM hashCode).
+    */
+  def fingerprint64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    for (b <- s.getBytes("UTF-8")) {
+      h ^= (b & 0xffL)
+      h *= 0x100000001b3L
+    }
+    h
+  }
+
+  val fingerprint64Udf = udf(fingerprint64 _)
+
+  /** Portable content fingerprint via md5 prefix → BIGINT; identical
+    * construction exists in DuckDB (`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`),
+    * so it can be oracle-checked. 60 bits of md5 (15 hex chars) keeps the
+    * cast inside signed-long range on both engines.
+    */
+  def md5Fingerprint(text: Column): Column =
+    conv(substring(md5(text), 1, 15), 16, 10).cast("long")
+
+  def md5FingerprintSql(text: String): String =
+    s"CAST(('0x' || substr(md5($text), 1, 15)) AS BIGINT)"
+}
