@@ -1,0 +1,171 @@
+package graft.dsl
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's string filter-expression DSL, compiled to Catalyst
+  * `Column` predicate trees at PLAN time (SURVEY F12 — the flagship custom
+  * component).
+  *
+  * Grammar and semantics from `display-proxy/lambdas/tak-cot-proxy/index.mjs`
+  * (parser `:125-179`, evaluator `:181-240`, value parser `:110-123`):
+  *
+  *  - expression  := clause (" and " clause)*        — AND within a string
+  *  - filter list := [expr, expr, …]                 — OR across strings
+  *  - clause      := path op literal                 op ∈ == != > < >= <= =
+  *                 | path % divisor op literal       (modulo)
+  *                 | path in [lit, lit, …]
+  *                 | $contains(path, lit)
+  *  - literal     := null | true | false | "str" | 'str' | number | bare-str
+  *
+  * '''Missing-field semantics (NON-SQL, `:184-199`)''': when the path
+  * resolves to null/missing, every comparison against a concrete value is
+  * FALSE — including `!=`. Only `path == null` is true for a missing field,
+  * and `path != null` is true only for a present field. The compiler encodes
+  * this with explicit null guards so Spark's 3VL can't leak through.
+  *
+  * Unparseable expressions evaluate TRUE (reference `evaluateFilter` returns
+  * true for a null parse, `:201`); an empty filter list is TRUE (`:242-244`).
+  *
+  * Dynamic-JSON note: the reference evaluates over parsed JSON, where
+  * numeric fields are JS numbers. When the resolver supplies string-typed
+  * columns (e.g. `get_json_object`), numeric-literal comparisons cast the
+  * column to double (non-numeric text → null → false), which matches the
+  * JS-on-parsed-JSON behavior. String literals compare as strings, booleans
+  * as booleans.
+  *
+  * Scale: the output is a pure `Column` tree — predicate pushdown, codegen
+  * and pruning all apply as if the user had written the predicates by hand.
+  */
+object FilterDsl {
+
+  // --- AST ---
+  sealed trait Lit
+  case object LNull extends Lit
+  final case class LBool(b: Boolean) extends Lit
+  final case class LNum(d: Double) extends Lit
+  final case class LStr(s: String) extends Lit
+
+  sealed trait Filter
+  final case class And(conds: Seq[Filter]) extends Filter
+  final case class Compare(path: String, op: String, value: Lit) extends Filter
+  final case class Modulo(path: String, divisor: Double, op: String, value: Lit) extends Filter
+  final case class In(path: String, values: Seq[Lit]) extends Filter
+  final case class Contains(path: String, value: Lit) extends Filter
+
+  // --- parser (mirrors the reference's regex dispatch order) ---
+
+  private val ContainsRe = """^\$contains\(\s*(.+?)\s*,\s*(.+?)\s*\)$""".r
+  private val InRe = """^(.+?)\s+in\s+\[(.+)\]$""".r
+  private val ModRe = """^(.+?)\s+%\s+(\S+)\s+(==|!=|>|<|>=|<=)\s+(.+)$""".r
+  private val StdRe = """^(.+?)\s+(==|!=|>=|<=|>|<|=)\s+(.+)$""".r
+
+  def parseValue(raw: String): Lit = raw match {
+    case "null" => LNull
+    case "true" => LBool(true)
+    case "false" => LBool(false)
+    case s if (s.startsWith("\"") && s.endsWith("\"") && s.length >= 2) ||
+              (s.startsWith("'") && s.endsWith("'") && s.length >= 2) =>
+      LStr(s.substring(1, s.length - 1))
+    case s => s.toDoubleOption.map(LNum).getOrElse(LStr(s))
+  }
+
+  /** None = unparseable (evaluates true, like the reference). */
+  def parse(expr: String): Option[Filter] = {
+    if (expr.contains(" and ")) {
+      val parsed = expr.split("""\s+and\s+""").toSeq.map(p => parse(p.trim)).flatten
+      return parsed match {
+        case Seq() => None
+        case Seq(one) => Some(one)
+        case many => Some(And(many))
+      }
+    }
+    expr.trim match {
+      case ContainsRe(path, value) => Some(Contains(path.trim, parseValue(value.trim)))
+      case InRe(path, values) =>
+        Some(In(path.trim, values.split(",").toSeq.map(v => parseValue(v.trim))))
+      case ModRe(path, div, op, value) =>
+        parseValue(div) match {
+          case LNum(d) => Some(Modulo(path.trim, d, op, parseValue(value.trim)))
+          case _ => Some(Modulo(path.trim, Double.NaN, op, parseValue(value.trim)))
+        }
+      case StdRe(path, op, value) =>
+        Some(Compare(path.trim, if (op == "=") "==" else op, parseValue(value.trim)))
+      case _ => None
+    }
+  }
+
+  // --- compiler ---
+
+  /** Comparison against a concrete literal with missing-field-fails-all
+    * semantics: `coalesce(col IS NOT NULL AND (col op lit), false)`.
+    */
+  private def cmp(c: Column, op: String, l: Lit): Column = {
+    def guard(typed: Column, p: Column => Column): Column =
+      coalesce(typed.isNotNull && p(typed), lit(false))
+    (op, l) match {
+      case ("==", LNull) => c.isNull
+      case ("!=", LNull) => c.isNotNull
+      case (_, LNull) => lit(false) // >,<,>=,<= vs null: false either way
+      case (o, LNum(d)) =>
+        guard(c.cast("double"), t => applyOp(t, o, lit(d)))
+      case (o, LBool(b)) =>
+        guard(c.cast("boolean"), t => applyOp(t, o, lit(b)))
+      case (o, LStr(s)) =>
+        guard(c.cast("string"), t => applyOp(t, o, lit(s)))
+    }
+  }
+
+  private def applyOp(c: Column, op: String, v: Column): Column = op match {
+    case "==" => c === v
+    case "!=" => c =!= v
+    case ">" => c > v
+    case "<" => c < v
+    case ">=" => c >= v
+    case "<=" => c <= v
+    case _ => lit(true) // reference default branch (`:196`)
+  }
+
+  /** Compile one parsed filter against a path resolver. */
+  def compileFilter(f: Filter, resolve: String => Column): Column = f match {
+    case And(conds) => conds.map(compileFilter(_, resolve)).reduce(_ && _)
+    case Compare(path, op, value) => cmp(resolve(path), op, value)
+    case Modulo(path, div, op, value) if !div.isNaN =>
+      val d = resolve(path).cast("double")
+      coalesce(d.isNotNull && cmp(d % div, op, value), lit(false))
+    case Modulo(_, _, _, _) => lit(false) // non-numeric divisor: JS % → NaN, all cmp false
+    case In(path, values) =>
+      val c = resolve(path)
+      val hits = values.map(v => cmp(c, "==", v))
+      coalesce(c.isNotNull && hits.reduceOption(_ || _).getOrElse(lit(false)), lit(false))
+    case Contains(path, value) =>
+      val c = resolve(path).cast("string")
+      val needle = value match {
+        case LStr(s) => s
+        case LNum(d) => if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
+        case LBool(b) => b.toString
+        case LNull => "null"
+      }
+      coalesce(c.isNotNull && c.contains(lit(needle)), lit(false))
+  }
+
+  /** Compile a filter LIST (OR semantics; empty/absent → true). */
+  def compile(filters: Seq[String], resolve: String => Column): Column =
+    filters
+      .map(f => parse(f).map(compileFilter(_, resolve)).getOrElse(lit(true)))
+      .reduceOption(_ || _)
+      .getOrElse(lit(true))
+
+  /** Resolver for dot-paths into real (struct) columns. */
+  def structResolver(root: String => Column): String => Column =
+    path => path.split('.').toSeq match {
+      case head +: tail => tail.foldLeft(root(head))(_.getField(_))
+      case _ => root(path)
+    }
+
+  /** Resolver for dot-paths into a JSON-string column (dynamic metadata —
+    * data model §1.1.3): `a.b.c` → `get_json_object(json, '$.a.b.c')`.
+    */
+  def jsonResolver(json: Column): String => Column =
+    path => get_json_object(json, "$." + path)
+}

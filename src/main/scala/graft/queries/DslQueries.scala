@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.dsl.{FilterDsl, TemplateDsl}
+
+/** Filter-DSL and template-DSL queries (SURVEY F12, C23) — the two plan-time
+  * compilers. The oracle SQL is hand-derived from the reference's semantics
+  * (an independent encoding of the same truth table), so agreement checks
+  * the compiler, not the formula.
+  */
+object DslQueries {
+
+  /** Dot-path resolver over events: `props.*` → JSON extraction, bare names
+    * → real columns (the dynamic-metadata data model).
+    */
+  private def eventsResolver: String => Column = path =>
+    if (path.startsWith("props.")) get_json_object(col("props"), "$." + path.stripPrefix("props."))
+    else col(path)
+
+  private val filterList = Seq(
+    """props.k % 2 == 0 and value > 400""", // modulo + numeric AND
+    """event_type in ["error", "signup"] and value < 50""", // in-list
+    """$contains(event_type, "ck")""", // substring
+    """props.missing != 5""", // MISSING FIELD: must match NOTHING (non-SQL 3VL)
+    """props.absent == null""") // missing == null: matches everything
+
+  /** F12: the full filter grammar compiled to one Column, OR across the
+    * config list. Note `props.absent == null` makes every row match via the
+    * last branch — so the interesting signal is `matched_by`, the per-branch
+    * hit pattern.
+    */
+  val q31 = GraftQuery(
+    "q31_filter_dsl", "F12 P4",
+    (s, d) => {
+      val branchCols = filterList.map(f =>
+        FilterDsl.compile(Seq(f), eventsResolver).cast("int"))
+      Tables.events(s, d)
+        .withColumn("matched", FilterDsl.compile(filterList, eventsResolver))
+        .withColumn("matched_by", concat(branchCols: _*))
+        .select(col("event_id"), col("matched"), col("matched_by"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""WITH t AS (SELECT event_id,
+        CAST(json_extract_string(props, '$$.k') AS DOUBLE) AS k,
+        (CAST(json_extract_string(props, '$$.k') AS DOUBLE) IS NOT NULL
+          AND fmod(CAST(json_extract_string(props, '$$.k') AS DOUBLE), 2) = 0
+          AND value > 400) AS b1,
+        (event_type IN ('error', 'signup') AND value < 50) AS b2,
+        contains(event_type, 'ck') AS b3,
+        FALSE AS b4,
+        TRUE AS b5
+      FROM events)
+      SELECT event_id, (b1 OR b2 OR b3 OR b4 OR b5) AS matched,
+        CAST(b1 AS INT)::VARCHAR || CAST(b2 AS INT)::VARCHAR || CAST(b3 AS INT)::VARCHAR ||
+        CAST(b4 AS INT)::VARCHAR || CAST(b5 AS INT)::VARCHAR AS matched_by
+      FROM t ORDER BY event_id"""))
+
+  /** C23: template compiled to a concat tree with `upper`, `fixed:1` and a
+    * missing-path placeholder (renders '').
+    */
+  val q32 = GraftQuery(
+    "q32_template_render", "C23 K1",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("rendered", TemplateDsl.compile(
+          "{{event_type|upper}} k={{props.k}} v={{value|fixed:1}} m=[{{props.missing}}]",
+          eventsResolver))
+        .select(col("event_id"), col("rendered"))
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id,
+        upper(event_type) || ' k=' || json_extract_string(props, '$.k') ||
+        ' v=' || CAST(CAST(value AS DECIMAL(38,1)) AS VARCHAR) || ' m=[]' AS rendered
+      FROM events ORDER BY event_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q31, q32)
+}

@@ -1,0 +1,109 @@
+package graft.dsl
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Table-driven semantics tests for the filter DSL, derived line-by-line
+  * from the reference evaluator (`tak-cot-proxy/index.mjs:181-244`).
+  * Each case: (filter list, expected matching ids).
+  */
+class FilterDslSpec extends SparkSpec {
+  import spark.implicits._
+
+  // features: id, callsign (nullable str), magnitude (nullable num in JSON),
+  // quality (nullable str) — metadata carried as a JSON string column
+  private lazy val features = Seq(
+    (1, """{"magnitude": 5.0, "quality": "best", "mmi": 6, "depth": 12}""", "M5.0 Cook Strait"),
+    (2, """{"magnitude": 2.0, "quality": "deleted", "mmi": 3, "depth": 5}""", "M2.0 Taupo"),
+    (3, """{"quality": "good", "mmi": 7, "depth": 4}""", "no-mag"), // magnitude MISSING
+    (4, """{"magnitude": 3.5, "mmi": 8, "depth": 33}""", null) // quality MISSING, callsign null
+  ).toDF("id", "metadata", "callsign")
+
+  private val resolve: String => org.apache.spark.sql.Column = path =>
+    if (path.startsWith("metadata."))
+      get_json_object(col("metadata"), "$." + path.stripPrefix("metadata."))
+    else col(path)
+
+  private def matches(filters: String*): Seq[Int] =
+    features.filter(FilterDsl.compile(filters, resolve))
+      .select("id").as[Int].collect().sorted.toSeq
+
+  test("comparison ops on numbers") {
+    assert(matches("metadata.magnitude >= 3") === Seq(1, 4))
+    assert(matches("metadata.magnitude > 3.5") === Seq(1))
+    assert(matches("metadata.magnitude <= 3.5") === Seq(2, 4))
+    assert(matches("metadata.magnitude < 2.5") === Seq(2))
+    assert(matches("metadata.magnitude == 5") === Seq(1))
+    assert(matches("metadata.magnitude = 5") === Seq(1)) // '=' alias
+  }
+
+  test("missing field fails ALL comparisons against concrete values — including !=") {
+    // id 3 has no magnitude: != must NOT match it (index.mjs:184-189)
+    assert(matches("metadata.magnitude != 5") === Seq(2, 4))
+    assert(matches("metadata.magnitude != 99") === Seq(1, 2, 4))
+    assert(matches("metadata.magnitude > 0") === Seq(1, 2, 4))
+    assert(matches("metadata.magnitude < 99") === Seq(1, 2, 4))
+  }
+
+  test("null literal comparisons") {
+    assert(matches("metadata.magnitude == null") === Seq(3)) // missing == null → true
+    assert(matches("metadata.magnitude != null") === Seq(1, 2, 4)) // present != null → true
+    assert(matches("callsign == null") === Seq(4))
+  }
+
+  test("string equality is exact") {
+    assert(matches("""metadata.quality == "deleted"""") === Seq(2))
+    assert(matches("metadata.quality == 'deleted'") === Seq(2)) // single quotes
+    // missing quality (id 4) must NOT pass != (non-SQL semantics)
+    assert(matches("""metadata.quality != "deleted"""") === Seq(1, 3))
+  }
+
+  test("compound and") {
+    assert(matches("""metadata.magnitude >= 3 and metadata.quality != "deleted"""") === Seq(1))
+    assert(matches("metadata.mmi >= 6 and metadata.depth < 20") === Seq(1, 3))
+  }
+
+  test("top-level list is OR") {
+    assert(matches("metadata.magnitude >= 5", """metadata.quality == "good"""") === Seq(1, 3))
+  }
+
+  test("in list") {
+    assert(matches("metadata.mmi in [6, 7, 8]") === Seq(1, 3, 4))
+    assert(matches("""metadata.quality in ["best", "good"]""") === Seq(1, 3))
+    // missing field: in → false (id 4 has no quality)
+    assert(matches("""metadata.quality in ["deleted", "missing"]""") === Seq(2))
+  }
+
+  test("$contains") {
+    assert(matches("""$contains(callsign, "Cook")""") === Seq(1))
+    assert(matches("""$contains(callsign, "M")""") === Seq(1, 2)) // null callsign → false
+  }
+
+  test("modulo") {
+    assert(matches("metadata.depth % 2 == 0") === Seq(1, 3)) // 12, 4 even; 5, 33 odd
+    assert(matches("metadata.depth % 10 >= 3") === Seq(2, 3, 4)) // 5%10=5, 4%10=4, 33%10=3
+    // missing path → false
+    assert(matches("metadata.nope % 2 == 0") === Seq())
+  }
+
+  test("unparseable expression evaluates true") {
+    assert(matches("complete nonsense @@") === Seq(1, 2, 3, 4))
+  }
+
+  test("empty filter list evaluates true") {
+    assert(matches() === Seq(1, 2, 3, 4))
+  }
+
+  test("parser shapes") {
+    import FilterDsl._
+    assert(parse("a.b >= 3").contains(Compare("a.b", ">=", LNum(3))))
+    assert(parse("a = 'x'").contains(Compare("a", "==", LStr("x"))))
+    assert(parse("a in [1, 2]").contains(In("a", Seq(LNum(1), LNum(2)))))
+    assert(parse("a % 2 != 0").contains(Modulo("a", 2, "!=", LNum(0))))
+    assert(parse("$contains(a.b, \"x\")").contains(Contains("a.b", LStr("x"))))
+    assert(parse("a == true").contains(Compare("a", "==", LBool(true))))
+    assert(parse("a == null").contains(Compare("a", "==", LNull)))
+    assert(parse("a >= 1 and b < 2").contains(
+      And(Seq(Compare("a", ">=", LNum(1)), Compare("b", "<", LNum(2))))))
+  }
+}
