@@ -130,10 +130,16 @@ object FilterDsl {
   def compileFilter(f: Filter, resolve: String => Column): Column = f match {
     case And(conds) => conds.map(compileFilter(_, resolve)).reduce(_ && _)
     case Compare(path, op, value) => cmp(resolve(path), op, value)
-    case Modulo(path, div, op, value) if !div.isNaN =>
+    case Modulo(path, div, op, value) if !div.isNaN && div != 0.0 =>
       val d = resolve(path).cast("double")
       coalesce(d.isNotNull && cmp(d % div, op, value), lit(false))
-    case Modulo(_, _, _, _) => lit(false) // non-numeric divisor: JS % → NaN, all cmp false
+    case Modulo(path, _, op, _) =>
+      // Non-numeric or zero divisor: the reference still computes
+      // `actual % divisor` (= NaN) and compares, so for a present numeric
+      // field `!=` is TRUE (NaN !== v) while every other op is false
+      // (`index.mjs:220-224`, `:191-199`).
+      if (op == "!=") coalesce(resolve(path).cast("double").isNotNull, lit(false))
+      else lit(false)
     case In(path, values) =>
       val c = resolve(path)
       val hits = values.map(v => cmp(c, "==", v))

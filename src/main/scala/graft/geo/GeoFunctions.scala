@@ -66,7 +66,7 @@ object GeoFunctions {
   def nearPolygon(lon: Double, lat: Double, ring: Seq[(Double, Double)],
       buffer: Double): Boolean =
     pointInPolygon(lon, lat, ring) || ring.exists { case (x, y) =>
-      math.abs(x - lon) <= buffer && math.abs(y - lat) <= buffer
+      math.hypot(x - lon, y - lat) <= buffer
     }
 
   /** Generic UDF for polygon data not known at plan time. */

@@ -82,17 +82,20 @@ object Projection {
   /** Latitude (degrees) as a Catalyst Column over easting/northing Columns. */
   def latColumn(e: Column, n: Column): Column = {
     val (phi1, _, _, c1, t1, nTanOverR, d) = parts(e, n)
+    // factor association mirrors [[inverse]] exactly (4*c1*c1, not c1*c1*4):
+    // float multiplication is non-associative, and the three synchronized
+    // forms must agree to the ULP.
     degrees(phi1 - nTanOverR * (d * d / 2 -
-      (lit(5.0) + t1 * 3 + c1 * 10 - c1 * c1 * 4 - lit(9 * EP2)) * d * d * d * d / 24 +
-      (lit(61.0) + t1 * 90 + c1 * 298 + t1 * t1 * 45 - lit(252 * EP2) - c1 * c1 * 3) *
+      (lit(5.0) + lit(3.0) * t1 + lit(10.0) * c1 - lit(4.0) * c1 * c1 - lit(9 * EP2)) * d * d * d * d / 24 +
+      (lit(61.0) + lit(90.0) * t1 + lit(298.0) * c1 + lit(45.0) * t1 * t1 - lit(252 * EP2) - lit(3.0) * c1 * c1) *
         d * d * d * d * d * d / 720))
   }
 
   /** Longitude (degrees) as a Catalyst Column over easting/northing Columns. */
   def lonColumn(e: Column, n: Column): Column = {
     val (_, _, cosP, c1, t1, _, d) = parts(e, n)
-    degrees(lit(math.toRadians(LON0)) + (d - (lit(1.0) + t1 * 2 + c1) * d * d * d / 6 +
-      (lit(5.0) - c1 * 2 + t1 * 28 - c1 * c1 * 3 + lit(8 * EP2) + t1 * t1 * 24) *
+    degrees(lit(math.toRadians(LON0)) + (d - (lit(1.0) + lit(2.0) * t1 + c1) * d * d * d / 6 +
+      (lit(5.0) - lit(2.0) * c1 + lit(28.0) * t1 - lit(3.0) * c1 * c1 + lit(8 * EP2) + lit(24.0) * t1 * t1) *
         d * d * d * d * d / 120) / cosP)
   }
 

@@ -49,7 +49,7 @@ object GeoQueries {
     (172.5191, -35.5117), (167.0031, -39.9899))
 
   val q18 = GraftQuery(
-    "q18_pip_spatial_join", "J1 F14 J10 U4",
+    "q18_pip_spatial_join", "J1",
     (s, d) =>
       Synthetic.withGeo(Tables.events(s, d))
         .withColumn("inside", GeoFunctions.pointInPolygonColumn(col("lon"), col("lat"), pentagon))
@@ -89,7 +89,7 @@ object GeoQueries {
 
   /** C15/C24/F16: Web-Mercator tile assignment at z=8 + tile validity. */
   val q20 = GraftQuery(
-    "q20_mercator_tiles", "C15 C24 F16 S12",
+    "q20_mercator_tiles", "C15 F16",
     (s, d) =>
       Synthetic.withGeo(Tables.events(s, d))
         .select(
@@ -112,7 +112,7 @@ object GeoQueries {
 
   /** C16: Terrain-RGB encode/decode round trip (clamped at both ends). */
   val q21 = GraftQuery(
-    "q21_terrain_rgb", "C16 R1 S11",
+    "q21_terrain_rgb", "C16",
     (s, d) => {
       val elev = col("value") * 10.0 - 1000.0
       Tables.events(s, d)
@@ -159,7 +159,7 @@ object GeoQueries {
 
   /** C19/A2: centroid of coordinate groups (exact decimal mean). */
   val q23 = GraftQuery(
-    "q23_centroid", "C19 C21 A2",
+    "q23_centroid", "C19 A2",
     (s, d) =>
       Synthetic.withGeo(Tables.events(s, d))
         .groupBy(col("event_type"))

@@ -55,7 +55,7 @@ object Scalar {
         trim('  ' || event_type || ' ') AS trimmed,
         regexp_replace(event_type, '[aeiou]', '_', 'g') AS devoweled,
         CASE WHEN (CASE WHEN ${Synthetic.kSql} < 5 THEN '< 5' ELSE CAST(${Synthetic.kSql} AS VARCHAR) END) = '< 5'
-             THEN 5 ELSE CAST(${Synthetic.kSql} AS VARCHAR)::INT END AS parsed_count
+             THEN 5 ELSE TRY_CAST(CAST(${Synthetic.kSql} AS VARCHAR) AS INT) END AS parsed_count
       FROM events ORDER BY event_id"""))
 
   /** C10: NFD diacritic strip + lowercase (locality key normalization,
@@ -82,7 +82,7 @@ object Scalar {
     * wire formats (`yyyyMMddHHmmss` and `yyyy-MM-dd HH:mm:ss 'UTC'`).
     */
   val q28 = GraftQuery(
-    "q28_timestamp_formats", "C4 C5 C6 C2 C3",
+    "q28_timestamp_formats", "C4 C5",
     (s, d) =>
       Tables.events(s, d)
         .withColumn("ts_sec", timestamp_seconds(expr("ts div 1000000000")))

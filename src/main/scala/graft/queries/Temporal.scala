@@ -48,7 +48,7 @@ object Temporal {
     * table (`ais-proxy/server.js:592`).
     */
   val q09 = GraftQuery(
-    "q09_latest_state_per_key", "T1 S14 O3",
+    "q09_latest_state_per_key", "T1 O3",
     (s, d) =>
       Tables.events(s, d)
         .withColumn("tsu", tsu)
@@ -134,18 +134,46 @@ object Temporal {
 
   /** O4: eviction top-K — keep the newest 80% of rows by event time (the
     * 50k-vessel cache eviction policy).
+    *
+    * Scale design: a global `row_number()` window would serialize the whole
+    * table through one task. Instead the global selection is decomposed:
+    * bucket rows by hour, compute per-bucket counts (a tiny aggregate),
+    * take a cumulative count over the SORTED BUCKET TABLE (small — one row
+    * per hour, not per event), and broadcast the classification back:
+    * buckets entirely inside the cap are kept without any sort; only the one
+    * boundary bucket is ranked, with a window partitioned by bucket. Same
+    * rows as the global window, no single-task stage at any size.
     */
   val q14 = GraftQuery(
     "q14_eviction_topk", "O4",
     (s, d) => {
       val e = Tables.events(s, d).withColumn("tsu", tsu)
+        .withColumn("bkt", expr("tsu div 3600000000"))
       val cap = e.agg(floor(count(lit(1)) * 0.8).as("cap"))
-      e.withColumn("rn", row_number().over(
-          Window.orderBy(col("tsu").desc, col("event_id").desc)))
+      // per-bucket counts: small (one row per distinct hour). The running
+      // count over the bucket table is a broadcast non-equi self-join, not a
+      // window — no single-task window stage anywhere in this plan.
+      val counts = e.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+      val bkts = counts.as("a")
+        .join(broadcast(counts.as("b")), col("b.bkt") > col("a.bkt"), "left")
+        .groupBy(col("a.bkt").as("bkt"), col("a.n").as("n"))
+        .agg(coalesce(sum(col("b.n")), lit(0L)).as("cum_before"))
         .crossJoin(broadcast(cap))
-        .filter(col("rn") <= col("cap"))
+        // keep_all: bucket fully inside cap; quota: rows allowed from the
+        // (single) boundary bucket; buckets past the cap get quota <= 0.
+        .select(col("bkt"),
+          (col("cum_before") + col("n") <= col("cap")).as("keep_all"),
+          (col("cap") - col("cum_before")).as("quota"))
+      val boundaryRanked = e
+        .join(broadcast(bkts.filter(!col("keep_all") && col("quota") > 0)), "bkt")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("bkt")).orderBy(col("tsu").desc, col("event_id").desc)))
+        .filter(col("rn") <= col("quota"))
         .select(col("event_id"), col("tsu"))
-        .orderBy(col("event_id"))
+      val fullyKept = e
+        .join(broadcast(bkts.filter(col("keep_all"))), "bkt")
+        .select(col("event_id"), col("tsu"))
+      fullyKept.unionAll(boundaryRanked).orderBy(col("event_id"))
     },
     Some("""SELECT event_id, epoch_us(ts) AS tsu FROM (
         SELECT *, row_number() OVER (ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)

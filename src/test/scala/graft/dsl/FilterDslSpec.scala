@@ -84,6 +84,16 @@ class FilterDslSpec extends SparkSpec {
     assert(matches("metadata.depth % 10 >= 3") === Seq(2, 3, 4)) // 5%10=5, 4%10=4, 33%10=3
     // missing path → false
     assert(matches("metadata.nope % 2 == 0") === Seq())
+    // non-numeric divisor: JS computes value % "foo" = NaN, then
+    // NaN !== v → TRUE for every present numeric field, while every other
+    // op against NaN is false (index.mjs:220-224, :191-199)
+    assert(matches("metadata.depth % foo != 5") === Seq(1, 2, 3, 4))
+    assert(matches("metadata.depth % foo == 5") === Seq())
+    assert(matches("metadata.depth % foo >= 0") === Seq())
+    assert(matches("metadata.nope % foo != 5") === Seq()) // missing field stays false
+    // zero divisor: x % 0 is NaN in JS too
+    assert(matches("metadata.depth % 0 != 5") === Seq(1, 2, 3, 4))
+    assert(matches("metadata.depth % 0 == 5") === Seq())
   }
 
   test("unparseable expression evaluates true") {

@@ -98,7 +98,11 @@ class GeoSpec extends SparkSpec {
 
   test("buffered near-polygon (F14)") {
     val square = Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0))
-    assert(GeoFunctions.nearPolygon(1.04, 1.04, square, 0.05)) // near vertex
+    // Euclidean vertex distance (generate-tlc-localities.js:26-37):
+    // (1.02,1.04) is 0.0447 from vertex (1,1) → near; the square-corner
+    // point (1.04,1.04) is 0.0566 away — near under Chebyshev but NOT here.
+    assert(GeoFunctions.nearPolygon(1.02, 1.04, square, 0.05)) // near vertex
+    assert(!GeoFunctions.nearPolygon(1.04, 1.04, square, 0.05))
     assert(!GeoFunctions.nearPolygon(1.1, 1.1, square, 0.05))
   }
 }
