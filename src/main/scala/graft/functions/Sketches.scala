@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable sketching primitives for the LLM-data-pipeline operators:
+  * MinHash signatures, banded LSH keys, SimHash fingerprints, and
+  * fixed-order cosine similarity.
+  *
+  * Everything here is built to be computed IDENTICALLY by Spark and by the
+  * DuckDB oracle, so the whole dedup/ANN pipeline is hash-checkable:
+  *
+  *  - the only hash function is a 60-bit prefix of md5 (both engines md5
+  *    identically; 15 hex chars keep the value inside a signed long),
+  *  - float reductions are emitted as explicit left-associated term lists
+  *    (IEEE addition is order-sensitive; a fixed order makes both engines
+  *    bit-identical),
+  *  - pseudo-random hyperplanes are dyadic rationals from a Knuth
+  *    multiplicative sequence — exactly representable as doubles, so their
+  *    decimal literals round-trip losslessly into SQL.
+  *
+  * Scale notes: signatures/fingerprints are per-row map-side work (array
+  * transforms over the shingle list — no shuffle, no UDF). The LSH shuffle
+  * key is `(band, bucket-hash)`, never all-pairs; candidate verification
+  * re-joins on doc id. That is the 100 TB-safe shape: cost scales with
+  * bucket collision counts, not n².
+  */
+object Sketches {
+
+  // --- portable 60-bit hash ---
+
+  /** Low-60-bit md5 prefix as BIGINT — the engine-portable hash. */
+  def h64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def h64Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** Seed-parameterized hash family: h_i(s) = h64(i || ':' || s). */
+  def seeded(seed: Int, c: Column): Column = h64(concat(lit(s"$seed:"), c))
+  def seededSql(seed: Int, e: String): String = h64Sql(s"'$seed:' || $e")
+
+  // --- words / shingles ---
+
+  def words(text: Column): Column = split(trim(text), "\\s+")
+  def wordsSql(e: String): String = s"regexp_split_to_array(trim($e), '\\s+')"
+
+  /** Distinct word n-gram shingles (mirrors TextFunctions.wordShingles,
+    * shared here with its SQL twin).
+    */
+  def shingles(text: Column, n: Int): Column = TextFunctions.wordShingles(text, n)
+  def shinglesSql(e: String, n: Int): String = {
+    val ws = wordsSql(e)
+    s"list_distinct(list_transform(range(1, greatest(len($ws) - $n, 0) + 2), " +
+      s"i -> array_to_string(($ws)[i:i+${n - 1}], ' ')))"
+  }
+
+  // --- MinHash ---
+
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = 4
+
+  /** MinHash signature element i over a shingle-array Column. */
+  def minhash(sh: Column, i: Int): Column =
+    array_min(transform(sh, s => seeded(i, s)))
+  def minhashSql(shExpr: String, i: Int): String =
+    s"list_min(list_transform($shExpr, s -> ${seededSql(i, "s")}))"
+
+  /** LSH band bucket key: hash of the band's signature slice (columns
+    * s0..s{NumHashes-1} must exist).
+    */
+  def bandHash(band: Int): Column = {
+    val cols = (band * RowsPerBand until (band + 1) * RowsPerBand)
+      .map(i => col(s"s$i").cast("string"))
+    h64(concat_ws(",", cols: _*))
+  }
+  def bandHashSql(band: Int): String = {
+    val parts = (band * RowsPerBand until (band + 1) * RowsPerBand)
+      .map(i => s"CAST(s$i AS VARCHAR)")
+    h64Sql(parts.mkString(" || ',' || "))
+  }
+
+  /** Exact Jaccard over two distinct-element array Columns (one division —
+    * deterministic).
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  def jaccardSql(a: String, b: String): String =
+    s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / len(list_distinct(list_concat($a, $b)))"
+
+  // --- SimHash (32-bit, over distinct-word hashes) ---
+
+  val SimHashBits = 32
+
+  /** 32-bit SimHash: bit k is set when the majority of word hashes have bit
+    * k set (strict majority; ties → 0). Uses the distinct-word set so word
+    * frequency doesn't weight the fingerprint.
+    */
+  def simhash(text: Column): Column = {
+    val hs = transform(array_distinct(words(text)), w => h64(w))
+    val n = size(hs).cast("long")
+    (0 until SimHashBits).map { k =>
+      val cnt = aggregate(hs, lit(0L), (acc, h) => acc + shiftright(h, k).bitwiseAND(1L))
+      when(cnt * 2 > n, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+  def simhashSql(e: String): String = {
+    val ws = s"list_distinct(${wordsSql(e)})"
+    val hs = s"list_transform($ws, w -> ${h64Sql("w")})"
+    val terms = (0 until SimHashBits).map { k =>
+      s"(CASE WHEN CAST(list_sum(list_transform($hs, h -> (h >> $k) & 1)) AS BIGINT) * 2 > len($hs) " +
+        s"THEN CAST(${1L << k} AS BIGINT) ELSE 0 END)"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  // --- fixed-order cosine similarity ---
+
+  /** Explicit left-associated dot product over `dims` elements — identical
+    * IEEE addition order in both engines → bit-identical doubles.
+    */
+  def dot(a: Column, b: Column, dims: Int): Column =
+    (1 to dims).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double")).reduce(_ + _)
+  def dotSql(a: String, b: String, dims: Int): String =
+    (1 to dims).map(i =>
+      s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
+
+  def norm(a: Column, dims: Int): Column = sqrt(dot(a, a, dims))
+  def normSql(a: String, dims: Int): String = s"sqrt(${dotSql(a, a, dims)})"
+
+  /** cosine = dot / (norm_a * norm_b), with norms precomputed per side. */
+  def cosineFromParts(d: Column, na: Column, nb: Column): Column = d / (na * nb)
+
+  // --- random-hyperplane LSH for embeddings ---
+
+  val HyperplaneBits = 8
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1): a Knuth
+    * multiplicative-hash dyadic rational — reproducible from this public
+    * formula and exactly representable as a double.
+    */
+  def hyperplane(i: Int, j: Int, dims: Int): Double =
+    (((i * dims + j + 1) * 2654435761L) % 4294967296L).toDouble / 2147483648.0 - 1.0
+
+  /** Bit i of the hyperplane signature: sign of dot(v, hp_i). */
+  private def hpDot(v: Column, i: Int, dims: Int): Column =
+    (1 to dims).map(j =>
+      lit(hyperplane(i, j - 1, dims)) * element_at(v, j).cast("double")).reduce(_ + _)
+  private def hpDotSql(v: String, i: Int, dims: Int): String =
+    (1 to dims).map(j =>
+      s"(${hyperplane(i, j - 1, dims)}) * CAST($v[$j] AS DOUBLE)").mkString(" + ")
+
+  /** 8-bit random-hyperplane signature (0..255): the ANN bucket key. */
+  def hyperplaneSig(v: Column, dims: Int): Column =
+    (0 until HyperplaneBits).map { i =>
+      when(hpDot(v, i, dims) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  def hyperplaneSigSql(v: String, dims: Int): String =
+    (0 until HyperplaneBits).map { i =>
+      s"(CASE WHEN ${hpDotSql(v, i, dims)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+}

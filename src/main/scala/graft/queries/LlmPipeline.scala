@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{Sketches, TextFunctions}
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`
+  * (builder brief: first-class alongside SURVEY §2; inventory §2.12).
+  *
+  *  - L1 exact dedup (content fingerprint)          → q33
+  *  - L2 canonical-form dedup (bag-of-words key)    → q34
+  *  - L3 MinHash signatures                         → q35
+  *  - L4 banded-LSH near-dup + n-gram Jaccard       → q36
+  *  - L5 SimHash fingerprint + band keys            → q37
+  *  - L6 brute-force cosine top-k (ANN baseline)    → q38
+  *  - L7 hyperplane-LSH bucketed ANN (scale path)   → q39
+  *  - L8 language ID (stopword heuristic)           → q40
+  *  - L9 quality scoring + token counting           → q41
+  *
+  * Oracle-parity design: every hash is the md5-prefix BIGINT, every float
+  * reduction a fixed-order term list (see [[graft.functions.Sketches]]) —
+  * the whole pipeline is hash-checked against DuckDB, including the LSH
+  * banding itself (the oracle replicates the banding rather than brute-
+  * forcing, so the candidate-generation semantics are verified too).
+  *
+  * Scale notes: dedup/ANN never go all-pairs. MinHash-LSH shuffles on
+  * `(band, bucket)`; candidate pairs are verified after an id-keyed
+  * re-join; hyperplane ANN shuffles on the 8-bit signature. At 100 TB the
+  * bucket fan-in is the only quadratic term, and it is bounded by banding
+  * width (tune Bands/RowsPerBand) — the classic SlimPajama/RefinedWeb shape.
+  */
+object LlmPipeline {
+
+  private val ShingleN = 3
+  private val JaccardThreshold = 0.8
+  private val Dims = 64
+  private val TopK = 5
+
+  /** L1: exact-duplicate clustering by content fingerprint. Every row keeps
+    * its cluster size and whether it is the canonical (min-id) survivor —
+    * the "drop exact dups, keep one" primitive.
+    */
+  val q33 = GraftQuery(
+    "q33_exact_dedup", "L1 J9",
+    (s, d) => {
+      val byFp = Window.partitionBy(col("fp"))
+      Tables.documents(s, d)
+        .withColumn("fp", TextFunctions.md5Fingerprint(col("text")))
+        .withColumn("cluster_n", count(lit(1)).over(byFp))
+        .withColumn("keeper", min(col("doc_id")).over(byFp))
+        .select(col("doc_id"), col("fp"), col("cluster_n"),
+          (col("doc_id") === col("keeper")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id, ${TextFunctions.md5FingerprintSql("text")} AS fp,
+        COUNT(*) OVER (PARTITION BY ${TextFunctions.md5FingerprintSql("text")}) AS cluster_n,
+        doc_id = MIN(doc_id) OVER (PARTITION BY ${TextFunctions.md5FingerprintSql("text")}) AS is_canonical
+      FROM documents ORDER BY doc_id"""))
+
+  /** L2: canonical-form dedup — documents collapse to a sorted distinct
+    * bag-of-words key (the lowercase/strip-punct canonicalization family);
+    * emit only real clusters (n >= 2).
+    */
+  val q34 = GraftQuery(
+    "q34_bow_dedup", "L2 J9",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("key",
+          array_join(sort_array(array_distinct(Sketches.words(col("text")))), " "))
+        .withColumn("fp", Sketches.h64(col("key")))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .filter(col("n") >= 2)
+        .orderBy(col("first_doc")),
+    Some {
+      val key = s"array_to_string(list_sort(list_distinct(${Sketches.wordsSql("text")})), ' ')"
+      s"""SELECT ${Sketches.h64Sql(key)} AS fp, COUNT(*) AS n,
+          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM documents GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY first_doc"""
+    })
+
+  val all: Seq[GraftQuery] = {
+    /* L3: MinHash signatures — 16 portable hash-family minima over distinct
+     * 3-gram shingles. Map-side only (array transforms, no shuffle). */
+    val q35 = GraftQuery(
+      "q35_minhash_signatures", "L3",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), Sketches.shingles(col("text"), ShingleN).as("sh"))
+          .filter(size(col("sh")) > 0)
+        sh.select(col("doc_id") +:
+            (0 until Sketches.NumHashes).map(i => Sketches.minhash(col("sh"), i).as(s"s$i")): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val shed = Sketches.shinglesSql("text", ShingleN)
+        val sigs = (0 until Sketches.NumHashes)
+          .map(i => s"${Sketches.minhashSql("sh", i)} AS s$i").mkString(", ")
+        s"""WITH sh AS (SELECT doc_id, s AS sh FROM
+            (SELECT doc_id, $shed AS s FROM documents) WHERE len(s) > 0)
+          SELECT doc_id, $sigs FROM sh ORDER BY doc_id"""
+      })
+
+    /* L4: banded LSH near-dup pairs, Jaccard-verified. The oracle replicates
+     * the banding (not brute force) so candidate semantics are checked. */
+    val q36 = GraftQuery(
+      "q36_lsh_neardup_pairs", "L4 L2",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), Sketches.shingles(col("text"), ShingleN).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val sig = sh.select(col("doc_id") +: col("sh") +:
+          (0 until Sketches.NumHashes).map(i => Sketches.minhash(col("sh"), i).as(s"s$i")): _*)
+        val bands = sig.select(col("doc_id"), explode(array(
+            (0 until Sketches.Bands).map(b =>
+              struct(lit(b).as("band"), Sketches.bandHash(b).as("bh"))): _*)).as("e"))
+          .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+        val cand = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+        val shA = sh.select(col("doc_id").as("a"), col("sh").as("sha"))
+        val shB = sh.select(col("doc_id").as("b"), col("sh").as("shb"))
+        cand.join(shA, "a").join(shB, "b")
+          .withColumn("jaccard", Sketches.jaccard(col("sha"), col("shb")))
+          .filter(col("jaccard") >= JaccardThreshold)
+          .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some {
+        val shed = Sketches.shinglesSql("text", ShingleN)
+        val sigs = (0 until Sketches.NumHashes)
+          .map(i => s"${Sketches.minhashSql("sh", i)} AS s$i").mkString(", ")
+        val bandSelects = (0 until Sketches.Bands).map(b =>
+          s"SELECT doc_id, $b AS band, ${Sketches.bandHashSql(b)} AS bh FROM sig")
+          .mkString(" UNION ALL ")
+        s"""WITH sh AS (SELECT doc_id, s AS sh FROM
+            (SELECT doc_id, $shed AS s FROM documents) WHERE len(s) > 0),
+          sig AS (SELECT doc_id, $sigs FROM sh),
+          bands AS ($bandSelects),
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+          SELECT c.a AS doc_a, c.b AS doc_b,
+            ${Sketches.jaccardSql("sa.sh", "sb.sh")} AS jaccard
+          FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+          WHERE ${Sketches.jaccardSql("sa.sh", "sb.sh")} >= $JaccardThreshold
+          ORDER BY doc_a, doc_b"""
+      })
+
+    /* L5: SimHash fingerprint + its 8-bit band keys (the blocking keys a
+     * hamming-distance join would shuffle on). */
+    val q37 = GraftQuery(
+      "q37_simhash", "L5",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("simhash", Sketches.simhash(col("text")))
+          .select(col("doc_id"), col("simhash"),
+            shiftright(col("simhash"), 0).bitwiseAND(255).as("band0"),
+            shiftright(col("simhash"), 8).bitwiseAND(255).as("band1"),
+            shiftright(col("simhash"), 16).bitwiseAND(255).as("band2"),
+            shiftright(col("simhash"), 24).bitwiseAND(255).as("band3"))
+          .orderBy(col("doc_id")),
+      Some {
+        val sh = Sketches.simhashSql("text")
+        s"""SELECT doc_id, $sh AS simhash,
+            ($sh >> 0) & 255 AS band0, ($sh >> 8) & 255 AS band1,
+            ($sh >> 16) & 255 AS band2, ($sh >> 24) & 255 AS band3
+          FROM documents ORDER BY doc_id"""
+      })
+
+    /* L6: brute-force cosine top-k — the ANN correctness baseline. Query
+     * set = vec_id % 50 == 0, broadcast against the full table. */
+    val q38 = GraftQuery(
+      "q38_ann_brute_topk", "L6",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            Sketches.norm(col("embedding"), Dims).as("nrm"))
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+        broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+          .withColumn("cos", Sketches.cosineFromParts(
+            Sketches.dot(col("qe"), col("embedding"), Dims), col("qn"), col("nrm")))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rank") <= TopK)
+          .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        val dot = Sketches.dotSql("q.embedding", "e.embedding", Dims)
+        val qn = Sketches.normSql("q.embedding", Dims)
+        val en = Sketches.normSql("e.embedding", Dims)
+        s"""WITH pairs AS (
+            SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+              ($dot) / (($qn) * ($en)) AS cos
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id % 50 = 0),
+          ranked AS (SELECT *, row_number() OVER
+            (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM pairs)
+          SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= $TopK
+          ORDER BY q_id, rank"""
+      })
+
+    /* L7: hyperplane-LSH bucketed ANN — the 100 TB path. Signature is the
+     * shuffle key; nearest neighbor is found within the bucket only. */
+    val q39 = GraftQuery(
+      "q39_ann_lsh_bucketed", "L7 L2",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            Sketches.norm(col("embedding"), Dims).as("nrm"),
+            Sketches.hyperplaneSig(col("embedding"), Dims).as("sig"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+          col("nrm").as("bn"), col("sig").as("b_sig"))
+        val nn = e.join(b, col("sig") === col("b_sig") && col("vec_id") =!= col("b_id"))
+          .withColumn("cos", Sketches.cosineFromParts(
+            Sketches.dot(col("embedding"), col("be"), Dims), col("nrm"), col("bn")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("b_id"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("b_id").as("nn_id"), col("cos").as("nn_cos"))
+        e.select(col("vec_id"), col("sig"))
+          .join(nn, Seq("vec_id"), "left")
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val sig = Sketches.hyperplaneSigSql("embedding", Dims)
+        val dot = Sketches.dotSql("a.embedding", "b.embedding", Dims)
+        val an = Sketches.normSql("a.embedding", Dims)
+        val bn = Sketches.normSql("b.embedding", Dims)
+        s"""WITH e AS (SELECT vec_id, embedding, $sig AS sig FROM embeddings),
+          nn AS (SELECT * FROM (
+            SELECT a.vec_id, b.vec_id AS nn_id,
+              ($dot) / (($an) * ($bn)) AS nn_cos,
+              row_number() OVER (PARTITION BY a.vec_id
+                ORDER BY ($dot) / (($an) * ($bn)) DESC, b.vec_id) AS rn
+            FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id <> b.vec_id)
+            WHERE rn = 1)
+          SELECT e.vec_id, e.sig, nn.nn_id, nn.nn_cos
+          FROM e LEFT JOIN nn ON nn.vec_id = e.vec_id
+          ORDER BY e.vec_id"""
+      })
+
+    /* L8: language ID — stopword-fraction argmax with (score, lang)
+     * tie-break and 'und' floor. The oracle uses an UNNEST + window argmax
+     * (an independent formulation of the same semantics). */
+    val q40 = GraftQuery(
+      "q40_lang_id", "L8",
+      (s, d) =>
+        Tables.documents(s, d)
+          .withColumn("detected", TextFunctions.langIdColumn(col("text")))
+          .select(col("doc_id"), col("lang"), col("detected"),
+            (col("detected") === col("lang")).as("agree"))
+          .orderBy(col("doc_id")),
+      Some {
+        val ws = Sketches.wordsSql("lower(text)")
+        val scored = TextFunctions.StopwordProfiles.map { case (lang, sw) =>
+          val list = sw.toSeq.sorted.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"{'score': CAST(len(list_filter(ws, x -> list_contains($list, x))) AS DOUBLE) / len(ws), 'lang': '$lang'}"
+        }.mkString("[", ", ", "]")
+        s"""WITH w AS (SELECT doc_id, lang, $ws AS ws FROM documents),
+          u AS (SELECT doc_id, lang, UNNEST($scored) AS sc FROM w),
+          r AS (SELECT doc_id, lang, sc.lang AS cand, sc.score AS score,
+            row_number() OVER (PARTITION BY doc_id ORDER BY sc.score DESC, sc.lang DESC) AS rn
+            FROM u)
+          SELECT doc_id, lang,
+            CASE WHEN score = 0 THEN 'und' ELSE cand END AS detected,
+            (CASE WHEN score = 0 THEN 'und' ELSE cand END) = lang AS agree
+          FROM r WHERE rn = 1 ORDER BY doc_id"""
+      })
+
+    /* L9: quality scoring + token counting (whitespace + BPE-ish regex). */
+    val q41 = GraftQuery(
+      "q41_text_quality", "L9 L10",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextFunctions.tokenCountWs(col("text")).as("tok_ws"),
+            TextFunctions.tokenCountBpeIsh(col("text")).as("tok_bpe"),
+            TextFunctions.qualityScoreColumn(col("text")).as("quality"))
+          .orderBy(col("doc_id")),
+      Some {
+        val t = "trim(text)"
+        val ws = s"regexp_split_to_array($t, '\\s+')"
+        val en = TextFunctions.StopwordProfiles.toMap.apply("en")
+          .toSeq.sorted.map(w => s"'$w'").mkString("[", ", ", "]")
+        val nChars = s"CAST(len($t) AS DOUBLE)"
+        val nWords = s"CAST(len($ws) AS DOUBLE)"
+        val lenScore = s"least($nChars / 500.0, 1.0)"
+        val stopRatio = s"CAST(len(list_filter($ws, w -> list_contains($en, lower(w)))) AS DOUBLE) / $nWords"
+        val meanWordLen = s"(($nChars - ($nWords - 1)) / $nWords)"
+        val wordLenScore = s"(1.0 - least(abs($meanWordLen - 5.0) / 5.0, 1.0))"
+        s"""SELECT doc_id,
+            CASE WHEN len(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok_ws,
+            len(regexp_extract_all(text, '${TextFunctions.BpeIshPattern}')) AS tok_bpe,
+            $lenScore * 0.4 + least($stopRatio * 5.0, 1.0) * 0.3 + $wordLenScore * 0.3 AS quality
+          FROM documents ORDER BY doc_id"""
+      })
+
+    Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.queries.LlmPipeline
+
+/** Property tests for the dedup/ANN sketches, checked against independent
+  * brute-force formulations (not the SQL twins — those are covered by the
+  * oracle harness).
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash signature agreement estimates jaccard") {
+    // two texts sharing ~half their shingles
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox jumps over the lazy cat again and again tomorrow"
+    val df = Seq((1, a), (2, b)).toDF("id", "text")
+      .select(col("id"), Sketches.shingles(col("text"), 3).as("sh"))
+    val rows = df.select(col("id") +: col("sh") +:
+        (0 until Sketches.NumHashes).map(i => Sketches.minhash(col("sh"), i).as(s"s$i")): _*)
+      .collect().sortBy(_.getInt(0))
+    val shA = rows(0).getSeq[String](1).toSet
+    val shB = rows(1).getSeq[String](1).toSet
+    val trueJac = (shA & shB).size.toDouble / (shA | shB).size
+    val agree = (0 until Sketches.NumHashes)
+      .count(i => rows(0).getLong(2 + i) == rows(1).getLong(2 + i))
+    val est = agree.toDouble / Sketches.NumHashes
+    // 16 hashes → coarse estimate; just require the right neighborhood
+    assert(math.abs(est - trueJac) < 0.35, s"est=$est true=$trueJac")
+  }
+
+  test("banded LSH recovers exactly the brute-force near-dup pairs (sf0.001)") {
+    val spark2 = spark
+    val viaLsh = LlmPipeline.all.find(_.name == "q36_lsh_neardup_pairs").get
+      .run(spark2, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // independent brute force: all-pairs exact jaccard over the same shingles
+    val sh = graft.core.Tables.documents(spark2, sf)
+      .select(col("doc_id"), Sketches.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val brute = sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .withColumn("jac", Sketches.jaccard(col("x.sh"), col("y.sh")))
+      .filter(col("jac") >= 0.8)
+      .select(col("x.doc_id"), col("y.doc_id")).as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "test data should contain planted near-dups")
+    assert(viaLsh === brute)
+  }
+
+  test("simhash: small hamming distance for near-identical, large for unrelated") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val df = Seq(
+      (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // 1 word differs
+      (3, "one two three four five six seven eight nine ten"))
+      .toDF("id", "text")
+      .select(col("id"), Sketches.simhash(col("text")).as("sh"))
+    val m = df.as[(Int, Long)].collect().toMap
+    assert(ham(m(1), m(2)) < ham(m(1), m(3)),
+      s"near pair ${ham(m(1), m(2))} should beat unrelated ${ham(m(1), m(3))}")
+    assert(ham(m(1), m(1)) === 0)
+  }
+
+  test("hyperplane signature: deterministic, and negation flips every decided bit") {
+    val v = (1 to 64).map(i => (if (i % 3 == 0) -1.0 else 1.0) * i / 64.0).toArray
+    val df = Seq((1, v), (2, v.map(-_))).toDF("id", "embedding")
+      .select(col("id"), Sketches.hyperplaneSig(col("embedding"), 64).as("sig"))
+    val m = df.as[(Int, Long)].collect().toMap
+    assert(m(1) >= 0 && m(1) <= 255)
+    // no dot product is exactly 0 for this vector, so -v inverts all 8 bits
+    assert((m(1) ^ m(2)) === 255L, s"sig=${m(1)} negSig=${m(2)}")
+  }
+
+  test("fixed-order cosine: self-similarity is exactly 1 for unit-consistent input") {
+    val v = (1 to 64).map(_.toDouble / 8).toArray
+    val df = Seq((1, v)).toDF("id", "e")
+      .select(Sketches.cosineFromParts(
+        Sketches.dot(col("e"), col("e"), 64),
+        Sketches.norm(col("e"), 64), Sketches.norm(col("e"), 64)).as("c"))
+    val c = df.as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-15)
+  }
+}
