@@ -39,6 +39,26 @@ object Sketches {
   def seeded(seed: Int, c: Column): Column = h64(concat(lit(s"$seed:"), c))
   def seededSql(seed: Int, e: String): String = h64Sql(s"'$seed:' || $e")
 
+  // --- universal hash family over an already-md5-hashed value ---
+  //
+  // md5 is the expensive part (and higher-order-function lambdas are
+  // interpreted, not codegen'd), so the MinHash family hashes each shingle
+  // with md5 ONCE and derives the k family members with modular arithmetic:
+  // g_i(h) = (a_i * (h mod P) + b_i) mod P,  P = 2^31 - 1.
+  // All intermediates stay under 2^63, so DuckDB BIGINT (which errors on
+  // overflow, unlike Java's wrapping long) computes the identical value.
+
+  val P31: Long = 2147483647L // Mersenne prime 2^31 - 1
+
+  /** Family coefficients from the Knuth multiplicative sequence. */
+  def hashA(i: Int): Long = math.max(1L, ((i * 2 + 1) * 2654435761L) % P31)
+  def hashB(i: Int): Long = ((i * 2 + 2) * 2654435761L) % P31
+
+  def familyHash(i: Int, h: Column): Column =
+    (lit(hashA(i)) * (h % P31) + lit(hashB(i))) % P31
+  def familyHashSql(i: Int, h: String): String =
+    s"((${hashA(i)} * (($h) % $P31) + ${hashB(i)}) % $P31)"
+
   // --- words / shingles ---
 
   def words(text: Column): Column = split(trim(text), "\\s+")
@@ -60,11 +80,24 @@ object Sketches {
   val Bands = 4
   val RowsPerBand = 4
 
-  /** MinHash signature element i over a shingle-array Column. */
-  def minhash(sh: Column, i: Int): Column =
-    array_min(transform(sh, s => seeded(i, s)))
-  def minhashSql(shExpr: String, i: Int): String =
-    s"list_min(list_transform($shExpr, s -> ${seededSql(i, "s")}))"
+  /** Base hash array: md5 once per shingle. Materialize this as a column,
+    * then take the k family minima over it — md5 cost is paid once.
+    */
+  def shingleHashes(sh: Column): Column = transform(sh, s => h64(s))
+  def shingleHashesSql(shExpr: String): String =
+    s"list_transform($shExpr, s -> ${h64Sql("s")})"
+
+  /** MinHash signature element i over the base hash array. */
+  def minhash(hs: Column, i: Int): Column =
+    array_min(transform(hs, h => familyHash(i, h)))
+  def minhashSql(hsExpr: String, i: Int): String =
+    s"list_min(list_transform($hsExpr, h -> ${familyHashSql(i, "h")}))"
+
+  /** Aggregate form over an exploded base-hash column (`min` of the family
+    * hash) — same value as [[minhash]], but a codegen'd hash aggregate with
+    * map-side partial combine instead of an interpreted array lambda.
+    */
+  def minhashAgg(i: Int, h: Column): Column = min(familyHash(i, h))
 
   /** LSH band bucket key: hash of the band's signature slice (columns
     * s0..s{NumHashes-1} must exist).
@@ -92,21 +125,30 @@ object Sketches {
 
   val SimHashBits = 32
 
-  /** 32-bit SimHash: bit k is set when the majority of word hashes have bit
-    * k set (strict majority; ties → 0). Uses the distinct-word set so word
-    * frequency doesn't weight the fingerprint.
+  /** Distinct-word hash array for SimHash — materialize as a column so md5
+    * runs once per word, not once per (word, bit).
     */
-  def simhash(text: Column): Column = {
-    val hs = transform(array_distinct(words(text)), w => h64(w))
+  def wordHashes(text: Column): Column =
+    transform(array_distinct(words(text)), w => h64(w))
+  def wordHashesSql(e: String): String =
+    s"list_transform(list_distinct(${wordsSql(e)}), w -> ${h64Sql("w")})"
+
+  /** 32-bit SimHash over the word-hash array: bit k is set when the
+    * majority of word hashes have bit k set (strict majority; ties → 0).
+    * Uses the distinct-word set so word frequency doesn't weight the
+    * fingerprint.
+    */
+  def simhash(hs: Column): Column = {
     val n = size(hs).cast("long")
     (0 until SimHashBits).map { k =>
       val cnt = aggregate(hs, lit(0L), (acc, h) => acc + shiftright(h, k).bitwiseAND(1L))
       when(cnt * 2 > n, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
-  def simhashSql(e: String): String = {
-    val ws = s"list_distinct(${wordsSql(e)})"
-    val hs = s"list_transform($ws, w -> ${h64Sql("w")})"
+  /** SQL twin over an `hs` column (compute [[wordHashesSql]] in a prior
+    * CTE so md5 runs once).
+    */
+  def simhashSql(hs: String): String = {
     val terms = (0 until SimHashBits).map { k =>
       s"(CASE WHEN CAST(list_sum(list_transform($hs, h -> (h >> $k) & 1)) AS BIGINT) * 2 > len($hs) " +
         s"THEN CAST(${1L << k} AS BIGINT) ELSE 0 END)"

@@ -82,25 +82,47 @@ object LlmPipeline {
     })
 
   val all: Seq[GraftQuery] = {
+    /* Shared relational shingle frame: posexplode words, build each n-gram
+     * with window `lead`s, distinct — (doc_id, shingle) rows, one per
+     * distinct shingle. Fully codegen'd (the array-lambda formulation is
+     * interpreted and 5-10× slower); the window partitions by doc_id, so
+     * there is no global sort. */
+    def shingleRows(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(Sketches.words(col("text"))).as(Seq("pos", "w0")))
+        .withColumn("w1", lead(col("w0"), 1).over(w))
+        .withColumn("w2", lead(col("w0"), 2).over(w))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"),
+          concat(col("w0"), lit(" "), col("w1"), lit(" "), col("w2")).as("s"))
+        .distinct()
+    }
+
+    /* Shared MinHash signature frame over the shingle rows: md5 each
+     * shingle ONCE through codegen'd scalar expressions, then take the 16
+     * family minima as plain hash aggregates with map-side partial combine
+     * — the 100 TB-safe shape. */
+    def signatures(ex: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      ex.withColumn("h", Sketches.h64(col("s")))
+        .groupBy(col("doc_id"))
+        .agg(Sketches.minhashAgg(0, col("h")).as("s0"),
+          (1 until Sketches.NumHashes).map(i =>
+            Sketches.minhashAgg(i, col("h")).as(s"s$i")): _*)
+
     /* L3: MinHash signatures — 16 portable hash-family minima over distinct
-     * 3-gram shingles. Map-side only (array transforms, no shuffle). */
+     * 3-gram shingles. */
     val q35 = GraftQuery(
       "q35_minhash_signatures", "L3",
-      (s, d) => {
-        val sh = Tables.documents(s, d)
-          .select(col("doc_id"), Sketches.shingles(col("text"), ShingleN).as("sh"))
-          .filter(size(col("sh")) > 0)
-        sh.select(col("doc_id") +:
-            (0 until Sketches.NumHashes).map(i => Sketches.minhash(col("sh"), i).as(s"s$i")): _*)
-          .orderBy(col("doc_id"))
-      },
+      (s, d) => signatures(shingleRows(s, d)).orderBy(col("doc_id")),
       Some {
         val shed = Sketches.shinglesSql("text", ShingleN)
         val sigs = (0 until Sketches.NumHashes)
-          .map(i => s"${Sketches.minhashSql("sh", i)} AS s$i").mkString(", ")
+          .map(i => s"${Sketches.minhashSql("hs", i)} AS s$i").mkString(", ")
         s"""WITH sh AS (SELECT doc_id, s AS sh FROM
-            (SELECT doc_id, $shed AS s FROM documents) WHERE len(s) > 0)
-          SELECT doc_id, $sigs FROM sh ORDER BY doc_id"""
+            (SELECT doc_id, $shed AS s FROM documents) WHERE len(s) > 0),
+          h AS (SELECT doc_id, ${Sketches.shingleHashesSql("sh")} AS hs FROM sh)
+          SELECT doc_id, $sigs FROM h ORDER BY doc_id"""
       })
 
     /* L4: banded LSH near-dup pairs, Jaccard-verified. The oracle replicates
@@ -108,11 +130,8 @@ object LlmPipeline {
     val q36 = GraftQuery(
       "q36_lsh_neardup_pairs", "L4 L2",
       (s, d) => {
-        val sh = Tables.documents(s, d)
-          .select(col("doc_id"), Sketches.shingles(col("text"), ShingleN).as("sh"))
-          .filter(size(col("sh")) > 0)
-        val sig = sh.select(col("doc_id") +: col("sh") +:
-          (0 until Sketches.NumHashes).map(i => Sketches.minhash(col("sh"), i).as(s"s$i")): _*)
+        val ex = shingleRows(s, d)
+        val sig = signatures(ex)
         val bands = sig.select(col("doc_id"), explode(array(
             (0 until Sketches.Bands).map(b =>
               struct(lit(b).as("band"), Sketches.bandHash(b).as("bh"))): _*)).as("e"))
@@ -123,10 +142,20 @@ object LlmPipeline {
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .distinct()
-        val shA = sh.select(col("doc_id").as("a"), col("sh").as("sha"))
-        val shB = sh.select(col("doc_id").as("b"), col("sh").as("shb"))
-        cand.join(shA, "a").join(shB, "b")
-          .withColumn("jaccard", Sketches.jaccard(col("sha"), col("shb")))
+        // |A ∩ B| for candidate pairs by counting shingle matches — a
+        // relational (codegen) equivalent of array_intersect, joined on the
+        // shingle value, so only candidate pairs pay anything.
+        val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val inter = cand
+          .join(ex.as("ea"), col("a") === col("ea.doc_id"))
+          .join(ex.as("eb"), col("b") === col("eb.doc_id") && col("ea.s") === col("eb.s"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+          .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+          .withColumn("jaccard",
+            col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
           .filter(col("jaccard") >= JaccardThreshold)
           .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
@@ -134,13 +163,14 @@ object LlmPipeline {
       Some {
         val shed = Sketches.shinglesSql("text", ShingleN)
         val sigs = (0 until Sketches.NumHashes)
-          .map(i => s"${Sketches.minhashSql("sh", i)} AS s$i").mkString(", ")
+          .map(i => s"${Sketches.minhashSql("hs", i)} AS s$i").mkString(", ")
         val bandSelects = (0 until Sketches.Bands).map(b =>
           s"SELECT doc_id, $b AS band, ${Sketches.bandHashSql(b)} AS bh FROM sig")
           .mkString(" UNION ALL ")
         s"""WITH sh AS (SELECT doc_id, s AS sh FROM
             (SELECT doc_id, $shed AS s FROM documents) WHERE len(s) > 0),
-          sig AS (SELECT doc_id, $sigs FROM sh),
+          hh AS (SELECT doc_id, ${Sketches.shingleHashesSql("sh")} AS hs FROM sh),
+          sig AS (SELECT doc_id, $sigs FROM hh),
           bands AS ($bandSelects),
           cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
             FROM bands x JOIN bands y
@@ -156,21 +186,37 @@ object LlmPipeline {
      * hamming-distance join would shuffle on). */
     val q37 = GraftQuery(
       "q37_simhash", "L5",
-      (s, d) =>
-        Tables.documents(s, d)
-          .withColumn("simhash", Sketches.simhash(col("text")))
+      (s, d) => {
+        // explode distinct words → one codegen'd md5 per word → 32 per-bit
+        // sum aggregates (map-side combined) → majority-vote bits
+        val ex = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(Sketches.words(col("text")))).as("w"))
+          .withColumn("h", Sketches.h64(col("w")))
+        val agg = ex.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n"),
+            (0 until Sketches.SimHashBits).map(k =>
+              sum(shiftright(col("h"), k).bitwiseAND(1L)).as(s"c$k")): _*)
+        agg
+          .withColumn("simhash",
+            (0 until Sketches.SimHashBits).map(k =>
+              when(col(s"c$k") * 2 > col("n"), lit(1L << k)).otherwise(lit(0L)))
+              .reduce(_ + _))
           .select(col("doc_id"), col("simhash"),
             shiftright(col("simhash"), 0).bitwiseAND(255).as("band0"),
             shiftright(col("simhash"), 8).bitwiseAND(255).as("band1"),
             shiftright(col("simhash"), 16).bitwiseAND(255).as("band2"),
             shiftright(col("simhash"), 24).bitwiseAND(255).as("band3"))
-          .orderBy(col("doc_id")),
+          .orderBy(col("doc_id"))
+      },
       Some {
-        val sh = Sketches.simhashSql("text")
-        s"""SELECT doc_id, $sh AS simhash,
-            ($sh >> 0) & 255 AS band0, ($sh >> 8) & 255 AS band1,
-            ($sh >> 16) & 255 AS band2, ($sh >> 24) & 255 AS band3
-          FROM documents ORDER BY doc_id"""
+        val sh = Sketches.simhashSql("hs")
+        s"""WITH h AS (SELECT doc_id, ${Sketches.wordHashesSql("text")} AS hs FROM documents),
+          s AS (SELECT doc_id, $sh AS simhash FROM h)
+          SELECT doc_id, simhash,
+            (simhash >> 0) & 255 AS band0, (simhash >> 8) & 255 AS band1,
+            (simhash >> 16) & 255 AS band2, (simhash >> 24) & 255 AS band3
+          FROM s ORDER BY doc_id"""
       })
 
     /* L6: brute-force cosine top-k — the ANN correctness baseline. Query

@@ -19,8 +19,9 @@ class SketchesSpec extends SparkSpec {
     val b = "the quick brown fox jumps over the lazy cat again and again tomorrow"
     val df = Seq((1, a), (2, b)).toDF("id", "text")
       .select(col("id"), Sketches.shingles(col("text"), 3).as("sh"))
+      .withColumn("hs", Sketches.shingleHashes(col("sh")))
     val rows = df.select(col("id") +: col("sh") +:
-        (0 until Sketches.NumHashes).map(i => Sketches.minhash(col("sh"), i).as(s"s$i")): _*)
+        (0 until Sketches.NumHashes).map(i => Sketches.minhash(col("hs"), i).as(s"s$i")): _*)
       .collect().sortBy(_.getInt(0))
     val shA = rows(0).getSeq[String](1).toSet
     val shB = rows(1).getSeq[String](1).toSet
@@ -56,7 +57,7 @@ class SketchesSpec extends SparkSpec {
       (2, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // 1 word differs
       (3, "one two three four five six seven eight nine ten"))
       .toDF("id", "text")
-      .select(col("id"), Sketches.simhash(col("text")).as("sh"))
+      .select(col("id"), Sketches.simhash(Sketches.wordHashes(col("text"))).as("sh"))
     val m = df.as[(Int, Long)].collect().toMap
     assert(ham(m(1), m(2)) < ham(m(1), m(3)),
       s"near pair ${ham(m(1), m(2))} should beat unrelated ${ham(m(1), m(3))}")
