@@ -224,5 +224,49 @@ object Temporal {
           row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         FROM events) WHERE rn = 1 ORDER BY user_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q09, q10, q11, q12, q13, q14, q15, q16)
+  /** J5 multi-column per-field precedence merge — the full AIS⟕Marinesia
+    * shape (`ais-proxy/server.js:594-610`, `:1486-1539`): three fields with
+    * independent presence predicates, each resolved to its latest non-null
+    * observation per key, plus provenance (which event type supplied the
+    * surviving name) and the event time of the applied position — the batch
+    * twin of `graft.streaming.VesselMerge`.
+    */
+  val q42 = GraftQuery(
+    "q42_multifield_merge", "J5 T1 T3",
+    (s, d) => {
+      val k = Synthetic.k
+      val cum = byKeyAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("tsu", tsu)
+        .withColumn("k", k)
+        .withColumn("name_obs",
+          when(col("event_type").isin("click", "view"), concat(lit("n"), col("k"))))
+        .withColumn("pos_obs", when(col("value") > 200, col("value")))
+        .withColumn("type_obs", when(col("k") % 7 === 0, col("k")))
+        .withColumn("name", last(col("name_obs"), ignoreNulls = true).over(cum))
+        .withColumn("name_src", last(
+          when(col("name_obs").isNotNull, col("event_type")), ignoreNulls = true).over(cum))
+        .withColumn("pos", last(col("pos_obs"), ignoreNulls = true).over(cum))
+        .withColumn("pos_tsu", last(
+          when(col("pos_obs").isNotNull, col("tsu")), ignoreNulls = true).over(cum))
+        .withColumn("typ", last(col("type_obs"), ignoreNulls = true).over(cum))
+        .withColumn("rn", row_number().over(byKeyDesc))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("name"), col("name_src"), col("pos"),
+          col("pos_tsu"), col("typ"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""SELECT user_id, name, name_src, pos, pos_tsu, typ FROM (
+        SELECT user_id,
+          last_value(CASE WHEN event_type IN ('click','view') THEN 'n' || ${Synthetic.kSql} END IGNORE NULLS) OVER w AS name,
+          last_value(CASE WHEN (CASE WHEN event_type IN ('click','view') THEN 'n' || ${Synthetic.kSql} END) IS NOT NULL THEN event_type END IGNORE NULLS) OVER w AS name_src,
+          last_value(CASE WHEN value > 200 THEN value END IGNORE NULLS) OVER w AS pos,
+          last_value(CASE WHEN value > 200 THEN epoch_us(ts) END IGNORE NULLS) OVER w AS pos_tsu,
+          last_value(CASE WHEN ${Synthetic.kSql} % 7 = 0 THEN ${Synthetic.kSql} END IGNORE NULLS) OVER w AS typ,
+          row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ) WHERE rn = 1 ORDER BY user_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q09, q10, q11, q12, q13, q14, q15, q16, q42)
 }

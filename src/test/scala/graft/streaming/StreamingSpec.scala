@@ -1,0 +1,144 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+import graft.queries.Temporal
+
+/** Streaming-state semantics: the flatMapGroupsWithState merge must agree
+  * with the batch analogs (q09 latest-state, q16 fill-if-missing) on the
+  * same data under out-of-order arrival, and event-time TTL must expire
+  * idle keys (T2).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streamed keyed merge == batch q09/q16 under shuffled 3-chunk arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val evs = KeyedMerge.eventsAsDs(spark, sf).collect()
+    val stream = MemoryStream[KeyedMerge.Ev]
+    val q = KeyedMerge.latestState(stream.toDS(), ttlMicros = None, "3650 days")
+      .writeStream.format("memory").queryName("keyed_merge").outputMode("update")
+      .start()
+    try {
+      // event_id is uncorrelated with event time, so chunking by id modulo
+      // interleaves heavily out-of-order batches
+      (0 until 3).foreach { r =>
+        stream.addData(evs.filter(_.event_id % 3 == r).toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // final state per key = the emission with the highest update counter
+    val got = spark.table("keyed_merge").as[KeyedMerge.StateOut].collect()
+      .groupBy(_.user_id).map { case (_, rows) => rows.maxBy(_.n_updates) }
+
+    val wantLatest = Temporal.q09.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toMap
+    val wantFilled = Temporal.q16.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+
+    assert(got.size === wantLatest.size)
+    got.foreach { s =>
+      val (eid, tsu, etype, v) = wantLatest(s.user_id)
+      assert((s.event_id, s.tsu, s.event_type, s.value) === ((eid, tsu, etype, v)),
+        s"latest-state mismatch for user ${s.user_id}")
+      assert(s.filled === wantFilled(s.user_id), s"filled mismatch for user ${s.user_id}")
+    }
+  }
+
+  test("event-time TTL expires idle keys with a tombstone") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = 1000000000000L // µs
+    val hour = 3600000000L
+    val stream = MemoryStream[KeyedMerge.Ev]
+    val q = KeyedMerge.latestState(stream.toDS(),
+        ttlMicros = Some(KeyedMerge.DefaultTtlMicros), "0 seconds")
+      .writeStream.format("memory").queryName("ttl_merge").outputMode("update")
+      .start()
+    try {
+      stream.addData(KeyedMerge.Ev(1, t0, 1, "click", 1.0),
+        KeyedMerge.Ev(2, t0, 2, "click", 2.0))
+      q.processAllAvailable()
+      stream.addData(KeyedMerge.Ev(3, t0 + 7 * hour, 2, "view", 3.0)) // advances watermark past user 1's TTL
+      q.processAllAvailable()
+      stream.addData(KeyedMerge.Ev(4, t0 + 8 * hour, 2, "view", 4.0)) // next batch fires the timeout
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("ttl_merge").as[KeyedMerge.StateOut].collect()
+    val expired = out.filter(_.expired)
+    assert(expired.map(_.user_id).toSeq === Seq(1L), s"got ${expired.toSeq}")
+    // user 2 stayed alive through its updates
+    assert(out.filter(o => o.user_id == 2 && !o.expired).map(_.n_updates).max === 3L)
+  }
+
+  test("vessel per-field precedence merge (J5/T1/T3) — field-by-field table") {
+    import VesselMerge._
+    val t = 1000L
+    def obs(src: String, ts: Long, name: Option[String] = None,
+        shipType: Option[Int] = None, draught: Option[Double] = None,
+        lat: Option[Double] = None, lon: Option[Double] = None) =
+      VesselObs(1L, ts, src, name, shipType, None, None, None, draught, lat, lon)
+
+    // AIS static overwrites when present; absent fields never clear
+    val s1 = mergeObs(empty(1), obs("ais", t, name = Some("ALFA"), shipType = Some(70)))
+    val s2 = mergeObs(s1, obs("ais", t + 1, name = Some("BRAVO")))
+    assert(s2.name === Some("BRAVO") && s2.shipType === Some(70))
+    assert(s2.nameSource === Some("ais"))
+
+    // enrichment fills ONLY missing fields
+    val s3 = mergeObs(s2, obs("marinesia", t + 2, name = Some("CHARLIE"), draught = Some(5.5)))
+    assert(s3.name === Some("BRAVO"), "enrichment must not overwrite a present name")
+    assert(s3.draught === Some(5.5), "enrichment fills the missing draught")
+
+    // zero counts as missing: an AIS draught of 0 is fillable later
+    val z1 = mergeObs(empty(1), obs("ais", t, draught = Some(0.0)))
+    val z2 = mergeObs(z1, obs("marinesia", t + 1, draught = Some(7.0)))
+    assert(z2.draught === Some(7.0))
+
+    // marinesia-first name fills and tags provenance; later AIS overwrites it
+    val m1 = mergeObs(empty(1), obs("marinesia", t, name = Some("MIKE")))
+    assert(m1.name === Some("MIKE") && m1.nameSource === Some("marinesia"))
+    val m2 = mergeObs(m1, obs("ais", t + 1, name = Some("NOVEMBER")))
+    assert(m2.name === Some("NOVEMBER") && m2.nameSource === Some("ais"))
+
+    // position: enrichment applies only when NEWER than the last position
+    val p1 = mergeObs(empty(1), obs("ais", t + 10, lat = Some(-41.0), lon = Some(174.0)))
+    val pOld = mergeObs(p1, obs("marinesia", t + 5, lat = Some(-42.0), lon = Some(175.0)))
+    assert(pOld.lat === Some(-41.0) && pOld.posTs === t + 10, "older enrichment position ignored")
+    val pNew = mergeObs(p1, obs("marinesia", t + 20, lat = Some(-42.0), lon = Some(175.0)))
+    assert(pNew.lat === Some(-42.0) && pNew.posTs === t + 20)
+  }
+
+  test("vessel table: streamed union of AIS + enrichment sources (U2)") {
+    import spark.implicits._
+    import VesselMerge._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = 2000000000000L
+    val ais = MemoryStream[VesselObs]
+    val enrich = MemoryStream[VesselObs]
+    val q = vesselTable(ais.toDS().union(enrich.toDS()), None, "1 hour")
+      .writeStream.format("memory").queryName("vessels").outputMode("update")
+      .start()
+    try {
+      ais.addData(VesselObs(111000000L, t0, "ais", Some("TUI"), None, None, None,
+        None, None, Some(-41.3), Some(174.8)))
+      enrich.addData(VesselObs(111000000L, t0 + 1, "marinesia", Some("WRONG"),
+        Some(70), None, None, Some("NELSON"), Some(4.2), None, None))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val last = spark.table("vessels").as[VesselState].collect().maxBy(_.lastUpdate)
+    assert(last.name === Some("TUI"), "AIS name wins over enrichment fill")
+    assert(last.shipType === Some(70) && last.destination === Some("NELSON"))
+    assert(last.lat === Some(-41.3))
+  }
+}
