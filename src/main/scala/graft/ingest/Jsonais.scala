@@ -1,0 +1,141 @@
+package graft.ingest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S2: the jsonais multi-dialect canonicalizer (`ais-proxy/server.js:
+  * 997-1215`) as a plan-time Column pipeline: one permissive `from_json`
+  * schema capturing every dialect's fields, then a dispatch-ordered
+  * `coalesce` of candidate extractions — first match wins, exactly like the
+  * reference's early returns:
+  *
+  *   1. AIS-catcher `msgs[]` (first element with mmsi + lat/lon in range)
+  *   2. minimal (top-level mmsi/lat/lon)
+  *   3. full JSONAIS `groups[].msgs[]`
+  *   4. APRS (`call` as MMSI, `lat`/`lng`, ISO `time`)
+  *   5. direct (`mmsi|MMSI`, `lat|latitude`, `lon|lng|longitude` + coord sanity)
+  *
+  * plus the truncated-JSON salvage path (`:1239-1259`): when the document
+  * fails to parse, regex-extract the closed `"msgs":[...]` slice and re-parse
+  * (C25/C1).
+  *
+  * Divergence (documented): rows without any timestamp get a null `ts_sec`
+  * instead of the reference's `Date.now()` — wall-clock defaults are
+  * non-deterministic and belong to the ingest layer, not the data.
+  *
+  * All values are parsed as strings then cast (`parseInt`/`parseFloat`
+  * accept both quoted and bare numbers in the reference).
+  */
+object Jsonais {
+
+  private val msgType = StructType(Seq(
+    StructField("mmsi", StringType), StructField("lat", StringType),
+    StructField("lon", StringType), StructField("rxtime", StringType),
+    StructField("course", StringType), StructField("speed", StringType),
+    StructField("heading", StringType), StructField("status", StringType)))
+
+  /** Every field any dialect can carry. */
+  val schema: StructType = StructType(Seq(
+    StructField("msgs", ArrayType(msgType)),
+    StructField("groups", ArrayType(StructType(Seq(
+      StructField("msgs", ArrayType(msgType)))))),
+    StructField("protocol", StringType),
+    StructField("mmsi", StringType),
+    StructField("lat", StringType), StructField("latitude", StringType),
+    StructField("lon", StringType), StructField("lng", StringType),
+    StructField("longitude", StringType),
+    StructField("call", StringType), StructField("time", StringType),
+    StructField("rxtime", StringType), StructField("course", StringType),
+    StructField("speed", StringType), StructField("heading", StringType),
+    StructField("status", StringType)))
+
+  private def mmsiOk(m: Column): Column =
+    m.isNotNull && m >= 100000000L && m <= 999999999L
+
+  /** C4: rxtime `yyyyMMddHHmmss` (UTC) → epoch seconds; malformed → null. */
+  def parseRxtime(rx: Column): Column =
+    when(length(rx) === 14,
+      unix_timestamp(to_timestamp(rx, "yyyyMMddHHmmss")))
+
+  private def canonical(mmsi: Column, lat: Column, lon: Column, ts: Column,
+      cog: Column, sog: Column): Column =
+    struct(mmsi.as("mmsi"), lat.as("lat"), lon.as("lon"), ts.as("ts_sec"),
+      cog.as("cog"), sog.as("sog"))
+
+  private def fromMsg(m: Column): Column =
+    canonical(m.getField("mmsi").cast("long"),
+      m.getField("lat").cast("double"), m.getField("lon").cast("double"),
+      parseRxtime(m.getField("rxtime")),
+      m.getField("course").cast("double"), m.getField("speed").cast("double"))
+
+  /** First element of a msgs array passing the reference's per-msg guard. */
+  private def firstValid(msgs: Column): Column = {
+    val ok = filter(msgs, m =>
+      mmsiOk(m.getField("mmsi").cast("long")) &&
+        m.getField("lat").isNotNull && m.getField("lon").isNotNull)
+    when(size(ok) > 0, fromMsg(element_at(ok, 1)))
+  }
+
+  /** `MMSI` (uppercase) lives in its own one-field schema: Spark's field
+    * resolution is case-insensitive, so `mmsi`/`MMSI` cannot share a struct.
+    */
+  val schemaUpper: StructType = StructType(Seq(StructField("MMSI", StringType)))
+
+  /** Dispatch over the parsed struct — returns the canonical struct or null.
+    * `mmsiUpper` carries the direct-dialect `MMSI` key parsed separately.
+    */
+  def dispatch(j: Column, mmsiUpper: Column): Column = {
+    val d1 = when(j.getField("msgs").isNotNull, firstValid(j.getField("msgs")))
+    val d2 = when(
+      mmsiOk(j.getField("mmsi").cast("long")) &&
+        j.getField("lat").isNotNull && j.getField("lon").isNotNull,
+      canonical(j.getField("mmsi").cast("long"),
+        j.getField("lat").cast("double"), j.getField("lon").cast("double"),
+        parseRxtime(j.getField("rxtime")),
+        j.getField("course").cast("double"), j.getField("speed").cast("double")))
+    val d3 = when(j.getField("groups").isNotNull,
+      firstValid(flatten(transform(j.getField("groups"), g => g.getField("msgs")))))
+    val d4 = when(
+      mmsiOk(j.getField("call").cast("long")) &&
+        j.getField("lat").isNotNull && j.getField("lng").isNotNull,
+      canonical(j.getField("call").cast("long"),
+        j.getField("lat").cast("double"), j.getField("lng").cast("double"),
+        unix_timestamp(to_timestamp(j.getField("time"))),
+        j.getField("course").cast("double"), j.getField("speed").cast("double")))
+    val d5mmsi = coalesce(j.getField("mmsi"), mmsiUpper).cast("long")
+    val d5lat = coalesce(j.getField("lat"), j.getField("latitude")).cast("double")
+    val d5lon = coalesce(j.getField("lon"), j.getField("lng"),
+      j.getField("longitude")).cast("double")
+    val d5 = when(
+      mmsiOk(d5mmsi) && abs(d5lat) <= 90 && abs(d5lon) <= 180,
+      canonical(d5mmsi, d5lat, d5lon, parseRxtime(j.getField("rxtime")),
+        j.getField("course").cast("double"), j.getField("speed").cast("double")))
+    // empty msgs array is an early `return null` in the reference (:1024-1027)
+    when(j.getField("msgs").isNotNull && size(j.getField("msgs")) === 0,
+      lit(null).cast(canonicalType))
+      .otherwise(coalesce(d1, d2, d3, d4, d5))
+  }
+
+  val canonicalType: DataType = StructType(Seq(
+    StructField("mmsi", LongType), StructField("lat", DoubleType),
+    StructField("lon", DoubleType), StructField("ts_sec", LongType),
+    StructField("cog", DoubleType), StructField("sog", DoubleType)))
+
+  /** Full pipeline over a raw JSON-string Column: parse, salvage truncated
+    * documents via the `"msgs":[...]` regex (C25), dispatch.
+    */
+  def canonicalize(raw: Column): Column = {
+    val parsed = from_json(raw, schema)
+    val salvaged = from_json(
+      concat(lit("{\"msgs\":["),
+        regexp_extract(raw, "\"msgs\":\\s*\\[(.*?)\\]", 1), lit("]}")),
+      schema)
+    // from_json yields an all-null struct (not NULL) on failure when any
+    // top-level field is absent; detect "nothing parsed" via to_json
+    val parsedOk = parsed.isNotNull &&
+      to_json(parsed) =!= lit("{}")
+    val mmsiUpper = from_json(raw, schemaUpper).getField("MMSI")
+    dispatch(when(parsedOk, parsed).otherwise(salvaged), mmsiUpper)
+  }
+}
