@@ -16,7 +16,8 @@ object SparkEntry {
   /** The full registry, grouped by theme. */
   def registry: Seq[GraftQuery] =
     Relational.all ++ Temporal.all ++ GeoQueries.all ++ Scalar.all ++
-      DslQueries.all ++ LlmPipeline.all ++ IngestQueries.all ++ RasterQueries.all
+      DslQueries.all ++ LlmPipeline.all ++ IngestQueries.all ++ RasterQueries.all ++
+      SinkJoinQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

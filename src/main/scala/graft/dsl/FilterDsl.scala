@@ -97,22 +97,66 @@ object FilterDsl {
 
   // --- compiler ---
 
+  /** Plan-time type annotation for a path — enables the reference's JS
+    * STRICT equality (`5 !== "5"`, `index.mjs:191-192`) and array
+    * membership (`:216-219`), which need type knowledge the Column API
+    * can't recover from a dynamic resolver. Unannotated paths keep the
+    * coercive behavior (correct for JSON-string resolvers, where numbers
+    * and strings are indistinguishable after extraction).
+    */
+  sealed trait PathType
+  case object TUnknown extends PathType
+  case object TNumeric extends PathType
+  case object TString extends PathType
+  case object TArray extends PathType
+
+  final case class PathTypes(types: Map[String, PathType]) {
+    def apply(p: String): PathType = types.getOrElse(p, TUnknown)
+  }
+  object PathTypes { val empty: PathTypes = PathTypes(Map.empty) }
+
   /** Comparison against a concrete literal with missing-field-fails-all
     * semantics: `coalesce(col IS NOT NULL AND (col op lit), false)`.
+    *
+    * Strict-typing table (JS semantics, `index.mjs:191-199`): `===`/`!==`
+    * never coerce — a type-mismatched `==` is false and a type-mismatched
+    * `!=` is true FOR A PRESENT FIELD; relational ops DO coerce
+    * (`"5" > 3` is numeric in JS), and an unparseable coercion is NaN →
+    * false.
     */
-  private def cmp(c: Column, op: String, l: Lit): Column = {
+  private def cmp(c: Column, op: String, l: Lit, pt: PathType): Column = {
     def guard(typed: Column, p: Column => Column): Column =
       coalesce(typed.isNotNull && p(typed), lit(false))
+    def presentTrue: Column = coalesce(c.isNotNull, lit(false))
     (op, l) match {
       case ("==", LNull) => c.isNull
       case ("!=", LNull) => c.isNotNull
       case (_, LNull) => lit(false) // >,<,>=,<= vs null: false either way
-      case (o, LNum(d)) =>
-        guard(c.cast("double"), t => applyOp(t, o, lit(d)))
-      case (o, LBool(b)) =>
-        guard(c.cast("boolean"), t => applyOp(t, o, lit(b)))
-      case (o, LStr(s)) =>
-        guard(c.cast("string"), t => applyOp(t, o, lit(s)))
+      case (o, lv) => (pt, lv) match {
+        case (TArray, _) => // array === scalar is never true; !== is
+          if (o == "!=") presentTrue else lit(false)
+        case (TString, LNum(d)) =>
+          o match {
+            case "==" => lit(false)
+            case "!=" => presentTrue
+            case _ => guard(c.cast("double"), t => applyOp(t, o, lit(d)))
+          }
+        case (TNumeric, LStr(s)) =>
+          o match {
+            case "==" => lit(false)
+            case "!=" => presentTrue
+            case _ => s.toDoubleOption match {
+              case Some(d) => guard(c.cast("double"), t => applyOp(t, o, lit(d)))
+              case None => lit(false) // NaN relational → false
+            }
+          }
+        case (_, LNum(d)) =>
+          guard(c.cast("double"), t => applyOp(t, o, lit(d)))
+        case (_, LBool(b)) =>
+          guard(c.cast("boolean"), t => applyOp(t, o, lit(b)))
+        case (_, LStr(s)) =>
+          guard(c.cast("string"), t => applyOp(t, o, lit(s)))
+      }
     }
   }
 
@@ -126,13 +170,24 @@ object FilterDsl {
     case _ => lit(true) // reference default branch (`:196`)
   }
 
+  private def litOf(l: Lit): Column = l match {
+    case LStr(s) => lit(s)
+    case LNum(d) => lit(d)
+    case LBool(b) => lit(b)
+    case LNull => lit(null)
+  }
+
   /** Compile one parsed filter against a path resolver. */
-  def compileFilter(f: Filter, resolve: String => Column): Column = f match {
-    case And(conds) => conds.map(compileFilter(_, resolve)).reduce(_ && _)
-    case Compare(path, op, value) => cmp(resolve(path), op, value)
+  def compileFilter(f: Filter, resolve: String => Column,
+      types: PathTypes = PathTypes.empty): Column = f match {
+    case And(conds) => conds.map(compileFilter(_, resolve, types)).reduce(_ && _)
+    case Compare(path, op, value) => cmp(resolve(path), op, value, types(path))
+    case Modulo(path, _, _, _)
+        if types(path) == TString || types(path) == TArray =>
+      lit(false) // modulo requires `typeof actual === 'number'` (:220)
     case Modulo(path, div, op, value) if !div.isNaN && div != 0.0 =>
       val d = resolve(path).cast("double")
-      coalesce(d.isNotNull && cmp(d % div, op, value), lit(false))
+      coalesce(d.isNotNull && cmp(d % div, op, value, TNumeric), lit(false))
     case Modulo(path, _, op, _) =>
       // Non-numeric or zero divisor: the reference still computes
       // `actual % divisor` (= NaN) and compares, so for a present numeric
@@ -142,8 +197,14 @@ object FilterDsl {
       else lit(false)
     case In(path, values) =>
       val c = resolve(path)
-      val hits = values.map(v => cmp(c, "==", v))
+      val hits = values.map(v => cmp(c, "==", v, types(path)))
       coalesce(c.isNotNull && hits.reduceOption(_ || _).getOrElse(lit(false)), lit(false))
+    case Contains(path, value) if types(path) == TArray =>
+      // array membership via strict includes (`:218`)
+      val c = resolve(path)
+      coalesce(c.isNotNull && exists(c, e => e === litOf(value)), lit(false))
+    case Contains(path, _) if types(path) == TNumeric =>
+      lit(false) // not a string, not an array → false (`:219`)
     case Contains(path, value) =>
       val c = resolve(path).cast("string")
       val needle = value match {
@@ -155,10 +216,18 @@ object FilterDsl {
       coalesce(c.isNotNull && c.contains(lit(needle)), lit(false))
   }
 
+  /** Legacy object-format filter `{path, op, value}` (`index.mjs:236-239`)
+    * — evaluated straight through the comparison table.
+    */
+  def compileLegacy(path: String, op: String, value: Lit,
+      resolve: String => Column, types: PathTypes = PathTypes.empty): Column =
+    cmp(resolve(path), if (op == "=") "==" else op, value, types(path))
+
   /** Compile a filter LIST (OR semantics; empty/absent → true). */
-  def compile(filters: Seq[String], resolve: String => Column): Column =
+  def compile(filters: Seq[String], resolve: String => Column,
+      types: PathTypes = PathTypes.empty): Column =
     filters
-      .map(f => parse(f).map(compileFilter(_, resolve)).getOrElse(lit(true)))
+      .map(f => parse(f).map(compileFilter(_, resolve, types)).getOrElse(lit(true)))
       .reduceOption(_ || _)
       .getOrElse(lit(true))
 

@@ -122,20 +122,51 @@ object Jsonais {
     StructField("lon", DoubleType), StructField("ts_sec", LongType),
     StructField("cog", DoubleType), StructField("sog", DoubleType)))
 
-  /** Full pipeline over a raw JSON-string Column: parse, salvage truncated
+  /** Full pipeline over a raw JSON-string column: parse, salvage truncated
     * documents via the `"msgs":[...]` regex (C25), dispatch.
+    *
+    * This is a DataFrame transform (not a single Column) on purpose: the
+    * dispatch references the parsed struct ~25 times, and a single-Column
+    * formulation would textually duplicate `from_json` into every
+    * `getField` — a 30× JSON-parse blowup. Staged `withColumn`s keep each
+    * `from_json` in its own projection; `CollapseProject` refuses to inline
+    * non-cheap expressions that are referenced more than once, so each
+    * document is parsed a constant number of times regardless of how many
+    * fields the dispatch reads.
     */
-  def canonicalize(raw: Column): Column = {
-    val parsed = from_json(raw, schema)
-    val salvaged = from_json(
-      concat(lit("{\"msgs\":["),
-        regexp_extract(raw, "\"msgs\":\\s*\\[(.*?)\\]", 1), lit("]}")),
-      schema)
+  def canonicalizeDf(df: org.apache.spark.sql.DataFrame, raw: Column,
+      out: String): org.apache.spark.sql.DataFrame = {
+    val parsed = col("__jsonais_parsed")
     // from_json yields an all-null struct (not NULL) on failure when any
     // top-level field is absent; detect "nothing parsed" via to_json
-    val parsedOk = parsed.isNotNull &&
-      to_json(parsed) =!= lit("{}")
-    val mmsiUpper = from_json(raw, schemaUpper).getField("MMSI")
-    dispatch(when(parsedOk, parsed).otherwise(salvaged), mmsiUpper)
+    val parsedOk = parsed.isNotNull && to_json(parsed) =!= lit("{}")
+    val staged = df
+      .withColumn("__jsonais_raw", raw)
+      .withColumn("__jsonais_parsed", from_json(col("__jsonais_raw"), schema))
+      // salvage parse sits INSIDE the otherwise-branch: CaseWhen evaluates
+      // branches lazily, so well-formed documents pay exactly one parse
+      .withColumn("__jsonais_j",
+        when(parsedOk, parsed).otherwise(from_json(
+          concat(lit("{\"msgs\":["),
+            regexp_extract(col("__jsonais_raw"), "\"msgs\":\\s*\\[(.*?)\\]", 1),
+            lit("]}")),
+          schema)))
+      // uppercase-MMSI dialect key via a cheap regex (the reference just
+      // parseInt()s the field; a numeric extract is the same semantics)
+      .withColumn("__jsonais_upper",
+        when(regexp_extract(col("__jsonais_raw"), "\"MMSI\"\\s*:\\s*\"?(-?[0-9.]+)", 1) =!= "",
+          regexp_extract(col("__jsonais_raw"), "\"MMSI\"\\s*:\\s*\"?(-?[0-9.]+)", 1)))
+      .drop("__jsonais_raw", "__jsonais_parsed")
+    // Optimizer barrier: CollapseProject would otherwise inline the
+    // from_json into all ~25 getField references of the dispatch (measured
+    // 251 from_json copies in the optimized plan = a 30× parse blowup;
+    // a repartition Exchange does NOT stop the collapse — measured 246).
+    // A per-partition identity map adds a serialize/deserialize fence the
+    // optimizer cannot cross: no shuffle, one row-encode round trip.
+    val barrier = staged.mapPartitions(identity(_))(
+      org.apache.spark.sql.Encoders.row(staged.schema))
+    barrier
+      .withColumn(out, dispatch(col("__jsonais_j"), col("__jsonais_upper")))
+      .drop("__jsonais_upper", "__jsonais_j")
   }
 }

@@ -17,14 +17,24 @@ object DslQueries {
     */
   private def eventsResolver: String => Column = path =>
     if (path.startsWith("props.")) get_json_object(col("props"), "$." + path.stripPrefix("props."))
+    else if (path == "types") array(col("event_type"), lit("misc")) // synthetic array field
     else col(path)
+
+  /** Plan-time types: `value` is a real numeric column (strict equality),
+    * `types` an array column (membership `$contains`).
+    */
+  private val eventsTypes = FilterDsl.PathTypes(Map(
+    "value" -> FilterDsl.TNumeric, "types" -> FilterDsl.TArray))
 
   private val filterList = Seq(
     """props.k % 2 == 0 and value > 400""", // modulo + numeric AND
     """event_type in ["error", "signup"] and value < 50""", // in-list
     """$contains(event_type, "ck")""", // substring
     """props.missing != 5""", // MISSING FIELD: must match NOTHING (non-SQL 3VL)
-    """props.absent == null""") // missing == null: matches everything
+    """props.absent == null""", // missing == null: matches everything
+    """$contains(types, "click")""", // ARRAY membership, not substring
+    """value == "100"""", // strict: number !== string → never
+    """value != "100"""") // strict != on present numeric field → always
 
   /** F12: the full filter grammar compiled to one Column, OR across the
     * config list. Note `props.absent == null` makes every row match via the
@@ -35,9 +45,9 @@ object DslQueries {
     "q31_filter_dsl", "F12 P4",
     (s, d) => {
       val branchCols = filterList.map(f =>
-        FilterDsl.compile(Seq(f), eventsResolver).cast("int"))
+        FilterDsl.compile(Seq(f), eventsResolver, eventsTypes).cast("int"))
       Tables.events(s, d)
-        .withColumn("matched", FilterDsl.compile(filterList, eventsResolver))
+        .withColumn("matched", FilterDsl.compile(filterList, eventsResolver, eventsTypes))
         .withColumn("matched_by", concat(branchCols: _*))
         .select(col("event_id"), col("matched"), col("matched_by"))
         .orderBy(col("event_id"))
@@ -50,11 +60,15 @@ object DslQueries {
         (event_type IN ('error', 'signup') AND value < 50) AS b2,
         contains(event_type, 'ck') AS b3,
         FALSE AS b4,
-        TRUE AS b5
+        TRUE AS b5,
+        (event_type = 'click' OR 'misc' = 'click') AS b6,
+        FALSE AS b7,
+        (value IS NOT NULL) AS b8
       FROM events)
-      SELECT event_id, (b1 OR b2 OR b3 OR b4 OR b5) AS matched,
+      SELECT event_id, (b1 OR b2 OR b3 OR b4 OR b5 OR b6 OR b7 OR b8) AS matched,
         CAST(b1 AS INT)::VARCHAR || CAST(b2 AS INT)::VARCHAR || CAST(b3 AS INT)::VARCHAR ||
-        CAST(b4 AS INT)::VARCHAR || CAST(b5 AS INT)::VARCHAR AS matched_by
+        CAST(b4 AS INT)::VARCHAR || CAST(b5 AS INT)::VARCHAR || CAST(b6 AS INT)::VARCHAR ||
+        CAST(b7 AS INT)::VARCHAR || CAST(b8 AS INT)::VARCHAR AS matched_by
       FROM t ORDER BY event_id"""))
 
   /** C23: template compiled to a concat tree with `upper`, `fixed:1` and a

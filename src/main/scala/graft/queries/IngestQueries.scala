@@ -71,7 +71,7 @@ object IngestQueries {
         .otherwise( // dialect 5: truncated document — NOT valid JSON
           concat(lit("{\"protocol\":\"jsonaiscatcher\",\"msgs\":["), innerMsg,
             lit("],\"setting\":\"N/A")))
-      e.withColumn("canon", Jsonais.canonicalize(payload))
+      Jsonais.canonicalizeDf(e, payload, "canon")
         .filter(col("canon").isNotNull)
         .select(col("event_id"),
           col("canon.mmsi").as("mmsi"), col("canon.lat").as("lat"),

@@ -298,12 +298,36 @@ object LlmPipeline {
      * (an independent formulation of the same semantics). */
     val q40 = GraftQuery(
       "q40_lang_id", "L8",
-      (s, d) =>
-        Tables.documents(s, d)
-          .withColumn("detected", TextFunctions.langIdColumn(col("text")))
+      (s, d) => {
+        // relational formulation of TextFunctions.langIdColumn: explode
+        // words, broadcast-join the stopword table, count hits per (doc,
+        // lang), argmax by (score, lang) via a struct max — all codegen'd
+        // (the array-lambda form pays interpreted HOF evaluation per word
+        // per language)
+        import s.implicits._
+        val sw = TextFunctions.StopwordProfiles
+          .flatMap { case (lang, set) => set.toSeq.map(w => (lang, w)) }
+          .toDF("cand", "sw")
+        val langs = TextFunctions.StopwordProfiles.map(_._1).toDF("cand")
+        val words = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        val totals = words.groupBy(col("doc_id"), col("lang")).agg(count(lit(1)).as("n"))
+        val hits = words
+          .join(broadcast(sw), col("w") === col("sw"))
+          .groupBy(col("doc_id").as("h_doc"), col("cand").as("h_cand"))
+          .agg(count(lit(1)).as("hits"))
+        val scored = totals.crossJoin(broadcast(langs))
+          .join(hits, col("doc_id") === col("h_doc") && col("cand") === col("h_cand"), "left")
+          .withColumn("score", coalesce(col("hits"), lit(0L)).cast("double") / col("n"))
+        scored.groupBy(col("doc_id"), col("lang"))
+          .agg(max(struct(col("score"), col("cand"))).as("best"))
+          .withColumn("detected",
+            when(col("best.score") === 0.0, lit("und")).otherwise(col("best.cand")))
           .select(col("doc_id"), col("lang"), col("detected"),
             (col("detected") === col("lang")).as("agree"))
-          .orderBy(col("doc_id")),
+          .orderBy(col("doc_id"))
+      },
       Some {
         val ws = Sketches.wordsSql("lower(text)")
         val scored = TextFunctions.StopwordProfiles.map { case (lang, sw) =>

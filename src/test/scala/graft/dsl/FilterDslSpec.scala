@@ -104,6 +104,65 @@ class FilterDslSpec extends SparkSpec {
     assert(matches() === Seq(1, 2, 3, 4))
   }
 
+  // --- typed-column semantics (strict equality, array membership) ---
+
+  private lazy val typed = Seq(
+    (1, 5.0, "alpha", Seq("red", "blue"), Seq(1, 2)),
+    (2, 3.0, "bravo", Seq("green"), Seq(3)),
+    (3, 10.0, "5", Seq.empty[String], Seq.empty[Int])
+  ).toDF("id", "mag", "name", "tags", "nums")
+
+  private val typedTypes = FilterDsl.PathTypes(Map(
+    "mag" -> FilterDsl.TNumeric, "name" -> FilterDsl.TString,
+    "tags" -> FilterDsl.TArray, "nums" -> FilterDsl.TArray))
+
+  private def typedMatches(filters: String*): Seq[Int] =
+    typed.filter(FilterDsl.compile(filters, col(_), typedTypes))
+      .select("id").as[Int].collect().sorted.toSeq
+
+  test("strict equality: number field vs string literal never matches ==") {
+    // JS `5 !== "5"` (index.mjs:191-192): strict for ==/!=
+    assert(typedMatches("""mag == "5"""") === Seq())
+    assert(typedMatches("""mag != "5"""") === Seq(1, 2, 3)) // present → true
+    assert(typedMatches("mag == 5") === Seq(1))
+    // string field vs numeric literal: row 3 has name "5" but 5 !== "5"
+    assert(typedMatches("name == 5") === Seq())
+    assert(typedMatches("name != 5") === Seq(1, 2, 3))
+  }
+
+  test("strict relational ops still coerce (JS semantics)") {
+    // `mag > "4"`: JS coerces "4" to 4 for relational ops
+    assert(typedMatches("""mag > "4"""") === Seq(1, 3))
+    assert(typedMatches("""mag > "abc"""") === Seq()) // NaN → false
+    // in-list is strict per element
+    assert(typedMatches("""mag in [5, "10"]""") === Seq(1)) // "10" !== 10.0
+  }
+
+  test("$contains on array columns is element membership, not substring") {
+    assert(typedMatches("""$contains(tags, "red")""") === Seq(1))
+    assert(typedMatches("""$contains(tags, "re")""") === Seq()) // NOT substring
+    assert(typedMatches("$contains(nums, 2)") === Seq(1))
+    assert(typedMatches("$contains(nums, 9)") === Seq())
+    // number field: neither string nor array → false (index.mjs:219)
+    assert(typedMatches("""$contains(mag, "5")""") === Seq())
+  }
+
+  test("array fields: equality/modulo against scalars") {
+    assert(typedMatches("tags == 5") === Seq())
+    assert(typedMatches("tags != 5") === Seq(1, 2, 3)) // present array !== scalar
+    assert(typedMatches("tags % 2 == 0") === Seq()) // typeof array != number
+  }
+
+  test("legacy object-format filter") {
+    val got = typed.filter(FilterDsl.compileLegacy("mag", ">", FilterDsl.LNum(4), col(_), typedTypes))
+      .select("id").as[Int].collect().sorted.toSeq
+    assert(got === Seq(1, 3))
+    val missing = typed.filter(FilterDsl.compileLegacy("nope", "!=", FilterDsl.LNum(4),
+        _ => lit(null), typedTypes))
+      .select("id").as[Int].collect()
+    assert(missing.isEmpty, "legacy comparison keeps missing-field-fails semantics")
+  }
+
   test("parser shapes") {
     import FilterDsl._
     assert(parse("a.b >= 3").contains(Compare("a.b", ">=", LNum(3))))
