@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** File-based source scans under the correctness gate (SURVEY §2.1
+  * S4/S5/S6/S7/S9/S10/S13).
+  *
+  * Each query first WRITES a deterministic wire-format file derived from
+  * the events table (CSV, JSON lines, a GeoJSON FeatureCollection document,
+  * HTML-ish scrape text, paginated REST envelopes), then reads it back
+  * through the real `spark.read` path and processes it. The DuckDB oracle
+  * computes the expected output directly from the event columns — the
+  * generator's inverse — so the scan + parse + normalize path is
+  * hash-checked end to end without the oracle ever seeing the files.
+  *
+  * Scale notes: every read is a distributed file scan (the written dir has
+  * normal Spark partitioning); schema is supplied explicitly where a real
+  * pipeline would pin it (CSV) and inferred where the reference consumes
+  * unknown feeds (JSON).
+  */
+object SourceQueries {
+
+  /** Deterministic staging dir per (sf, source). */
+  private def stage(sfDir: String, name: String): String =
+    s"/tmp/graft_sources/${new java.io.File(sfDir).getName}/$name"
+
+  /** S9/A4: CSV scan — ICP-style `region,network,icp_total` rollup
+    * (`power-outages/icp-data.js:25-41`): write header CSV, scan with an
+    * explicit schema, aggregate region totals.
+    */
+  val q52 = GraftQuery(
+    "q52_csv_scan_rollup", "S9 A4 A1",
+    (s, d) => {
+      val path = stage(d, "icp_csv")
+      Tables.events(s, d)
+        .select(col("event_type").as("region"),
+          concat(lit("net"), col("user_id") % 4).as("network"),
+          Synthetic.k.as("icp_total"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      val schema = StructType(Seq(
+        StructField("region", StringType), StructField("network", StringType),
+        StructField("icp_total", IntegerType)))
+      s.read.option("header", "true").schema(schema).csv(path)
+        .groupBy(col("region"))
+        .agg(sum(col("icp_total")).as("total_icp"), count(lit(1)).as("n"))
+        .orderBy(col("region"))
+    },
+    Some(s"""SELECT event_type AS region, CAST(SUM(${Synthetic.kSql}) AS BIGINT) AS total_icp,
+        COUNT(*) AS n
+      FROM events GROUP BY event_type ORDER BY region"""))
+
+  /** S6/S7: plain-JSON REST scan (ArcGIS-ish `attributes`/`geometry`
+    * envelope, `scrapers/powerco.js:65-75`): write JSON lines, scan with
+    * schema INFERENCE (the reference consumes feeds it doesn't control),
+    * flatten, filter.
+    */
+  val q53 = GraftQuery(
+    "q53_json_rest_scan", "S6 S7 P3",
+    (s, d) => {
+      val path = stage(d, "arcgis_json")
+      Synthetic.withGeo(Tables.events(s, d))
+        .select(to_json(struct(
+          struct(col("event_id").as("id"), col("event_type").as("region"),
+            col("k").as("customers")).as("attributes"),
+          struct(round(col("lon"), 6).as("x"), round(col("lat"), 6).as("y"))
+            .as("geometry"))).as("value"))
+        .write.mode("overwrite").text(path)
+      s.read.json(path)
+        .select(col("attributes.id").as("event_id"),
+          col("attributes.region").as("region"),
+          col("attributes.customers").as("customers"),
+          col("geometry.x").as("lon"), col("geometry.y").as("lat"))
+        .filter(col("customers") >= 50)
+        .orderBy(col("event_id"))
+    },
+    Some(s"""SELECT event_id, event_type AS region, ${Synthetic.kSql} AS customers,
+        round(${Synthetic.lonSql}, 6) AS lon, round(${Synthetic.latSql}, 6) AS lat
+      FROM events WHERE ${Synthetic.kSql} >= 50 ORDER BY event_id"""))
+
+  /** S10: GeoJSON FeatureCollection scan — ONE multi-line JSON document
+    * (`power-outages/region-mapper.js:10-16`), read with `multiLine`,
+    * features exploded.
+    */
+  val q54 = GraftQuery(
+    "q54_geojson_scan", "S10 K2",
+    (s, d) => {
+      val path = stage(d, "boundaries_geojson")
+      val features = Synthetic.withGeo(Tables.events(s, d))
+        .filter(col("event_id") % 50 === 0)
+        .orderBy(col("event_id"))
+        .select(to_json(struct(
+          lit("Feature").as("type"),
+          struct(col("event_id").as("id"), col("event_type").as("kind")).as("properties"),
+          struct(lit("Point").as("type"),
+            array(round(col("lon"), 6), round(col("lat"), 6)).as("coordinates"))
+            .as("geometry"))).as("f"))
+        .agg(concat_ws(",", collect_list(col("f"))).as("joined"))
+        .select(concat(lit("{\"type\":\"FeatureCollection\",\"features\":["),
+          col("joined"), lit("]}")).as("value"))
+      features.coalesce(1).write.mode("overwrite").text(path)
+      s.read.option("multiLine", "true").json(path)
+        .select(explode(col("features")).as("f"))
+        .select(col("f.properties.id").as("id"), col("f.properties.kind").as("kind"),
+          element_at(col("f.geometry.coordinates"), 1).as("lon"),
+          element_at(col("f.geometry.coordinates"), 2).as("lat"))
+        .orderBy(col("id"))
+    },
+    Some(s"""SELECT event_id AS id, event_type AS kind,
+        round(${Synthetic.lonSql}, 6) AS lon, round(${Synthetic.latSql}, 6) AS lat
+      FROM events WHERE event_id % 50 = 0 ORDER BY id"""))
+
+  /** S4/S5/F7/C11/C12/J9: HTML scrape — attribute extraction (the cheerio
+    * `.attr(...)` path as regex), status-class filter, `"< 5"` coercion,
+    * customer-count regex, seen-set dedup, plus the embedded
+    * `window.allOutages = {...}` script blob (orion.js:6-18) recovered via
+    * regex + from_json.
+    */
+  val q55 = GraftQuery(
+    "q55_html_scrape", "S4 S5 F7 C11 C12 J9 C1",
+    (s, d) => {
+      val path = stage(d, "outage_html")
+      val e = Tables.events(s, d).withColumn("k", Synthetic.k)
+        .withColumn("status",
+          when(col("k") % 3 === 0, lit("status-planned")).otherwise(lit("status-unplanned")))
+        .withColumn("custText",
+          when(col("k") < 5, lit("&lt; 5")).otherwise(concat(col("k"), lit(" customers"))))
+        // every 9th event appears twice in the page (the seen-set dedup case)
+        .withColumn("copies",
+          when(col("k") % 9 === 0, array(lit(0), lit(1))).otherwise(array(lit(0))))
+        .withColumn("copy", explode(col("copies")))
+      e.select(concat(
+          lit("<div class=\"outage-item\" data-event-number=\"E"), col("event_id"),
+          lit("\"><span class=\""), col("status"), lit("\">st</span><p class=\"cust\">"),
+          col("custText"),
+          lit("</p><script>window.allOutages = {\"n\": "), col("k"),
+          lit("};</script></div>")).as("value"))
+        .write.mode("overwrite").text(path)
+      val html = s.read.text(path)
+        .withColumn("outage_id", regexp_extract(col("value"), "data-event-number=\"(E[0-9]+)\"", 1))
+        .withColumn("status", regexp_extract(col("value"), "<span class=\"(status-[a-z]+)\"", 1))
+        .withColumn("custRaw", regexp_extract(col("value"), "<p class=\"cust\">(.*?)</p>", 1))
+        .withColumn("blob", regexp_extract(col("value"), "window\\.allOutages = (\\{.*?\\});", 1))
+        .filter(col("status") === "status-unplanned") // F7 (aurora.js:39-41)
+        .dropDuplicates("outage_id") // J9 seen set (aurora.js:18-26)
+        .withColumn("customers",
+          when(col("custRaw") === "&lt; 5", 5) // C11 "< 5" → 5
+            .otherwise(regexp_extract(col("custRaw"), "([0-9]+)\\s+customers", 1).cast("int")))
+        .withColumn("script_n",
+          get_json_object(col("blob"), "$.n").cast("int")) // S4 embedded JSON
+      html.select(col("outage_id"), col("customers"), col("script_n"))
+        .orderBy(col("outage_id"))
+    },
+    Some(s"""SELECT 'E' || event_id AS outage_id,
+        CASE WHEN ${Synthetic.kSql} < 5 THEN 5 ELSE ${Synthetic.kSql} END AS customers,
+        ${Synthetic.kSql} AS script_n
+      FROM events WHERE ${Synthetic.kSql} % 3 <> 0
+      ORDER BY outage_id"""))
+
+  /** S13: paginated REST scan — numbered page envelopes
+    * (`tak-cot-proxy/index.mjs:359-403`: `{items: [...], total, page}`),
+    * scanned partition-per-page, empty pages dropped (the early-exit
+    * condition expressed as data, `:400-402`).
+    */
+  val q56 = GraftQuery(
+    "q56_paginated_scan", "S13 F8",
+    (s, d) => {
+      val path = stage(d, "paged_json")
+      val pageSize = 500
+      val e = Tables.events(s, d)
+        .withColumn("page", expr(s"event_id div $pageSize"))
+        .groupBy(col("page"))
+        .agg(collect_list(struct(col("event_id").as("id"),
+          col("event_type").as("type"), Synthetic.k.as("k"))).as("raw"),
+          count(lit(1)).as("n"))
+        // deterministic item order inside each page envelope
+        .withColumn("items", array_sort(col("raw")))
+      e.select(to_json(struct(col("page"), col("items"), col("n").as("total"))).as("value"))
+        .write.mode("overwrite").text(path)
+      s.read.json(path)
+        .filter(size(col("items")) > 0) // early-exit-on-empty as a predicate
+        .select(col("page"), explode(col("items")).as("it"))
+        .select(col("it.id").as("event_id"), col("page"), col("it.type").as("event_type"),
+          col("it.k").as("k"))
+        .filter(col("k") % 4 =!= 0)
+        .orderBy(col("event_id"))
+    },
+    Some(s"""SELECT event_id, event_id // 500 AS page, event_type, ${Synthetic.kSql} AS k
+      FROM events WHERE ${Synthetic.kSql} % 4 <> 0 ORDER BY event_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q52, q53, q54, q55, q56)
+}

@@ -105,6 +105,32 @@ class RasterSpec extends SparkSpec {
     }
   }
 
+  test("K3: PNG encode/decode round-trips every channel including alpha") {
+    val px = new Array[Byte](8 * 8 * 4)
+    for (i <- 0 until 64) {
+      px(i * 4) = (i * 3).toByte; px(i * 4 + 1) = (255 - i).toByte
+      px(i * 4 + 2) = (i * 7 % 256).toByte
+      px(i * 4 + 3) = (if (i % 5 == 0) 0 else 255).toByte
+    }
+    val t = Tile(3, 1, 2, 8, 8, px)
+    val back = Png.decode(3, 1, 2, Png.encode(t))
+    assert(back.width === 8 && back.height === 8)
+    // PNG is lossless; TYPE_INT_ARGB premultiplies nothing — exact bytes,
+    // except channels under alpha=0 which PNG encoders may zero
+    for (i <- 0 until 64) {
+      val a = px(i * 4 + 3)
+      assert(back.pixels(i * 4 + 3) === a, s"alpha at $i")
+      if (a != 0) {
+        assert(back.pixels(i * 4) === px(i * 4), s"r at $i")
+        assert(back.pixels(i * 4 + 1) === px(i * 4 + 1), s"g at $i")
+        assert(back.pixels(i * 4 + 2) === px(i * 4 + 2), s"b at $i")
+      }
+    }
+    // sea-level tile encodes to a valid PNG with the right magic
+    val pngBytes = Png.encode(Tiles.seaLevelTile(0, 0, 0, 16))
+    assert(pngBytes.take(8).toSeq === Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+  }
+
   test("R4 dataset pipeline: gather + pure map + sea-level prune (distributed form)") {
     import spark.implicits._
     val z = 6; val x = 125; val y = 47 // NZ tile
