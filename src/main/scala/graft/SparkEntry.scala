@@ -17,7 +17,8 @@ object SparkEntry {
   def registry: Seq[GraftQuery] =
     Relational.all ++ Temporal.all ++ GeoQueries.all ++ Scalar.all ++
       DslQueries.all ++ LlmPipeline.all ++ IngestQueries.all ++ RasterQueries.all ++
-      SinkJoinQueries.all ++ SourceQueries.all ++ WindowFilterQueries.all
+      SinkJoinQueries.all ++ SourceQueries.all ++ WindowFilterQueries.all ++
+      ScalarPackQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

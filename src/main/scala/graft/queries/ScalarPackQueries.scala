@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.geo.GeoFunctions
+
+/** The remaining scalar/predicate operators: null-safe active filter (F5),
+  * NZ-locale time (C7), control-char sanitization (C13), buffered
+  * point-near-polygon (F14), and dynamic-property cleaning (P4).
+  */
+object ScalarPackQueries {
+
+  /** F5/C7/C13: the active-outage null-safe predicate (`power-outages/
+    * server.js:83-87`: keep when start is NULL or ≤ now), the
+    * Pacific/Auckland local-time view (`display-proxy/index.html:
+    * 1083-1093`), and control-character log sanitization
+    * (`ais-proxy/server.js:97-100`).
+    */
+  val q60 = GraftQuery(
+    "q60_nullsafe_locale_sanitize", "F5 C7 C13",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("tsu", expr("ts div 1000"))
+        .withColumn("k", Synthetic.k)
+        // TBA-style null starts (C3's output shape feeding F5)
+        .withColumn("start_sec",
+          when(col("k") % 10 === 0, lit(null).cast("long"))
+            .otherwise(expr("ts div 1000000000")))
+        .withColumn("dirty",
+          concat(col("event_type"), lit("line1\nline2\rx\ttab")))
+      val horizon = e.agg(max(col("start_sec")).as("h"))
+      e.crossJoin(broadcast(horizon))
+        // F5: NULL start is ACTIVE (unparseable dates pass), future drops
+        .filter(col("start_sec").isNull || col("start_sec") <= col("h") - 3600)
+        .select(col("event_id"), col("start_sec"),
+          // C7: event hour in NZ local time (IANA zone, covers NZDT/NZST)
+          hour(from_utc_timestamp(col("ts_us"), "Pacific/Auckland")).as("nz_hour"),
+          // C13: strip CR/LF/control chars before logging
+          regexp_replace(col("dirty"), "[\\x00-\\x1f\\x7f]", "_").as("sanitized"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""WITH e AS (
+        SELECT event_id, ts, epoch_us(ts) // 1000000 AS sec, ${Synthetic.kSql} AS k,
+          event_type || 'line1' || chr(10) || 'line2' || chr(13) || 'x' || chr(9) || 'tab' AS dirty
+        FROM events),
+      t AS (SELECT *, CASE WHEN k % 10 = 0 THEN NULL ELSE sec END AS start_sec FROM e)
+      SELECT event_id, start_sec,
+        EXTRACT(hour FROM (ts AT TIME ZONE 'UTC' AT TIME ZONE 'Pacific/Auckland')) AS nz_hour,
+        regexp_replace(dirty, '[\\x00-\\x1f\\x7f]', '_', 'g') AS sanitized
+      FROM t
+      WHERE start_sec IS NULL OR start_sec <= (SELECT MAX(CASE WHEN k % 10 = 0 THEN NULL ELSE sec END) FROM t) - 3600
+      ORDER BY event_id"""))
+
+  /** F14: buffered point-near-polygon — inside OR within 0.05° (Euclidean)
+    * of any vertex (`tools/generate-tlc-localities.js:26-37`). The oracle
+    * computes the ray-cast via the independent half-plane form (convex
+    * ring) and the buffer via explicit hypot.
+    */
+  private val ring = Seq( // convex, CCW, off-grid vertices (like q18)
+    (170.0137, -44.0171), (174.0213, -43.9893), (175.0071, -40.0133),
+    (172.5191, -37.5117), (169.0031, -40.9899))
+
+  val q61 = GraftQuery(
+    "q61_near_polygon", "F14 J1",
+    (s, d) => {
+      val buffered = Synthetic.withGeo(Tables.events(s, d))
+        .withColumn("inside",
+          GeoFunctions.pointInPolygonColumn(col("lon"), col("lat"), ring))
+        .withColumn("near_vertex",
+          ring.map { case (vx, vy) =>
+            sqrt((lit(vx) - col("lon")) * (lit(vx) - col("lon")) +
+              (lit(vy) - col("lat")) * (lit(vy) - col("lat"))) <= 0.5
+          }.reduce(_ || _))
+      buffered
+        .groupBy(col("event_type"), (col("inside") || col("near_vertex")).as("near"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("near"))
+    },
+    Some {
+      val edges = ring.indices.map { i =>
+        val (x0, y0) = ring(i)
+        val (x1, y1) = ring((i + 1) % ring.length)
+        s"((${x1 - x0}) * (${Synthetic.latSql} - ($y0)) - (${y1 - y0}) * (${Synthetic.lonSql} - ($x0)) > 0)"
+      }
+      val nearV = ring.map { case (vx, vy) =>
+        s"sqrt((($vx) - ${Synthetic.lonSql}) * (($vx) - ${Synthetic.lonSql}) + " +
+          s"(($vy) - ${Synthetic.latSql}) * (($vy) - ${Synthetic.latSql})) <= 0.5"
+      }
+      s"""SELECT event_type,
+          ((${edges.mkString(" AND ")}) OR (${nearV.mkString(" OR ")})) AS near,
+          COUNT(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY event_type, near"""
+    })
+
+  /** P4: dynamic-property cleaning (`display-proxy/index.html:929-974`):
+    * keep only scalar-valued properties from an open JSON object, and the
+    * `UNKNOWN → metadata.flight → metadata.r` callsign fallback chain.
+    */
+  val q62 = GraftQuery(
+    "q62_property_cleaning", "P4 F9",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("k", Synthetic.k)
+        // an open properties object: two scalars, one nested (must drop),
+        // a callsign that is sometimes UNKNOWN, metadata fallbacks
+        .withColumn("props_json", concat(
+          lit("{\"speed\":"), col("k"),
+          lit(",\"label\":\""), col("event_type"),
+          lit("\",\"nested\":{\"x\":1},\"callsign\":\""),
+          when(col("k") % 4 === 0, lit("UNKNOWN")).otherwise(concat(lit("CS"), col("k"))),
+          lit("\",\"metadata\":{"),
+          when(col("k") % 8 === 0, concat(lit("\"flight\":\"FL"), col("k"), lit("\","))).otherwise(lit("")),
+          lit("\"r\":\"R"), col("k"), lit("\"}}")))
+      val parsed = e
+        .withColumn("m", from_json(col("props_json"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))
+        // scalar-only cleaning: nested values re-serialize starting with '{'
+        .withColumn("clean", map_filter(col("m"), (_, v) => !v.startsWith("{")))
+      parsed.select(col("event_id"),
+          map_keys(col("clean")).as("kept_keys"),
+          when(col("clean").getItem("callsign") === "UNKNOWN",
+            coalesce(
+              get_json_object(col("props_json"), "$.metadata.flight"),
+              get_json_object(col("props_json"), "$.metadata.r")))
+            .otherwise(col("clean").getItem("callsign")).as("callsign"))
+        .withColumn("kept_keys", concat_ws(",", col("kept_keys")))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""SELECT event_id,
+        'speed,label,callsign' AS kept_keys,
+        CASE WHEN k % 4 = 0 THEN
+          (CASE WHEN k % 8 = 0 THEN 'FL' || k ELSE 'R' || k END)
+        ELSE 'CS' || k END AS callsign
+      FROM (SELECT event_id, ${Synthetic.kSql} AS k FROM events)
+      ORDER BY event_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q60, q61, q62)
+}

@@ -79,6 +79,49 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(o => o.user_id == 2 && !o.expired).map(_.n_updates).max === 3L)
   }
 
+  test("T8/K6: checkpointed state survives a query restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    val ckpt = tmp.resolve("ckpt").toString
+    val outDir = tmp.resolve("out").toString
+    val t0 = 3000000000000L
+    def sinkTo(ds: org.apache.spark.sql.Dataset[KeyedMerge.StateOut]) =
+      ds.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[KeyedMerge.StateOut], _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+
+    // run 1: two events for key 7, then a clean stop
+    val s1 = MemoryStream[KeyedMerge.Ev]
+    val q1 = sinkTo(KeyedMerge.latestState(s1.toDS(), None, "1 hour")).start()
+    try {
+      s1.addData(KeyedMerge.Ev(1, t0, 7, "click", 1.0),
+        KeyedMerge.Ev(2, t0 + 1, 7, "view", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // run 2: SAME checkpoint, fresh source — the state store must restore
+    // key 7's state (reference: snapshot reload with re-validation,
+    // ais-proxy/server.js:210-247)
+    val s2 = MemoryStream[KeyedMerge.Ev]
+    s2.addData(KeyedMerge.Ev(1, t0, 7, "click", 1.0),
+      KeyedMerge.Ev(2, t0 + 1, 7, "view", 2.0)) // replayed batch 0 (offsets restart)
+    val q2 = sinkTo(KeyedMerge.latestState(s2.toDS(), None, "1 hour")).start()
+    try {
+      s2.addData(KeyedMerge.Ev(3, t0 + 2, 7, "error", 9.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val out = spark.read.parquet(outDir).as[KeyedMerge.StateOut].collect()
+    val last = out.maxBy(_.n_updates)
+    // 2 updates from run 1's state + 1 new event = 3; the error row carries
+    // no reading so filled stays 2.0
+    assert(last.n_updates === 3L, s"state not restored: $out")
+    assert(last.event_id === 3L && last.filled === Some(2.0))
+  }
+
   test("vessel per-field precedence merge (J5/T1/T3) — field-by-field table") {
     import VesselMerge._
     val t = 1000L
