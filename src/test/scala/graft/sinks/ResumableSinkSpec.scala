@@ -24,4 +24,14 @@ class ResumableSinkSpec extends SparkSpec {
     assert(sunk.select(countDistinct(col("key"))).as[Long].head() === 150L,
       "no duplicate keys after interleaved re-runs")
   }
+
+  test("K5: JSON object write round-trips (the S3 put-object sink shape)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("json_sink").toString + "/out"
+    val df = Seq((1L, "a", 2.5), (2L, "b", 3.5)).toDF("id", "tag", "v")
+    df.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir).select("id", "tag", "v").orderBy("id")
+    assert(back.as[(Long, String, Double)].collect().toSeq ===
+      Seq((1L, "a", 2.5), (2L, "b", 3.5)))
+  }
 }

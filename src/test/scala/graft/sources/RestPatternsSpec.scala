@@ -74,6 +74,37 @@ class RestPatternsSpec extends SparkSpec {
     assert(f.calls.size === 2, "ledgered keys never hit the network")
   }
 
+  test("S12: remote tile fetch + PNG decode + reprojection gather (integration)") {
+    import spark.implicits._
+    import graft.raster._
+    // "remote" tiles: a stub fetcher serving PNG bytes for any tile url
+    val (r, g, b) = Codecs.elevationToRgb(42.0)
+    val tileFetcher = new Fetcher {
+      def fetch(url: String): Either[String, String] = Right(url) // body unused; fetch-per-key shape
+    }
+    val z = 6; val x = 125; val y = 47
+    val keys = Reproject.coveringMercTiles(z, x, y)
+    // fan-out fetch of the covering tile keys (the LINZ fetch stage), then
+    // decode: here the "download" produces a constant-elevation PNG
+    val fetched = fanOutFetch(keys.map(k => s"${k.z}/${k.x}/${k.y}").toDS(),
+      u => s"https://tiles/$u.png", tileFetcher, parallelism = 4).collect()
+    assert(fetched.length === keys.size)
+    val srcTiles = keys.map { k =>
+      val px = new Array[Byte](Tiles.TileSize * Tiles.TileSize * 4)
+      var i = 0
+      while (i < px.length) {
+        px(i) = r.toByte; px(i + 1) = g.toByte; px(i + 2) = b.toByte; px(i + 3) = 255.toByte
+        i += 4
+      }
+      // round-trip through the REAL PNG codec, like a fetched tile would
+      Png.decode(k.z, k.x, k.y, Png.encode(Tile(k.z, k.x, k.y, Tiles.TileSize, Tiles.TileSize, px)))
+    }
+    val geoid = GeoidGrid(-90.0, 0.0, 1.0, 1.0, 180, 360, Array.fill(180 * 360)(3f))
+    val out = Reproject.reprojectTile(z, x, y, srcTiles.map(t => (t.x, t.y) -> t).toMap, geoid)
+    val e = Codecs.terrainRgbToElevation(out.pixels(0) & 0xff, out.pixels(1) & 0xff, out.pixels(2) & 0xff)
+    assert(math.abs(e - 45.0) <= 0.05 + 1e-9, s"got $e")
+  }
+
   test("S1: subscription message carries the pushed-down predicates") {
     val msg = subscriptionMessage("KEY", ((-48.0, 166.0), (-34.0, 179.0)),
       Seq("PositionReport", "ShipStaticData"))

@@ -160,6 +160,22 @@ class StreamingSpec extends SparkSpec {
     assert(pNew.lat === Some(-42.0) && pNew.posTs === t + 20)
   }
 
+  test("T7: Trigger.AvailableNow drains the backlog then stops on its own") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 4000000000000L
+    val s = MemoryStream[KeyedMerge.Ev]
+    s.addData(KeyedMerge.Ev(1, t0, 1, "click", 1.0),
+      KeyedMerge.Ev(2, t0 + 1, 2, "view", 2.0))
+    val q = KeyedMerge.latestState(s.toDS(), None, "1 hour")
+      .writeStream.format("memory").queryName("avail_now").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000) // self-terminates after draining
+    assert(!q.isActive, "AvailableNow query should stop itself")
+    assert(spark.table("avail_now").count() === 2)
+  }
+
   test("vessel table: streamed union of AIS + enrichment sources (U2)") {
     import spark.implicits._
     import VesselMerge._
