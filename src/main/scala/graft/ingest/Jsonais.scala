@@ -135,7 +135,7 @@ object Jsonais {
     * fields the dispatch reads.
     */
   def canonicalizeDf(df: org.apache.spark.sql.DataFrame, raw: Column,
-      out: String): org.apache.spark.sql.DataFrame = {
+      out: String, dropAfterParse: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     val parsed = col("__jsonais_parsed")
     // from_json yields an all-null struct (not NULL) on failure when any
     // top-level field is absent; detect "nothing parsed" via to_json
@@ -151,6 +151,7 @@ object Jsonais {
             regexp_extract(col("__jsonais_raw"), "\"msgs\":\\s*\\[(.*?)\\]", 1),
             lit("]}")),
           schema)))
+      .drop(dropAfterParse: _*) // e.g. the caller's raw column — parsed, not needed past the barrier
       // uppercase-MMSI dialect key via a cheap regex (the reference just
       // parseInt()s the field; a numeric extract is the same semantics)
       .withColumn("__jsonais_upper",

@@ -71,7 +71,10 @@ object IngestQueries {
         .otherwise( // dialect 5: truncated document — NOT valid JSON
           concat(lit("{\"protocol\":\"jsonaiscatcher\",\"msgs\":["), innerMsg,
             lit("],\"setting\":\"N/A")))
-      Jsonais.canonicalizeDf(e, payload, "canon")
+      // keep only the key + payload through the canonicalizer: everything
+      // else would ride the encoder barrier for nothing
+      Jsonais.canonicalizeDf(e.select(col("event_id"), payload.as("payload")),
+          col("payload"), "canon", dropAfterParse = Seq("payload"))
         .filter(col("canon").isNotNull)
         .select(col("event_id"),
           col("canon.mmsi").as("mmsi"), col("canon.lat").as("lat"),

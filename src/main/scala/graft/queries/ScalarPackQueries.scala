@@ -110,7 +110,13 @@ object ScalarPackQueries {
           when(col("k") % 4 === 0, lit("UNKNOWN")).otherwise(concat(lit("CS"), col("k"))),
           lit("\",\"metadata\":{"),
           when(col("k") % 8 === 0, concat(lit("\"flight\":\"FL"), col("k"), lit("\","))).otherwise(lit("")),
+          when(col("k") % 6 === 0, lit("\"quality\":\"deleted\",")).otherwise(lit("")),
           lit("\"r\":\"R"), col("k"), lit("\"}}")))
+        // F9: drop deleted-quality features (index.py:252-263) — a filter
+        // on a nested dynamic path, applied before any projection
+        .filter(coalesce(
+          get_json_object(col("props_json"), "$.metadata.quality") =!= "deleted",
+          lit(true)))
       val parsed = e
         .withColumn("m", from_json(col("props_json"),
           org.apache.spark.sql.types.MapType(
@@ -133,6 +139,7 @@ object ScalarPackQueries {
           (CASE WHEN k % 8 = 0 THEN 'FL' || k ELSE 'R' || k END)
         ELSE 'CS' || k END AS callsign
       FROM (SELECT event_id, ${Synthetic.kSql} AS k FROM events)
+      WHERE k % 6 <> 0
       ORDER BY event_id"""))
 
   val all: Seq[GraftQuery] = Seq(q60, q61, q62)
