@@ -7,9 +7,25 @@ import graft.queries._
   *
   * Every operator in SURVEY.md §2 is represented by one or more entries in
   * [[queries]] (the Spark pipeline) paired, where ANSI-SQL-expressible, with
-  * a DuckDB oracle in [[oracleSql]]. Non-SQL-expressible operators (streaming
-  * state, raster byte transforms, LSH internals) are covered by ScalaTest
-  * specs under src/test and registered here as rows-only checks.
+  * a DuckDB oracle in [[oracleSql]]. The `survey` tag on each query is the
+  * coverage ledger: a tag means that operator's semantics are exercised in
+  * that query.
+  *
+  * Operators whose semantics a SQL oracle cannot express are covered by
+  * ScalaTest specs instead:
+  *
+  *  - S1 subscription pushdown / S3 poll TTL / S8 fan-out fetch / S12 tile
+  *    fetch / J8 rate-limited lookup / T10 retry-backoff → RestPatternsSpec
+  *  - S14 keyed WS store / T1-T3 streaming forms / T7 AvailableNow trigger /
+  *    T8+K6 checkpoint restore → StreamingSpec
+  *  - S15 TTL config scan → ConfigSourceSpec
+  *  - K3 PNG codec / C18 geoid bilinear / R2-R4 tile ops / S11 GTX decode
+  *    → RasterSpec; multimodal binary batching → MultimodalSpec
+  *  - K4 idempotent resume + K5 JSON write → ResumableSinkSpec
+  *  - P5 context projection / C25 brace-balanced extraction / the LLM stage
+  *    → SitRepSpec
+  *  - F12/F14 edge semantics → FilterDslSpec / GeoSpec; sketches →
+  *    SketchesSpec
   */
 object SparkEntry {
 

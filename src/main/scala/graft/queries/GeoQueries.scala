@@ -180,7 +180,7 @@ object GeoQueries {
     * literal in-list).
     */
   val q24 = GraftQuery(
-    "q24_mmsi_classify", "F2 C26 F10",
+    "q24_mmsi_classify", "F2 C26 F10 A5",
     (s, d) =>
       Tables.events(s, d)
         .withColumn("mmsi", Synthetic.mmsi)

@@ -80,7 +80,7 @@ object Relational {
 
   /** A8/O6 group-count ranking (contact group chips). */
   val q03 = GraftQuery(
-    "q03_group_count_rank", "A8 A11 O6",
+    "q03_group_count_rank", "A8 A9 A10 A11 O6",
     (s, d) =>
       Tables.events(s, d)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))

@@ -17,7 +17,7 @@ object Scalar {
     * pattern (the `(\d+)\s+customers?` extractor).
     */
   val q25 = GraftQuery(
-    "q25_regex_extract", "C1 C12 C25 S4",
+    "q25_regex_extract", "C1 C8 C12 C25 S4",
     (s, d) =>
       Tables.documents(s, d)
         .select(
@@ -132,7 +132,7 @@ object Scalar {
     * get on present and MISSING paths (missing → null, never error).
     */
   val q30 = GraftQuery(
-    "q30_json_path", "S2 P4 F9",
+    "q30_json_path", "S2",
     (s, d) =>
       Tables.events(s, d)
         .select(

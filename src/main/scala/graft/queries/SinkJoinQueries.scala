@@ -177,5 +177,43 @@ object SinkJoinQueries {
       LEFT JOIN polys ON p.user_id = polys.user_id AND p.k = polys.k
       ORDER BY p.event_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q48, q49, q50, q51)
+  /** J3/J7: static-map lookups — town → region with a DEFAULT for unmapped
+    * towns (`scrapers/powerco.js:7-53`: `?? 'Manawatu (Powerco)'`) and a
+    * type-text → code map that yields NULL when unmapped
+    * (`ais-proxy/server.js:1420-1428`: `?? null`). Both are broadcast
+    * literal tables; the two differ precisely in their miss policy.
+    */
+  val q63 = GraftQuery(
+    "q63_static_map_lookup", "J3 J7 J2",
+    (s, d) => {
+      import s.implicits._
+      val townRegion = Seq(
+        "town0" -> "Taranaki", "town1" -> "Whanganui", "town2" -> "Manawatu",
+        "town3" -> "Wairarapa", "town4" -> "Horowhenua")
+        .toDF("town", "region")
+      val typeCode = Seq(
+        "click" -> 60, "view" -> 70, "purchase" -> 80)
+        .toDF("tt", "code")
+      Tables.events(s, d)
+        .withColumn("town", concat(lit("town"), col("user_id") % 8)) // 5..7 unmapped
+        .join(broadcast(townRegion), Seq("town"), "left")
+        .join(broadcast(typeCode), col("event_type") === col("tt"), "left")
+        .select(col("event_id"), col("town"),
+          coalesce(col("region"), lit("Manawatu (Powerco)")).as("region"), // J3 default
+          col("code")) // J7: unmapped → null
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH tr AS (SELECT * FROM (VALUES
+        ('town0','Taranaki'), ('town1','Whanganui'), ('town2','Manawatu'),
+        ('town3','Wairarapa'), ('town4','Horowhenua')) AS t(town, region)),
+      tc AS (SELECT * FROM (VALUES
+        ('click', 60), ('view', 70), ('purchase', 80)) AS t(tt, code))
+      SELECT event_id, 'town' || (user_id % 8) AS town,
+        COALESCE(region, 'Manawatu (Powerco)') AS region, code
+      FROM events
+      LEFT JOIN tr ON tr.town = 'town' || (user_id % 8)
+      LEFT JOIN tc ON tc.tt = event_type
+      ORDER BY event_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q48, q49, q50, q51, q63)
 }

@@ -64,7 +64,7 @@ object Temporal {
     * `seen` set on data-event-number). Deterministic survivor = min event_id.
     */
   val q10 = GraftQuery(
-    "q10_dedup_business_key", "J9 U3",
+    "q10_dedup_business_key", "J9 U3 O5",
     (s, d) =>
       Tables.events(s, d)
         .withColumn("rn", row_number().over(
@@ -81,7 +81,7 @@ object Temporal {
     * aggregate broadcast against the scan.
     */
   val q11 = GraftQuery(
-    "q11_ttl_stale_filter", "T2 F8 T5 F4",
+    "q11_ttl_stale_filter", "T2 F8 T5 T4",
     (s, d) => {
       val e = Tables.events(s, d).withColumn("tsu", tsu)
       val horizon = e.agg((max(col("tsu")) - lit(21600000000L)).as("h"))
