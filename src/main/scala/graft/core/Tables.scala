@@ -24,8 +24,12 @@ object Tables {
     * We expose both the exact nanos (`ts`, Long) and a µs-truncated
     * TimestampType view (`ts_us`) for time arithmetic.
     */
-  private def configure(spark: SparkSession): Unit =
+  private def configure(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // native engine expressions (idempotent; sessions built with
+    // spark.sql.extensions=graft.plans.GraftExtensions get them for free)
+    graft.plans.GraftExtensions.register(spark)
+  }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)

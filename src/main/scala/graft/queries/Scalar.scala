@@ -59,8 +59,9 @@ object Scalar {
       FROM events ORDER BY event_id"""))
 
   /** C10: NFD diacritic strip + lowercase (locality key normalization,
-    * `tlc-localities.js:281-284`). Spark side = the library UDF
-    * (java.text.Normalizer), oracle = DuckDB strip_accents — independent
+    * `tlc-localities.js:281-284`). Spark side = the engine's NATIVE
+    * Catalyst expression (graft.plans.NormalizeKeyExpression — codegen'd,
+    * no UDF boundary), oracle = DuckDB strip_accents — independent
     * implementations agreeing on macron/umlaut forms.
     */
   val q27 = GraftQuery(
@@ -72,7 +73,7 @@ object Scalar {
             array(lit("Āwhitu"), lit("Ōtaki"), lit("Taupō"), lit("Whangārei"), lit("Pāpāmoa")),
             (col("doc_id") % 5 + 1).cast("int")))
         .select(col("doc_id"), col("word"),
-          TextFunctions.normalizeKeyUdf(col("word")).as("norm"))
+          graft.plans.NormalizeKeyExpression.normalizeKey(col("word")).as("norm"))
         .orderBy(col("doc_id")),
     Some("""SELECT doc_id, word, lower(strip_accents(word)) AS norm FROM (
         SELECT doc_id, (['Āwhitu','Ōtaki','Taupō','Whangārei','Pāpāmoa'])[(doc_id % 5 + 1)] AS word
