@@ -16,22 +16,51 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * self-sufficient.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => PipBboxPruneRule)
+  }
 }
 
 object GraftExtensions {
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_normalize_key",
       new ExpressionInfo(classOf[NormalizeKeyExpression].getName, "graft_normalize_key"),
-      (children: Seq[Expression]) => NormalizeKeyExpression(children.head)))
+      (children: Seq[Expression]) => NormalizeKeyExpression(children.head)),
+    ("graft_point_in_polygon",
+      new ExpressionInfo(classOf[PointInPolygonExpression].getName, "graft_point_in_polygon"),
+      (children: Seq[Expression]) => {
+        // ring rides as two foldable array literals: (lon, lat, xs, ys)
+        def asDoubles(e: Expression): Array[Double] = {
+          require(e.foldable, "graft_point_in_polygon ring must be literal")
+          e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toDoubleArray()
+        }
+        PointInPolygonExpression(children(0), children(1),
+          asDoubles(children(2)), asDoubles(children(3)))
+      }))
 
-  /** Imperative registration for externally-created sessions. */
-  def register(spark: SparkSession): Unit =
+  /** Imperative registration for externally-created sessions: functions go
+    * to the registry, the optimizer rule to `experimental.extraOptimizations`
+    * (both idempotent).
+    */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(FunctionIdentifier(name), info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(PipBboxPruneRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PipBboxPruneRule
+    }
+  }
+
+  /** Column-API entry for the native PIP predicate. */
+  def pointInPolygon(lon: org.apache.spark.sql.Column, lat: org.apache.spark.sql.Column,
+      ring: Seq[(Double, Double)]): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("graft_point_in_polygon", lon, lat,
+      org.apache.spark.sql.functions.lit(ring.map(_._1).toArray),
+      org.apache.spark.sql.functions.lit(ring.map(_._2).toArray))
 }
