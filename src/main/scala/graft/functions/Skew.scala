@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation (builder brief: "salting for skew, AQE for runtime
+  * re-plan"): deterministic salting utilities for hot keys.
+  *
+  * AQE's skew-join handling covers sort-merge joins at runtime; salting is
+  * the plan-level tool for skewed AGGREGATIONS and for broadcast-averse
+  * joins. The salt here derives from a hash of a high-cardinality column
+  * (never `rand()` — retries and speculative tasks must agree on the
+  * salt).
+  */
+object Skew {
+
+  /** Two-phase skew-safe aggregation: partial aggregate on (key, salt) —
+    * spreading a hot key over `salts` reducers — then final aggregate on
+    * the key. Exact same result as a direct groupBy-count/sum.
+    */
+  def saltedCounts(df: DataFrame, key: Column, saltSource: Column,
+      salts: Int): DataFrame =
+    df.withColumn("__salt", pmod(hash(saltSource), lit(salts)))
+      .groupBy(key.as("k"), col("__salt"))
+      .agg(count(lit(1)).as("partial_n"))
+      .groupBy(col("k"))
+      .agg(sum(col("partial_n")).as("n"))
+
+  /** Salted equi-join: the (possibly skewed) LEFT side gets a derived
+    * salt; the small RIGHT side is replicated once per salt value, so the
+    * hot key's rows spread over `salts` tasks. Exact same rows as the
+    * direct join.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+      smallKey: String, saltSource: Column, salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt", pmod(hash(saltSource), lit(salts)))
+    val replicated = small
+      .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    saltedBig.join(replicated,
+        saltedBig(bigKey) === replicated(smallKey) &&
+          saltedBig("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
+}

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Scale techniques: salted aggregation/join correctness and spread, and
+  * bucketed co-located joins eliminating the shuffle.
+  */
+class SkewBucketSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 90% of rows share one key — the classic hot-key shape
+  private lazy val skewed = spark.range(10000)
+    .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 100).as("key"),
+      col("id").as("payload"))
+
+  test("salted two-phase aggregation equals the direct groupBy") {
+    val direct = skewed.groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val salted = Skew.saltedCounts(skewed, col("key"), col("payload"), 16)
+      .as[(Long, Long)].collect().toMap
+    assert(salted === direct)
+    // the hot key really spreads: its partial aggregation uses >1 salt
+    val spread = skewed.filter(col("key") === 7)
+      .select(pmod(hash(col("payload")), lit(16)).as("s"))
+      .distinct().count()
+    assert(spread > 8, s"hot key only spread over $spread salts")
+  }
+
+  test("salted join equals the direct join") {
+    val dim = Seq((7L, "hot"), (0L, "zero"), (20L, "cold")).toDF("k", "label")
+    val direct = skewed.join(dim, skewed("key") === dim("k"))
+      .select(col("payload"), col("label")).as[(Long, String)].collect().sorted.toSeq
+    val salted = Skew.saltedJoin(skewed, dim, "key", "k", col("payload"), 8)
+      .select(col("payload"), col("label")).as[(Long, String)].collect().sorted.toSeq
+    assert(salted === direct)
+    assert(direct.size === 9000 + 100 + 100 /* hot key 7, keys 0 and 20 */)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf)
+      p.delete()
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    // a killed previous run can leave the managed location behind
+    Seq("graft_bucket_a", "graft_bucket_b").foreach { t =>
+      rmrf(new java.io.File(s"spark-warehouse/$t"))
+    }
+    spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("va"))
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable("graft_bucket_a")
+    spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("vb"))
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable("graft_bucket_b")
+    // small test tables would auto-broadcast, which sidesteps bucketing;
+    // disable it so the plan shows the bucketed co-located join itself
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_bucket_a")
+        .join(spark.table("graft_bucket_b"), "k")
+        .filter(col("va") < 100)
+      // both sides bucketed on the join key with equal bucket counts →
+      // SortMergeJoin with NO Exchange (the co-located join the reference's
+      // scale story needs)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+      assert(joined.count() === 50)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+}
