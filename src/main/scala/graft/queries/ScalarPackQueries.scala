@@ -117,20 +117,24 @@ object ScalarPackQueries {
         .filter(coalesce(
           get_json_object(col("props_json"), "$.metadata.quality") =!= "deleted",
           lit(true)))
-      val parsed = e
-        .withColumn("m", from_json(col("props_json"),
-          org.apache.spark.sql.types.MapType(
-            org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))
-        // scalar-only cleaning: nested values re-serialize starting with '{'
-        .withColumn("clean", map_filter(col("m"), (_, v) => !v.startsWith("{")))
-      parsed.select(col("event_id"),
-          map_keys(col("clean")).as("kept_keys"),
-          when(col("clean").getItem("callsign") === "UNKNOWN",
+      // one parsed-map traversal for the cleaning; the callsign chain uses
+      // path extraction — referencing a map_filter(from_json(...)) column
+      // three times would re-inline the parse AND the interpreted HOF into
+      // every use (CollapseProject), tripling the work
+      val cs = get_json_object(col("props_json"), "$.callsign")
+      e.select(col("event_id"),
+          // scalar-only cleaning: nested values re-serialize starting with '{'
+          concat_ws(",", map_keys(map_filter(
+            from_json(col("props_json"),
+              org.apache.spark.sql.types.MapType(
+                org.apache.spark.sql.types.StringType,
+                org.apache.spark.sql.types.StringType)),
+            (_, v) => !v.startsWith("{")))).as("kept_keys"),
+          when(cs === "UNKNOWN",
             coalesce(
               get_json_object(col("props_json"), "$.metadata.flight"),
               get_json_object(col("props_json"), "$.metadata.r")))
-            .otherwise(col("clean").getItem("callsign")).as("callsign"))
-        .withColumn("kept_keys", concat_ws(",", col("kept_keys")))
+            .otherwise(cs).as("callsign"))
         .orderBy(col("event_id"))
     },
     Some(s"""SELECT event_id,
