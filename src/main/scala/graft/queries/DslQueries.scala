@@ -71,22 +71,43 @@ object DslQueries {
         CAST(b7 AS INT)::VARCHAR || CAST(b8 AS INT)::VARCHAR AS matched_by
       FROM t ORDER BY event_id"""))
 
-  /** C23: template compiled to a concat tree with `upper`, `fixed:1` and a
-    * missing-path placeholder (renders '').
+  /** C23: template compiled to a concat tree exercising the FULL modifier
+    * set — `upper`, `fixed:n`, `round`, `date` (NZ-local), `ago` (relative
+    * to the corpus max), and a missing-path placeholder (renders '').
     */
   val q32 = GraftQuery(
-    "q32_template_render", "C23 K1",
-    (s, d) =>
-      Tables.events(s, d)
+    "q32_template_render", "C23 K1 C7",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("tstr", date_format(
+          timestamp_seconds(expr("ts div 1000000000")), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      val nowDf = e.agg(max(expr("(ts div 1000000000) * 1000000")).as("now"))
+      val resolve: String => Column = p =>
+        if (p == "tstr") col("tstr") else eventsResolver(p)
+      e.crossJoin(broadcast(nowDf))
         .withColumn("rendered", TemplateDsl.compile(
-          "{{event_type|upper}} k={{props.k}} v={{value|fixed:1}} m=[{{props.missing}}]",
-          eventsResolver))
+          "{{event_type|upper}} k={{props.k}} v={{value|fixed:1}} " +
+            "r={{value|round}} d={{tstr|date}} a={{tstr|ago}} m=[{{props.missing}}]",
+          resolve, col("now")))
         .select(col("event_id"), col("rendered"))
-        .orderBy(col("event_id")),
-    Some("""SELECT event_id,
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH t AS (SELECT event_id, event_type, value, props, ts,
+          to_timestamp(epoch_us(ts) // 1000000) AS tsec,
+          (SELECT MAX(epoch_us(ts) // 1000000) FROM events) - epoch_us(ts) // 1000000 AS age_sec
+        FROM events),
+      b AS (SELECT *, age_sec // 60 AS age_min FROM t)
+      SELECT event_id,
         upper(event_type) || ' k=' || json_extract_string(props, '$.k') ||
-        ' v=' || CAST(CAST(value AS DECIMAL(38,1)) AS VARCHAR) || ' m=[]' AS rendered
-      FROM events ORDER BY event_id"""))
+        ' v=' || CAST(CAST(value AS DECIMAL(38,1)) AS VARCHAR) ||
+        ' r=' || CAST(CAST(round(value, 0) AS BIGINT) AS VARCHAR) ||
+        ' d=' || strftime(tsec AT TIME ZONE 'Pacific/Auckland', '%-d %b %Y, %H:%M') ||
+        ' a=' || (CASE WHEN age_min < 1 THEN 'just now'
+                       WHEN age_min < 60 THEN CAST(age_min AS VARCHAR) || 'min ago'
+                       WHEN age_min < 1440 THEN CAST(age_min // 60 AS VARCHAR) || 'h ago'
+                       ELSE CAST(age_min // 1440 AS VARCHAR) || 'd ago' END) ||
+        ' m=[]' AS rendered
+      FROM b ORDER BY event_id"""))
 
   val all: Seq[GraftQuery] = Seq(q31, q32)
 }
