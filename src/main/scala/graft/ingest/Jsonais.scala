@@ -122,6 +122,83 @@ object Jsonais {
     StructField("lon", DoubleType), StructField("ts_sec", LongType),
     StructField("cog", DoubleType), StructField("sog", DoubleType)))
 
+  // --- typed dispatch (the fast path) ---
+
+  /** Parsed-document case classes mirroring [[schema]] field-for-field. */
+  final case class PMsg(mmsi: String, lat: String, lon: String, rxtime: String,
+      course: String, speed: String, heading: String, status: String)
+  final case class PGroup(msgs: Seq[PMsg])
+  final case class PDoc(msgs: Seq[PMsg], groups: Seq[PGroup], protocol: String,
+      mmsi: String, lat: String, latitude: String, lon: String, lng: String,
+      longitude: String, call: String, time: String, rxtime: String,
+      course: String, speed: String, heading: String, status: String)
+  final case class Canon(mmsi: Long, lat: Option[Double], lon: Option[Double],
+      ts_sec: Option[Long], cog: Option[Double], sog: Option[Double])
+
+  private def numL(s: String): Option[Long] =
+    Option(s).flatMap(_.trim.toLongOption)
+  private def numD(s: String): Option[Double] =
+    Option(s).flatMap(_.trim.toDoubleOption)
+  private def mmsiOkL(m: Option[Long]): Boolean =
+    m.exists(v => v >= 100000000L && v <= 999999999L)
+
+  private val RxFmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
+  private def parseRx(s: String): Option[Long] =
+    Option(s).filter(_.length == 14).flatMap(v =>
+      scala.util.Try(java.time.LocalDateTime.parse(v, RxFmt)
+        .toEpochSecond(java.time.ZoneOffset.UTC)).toOption)
+  private def parseIso(s: String): Option[Long] =
+    Option(s).flatMap(v =>
+      scala.util.Try(java.time.Instant.parse(v).getEpochSecond).toOption)
+
+  private def fromPMsg(m: PMsg): Option[Canon] = {
+    val mmsi = numL(m.mmsi)
+    if (!mmsiOkL(mmsi) || m.lat == null || m.lon == null) None
+    else Some(Canon(mmsi.get, numD(m.lat), numD(m.lon), parseRx(m.rxtime),
+      numD(m.course), numD(m.speed)))
+  }
+
+  /** Scala twin of [[dispatch]] — same order, same guards; `JsonaisSpec`
+    * proves the two agree row-for-row.
+    */
+  def dispatchScala(j: PDoc, mmsiUpper: Option[String]): Option[Canon] = {
+    if (j == null) return None
+    if (j.msgs != null && j.msgs.isEmpty) return None // early return (:1024-1027)
+    def firstValid(msgs: Seq[PMsg]): Option[Canon] =
+      Option(msgs).getOrElse(Seq.empty).iterator.flatMap(fromPMsg).buffered
+        .headOption
+    val d1 = if (j.msgs != null) firstValid(j.msgs) else None
+    lazy val d2 = {
+      val m = numL(j.mmsi)
+      if (mmsiOkL(m) && j.lat != null && j.lon != null)
+        Some(Canon(m.get, numD(j.lat), numD(j.lon), parseRx(j.rxtime),
+          numD(j.course), numD(j.speed)))
+      else None
+    }
+    lazy val d3 =
+      if (j.groups != null)
+        firstValid(Option(j.groups).getOrElse(Seq.empty)
+          .flatMap(g => Option(g.msgs).getOrElse(Seq.empty)))
+      else None
+    lazy val d4 = {
+      val m = numL(j.call)
+      if (mmsiOkL(m) && j.lat != null && j.lng != null)
+        Some(Canon(m.get, numD(j.lat), numD(j.lng), parseIso(j.time),
+          numD(j.course), numD(j.speed)))
+      else None
+    }
+    lazy val d5 = {
+      val m = numL(Option(j.mmsi).getOrElse(mmsiUpper.orNull))
+      val la = numD(Option(j.lat).getOrElse(j.latitude))
+      val lo = numD(Option(j.lon).getOrElse(Option(j.lng).getOrElse(j.longitude)))
+      if (mmsiOkL(m) && la.exists(v => math.abs(v) <= 90) && lo.exists(v => math.abs(v) <= 180))
+        Some(Canon(m.get, la, lo, parseRx(j.rxtime),
+          numD(j.course), numD(j.speed)))
+      else None
+    }
+    d1.orElse(d2).orElse(d3).orElse(d4).orElse(d5)
+  }
+
   /** Full pipeline over a raw JSON-string column: parse, salvage truncated
     * documents via the `"msgs":[...]` regex (C25), dispatch.
     *
@@ -137,9 +214,13 @@ object Jsonais {
   def canonicalizeDf(df: org.apache.spark.sql.DataFrame, raw: Column,
       out: String, dropAfterParse: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     val parsed = col("__jsonais_parsed")
-    // from_json yields an all-null struct (not NULL) on failure when any
-    // top-level field is absent; detect "nothing parsed" via to_json
-    val parsedOk = parsed.isNotNull && to_json(parsed) =!= lit("{}")
+    // from_json can yield an all-null struct (not NULL) on failure; detect
+    // "nothing parsed" via the dialect-discriminating fields (a to_json
+    // round-trip gives the same answer but re-serializes the whole nested
+    // struct per row)
+    val parsedOk = parsed.isNotNull && Seq("msgs", "groups", "protocol",
+      "mmsi", "call", "latitude")
+      .map(f => parsed.getField(f).isNotNull).reduce(_ || _)
     val staged = df
       .withColumn("__jsonais_raw", raw)
       .withColumn("__jsonais_parsed", from_json(col("__jsonais_raw"), schema))
@@ -169,5 +250,42 @@ object Jsonais {
     barrier
       .withColumn(out, dispatch(col("__jsonais_j"), col("__jsonais_upper")))
       .drop("__jsonais_upper", "__jsonais_j")
+  }
+
+  /** Typed fast path: same parse staging, but the dispatch runs as plain
+    * Scala over the decoded document ([[dispatchScala]]) — the encoder
+    * boundary is paid ONCE (it doubles as the optimizer fence the Column
+    * dispatch needs anyway), and the 5-dialect conditional logic becomes
+    * JVM field access instead of a ~100 KB expression tree.
+    * `df` must carry a unique `id` column; output = (id, canonical fields),
+    * rows whose document yields no canonical message are dropped.
+    */
+  def canonicalizeTyped(df: org.apache.spark.sql.DataFrame, raw: Column,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parsed = col("__p")
+    val parsedOk = parsed.isNotNull && Seq("msgs", "groups", "protocol",
+      "mmsi", "call", "latitude")
+      .map(f => parsed.getField(f).isNotNull).reduce(_ || _)
+    val staged = df
+      .withColumn("__raw", raw)
+      .withColumn("__p", from_json(col("__raw"), schema))
+      .withColumn("__j",
+        when(parsedOk, parsed).otherwise(from_json(
+          concat(lit("{\"msgs\":["),
+            regexp_extract(col("__raw"), "\"msgs\":\\s*\\[(.*?)\\]", 1),
+            lit("]}")),
+          schema)))
+      .withColumn("__u",
+        when(regexp_extract(col("__raw"), "\"MMSI\"\\s*:\\s*\"?(-?[0-9.]+)", 1) =!= "",
+          regexp_extract(col("__raw"), "\"MMSI\"\\s*:\\s*\"?(-?[0-9.]+)", 1)))
+      .select(col(idCol).as("_1"), col("__j").as("_2"), col("__u").as("_3"))
+    staged.as[(Long, PDoc, Option[String])]
+      .mapPartitions(_.flatMap { case (id, doc, upper) =>
+        dispatchScala(doc, upper).map(c =>
+          (id, c.mmsi, c.lat, c.lon, c.ts_sec, c.cog, c.sog))
+      })
+      .toDF(idCol, "mmsi", "lat", "lon", "ts_sec", "cog", "sog")
   }
 }

@@ -71,15 +71,10 @@ object IngestQueries {
         .otherwise( // dialect 5: truncated document — NOT valid JSON
           concat(lit("{\"protocol\":\"jsonaiscatcher\",\"msgs\":["), innerMsg,
             lit("],\"setting\":\"N/A")))
-      // keep only the key + payload through the canonicalizer: everything
-      // else would ride the encoder barrier for nothing
-      Jsonais.canonicalizeDf(e.select(col("event_id"), payload.as("payload")),
-          col("payload"), "canon", dropAfterParse = Seq("payload"))
-        .filter(col("canon").isNotNull)
-        .select(col("event_id"),
-          col("canon.mmsi").as("mmsi"), col("canon.lat").as("lat"),
-          col("canon.lon").as("lon"), col("canon.ts_sec").as("ts_sec"),
-          col("canon.cog").as("cog"), col("canon.sog").as("sog"))
+      // typed fast path (JsonaisSpec proves it row-equal to the Column
+      // dispatch); only the key + payload enter the encoder boundary
+      Jsonais.canonicalizeTyped(e.select(col("event_id"), payload.as("payload")),
+          col("payload"), "event_id")
         .orderBy(col("event_id"))
     },
     // the generator's inverse: expected values straight from the columns

@@ -112,29 +112,28 @@ object ScalarPackQueries {
           when(col("k") % 8 === 0, concat(lit("\"flight\":\"FL"), col("k"), lit("\","))).otherwise(lit("")),
           when(col("k") % 6 === 0, lit("\"quality\":\"deleted\",")).otherwise(lit("")),
           lit("\"r\":\"R"), col("k"), lit("\"}}")))
+      // json_tuple pulls several paths in ONE parse per row, and Generate
+      // nodes block CollapseProject — get_json_object per path would parse
+      // the document once per reference
+      e.select(col("event_id"), col("props_json"),
+          json_tuple(col("props_json"), "callsign", "metadata").as(Seq("cs", "meta")))
+        .select(col("event_id"), col("props_json"), col("cs"),
+          json_tuple(col("meta"), "flight", "r", "quality")
+            .as(Seq("m_flight", "m_r", "m_quality")))
         // F9: drop deleted-quality features (index.py:252-263) — a filter
         // on a nested dynamic path, applied before any projection
-        .filter(coalesce(
-          get_json_object(col("props_json"), "$.metadata.quality") =!= "deleted",
-          lit(true)))
-      // one parsed-map traversal for the cleaning; the callsign chain uses
-      // path extraction — referencing a map_filter(from_json(...)) column
-      // three times would re-inline the parse AND the interpreted HOF into
-      // every use (CollapseProject), tripling the work
-      val cs = get_json_object(col("props_json"), "$.callsign")
-      e.select(col("event_id"),
-          // scalar-only cleaning: nested values re-serialize starting with '{'
+        .filter(coalesce(col("m_quality") =!= "deleted", lit(true)))
+        .select(col("event_id"),
+          // scalar-only cleaning: nested values re-serialize starting with
+          // '{'; one map traversal total
           concat_ws(",", map_keys(map_filter(
             from_json(col("props_json"),
               org.apache.spark.sql.types.MapType(
                 org.apache.spark.sql.types.StringType,
                 org.apache.spark.sql.types.StringType)),
             (_, v) => !v.startsWith("{")))).as("kept_keys"),
-          when(cs === "UNKNOWN",
-            coalesce(
-              get_json_object(col("props_json"), "$.metadata.flight"),
-              get_json_object(col("props_json"), "$.metadata.r")))
-            .otherwise(cs).as("callsign"))
+          when(col("cs") === "UNKNOWN", coalesce(col("m_flight"), col("m_r")))
+            .otherwise(col("cs")).as("callsign"))
         .orderBy(col("event_id"))
     },
     Some(s"""SELECT event_id,
