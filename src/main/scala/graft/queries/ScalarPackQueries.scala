@@ -145,5 +145,61 @@ object ScalarPackQueries {
       WHERE k % 6 <> 0
       ORDER BY event_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q60, q61, q62)
+  /** C22/J2: the icon-id rewrite (`display-proxy/index.html:958-971`:
+    * `uuid/path/icon.png` → `uuid:path/icon`, plus `-colored-RRGGBB` when a
+    * marker color rides along) and the FULL two-stage locality lookup
+    * (`tlc-localities.js:275-315`): exact key match, else NFD-normalized
+    * match (via the native graft_normalize_key expression on both sides),
+    * else the default coordinates/region.
+    */
+  val q64 = GraftQuery(
+    "q64_icon_locality_lookup", "C22 J2 C10",
+    (s, d) => {
+      import s.implicits._
+      val norm = graft.plans.NormalizeKeyExpression.normalizeKey _
+      val lut = Seq(("Taupō", -38.7, "Waikato"), ("Ōtaki", -40.75, "Wellington"))
+        .toDF("name", "lat", "region")
+      val lutNorm = lut.select(norm(col("name")).as("nname"),
+        col("lat").as("nlat"), col("region").as("nregion"))
+      val e = Tables.events(s, d).withColumn("k", Synthetic.k)
+        .withColumn("locality", element_at(
+          array(lit("Taupō"), lit("Ōtaki"), lit("taupo"), lit("OTAKI"), lit("Nowhere")),
+          (col("k") % 5 + 1).cast("int")))
+        .withColumn("icon0",
+          when(col("k") % 3 === 0, lit("simpleicon"))
+            .otherwise(concat(lit("uuid"), col("k"), lit("/cot/icon"), col("k"), lit(".png"))))
+        .withColumn("marker_color", when(col("k") % 4 === 0, lit("#ff00aa")))
+      val rewritten = when(col("icon0").contains("/"),
+          concat(substring_index(col("icon0"), "/", 1), lit(":"),
+            regexp_replace(expr("substring(icon0, instr(icon0, '/') + 1)"), "\\.png$", "")))
+        .otherwise(col("icon0"))
+      e.withColumn("icon1", rewritten)
+        .withColumn("icon",
+          when(col("marker_color").isNotNull,
+            concat(col("icon1"), lit("-colored-"),
+              regexp_replace(col("marker_color"), "#", "")))
+            .otherwise(col("icon1")))
+        .join(broadcast(lut), col("locality") === col("name"), "left")
+        .join(broadcast(lutNorm), norm(col("locality")) === col("nname"), "left")
+        .select(col("event_id"), col("locality"), col("icon"),
+          coalesce(col("lat"), col("nlat"), lit(-39.0)).as("loc_lat"), // DEFAULT_COORDS
+          coalesce(col("region"), col("nregion"), lit("Central North Island"))
+            .as("loc_region")) // DEFAULT_REGION
+        .orderBy(col("event_id"))
+    },
+    // construction-inverse: the oracle derives expectations from k alone
+    Some(s"""WITH t AS (SELECT event_id, ${Synthetic.kSql} AS k FROM events),
+      b AS (SELECT *,
+          CASE WHEN k % 3 = 0 THEN 'simpleicon'
+               ELSE 'uuid' || k || ':cot/icon' || k END AS base FROM t)
+      SELECT event_id,
+        (['Taupō','Ōtaki','taupo','OTAKI','Nowhere'])[(k % 5 + 1)] AS locality,
+        CASE WHEN k % 4 = 0 THEN base || '-colored-ff00aa' ELSE base END AS icon,
+        CASE k % 5 WHEN 0 THEN -38.7 WHEN 1 THEN -40.75 WHEN 2 THEN -38.7
+                   WHEN 3 THEN -40.75 ELSE -39.0 END AS loc_lat,
+        CASE k % 5 WHEN 0 THEN 'Waikato' WHEN 1 THEN 'Wellington' WHEN 2 THEN 'Waikato'
+                   WHEN 3 THEN 'Wellington' ELSE 'Central North Island' END AS loc_region
+      FROM b ORDER BY event_id"""))
+
+  val all: Seq[GraftQuery] = Seq(q60, q61, q62, q64)
 }
