@@ -215,5 +215,47 @@ object SinkJoinQueries {
       LEFT JOIN tc ON tc.tt = event_type
       ORDER BY event_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q48, q49, q50, q51, q63)
+  /** Distinct-count rollup: exact `count(DISTINCT)` per group plus the
+    * global distinct-user count — the expand+shuffle pattern behind the
+    * reference's per-client/per-vessel uniqueness metrics. (The
+    * `approx_count_distinct` scale-out variant can't hash-match a foreign
+    * engine; `SketchesSpec`-style coverage lives in the spec suite.)
+    */
+  val q65 = GraftQuery(
+    "q65_distinct_rollup", "A7 A3",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("users"),
+          count(lit(1)).as("events"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS events
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** A5/A9 in their native pivot shape: per user-bucket counts with one
+    * column per event type (explicit pivot values keep the schema
+    * deterministic); the oracle writes the same thing as conditional-count
+    * CASE sums — the two classic formulations of one histogram.
+    */
+  val q66 = GraftQuery(
+    "q66_pivot_histogram", "A5 A9 A10",
+    (s, d) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      Tables.events(s, d)
+        .withColumn("bucket", col("user_id") % 10)
+        .groupBy(col("bucket"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .orderBy(col("bucket"))
+    },
+    Some("""SELECT user_id % 10 AS bucket,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+      FROM events GROUP BY 1 ORDER BY bucket"""))
+
+  val all: Seq[GraftQuery] = Seq(q48, q49, q50, q51, q63, q65, q66)
 }

@@ -37,6 +37,17 @@ class SkewBucketSpec extends SparkSpec {
     assert(direct.size === 9000 + 100 + 100 /* hot key 7, keys 0 and 20 */)
   }
 
+  test("approx_count_distinct lands within its rsd of the exact count (the 100 TB cardinality tool)") {
+    val e = graft.core.Tables.events(spark, "/root/testdata/sf0.01")
+    val row = e.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id"), 0.05).as("approx")).head()
+    val exact = row.getLong(0)
+    val approx = row.getLong(1)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"approx=$approx exact=$exact")
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     def rmrf(p: java.io.File): Unit = {
       if (p.isDirectory) p.listFiles().foreach(rmrf)
