@@ -240,7 +240,26 @@ object FilterDsl {
 
   /** Resolver for dot-paths into a JSON-string column (dynamic metadata —
     * data model §1.1.3): `a.b.c` → `get_json_object(json, '$.a.b.c')`.
+    *
+    * Parse-per-reference: every compiled predicate that touches the column
+    * re-parses the document. Prefer [[mapResolver]] over a once-parsed
+    * `from_json(json, map<string,string>)` column for hot paths.
     */
   def jsonResolver(json: Column): String => Column =
     path => get_json_object(json, "$." + path)
+
+  /** Parse-ONCE resolver (data-model hazard 10): dot-paths against a
+    * pre-parsed `map<string,string>` column (`from_json(json,
+    * MapType(StringType, StringType))`, materialized behind an encoder
+    * fence by the caller). Top-level lookups are map probes — scalars
+    * surface exactly as `get_json_object` renders them (numbers/booleans as
+    * their JSON text, strings unquoted, missing → null) — and deeper paths
+    * descend into the nested JSON text the map value holds.
+    */
+  def mapResolver(m: Column): String => Column =
+    path => path.split('.').toSeq match {
+      case Seq(k) => m.getItem(k)
+      case k +: rest => get_json_object(m.getItem(k), "$." + rest.mkString("."))
+      case _ => m.getItem(path)
+    }
 }

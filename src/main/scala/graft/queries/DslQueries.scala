@@ -12,13 +12,30 @@ import graft.dsl.{FilterDsl, TemplateDsl}
   */
 object DslQueries {
 
-  /** Dot-path resolver over events: `props.*` → JSON extraction, bare names
-    * → real columns (the dynamic-metadata data model).
+  /** Dot-path resolver over events: `props.*` → the PRE-PARSED `props_map`
+    * column (parse-once, [[FilterDsl.mapResolver]] — each predicate branch
+    * referencing a dynamic path probes the materialized map instead of
+    * re-parsing the JSON document), bare names → real columns.
     */
-  private def eventsResolver: String => Column = path =>
-    if (path.startsWith("props.")) get_json_object(col("props"), "$." + path.stripPrefix("props."))
-    else if (path == "types") array(col("event_type"), lit("misc")) // synthetic array field
-    else col(path)
+  private def eventsResolver: String => Column = {
+    val dynamic = FilterDsl.mapResolver(col("props_map"))
+    path =>
+      if (path.startsWith("props.")) dynamic(path.stripPrefix("props."))
+      else if (path == "types") array(col("event_type"), lit("misc")) // synthetic array field
+      else col(path)
+  }
+
+  /** events + `props_map` (the parse-once dynamic-metadata projection),
+    * materialized behind the encoder fence so CollapseProject can't clone
+    * the `from_json` into every path reference.
+    */
+  private def fencedEvents(s: org.apache.spark.sql.SparkSession, d: String,
+      extra: Column*) =
+    Synthetic.fence(Tables.events(s, d)
+      .select(Seq(col("event_id"), col("event_type"), col("value"), col("ts"),
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)).as("props_map")) ++ extra: _*))
 
   /** Plan-time types: `value` is a real numeric column (strict equality),
     * `types` an array column (membership `$contains`).
@@ -46,7 +63,7 @@ object DslQueries {
     (s, d) => {
       val branchCols = filterList.map(f =>
         FilterDsl.compile(Seq(f), eventsResolver, eventsTypes).cast("int"))
-      Tables.events(s, d)
+      fencedEvents(s, d)
         .withColumn("matched", FilterDsl.compile(filterList, eventsResolver, eventsTypes))
         .withColumn("matched_by", concat(branchCols: _*))
         .select(col("event_id"), col("matched"), col("matched_by"))
@@ -78,9 +95,11 @@ object DslQueries {
   val q32 = GraftQuery(
     "q32_template_render", "C23 K1 C7",
     (s, d) => {
-      val e = Tables.events(s, d)
-        .withColumn("tstr", date_format(
-          timestamp_seconds(expr("ts div 1000000000")), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      // tstr crosses the fence too: the `ago` modifier's when-chain
+      // references its parsed form ~6×, which would otherwise re-render
+      // date_format per reference
+      val e = fencedEvents(s, d, date_format(
+        timestamp_seconds(expr("ts div 1000000000")), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("tstr"))
       val nowDf = e.agg(max(expr("(ts div 1000000000) * 1000000")).as("now"))
       val resolve: String => Column = p =>
         if (p == "tstr") col("tstr") else eventsResolver(p)

@@ -19,13 +19,14 @@ object ScalarPackQueries {
   val q60 = GraftQuery(
     "q60_nullsafe_locale_sanitize", "F5 C7 C13",
     (s, d) => {
-      val e = Tables.events(s, d)
-        .withColumn("tsu", expr("ts div 1000"))
-        .withColumn("k", Synthetic.k)
+      // parse-once: k drives the null-start branch referenced by the filter,
+      // the aggregate, and the projection
+      val e = Synthetic.fence(Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("ts_us"),
+            expr("ts div 1000000000").as("sec"), Synthetic.k.as("k")))
         // TBA-style null starts (C3's output shape feeding F5)
         .withColumn("start_sec",
-          when(col("k") % 10 === 0, lit(null).cast("long"))
-            .otherwise(expr("ts div 1000000000")))
+          when(col("k") % 10 === 0, lit(null).cast("long")).otherwise(col("sec")))
         .withColumn("dirty",
           concat(col("event_type"), lit("line1\nline2\rx\ttab")))
       val horizon = e.agg(max(col("start_sec")).as("h"))
@@ -99,8 +100,11 @@ object ScalarPackQueries {
   val q62 = GraftQuery(
     "q62_property_cleaning", "P4 F9",
     (s, d) => {
-      val e = Tables.events(s, d)
-        .withColumn("k", Synthetic.k)
+      // parse-once: k is spliced into the synthesized object six times —
+      // fence it so the concat sees a plain int, then fence props_json so
+      // the parse stages see one materialized string
+      val e = Synthetic.fence(Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), Synthetic.k.as("k")))
         // an open properties object: two scalars, one nested (must drop),
         // a callsign that is sometimes UNKNOWN, metadata fallbacks
         .withColumn("props_json", concat(
@@ -115,7 +119,8 @@ object ScalarPackQueries {
       // json_tuple pulls several paths in ONE parse per row, and Generate
       // nodes block CollapseProject — get_json_object per path would parse
       // the document once per reference
-      e.select(col("event_id"), col("props_json"),
+      Synthetic.fence(e.select(col("event_id"), col("props_json")))
+        .select(col("event_id"), col("props_json"),
           json_tuple(col("props_json"), "callsign", "metadata").as(Seq("cs", "meta")))
         .select(col("event_id"), col("props_json"), col("cs"),
           json_tuple(col("meta"), "flight", "r", "quality")
@@ -161,7 +166,9 @@ object ScalarPackQueries {
         .toDF("name", "lat", "region")
       val lutNorm = lut.select(norm(col("name")).as("nname"),
         col("lat").as("nlat"), col("region").as("nregion"))
-      val e = Tables.events(s, d).withColumn("k", Synthetic.k)
+      // parse-once: k fans out into locality/icon/marker branches (~8 refs)
+      val e = Synthetic.fence(Tables.events(s, d)
+          .select(col("event_id"), Synthetic.k.as("k")))
         .withColumn("locality", element_at(
           array(lit("Taupō"), lit("Ōtaki"), lit("taupo"), lit("OTAKI"), lit("Nowhere")),
           (col("k") % 5 + 1).cast("int")))

@@ -65,12 +65,20 @@ object SinkJoinQueries {
   val q49 = GraftQuery(
     "q49_geometry_array_ops", "C20 C21",
     (s, d) => {
-      val e = Synthetic.withGeo(Tables.events(s, d))
-        .withColumn("n", (col("k") % 4 + 2).cast("int")) // 2..5 vertices
+      // higher-order-function lambdas are INTERPRETED, and CollapseProject
+      // clones the transform chain into every referencing output column
+      // (8 references below) — fence the built arrays once so downstream
+      // element_at/array_min probe materialized arrays instead of
+      // re-running the lambdas per reference
+      val g = Synthetic.fence(Synthetic.withGeo(Tables.events(s, d))
+        .select(col("event_id"), col("lat"), col("lon"),
+          (col("k") % 4 + 2).cast("int").as("n"))) // 2..5 vertices
+      val e = Synthetic.fence(g
         .withColumn("coords", transform(sequence(lit(0), col("n") - 1), i =>
           array(round(col("lon") + i * 0.01, 6), round(col("lat") + i * 0.02, 6))))
         .withColumn("line2", transform(col("coords"), c =>
           array(round(element_at(c, 1) + 1.0, 6), round(element_at(c, 2) + 1.0, 6))))
+        .select(col("event_id"), col("n"), col("coords"), col("line2")))
         .withColumn("mls", array(col("coords"), col("line2")))
       e.select(col("event_id"),
           element_at(element_at(col("coords"), 1), 1).as("start_lon"),

@@ -38,4 +38,18 @@ object Synthetic {
 
   def withGeo(e: DataFrame): DataFrame =
     e.withColumn("lat", lat).withColumn("lon", lon).withColumn("k", k)
+
+  /** Optimizer fence: per-partition identity map over the row encoder.
+    *
+    * CollapseProject textually inlines any non-trivial expression into every
+    * downstream reference — a `get_json_object` referenced by N output
+    * columns parses the document N times per row, and an Exchange does NOT
+    * stop the collapse (measured in round 2: 251 `from_json` copies in one
+    * optimized plan). The encoder boundary is one row serialize/deserialize
+    * the optimizer cannot cross: project the expensive columns ONCE, fence,
+    * then branch freely. Keep the fenced projection narrow — every column
+    * crossing the fence pays the encode.
+    */
+  def fence(df: DataFrame): DataFrame =
+    df.mapPartitions(it => it)(org.apache.spark.sql.Encoders.row(df.schema))
 }

@@ -43,20 +43,24 @@ object WindowFilterQueries {
     "q58_tile_ancestor_math", "C24 F16",
     (s, d) => {
       val maxZoom = 7
-      val e = Tables.events(s, d)
-        .withColumn("k", Synthetic.k)
+      // parse-once: k crosses the encoder fence as a plain int, so the ~10
+      // downstream references cost integer math, not repeated JSON parses;
+      // 2^z is an exact long shift (z ≤ 13), not double pow per reference
+      val e = Synthetic.fence(
+          Tables.events(s, d).select(col("event_id"), Synthetic.k.as("k")))
         .withColumn("z", (col("k") % 6 + 8).cast("int")) // 8..13
-        .withColumn("x", ((col("event_id") * 131) % pow(lit(2), col("z")).cast("long")).cast("long"))
-        .withColumn("y", ((col("event_id") * 197) % pow(lit(2), col("z")).cast("long")).cast("long"))
-        .withColumn("scale", pow(lit(2), col("z") - maxZoom).cast("long"))
+        .withColumn("p2z", expr("shiftleft(CAST(1 AS BIGINT), z)"))
+        .withColumn("x", ((col("event_id") * 131) % col("p2z")).cast("long"))
+        .withColumn("y", ((col("event_id") * 197) % col("p2z")).cast("long"))
+        .withColumn("scale", expr(s"shiftleft(CAST(1 AS BIGINT), z - $maxZoom)"))
       e.select(col("event_id"), col("z"), col("x"), col("y"),
           (col("x") / col("scale")).cast("long").as("ancestor_x"),
           (col("y") / col("scale")).cast("long").as("ancestor_y"),
           (lit(256) / col("scale")).cast("long").as("crop_size"),
           ((col("x") % col("scale")) * (lit(256) / col("scale")).cast("long")).as("offset_x"),
           ((col("y") % col("scale")) * (lit(256) / col("scale")).cast("long")).as("offset_y"),
-          (col("x") >= 0 && col("x") < pow(lit(2), col("z")).cast("long") &&
-            col("y") >= 0 && col("y") < pow(lit(2), col("z")).cast("long")).as("valid"))
+          (col("x") >= 0 && col("x") < col("p2z") &&
+            col("y") >= 0 && col("y") < col("p2z")).as("valid"))
         .orderBy(col("event_id"))
     },
     Some(s"""WITH t AS (
@@ -83,8 +87,9 @@ object WindowFilterQueries {
   val q59 = GraftQuery(
     "q59_filter_pack", "F4 F6 F11 F15",
     (s, d) => {
-      val e = Tables.events(s, d)
-        .withColumn("k", Synthetic.k)
+      // parse-once: k is referenced by three predicate branches + the output
+      val e = Synthetic.fence(Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), Synthetic.k.as("k")))
         .withColumn("valid",
           when(col("k") % 7 === 0, lit(false))
             .when(col("k") % 5 === 0, lit(null).cast("boolean"))
