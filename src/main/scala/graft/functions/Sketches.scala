@@ -193,13 +193,28 @@ object Sketches {
     (1 to dims).map(j =>
       s"(${hyperplane(i, j - 1, dims)}) * CAST($v[$j] AS DOUBLE)").mkString(" + ")
 
-  /** 8-bit random-hyperplane signature (0..255): the ANN bucket key. */
-  def hyperplaneSig(v: Column, dims: Int): Column =
-    (0 until HyperplaneBits).map { i =>
+  /** n-bit random-hyperplane signature: the ANN bucket key (bits ≤ 62).
+    *
+    * Scale note: bucket count is 2^bits, and the within-bucket self-join is
+    * O(n²/2^bits) — so BITS MUST GROW WITH THE CORPUS (8 bits = 256 buckets
+    * is fine for thousands of vectors, quadratic death at 100 TB; size for
+    * ≥16-24 bits there). Wider signatures cost recall, which band-OR
+    * multi-probe buys back: split the signature into bands and take
+    * candidates agreeing on ANY band (see the banded ANN query / recall
+    * spec).
+    */
+  def hyperplaneSigN(v: Column, dims: Int, bits: Int): Column =
+    (0 until bits).map { i =>
       when(hpDot(v, i, dims) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-  def hyperplaneSigSql(v: String, dims: Int): String =
-    (0 until HyperplaneBits).map { i =>
+  def hyperplaneSigNSql(v: String, dims: Int, bits: Int): String =
+    (0 until bits).map { i =>
       s"(CASE WHEN ${hpDotSql(v, i, dims)} >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** 8-bit random-hyperplane signature (0..255). */
+  def hyperplaneSig(v: Column, dims: Int): Column =
+    hyperplaneSigN(v, dims, HyperplaneBits)
+  def hyperplaneSigSql(v: String, dims: Int): String =
+    hyperplaneSigNSql(v, dims, HyperplaneBits)
 }

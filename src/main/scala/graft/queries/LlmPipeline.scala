@@ -14,7 +14,10 @@ import graft.functions.{Sketches, TextFunctions}
   *  - L4 banded-LSH near-dup + n-gram Jaccard       → q36
   *  - L5 SimHash fingerprint + band keys            → q37
   *  - L6 brute-force cosine top-k (ANN baseline)    → q38
-  *  - L7 hyperplane-LSH bucketed ANN (scale path)   → q39
+  *  - L7 hyperplane-LSH bucketed ANN (scale path)   → q39 (8-bit),
+  *       q67 (16-bit signature + band-OR multi-probe — the 100 TB config:
+  *       bucket count must grow with the corpus, recall bought back by
+  *       accepting candidates that agree on ANY 8-bit band)
   *  - L8 language ID (stopword heuristic)           → q40
   *  - L9 quality scoring + token counting           → q41
   *
@@ -227,6 +230,7 @@ object LlmPipeline {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding"),
             Sketches.norm(col("embedding"), Dims).as("nrm"))
+          .localCheckpoint()
         val q = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
         broadcast(q).join(e, col("vec_id") =!= col("q_id"))
@@ -258,10 +262,13 @@ object LlmPipeline {
     val q39 = GraftQuery(
       "q39_ann_lsh_bucketed", "L7 L2",
       (s, d) => {
+        // checkpoint: `e` feeds three DAG branches; without it each branch
+        // recomputes the signature + norm trees (see q67's note)
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding"),
             Sketches.norm(col("embedding"), Dims).as("nrm"),
             Sketches.hyperplaneSig(col("embedding"), Dims).as("sig"))
+          .localCheckpoint()
         val b = e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
           col("nrm").as("bn"), col("sig").as("b_sig"))
         val nn = e.join(b, col("sig") === col("b_sig") && col("vec_id") =!= col("b_id"))
@@ -287,6 +294,77 @@ object LlmPipeline {
               row_number() OVER (PARTITION BY a.vec_id
                 ORDER BY ($dot) / (($an) * ($bn)) DESC, b.vec_id) AS rn
             FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id <> b.vec_id)
+            WHERE rn = 1)
+          SELECT e.vec_id, e.sig, nn.nn_id, nn.nn_cos
+          FROM e LEFT JOIN nn ON nn.vec_id = e.vec_id
+          ORDER BY e.vec_id"""
+      })
+
+    /* L7 at 100 TB: 16-bit signature (65k buckets — the within-bucket
+     * self-join is O(n²/2^bits), so bits grow with the corpus) with
+     * band-OR multi-probe: candidates agree on EITHER 8-bit half of the
+     * signature, buying back the recall the wider signature costs
+     * (SketchesSpec proves recall vs brute force). Candidate generation is
+     * a (band, value)-keyed equi-join on ids only; embeddings re-join by
+     * id afterwards, so wide vectors never ride through the pair shuffle. */
+    val q67 = GraftQuery(
+      "q67_ann_lsh_banded16", "L7",
+      (s, d) => {
+        // materialize the sketch projections ONCE: both frames are used on
+        // multiple DAG branches, and without the checkpoint every branch
+        // recomputes (and re-codegens) the 1024-term signature / 64-term
+        // norm trees per use. At 100 TB the sig table is narrow
+        // (id + int64) — caching it is the standard LSH shape; the
+        // embedding+norm frame would instead be re-scanned or selectively
+        // cached there.
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            Sketches.norm(col("embedding"), Dims).as("nrm"))
+          .localCheckpoint()
+        val sigs = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            Sketches.hyperplaneSigN(col("embedding"), Dims, 16).as("sig"))
+          .localCheckpoint()
+        val bands = sigs.select(col("vec_id"),
+          posexplode(array(col("sig").bitwiseAND(lit(255L)),
+            shiftright(col("sig"), 8).bitwiseAND(lit(255L)))).as(Seq("bi", "bv")))
+        val cand = bands
+          .join(bands.select(col("vec_id").as("b_id"), col("bi"), col("bv")),
+            Seq("bi", "bv"))
+          .filter(col("vec_id") =!= col("b_id"))
+          .select(col("vec_id"), col("b_id")).distinct()
+        val nn = cand
+          .join(emb, Seq("vec_id"))
+          .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+            col("nrm").as("bn")), Seq("b_id"))
+          .withColumn("cos", Sketches.cosineFromParts(
+            Sketches.dot(col("embedding"), col("be"), Dims), col("nrm"), col("bn")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("b_id"))))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("b_id").as("nn_id"), col("cos").as("nn_cos"))
+        sigs.join(nn, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("sig"), col("nn_id"), col("nn_cos"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val sig = Sketches.hyperplaneSigNSql("embedding", Dims, 16)
+        val dot = Sketches.dotSql("x.embedding", "y.embedding", Dims)
+        val xn = Sketches.normSql("x.embedding", Dims)
+        val yn = Sketches.normSql("y.embedding", Dims)
+        s"""WITH e AS (SELECT vec_id, embedding, $sig AS sig FROM embeddings),
+          bd AS (SELECT vec_id, UNNEST([sig & 255, (sig >> 8) & 255]) AS bv,
+                   UNNEST([0, 1]) AS bi FROM e),
+          cand AS (SELECT DISTINCT a.vec_id AS va, c.vec_id AS vb
+            FROM bd a JOIN bd c ON a.bi = c.bi AND a.bv = c.bv
+              AND a.vec_id <> c.vec_id),
+          nn AS (SELECT * FROM (
+            SELECT cand.va AS vec_id, cand.vb AS nn_id,
+              ($dot) / (($xn) * ($yn)) AS nn_cos,
+              row_number() OVER (PARTITION BY cand.va
+                ORDER BY ($dot) / (($xn) * ($yn)) DESC, cand.vb) AS rn
+            FROM cand JOIN e x ON x.vec_id = cand.va
+              JOIN e y ON y.vec_id = cand.vb)
             WHERE rn = 1)
           SELECT e.vec_id, e.sig, nn.nn_id, nn.nn_cos
           FROM e LEFT JOIN nn ON nn.vec_id = e.vec_id
@@ -374,6 +452,6 @@ object LlmPipeline {
           FROM documents ORDER BY doc_id"""
       })
 
-    Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41)
+    Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q67)
   }
 }

@@ -38,9 +38,11 @@ object Scalar {
   val q26 = GraftQuery(
     "q26_string_cleanup", "C9 C11 C13 C22",
     (s, d) => {
-      // parse-once: k feeds both the raw render and the re-parse branch
-      Synthetic.fence(Tables.events(s, d)
-          .select(col("event_id"), col("event_type"), Synthetic.k.as("k")))
+      // no fence: the few duplicated k references sit outside conditional
+      // branches, so codegen subexpression elimination already parses once —
+      // a row-serde fence costs more than it saves here (measured)
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), Synthetic.k.as("k"))
         .withColumn("raw", when(col("k") < 5, lit("< 5")).otherwise(col("k").cast("string")))
         .select(
           col("event_id"),
@@ -135,13 +137,11 @@ object Scalar {
   val q30 = GraftQuery(
     "q30_json_path", "S2",
     (s, d) =>
-      // parse-once: both extractions cross the fence, k_even derives from
-      // the materialized k
-      Synthetic.fence(Tables.events(s, d)
-          .select(
-            col("event_id"),
-            Synthetic.k.as("k"),
-            get_json_object(col("props"), "$.missing.path").as("missing")))
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          Synthetic.k.as("k"),
+          get_json_object(col("props"), "$.missing.path").as("missing"))
         .withColumn("k_even", col("k") % 2 === 0)
         .orderBy(col("event_id")),
     Some(s"""SELECT event_id, ${Synthetic.kSql} AS k,

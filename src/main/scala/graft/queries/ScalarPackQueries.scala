@@ -100,11 +100,8 @@ object ScalarPackQueries {
   val q62 = GraftQuery(
     "q62_property_cleaning", "P4 F9",
     (s, d) => {
-      // parse-once: k is spliced into the synthesized object six times —
-      // fence it so the concat sees a plain int, then fence props_json so
-      // the parse stages see one materialized string
-      val e = Synthetic.fence(Tables.events(s, d)
-          .select(col("event_id"), col("event_type"), Synthetic.k.as("k")))
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), Synthetic.k.as("k"))
         // an open properties object: two scalars, one nested (must drop),
         // a callsign that is sometimes UNKNOWN, metadata fallbacks
         .withColumn("props_json", concat(
@@ -116,33 +113,42 @@ object ScalarPackQueries {
           when(col("k") % 8 === 0, concat(lit("\"flight\":\"FL"), col("k"), lit("\","))).otherwise(lit("")),
           when(col("k") % 6 === 0, lit("\"quality\":\"deleted\",")).otherwise(lit("")),
           lit("\"r\":\"R"), col("k"), lit("\"}}")))
-      // json_tuple pulls several paths in ONE parse per row, and Generate
-      // nodes block CollapseProject — get_json_object per path would parse
-      // the document once per reference
-      Synthetic.fence(e.select(col("event_id"), col("props_json")))
-        .select(col("event_id"), col("props_json"),
-          json_tuple(col("props_json"), "callsign", "metadata").as(Seq("cs", "meta")))
-        .select(col("event_id"), col("props_json"), col("cs"),
-          json_tuple(col("meta"), "flight", "r", "quality")
-            .as(Seq("m_flight", "m_r", "m_quality")))
+      // parse-once: ONE from_json to map<string,string> for the open
+      // object, one struct parse of the small metadata blob — no Generate,
+      // no per-reference re-parse (each field is a cheap struct extract)
+      val metaSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("flight",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("r",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("quality",
+          org.apache.spark.sql.types.StringType)))
+      // the fence pins both parses to exactly one evaluation: without it
+      // the F9 filter (which sits BELOW the projection) would have the
+      // whole parse chain pushed into it and re-parsed again by the final
+      // projection
+      Synthetic.fence(e.select(col("event_id"),
+          from_json(col("props_json"), org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)).as("m"))
+        .withColumn("ms", from_json(col("m")("metadata"), metaSchema)))
         // F9: drop deleted-quality features (index.py:252-263) — a filter
         // on a nested dynamic path, applied before any projection
-        .filter(coalesce(col("m_quality") =!= "deleted", lit(true)))
+        .filter(coalesce(col("ms")("quality") =!= "deleted", lit(true)))
         .select(col("event_id"),
           // scalar-only cleaning: nested values re-serialize starting with
-          // '{'; one map traversal total
-          concat_ws(",", map_keys(map_filter(
-            from_json(col("props_json"),
-              org.apache.spark.sql.types.MapType(
-                org.apache.spark.sql.types.StringType,
-                org.apache.spark.sql.types.StringType)),
-            (_, v) => !v.startsWith("{")))).as("kept_keys"),
-          when(col("cs") === "UNKNOWN", coalesce(col("m_flight"), col("m_r")))
-            .otherwise(col("cs")).as("callsign"))
+          // '{'; one map traversal total. Keys are emitted SORTED — map
+          // iteration order is not a stable contract (the encoder fence
+          // round-trips through a Scala Map)
+          concat_ws(",", array_sort(map_keys(map_filter(col("m"),
+            (_, v) => !v.startsWith("{"))))).as("kept_keys"),
+          when(col("m")("callsign") === "UNKNOWN",
+            coalesce(col("ms")("flight"), col("ms")("r")))
+            .otherwise(col("m")("callsign")).as("callsign"))
         .orderBy(col("event_id"))
     },
     Some(s"""SELECT event_id,
-        'speed,label,callsign' AS kept_keys,
+        'callsign,label,speed' AS kept_keys,
         CASE WHEN k % 4 = 0 THEN
           (CASE WHEN k % 8 = 0 THEN 'FL' || k ELSE 'R' || k END)
         ELSE 'CS' || k END AS callsign

@@ -70,9 +70,9 @@ object SinkJoinQueries {
       // (8 references below) — fence the built arrays once so downstream
       // element_at/array_min probe materialized arrays instead of
       // re-running the lambdas per reference
-      val g = Synthetic.fence(Synthetic.withGeo(Tables.events(s, d))
+      val g = Synthetic.withGeo(Tables.events(s, d))
         .select(col("event_id"), col("lat"), col("lon"),
-          (col("k") % 4 + 2).cast("int").as("n"))) // 2..5 vertices
+          (col("k") % 4 + 2).cast("int").as("n")) // 2..5 vertices
       val e = Synthetic.fence(g
         .withColumn("coords", transform(sequence(lit(0), col("n") - 1), i =>
           array(round(col("lon") + i * 0.01, 6), round(col("lat") + i * 0.02, 6))))

@@ -74,6 +74,40 @@ class SketchesSpec extends SparkSpec {
     assert((m(1) ^ m(2)) === 255L, s"sig=${m(1)} negSig=${m(2)}")
   }
 
+  test("16-bit band-OR ANN: multi-probe recall beats exact-signature recall on planted near-dups") {
+    val rnd = new scala.util.Random(42)
+    val dims = 64
+    // 80 base vectors, each with a planted near-duplicate (its true top-1)
+    val rows: Seq[(Long, Array[Double])] =
+      (0 until 80).map(_ => Array.fill(dims)(rnd.nextGaussian())).zipWithIndex.flatMap {
+        case (v, i) =>
+          val twin = v.map(x => x + rnd.nextGaussian() * 0.05)
+          Seq((i.toLong * 2, v), (i.toLong * 2 + 1, twin))
+      }
+    val sigs = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Sketches.hyperplaneSigN(col("embedding"), dims, 16).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val top1 = rows.map { case (id, v) =>
+      id -> rows.filter(_._1 != id).maxBy(o => cos(v, o._2))._1
+    }.toMap
+    def band(s: Long, i: Int): Long = (s >> (8 * i)) & 255
+    // candidate-generation recall of the true nearest neighbor:
+    // exact = full 16-bit signature must collide (the naive wide-bucket ANN);
+    // banded = EITHER 8-bit half collides (q67's band-OR multi-probe)
+    val exact = rows.count { case (id, _) =>
+      sigs(id) == sigs(top1(id)) }.toDouble / rows.size
+    val banded = rows.count { case (id, _) =>
+      (0 to 1).exists(i => band(sigs(id), i) == band(sigs(top1(id)), i))
+    }.toDouble / rows.size
+    assert(banded >= exact, s"banded=$banded exact=$exact")
+    assert(banded >= 0.9, s"banded recall $banded should recover planted twins")
+  }
+
   test("fixed-order cosine: self-similarity is exactly 1 for unit-consistent input") {
     val v = (1 to 64).map(_.toDouble / 8).toArray
     val df = Seq((1, v)).toDF("id", "e")
