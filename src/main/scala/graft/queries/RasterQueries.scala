@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.raster.{Codecs, Tile, Tiles}
+import graft.geo.TileMath
+import graft.raster.{Codecs, GeoidGrid, Reproject, Tile, Tiles}
 
 /** Raster-pipeline queries (SURVEY §2.9).
   *
@@ -112,5 +113,120 @@ object RasterQueries {
         ascii(substring(text, 1, 1)) AS first_byte
       FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q46, q47)
+  /** R4 under the oracle gate: the FULL reprojection gather
+    * (`Reproject.reprojectDataset` — fan-out to covering Mercator tiles,
+    * shuffle keyed by output tile, broadcast geoid, per-pixel gather loop)
+    * reduced to per-tile channel checksums; the DuckDB oracle recomputes
+    * every output pixel relationally (bounds → Mercator floor sample →
+    * Terrain-RGB decode → bilinear geoid → re-encode).
+    *
+    * Requests are data-derived (the distinct z=6 EPSG:4326 tiles containing
+    * each event's lat/lon); source pixels and geoid values are closed-form
+    * functions of (tile, index) so both engines synthesize them
+    * independently. Every 5th source tile is withheld to exercise the
+    * missing-source branch (elevation 0, NO geoid — the reference only adds
+    * the geoid inside `if (src)`).
+    */
+  val q69 = {
+    val Z = 6
+    val Mz = Reproject.mercZoomFor(Z) // 7
+    // static covering rectangle of the whole NZ box at z=6 → mz=7 (shared
+    // constants; the data-derived requests sample a subset of it)
+    val nzTiles = for {
+      x <- 123 to 127; y <- 44 to 49
+      if TileMath.tileOverlapsNZ(Z, x, y)
+    } yield (x, y)
+    val cover = nzTiles.flatMap { case (x, y) => Reproject.coveringMercTiles(Z, x, y) }
+    val (sx0, sx1) = (cover.map(_.x).min, cover.map(_.x).max)
+    val (sy0, sy1) = (cover.map(_.y).min, cover.map(_.y).max)
+
+    GraftQuery(
+      "q69_reproject_checksum", "R4 C16 C18",
+      (s, d) => {
+        import s.implicits._
+        val requests = Synthetic.withGeo(Tables.events(s, d))
+          .select(
+            floor((col("lon") + 180) / 360 * (2 * (1 << Z))).cast("int").as("x"),
+            floor((lit(90) - col("lat")) / 180 * (1 << Z)).cast("int").as("y"))
+          .distinct()
+          .select(lit(Z).as("z"), col("x"), col("y"))
+          .as[Reproject.TileKey]
+        val srcKeys = for {
+          sx <- sx0 to sx1; sy <- sy0 to sy1
+          if (sx + sy) % 5 != 0 // withheld tiles → missing-source branch
+        } yield (sx, sy)
+        val sources = s.createDataset(srcKeys).repartition(8).map { case (sx, sy) =>
+          val px = Array.tabulate(256 * 256 * 4)(i => ((sx * 31 + sy * 17 + i) % 256).toByte)
+          Tile(Mz, sx, sy, 256, 256, px)
+        }
+        val geoid = GeoidGrid(-90.0, 0.0, 1.0, 1.0, 181, 361,
+          Array.tabulate(181 * 361)(i => ((i / 361 * 7 + i % 361 * 13) % 50).toFloat))
+        Reproject.reprojectDataset(requests, sources, s.sparkContext.broadcast(geoid))
+          .map { t =>
+            var sr = 0L; var sg = 0L; var sb = 0L; var i = 0
+            while (i < t.pixels.length) {
+              sr += t.pixels(i) & 0xff; sg += t.pixels(i + 1) & 0xff
+              sb += t.pixels(i + 2) & 0xff
+              i += 4
+            }
+            (t.z, t.x, t.y, sr, sg, sb)
+          }
+          .toDF("z", "x", "y", "sum_r", "sum_g", "sum_b")
+          .orderBy(col("x"), col("y"))
+      },
+      Some {
+        val numX = 2 * (1 << Z); val numY = 1 << Z
+        // item pixel channels: closed-form function of (source tile, index)
+        def chan(off: Int) = s"((sx * 31 + sy * 17 + idx + $off) % 256)"
+        val decode = Codecs.elevationDecodeSql(chan(0), chan(1), chan(2))
+        s"""WITH req AS (
+            SELECT DISTINCT CAST(floor((lon + 180) / 360 * $numX) AS INT) AS x,
+                            CAST(floor((90 - lat) / 180 * $numY) AS INT) AS y
+            FROM (SELECT ${Synthetic.latSql} AS lat, ${Synthetic.lonSql} AS lon FROM events)),
+          px AS (SELECT x, y, CAST(p % 256 AS INT) AS opx, CAST(p // 256 AS INT) AS opy
+            FROM req CROSS JOIN range(0, 65536) t(p)),
+          ll AS (SELECT *,
+              (x / ${numX.toDouble}e0 * 360 - 180)
+                + ((opx + 0.5e0) / 256) * (((x + 1) / ${numX.toDouble}e0 * 360 - 180)
+                  - (x / ${numX.toDouble}e0 * 360 - 180)) AS lon,
+              (90 - y / ${numY.toDouble}e0 * 180)
+                - ((opy + 0.5e0) / 256) * ((90 - y / ${numY.toDouble}e0 * 180)
+                  - (90 - (y + 1) / ${numY.toDouble}e0 * 180)) AS lat
+            FROM px),
+          m AS (SELECT *, ${TileMath.mercatorXSql("lon", Mz)} AS mx,
+              ${TileMath.mercatorYSql("lat", Mz)} AS my FROM ll),
+          st AS (SELECT *, CAST(floor(mx / 256) AS INT) AS sx,
+              CAST(floor(my / 256) AS INT) AS sy FROM m),
+          sm AS (SELECT *,
+              greatest(0, least(255, CAST(floor(mx - sx * 256.0e0) AS INT))) AS lx,
+              greatest(0, least(255, CAST(floor(my - sy * 256.0e0) AS INT))) AS ly,
+              (sx BETWEEN $sx0 AND $sx1 AND sy BETWEEN $sy0 AND $sy1
+                AND (sx + sy) % 5 <> 0) AS avail
+            FROM st),
+          iv AS (SELECT *, (ly * 256 + lx) * 4 AS idx,
+              floor(lat - (-90.0e0)) AS r0d, floor(CASE WHEN lon < 0 THEN lon + 360 ELSE lon END) AS c0d,
+              (lat - (-90.0e0)) AS grow,
+              (CASE WHEN lon < 0 THEN lon + 360 ELSE lon END - 0.0e0) AS gcol
+            FROM sm),
+          gg AS (SELECT *, CAST(r0d AS INT) AS r0, CAST(c0d AS INT) AS c0,
+              grow - r0d AS fr, gcol - c0d AS fc FROM iv),
+          sep AS (SELECT *,
+              CAST((r0 * 7 + c0 * 13) % 50 AS DOUBLE) * (1 - fr) * (1 - fc)
+                + CAST((r0 * 7 + (c0 + 1) * 13) % 50 AS DOUBLE) * (1 - fr) * fc
+                + CAST(((r0 + 1) * 7 + c0 * 13) % 50 AS DOUBLE) * fr * (1 - fc)
+                + CAST(((r0 + 1) * 7 + (c0 + 1) * 13) % 50 AS DOUBLE) * fr * fc AS g_sep
+            FROM gg),
+          ev AS (SELECT x, y,
+              CASE WHEN avail THEN ($decode) + g_sep ELSE 0.0e0 END AS elev
+            FROM sep),
+          enc AS (SELECT x, y, ${Codecs.elevationEncodedSql("elev")} AS e FROM ev)
+          SELECT $Z AS z, x, y,
+            CAST(SUM((e >> 16) & 255) AS BIGINT) AS sum_r,
+            CAST(SUM((e >> 8) & 255) AS BIGINT) AS sum_g,
+            CAST(SUM(e & 255) AS BIGINT) AS sum_b
+          FROM enc GROUP BY x, y ORDER BY x, y"""
+      })
+  }
+
+  val all: Seq[GraftQuery] = Seq(q46, q47, q69)
 }

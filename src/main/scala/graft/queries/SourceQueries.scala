@@ -218,11 +218,62 @@ object SourceQueries {
     Some(s"""SELECT event_id, event_id // 500 AS page, event_type, ${Synthetic.kSql} AS k
       FROM events WHERE ${Synthetic.kSql} % 4 <> 0 ORDER BY event_id"""))
 
+  /** One-envelope-per-file staging for the DSv2 reader: `page-<n>.json`,
+    * written executor-side (local mode; fixture staging only — a cluster
+    * fixture would land on shared storage).
+    */
+  private def stagePagedFiles(s: SparkSession, d: String): String =
+    Staging.once(d, "paged_dsv2_v3") { path =>
+      new java.io.File(path).mkdirs()
+      val pageSize = 500
+      Tables.events(s, d)
+        .withColumn("page", expr(s"event_id div $pageSize"))
+        .groupBy(col("page"))
+        .agg(collect_list(struct(col("event_id").as("id"),
+          col("event_type").as("type"), Synthetic.k.as("k"))).as("raw"),
+          count(lit(1)).as("n"))
+        .withColumn("items", array_sort(col("raw")))
+        .select(col("page"), to_json(struct(col("page"), col("items"),
+          col("n").as("total"))).as("value"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            val f = new java.io.File(path, s"page-${r.getLong(0)}.json")
+            val w = new java.io.PrintWriter(f, "UTF-8")
+            try w.write(r.getString(1)) finally w.close()
+          }
+        }
+      new java.io.File(path, "_SUCCESS").createNewFile()
+    }
+
+  /** S13/S1 via a REAL Data Source V2 reader: `spark.read.format
+    * ("graft-rest")` plans one input partition per page (parallel page
+    * fetches), early-exits at the first missing page, and PUSHES the
+    * type/k predicates into the source's subscription — the filter runs
+    * "server-side" in the fetcher, not in the Spark plan (see
+    * `sources/rest/RestDataSource.scala`; Dsv2RestSpec asserts the
+    * pushdown and the partition-per-page plan shape).
+    */
+  val q68 = GraftQuery(
+    "q68_paginated_dsv2", "S13 S1 F6",
+    (s, d) => {
+      val path = stagePagedFiles(s, d)
+      s.read.format("graft-rest")
+        .option("endpoint", s"file://$path/page-{page}.json")
+        .load()
+        .filter(col("type") === "click" && col("k") >= 10)
+        .select(col("id").as("event_id"), col("page"), col("type").as("event_type"),
+          col("k"))
+        .orderBy(col("event_id"))
+    },
+    Some(s"""SELECT event_id, event_id // 500 AS page, event_type, ${Synthetic.kSql} AS k
+      FROM events WHERE event_type = 'click' AND ${Synthetic.kSql} >= 10
+      ORDER BY event_id"""))
+
   /** Untimed pre-stage hook for Bench's warmup. */
   def stageAll(s: SparkSession, d: String): Unit = {
     stageCsv(s, d); stageArcgisJson(s, d); stageGeojson(s, d)
-    stageHtml(s, d); stagePaged(s, d)
+    stageHtml(s, d); stagePaged(s, d); stagePagedFiles(s, d)
   }
 
-  val all: Seq[GraftQuery] = Seq(q52, q53, q54, q55, q56)
+  val all: Seq[GraftQuery] = Seq(q52, q53, q54, q55, q56, q68)
 }

@@ -1,0 +1,223 @@
+package graft.sources.rest
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Data Source V2 reader for the paginated REST envelope feed (SURVEY §2.1
+  * S13 "partition-per-page", S1 subscription pushdown; reference
+  * `tak-cot-proxy/index.mjs:359-403` — numbered `{page, items, total}`
+  * envelopes fetched until an empty/missing page, with the bbox /
+  * message-type narrowing rendered into the subscription).
+  *
+  * `spark.read.format("graft-rest").option("endpoint", tpl).load()` where
+  * `tpl` contains a `{page}` placeholder (`file:` and `http(s):` URLs; no
+  * other transports). One Spark input partition per page — page fetches run
+  * in parallel across executors, which is the property that scales this to
+  * thousands of pages. Early exit appears twice, like the reference's
+  * fetch loop: planning probes page existence sequentially until the first
+  * miss (`:400-402`), and each reader stops at an empty `items` array.
+  *
+  * Pushdown: [[SupportsPushDownFilters]] accepts equality/comparison
+  * predicates on the envelope's item fields and renders them into the
+  * subscription string the "server" (the page fetcher) enforces — exactly
+  * the shape of the reference's server-side bbox/type subscription
+  * (`ais-proxy/server.js:279-283`). Unsupported predicates stay in the
+  * Spark plan. [[SupportsPushDownRequiredColumns]] prunes the emitted
+  * columns.
+  */
+class RestTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-rest"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RestTableProvider.DefaultSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new RestTable(schema, properties.asScala.toMap)
+}
+
+object RestTableProvider {
+  /** The q56 envelope's item fields plus the page number. */
+  val DefaultSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("type", StringType),
+    StructField("k", LongType),
+    StructField("page", LongType)))
+}
+
+class RestTable(schema: StructType, props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-rest(${props.getOrElse("endpoint", "?")})"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RestScanBuilder(schema, props ++ options.asScala)
+}
+
+class RestScanBuilder(fullSchema: StructType, props: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  /** Server-side-expressible predicates: (in)equality + comparisons on the
+    * item fields. Everything else is returned for Spark to evaluate.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition {
+      case EqualTo(a, _) => fullSchema.fieldNames.contains(a)
+      case GreaterThan(a, _) => fullSchema.fieldNames.contains(a)
+      case GreaterThanOrEqual(a, _) => fullSchema.fieldNames.contains(a)
+      case LessThan(a, _) => fullSchema.fieldNames.contains(a)
+      case LessThanOrEqual(a, _) => fullSchema.fieldNames.contains(a)
+      case _ => false
+    }
+    pushed = ok
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new RestScan(required, props, pushed)
+}
+
+/** One page = one input partition. */
+case class RestPagePartition(page: Long, uri: String) extends InputPartition
+
+class RestScan(readSchema0: StructType, props: Map[String, String],
+    pushed: Array[Filter]) extends Scan with Batch {
+
+  private val endpoint = props.getOrElse("endpoint",
+    throw new IllegalArgumentException("graft-rest requires an endpoint option"))
+  private val maxPages = props.getOrElse("maxPages", "100000").toLong
+
+  /** The reference renders pushed predicates into the subscription string
+    * (`ais-proxy/server.js:279-283`); shown in `description()` so plans
+    * surface what was pushed.
+    */
+  val subscription: String = pushed.map {
+    case EqualTo(a, v) => s"$a=$v"
+    case GreaterThan(a, v) => s"$a>$v"
+    case GreaterThanOrEqual(a, v) => s"$a>=$v"
+    case LessThan(a, v) => s"$a<$v"
+    case LessThanOrEqual(a, v) => s"$a<=$v"
+    case f => f.toString
+  }.sorted.mkString("&")
+
+  override def readSchema(): StructType = readSchema0
+  override def description(): String =
+    s"graft-rest endpoint=$endpoint subscription=[$subscription]"
+  override def toBatch: Batch = this
+
+  /** Partition-per-page. Planning probes existence sequentially from page 0
+    * until the first missing page — the reference's loop-until-empty,
+    * moved to the driver so the page FETCHES parallelize.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val out = Seq.newBuilder[InputPartition]
+    var page = 0L
+    var more = true
+    while (more && page < maxPages) {
+      val uri = endpoint.replace("{page}", page.toString)
+      if (RestPageFetch.exists(uri)) { out += RestPagePartition(page, uri); page += 1 }
+      else more = false
+    }
+    out.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RestReaderFactory(readSchema0, pushed)
+}
+
+class RestReaderFactory(schema: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new RestPageReader(partition.asInstanceOf[RestPagePartition], schema, pushed)
+}
+
+/** Fetch + parse one page envelope; emit one row per item surviving the
+  * subscription. An empty `items` array yields no rows (the per-reader
+  * early-exit).
+  */
+class RestPageReader(p: RestPagePartition, schema: StructType,
+    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+
+  private val items: Iterator[Map[String, Any]] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(RestPageFetch.fetch(p.uri))
+    val arr = root.get("items")
+    if (arr == null || !arr.isArray) Iterator.empty
+    else arr.elements().asScala.map { it =>
+      Map[String, Any](
+        "id" -> it.path("id").asLong(),
+        "type" -> it.path("type").asText(),
+        "k" -> it.path("k").asLong(),
+        "page" -> p.page)
+    }.filter(row => pushed.forall(RestPageFetch.eval(_, row)))
+  }
+
+  private var cur: Map[String, Any] = _
+  override def next(): Boolean = {
+    if (items.hasNext) { cur = items.next(); true } else false
+  }
+  override def get(): InternalRow =
+    InternalRow.fromSeq(schema.fields.toSeq.map { f =>
+      (f.dataType, cur(f.name)) match {
+        case (StringType, v: String) => UTF8String.fromString(v)
+        case (LongType, v: Long) => v
+        case (_, v) => v
+      }
+    })
+  override def close(): Unit = ()
+}
+
+/** Transport + the "server side" of the pushed subscription. */
+object RestPageFetch {
+  def exists(uri: String): Boolean =
+    if (uri.startsWith("file:")) new java.io.File(new java.net.URI(uri)).exists()
+    else {
+      val c = new java.net.URI(uri).toURL.openConnection()
+      c match {
+        case h: java.net.HttpURLConnection =>
+          h.setRequestMethod("HEAD"); h.getResponseCode == 200
+        case _ => true
+      }
+    }
+
+  def fetch(uri: String): String = {
+    val in = new java.net.URI(uri).toURL.openStream()
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** Evaluate a pushed predicate against an item (numbers compare as Long,
+    * strings lexically — the envelope's only types).
+    */
+  def eval(f: Filter, row: Map[String, Any]): Boolean = {
+    def cmp(attr: String, v: Any): Option[Int] = (row.get(attr), v) match {
+      case (Some(a: Long), n: Number) => Some(java.lang.Long.compare(a, n.longValue()))
+      case (Some(a: String), s: String) => Some(a.compareTo(s))
+      case _ => None
+    }
+    f match {
+      case EqualTo(a, v) => cmp(a, v).contains(0)
+      case GreaterThan(a, v) => cmp(a, v).exists(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v).exists(_ >= 0)
+      case LessThan(a, v) => cmp(a, v).exists(_ < 0)
+      case LessThanOrEqual(a, v) => cmp(a, v).exists(_ <= 0)
+      case _ => true
+    }
+  }
+}
