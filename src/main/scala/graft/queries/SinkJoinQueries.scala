@@ -65,33 +65,44 @@ object SinkJoinQueries {
   val q49 = GraftQuery(
     "q49_geometry_array_ops", "C20 C21",
     (s, d) => {
-      // higher-order-function lambdas are INTERPRETED, and CollapseProject
-      // clones the transform chain into every referencing output column
-      // (8 references below) — fence the built arrays once so downstream
-      // element_at/array_min probe materialized arrays instead of
-      // re-running the lambdas per reference
+      // Higher-order-function lambdas (transform / array_min) run
+      // INTERPRETED per row. Vertex geometry is arithmetic on the vertex
+      // index, so explode the index instead: per-vertex columns stay inside
+      // whole-stage codegen and the per-feature reductions (endpoints, mid
+      // vertex, bbox) become hash aggregates with map-side combine — one
+      // shuffle on the feature key, no interpreted expression anywhere.
       val g = Synthetic.withGeo(Tables.events(s, d))
         .select(col("event_id"), col("lat"), col("lon"),
           (col("k") % 4 + 2).cast("int").as("n")) // 2..5 vertices
-      val e = Synthetic.fence(g
-        .withColumn("coords", transform(sequence(lit(0), col("n") - 1), i =>
-          array(round(col("lon") + i * 0.01, 6), round(col("lat") + i * 0.02, 6))))
-        .withColumn("line2", transform(col("coords"), c =>
-          array(round(element_at(c, 1) + 1.0, 6), round(element_at(c, 2) + 1.0, 6))))
-        .select(col("event_id"), col("n"), col("coords"), col("line2")))
-        .withColumn("mls", array(col("coords"), col("line2")))
-      e.select(col("event_id"),
-          element_at(element_at(col("coords"), 1), 1).as("start_lon"),
-          element_at(element_at(col("coords"), 1), 2).as("start_lat"),
-          element_at(element_at(col("coords"), -1), 1).as("end_lon"),
-          element_at(element_at(col("coords"), -1), 2).as("end_lat"),
-          element_at(element_at(col("coords"), (col("n") / 2 + 1).cast("int")), 1).as("mid_lon"),
-          array_min(transform(col("coords"), c => element_at(c, 1))).as("bbox_min_lon"),
-          array_max(transform(col("coords"), c => element_at(c, 1))).as("bbox_max_lon"),
-          array_min(transform(col("coords"), c => element_at(c, 2))).as("bbox_min_lat"),
-          array_max(transform(col("coords"), c => element_at(c, 2))).as("bbox_max_lat"),
-          element_at(element_at(element_at(col("mls"), 1), 1), 1).as("mls_start_lon"),
-          element_at(element_at(element_at(col("mls"), -1), -1), 2).as("mls_end_lat"))
+      val pts = g
+        .select(col("event_id"), col("n"), col("lat"), col("lon"),
+          explode(sequence(lit(0), col("n") - 1)).as("i"))
+        .withColumn("px", round(col("lon") + col("i") * 0.01, 6))
+        .withColumn("py", round(col("lat") + col("i") * 0.02, 6))
+      // 1-based mid vertex: Spark double division + int truncation matches
+      // the oracle's integer `n // 2 + 1` for the n ≥ 2 domain here
+      val midIdx = (col("n") / 2 + 1).cast("int") - 1
+      pts.groupBy(col("event_id"))
+        .agg(
+          max(when(col("i") === 0, col("px"))).as("start_lon"),
+          max(when(col("i") === 0, col("py"))).as("start_lat"),
+          max(when(col("i") === col("n") - 1, col("px"))).as("end_lon"),
+          max(when(col("i") === col("n") - 1, col("py"))).as("end_lat"),
+          max(when(col("i") === midIdx, col("px"))).as("mid_lon"),
+          min(col("px")).as("bbox_min_lon"),
+          max(col("px")).as("bbox_max_lon"),
+          min(col("py")).as("bbox_min_lat"),
+          max(col("py")).as("bbox_max_lat"))
+        .select(col("event_id"),
+          col("start_lon"), col("start_lat"), col("end_lon"), col("end_lat"),
+          col("mid_lon"),
+          col("bbox_min_lon"), col("bbox_max_lon"),
+          col("bbox_min_lat"), col("bbox_max_lat"),
+          // MultiLineString first-of-first == the line's own start; the
+          // second line is the first shifted by +1.0 then re-rounded, so
+          // its last-of-last lat derives from end_lat directly
+          col("start_lon").as("mls_start_lon"),
+          round(col("end_lat") + 1.0, 6).as("mls_end_lat"))
         .orderBy(col("event_id"))
     },
     Some(s"""WITH g AS (

@@ -1,0 +1,150 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager, SQLException}
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** K4 made concrete: the MBTiles JDBC sink
+  * (`scripts/download_nationalmap/create_nationalmap_mbtiles.py:92-106`
+  * schema + unique `tile_index`, `:103-106` `tile_exists` resume skip,
+  * `:186-198` batched commit + IntegrityError duplicate swallow,
+  * `:173-176` XYZ→TMS row flip before insert).
+  *
+  * Spark-first shape:
+  *  - resume = one distributed LEFT ANTI join of the incoming tile frame
+  *    against the sink's `(zoom_level, tile_column, tile_row)` keys, read
+  *    back through Spark's JDBC source (column-pruned to the key triple) —
+  *    the relational form of the reference's per-tile `tile_exists` loop;
+  *  - write = `foreachPartition` with one connection per partition, a
+  *    prepared INSERT batched N-at-a-time with a commit per batch (the
+  *    reference commits every 10 downloads), and a row-by-row replay that
+  *    swallows unique-index violations if a batch trips the index — the
+  *    same backstop the reference's `except sqlite3.IntegrityError` gives;
+  *  - the DB's unique index stays the source of truth, so concurrent
+  *    partitions (or a crash between anti-join and insert) can never
+  *    produce duplicate tiles.
+  *
+  * Tested against embedded Derby (the JDBC engine on the provided
+  * classpath); the SQL used is deliberately vanilla so a SQLite/MBTiles
+  * JDBC URL works unchanged.
+  */
+object MbtilesSink {
+
+  /** MBTiles stores rows bottom-up (TMS); web-XYZ counts top-down. The
+    * reference flips with `tms_y = (2**zoom - 1) - y`; doubles are exact for
+    * every real tile zoom (≤ 2^53), and the cast lands back on int.
+    */
+  def xyzToTms(zoom: Column, y: Column): Column =
+    (pow(lit(2.0), zoom.cast("double")) - 1).cast("int") - y
+
+  val KeyCols = Seq("zoom_level", "tile_column", "tile_row")
+
+  /** Creates `metadata` + `tiles` + the unique tile index when the target
+    * DB does not have them yet, inserting the metadata rows on first
+    * creation only (the reference's `if not resuming` block). Returns true
+    * when this call created the schema — i.e. a fresh, non-resume run.
+    */
+  def ensureSchema(url: String, metadata: Seq[(String, String)]): Boolean = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val tables = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      var exists = false
+      while (tables.next())
+        if (tables.getString("TABLE_NAME").equalsIgnoreCase("tiles")) exists = true
+      if (!exists) {
+        val st = conn.createStatement()
+        st.executeUpdate(
+          "CREATE TABLE metadata (name VARCHAR(255), value VARCHAR(1024))")
+        st.executeUpdate(
+          "CREATE TABLE tiles (zoom_level INTEGER, tile_column INTEGER, " +
+            "tile_row INTEGER, tile_data BLOB)")
+        st.executeUpdate(
+          "CREATE UNIQUE INDEX tile_index ON tiles (zoom_level, tile_column, tile_row)")
+        val ps = conn.prepareStatement("INSERT INTO metadata VALUES (?, ?)")
+        metadata.foreach { case (k, v) =>
+          ps.setString(1, k); ps.setString(2, v); ps.executeUpdate()
+        }
+        ps.close(); st.close()
+      }
+      !exists
+    } finally conn.close()
+  }
+
+  /** Append tiles not already in the DB. `df` must carry the four MBTiles
+    * columns (`tile_row` already TMS — apply [[xyzToTms]] upstream if the
+    * pipeline is XYZ). Returns rows actually inserted: 0 on a pure re-run.
+    */
+  def appendNew(
+      df: DataFrame,
+      url: String,
+      metadata: Seq[(String, String)] = Seq("format" -> "png"),
+      batchSize: Int = 10): Long = {
+    val spark = df.sparkSession
+    val fresh = ensureSchema(url, metadata)
+    val incoming =
+      df.select(col("zoom_level").cast("int"), col("tile_column").cast("int"),
+        col("tile_row").cast("int"), col("tile_data"))
+    val toWrite =
+      if (fresh) incoming
+      else {
+        val existing = spark.read.format("jdbc")
+          .option("url", url).option("dbtable", "tiles").load()
+          .select(KeyCols.map(col): _*)
+        incoming.join(existing, KeyCols, "left_anti")
+      }
+    val written = spark.sparkContext.longAccumulator("mbtiles_tiles_written")
+    toWrite.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val conn = DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val ps = conn.prepareStatement("INSERT INTO tiles VALUES (?, ?, ?, ?)")
+          val pending = new scala.collection.mutable.ArrayBuffer[Row](batchSize)
+          def flush(): Unit = if (pending.nonEmpty) {
+            pending.foreach { r =>
+              ps.setInt(1, r.getInt(0)); ps.setInt(2, r.getInt(1))
+              ps.setInt(3, r.getInt(2)); ps.setBytes(4, r.getAs[Array[Byte]](3))
+              ps.addBatch()
+            }
+            try {
+              ps.executeBatch()
+              written.add(pending.size)
+            } catch {
+              case _: SQLException =>
+                // a tile slipped in between the anti-join and this insert —
+                // replay one-by-one, letting the unique index drop the dups
+                conn.rollback()
+                ps.clearBatch()
+                pending.foreach { r =>
+                  try {
+                    ps.setInt(1, r.getInt(0)); ps.setInt(2, r.getInt(1))
+                    ps.setInt(3, r.getInt(2)); ps.setBytes(4, r.getAs[Array[Byte]](3))
+                    ps.executeUpdate()
+                    written.add(1)
+                  } catch { case _: SQLException => () } // duplicate tile
+                }
+            }
+            conn.commit() // the reference's commit-every-N
+            pending.clear()
+          }
+          rows.foreach { r => pending += r; if (pending.size >= batchSize) flush() }
+          flush()
+          ps.close()
+        } finally conn.close()
+      }
+    }
+    written.value
+  }
+
+  /** Point lookup used by specs and by callers that want the reference's
+    * literal `tile_exists` check.
+    */
+  def tileCount(url: String): Long = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery("SELECT COUNT(*) FROM tiles")
+      rs.next(); rs.getLong(1)
+    } finally conn.close()
+  }
+}
