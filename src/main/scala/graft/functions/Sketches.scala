@@ -186,9 +186,6 @@ object Sketches {
     (((i * dims + j + 1) * 2654435761L) % 4294967296L).toDouble / 2147483648.0 - 1.0
 
   /** Bit i of the hyperplane signature: sign of dot(v, hp_i). */
-  private def hpDot(v: Column, i: Int, dims: Int): Column =
-    (1 to dims).map(j =>
-      lit(hyperplane(i, j - 1, dims)) * element_at(v, j).cast("double")).reduce(_ + _)
   private def hpDotSql(v: String, i: Int, dims: Int): String =
     (1 to dims).map(j =>
       s"(${hyperplane(i, j - 1, dims)}) * CAST($v[$j] AS DOUBLE)").mkString(" + ")
@@ -202,11 +199,17 @@ object Sketches {
     * multi-probe buys back: split the signature into bands and take
     * candidates agreeing on ANY band (see the banded ANN query / recall
     * spec).
+    *
+    * Implementation: the native loop expression
+    * [[graft.plans.HyperplaneSignatureExpression]] — the unrolled
+    * bits×dims term tree overflows the JVM's 64 KB generated-method limit
+    * at 16×64 and silently de-optimizes to interpreted eval; the native
+    * node is constant-size bytecode at any width. Requires the graft
+    * function registry ([[graft.plans.GraftExtensions.register]] — the
+    * table loader installs it).
     */
   def hyperplaneSigN(v: Column, dims: Int, bits: Int): Column =
-    (0 until bits).map { i =>
-      when(hpDot(v, i, dims) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    call_function("graft_hyperplane_sig", v, lit(dims), lit(bits))
   def hyperplaneSigNSql(v: String, dims: Int, bits: Int): String =
     (0 until bits).map { i =>
       s"(CASE WHEN ${hpDotSql(v, i, dims)} >= 0 THEN ${1L << i} ELSE 0 END)"

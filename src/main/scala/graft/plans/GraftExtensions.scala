@@ -40,6 +40,16 @@ object GraftExtensions {
         }
         PointInPolygonExpression(children(0), children(1),
           asDoubles(children(2)), asDoubles(children(3)))
+      }),
+    ("graft_hyperplane_sig",
+      new ExpressionInfo(classOf[HyperplaneSignatureExpression].getName, "graft_hyperplane_sig"),
+      (children: Seq[Expression]) => {
+        // dims/bits ride as foldable int literals
+        def asInt(e: Expression): Int = {
+          require(e.foldable, "graft_hyperplane_sig dims/bits must be literal")
+          e.eval().asInstanceOf[Number].intValue()
+        }
+        HyperplaneSignatureExpression(children(0), asInt(children(1)), asInt(children(2)))
       }))
 
   /** Imperative registration for externally-created sessions: functions go
