@@ -10,6 +10,26 @@ import org.apache.spark.sql.SparkSession
   * whole run with a nonzero exit code instead of reporting a fake time.
   */
 object Bench {
+
+  /** JVM-health counters sampled around each query: JIT compilation time,
+    * GC time, and code-cache occupancy. Emitted per query on stderr —
+    * suite-context perf regressions (a query that is fast in isolation but
+    * slow mid-suite) are JVM-environmental, and these counters localize
+    * whether the cost is JIT recompilation, GC pressure, or a full code
+    * cache that silently disabled the compiler.
+    */
+  private object Jvm {
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    private val comp = ManagementFactory.getCompilationMXBean
+    private val gcs = ManagementFactory.getGarbageCollectorMXBeans.asScala
+    private val codeHeaps = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+    def jitMs: Long = comp.getTotalCompilationTime
+    def gcMs: Long = gcs.map(_.getCollectionTime).sum
+    def codeCacheMb: Long = codeHeaps.map(_.getUsage.getUsed).sum >> 20
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,6 +54,7 @@ object Bench {
     graft.queries.SourceQueries.stageAll(spark, sfDir)
     graft.queries.IngestQueries.stageAll(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (jit0, gc0) = (Jvm.jitMs, Jvm.gcMs)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -41,7 +62,9 @@ object Bench {
         spark.stop()
         sys.exit(1)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-28s ${sec}%7.2fs  jit+${Jvm.jitMs - jit0}%5dms  gc+${Jvm.gcMs - gc0}%5dms  codecache=${Jvm.codeCacheMb}%4dMB")
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -31,7 +31,14 @@ object DslQueries {
     */
   private def fencedEvents(s: org.apache.spark.sql.SparkSession, d: String,
       extra: Column*) =
+    // sort-first: both consumers (q31/q32) emit rows ordered by event_id,
+    // so the narrow scan is sorted BEFORE the from_json projection + fence
+    // — the range exchange samples only the raw scan, the parse runs once
+    // above the Sort, and fence/project preserve the order (see q26)
     Synthetic.fence(Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"), col("ts"),
+        col("props"))
+      .orderBy(col("event_id"))
       .select(Seq(col("event_id"), col("event_type"), col("value"), col("ts"),
         from_json(col("props"), org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType,
@@ -67,7 +74,6 @@ object DslQueries {
         .withColumn("matched", FilterDsl.compile(filterList, eventsResolver, eventsTypes))
         .withColumn("matched_by", concat(branchCols: _*))
         .select(col("event_id"), col("matched"), col("matched_by"))
-        .orderBy(col("event_id"))
     },
     Some(s"""WITH t AS (SELECT event_id,
         CAST(json_extract_string(props, '$$.k') AS DOUBLE) AS k,
@@ -100,7 +106,10 @@ object DslQueries {
       // date_format per reference
       val e = fencedEvents(s, d, date_format(
         timestamp_seconds(expr("ts div 1000000000")), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("tstr"))
-      val nowDf = e.agg(max(expr("(ts div 1000000000) * 1000000")).as("now"))
+      // the corpus max needs no parse/sort — aggregate the raw scan, not
+      // the fenced frame
+      val nowDf = Tables.events(s, d)
+        .agg(max(expr("(ts div 1000000000) * 1000000")).as("now"))
       val resolve: String => Column = p =>
         if (p == "tstr") col("tstr") else eventsResolver(p)
       e.crossJoin(broadcast(nowDf))
@@ -109,7 +118,6 @@ object DslQueries {
             "r={{value|round}} d={{tstr|date}} a={{tstr|ago}} m=[{{props.missing}}]",
           resolve, col("now")))
         .select(col("event_id"), col("rendered"))
-        .orderBy(col("event_id"))
     },
     Some("""WITH t AS (SELECT event_id, event_type, value, props, ts,
           to_timestamp(epoch_us(ts) // 1000000) AS tsec,

@@ -153,7 +153,12 @@ object IngestQueries {
   val q45 = GraftQuery(
     "q45_eta_projections", "C6 P1 P2 F10",
     (s, d) => {
-      val e = Tables.events(s, d).withColumn("k", Synthetic.k)
+      // sort-first: narrow scan sorted before the wide string projection,
+      // which then runs once above the Sort instead of twice (see q26)
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("props"))
+        .orderBy(col("event_id"))
+        .withColumn("k", Synthetic.k)
         .withColumn("mmsi", mmsi)
       val month = when(col("k") % 5 === 0, lit(null)).otherwise(col("k") % 12 + 1)
       val name = when(col("k") % 3 === 0, lit(null))
@@ -166,7 +171,6 @@ object IngestQueries {
             (col("k") % 5).as("c"), (col("k") % 3).as("d"))).as("dims"),
           when(col("event_id") % 10 === 0, lit("navigation-aid"))
             .otherwise(lit("vessel")).as("category")) // P2 category (:800)
-        .orderBy(col("event_id"))
     },
     Some(s"""WITH e AS (SELECT event_id, ${Synthetic.kSql} AS k, $mmsiSql AS mmsi FROM events)
       SELECT event_id, mmsi,

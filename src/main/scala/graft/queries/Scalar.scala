@@ -40,8 +40,16 @@ object Scalar {
     (s, d) => {
       // no fence: the few duplicated k references sit outside conditional
       // branches, so codegen subexpression elimination already parses once —
-      // a row-serde fence costs more than it saves here (measured)
+      // a row-serde fence costs more than it saves here (measured).
+      // SORT FIRST, PROJECT AFTER: a trailing orderBy's range exchange
+      // samples its child, so a projection UNDER the sort executes twice
+      // (sampling pass + real pass — measured 1.2s vs 0.5s on this query).
+      // Sorting the narrow scan and projecting above the Sort runs the
+      // string work once; Catalyst has no rule that re-collapses a Project
+      // below a Sort, and project/filter preserve the sorted order.
       Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("props"))
+        .orderBy(col("event_id"))
         .select(col("event_id"), col("event_type"), Synthetic.k.as("k"))
         .withColumn("raw", when(col("k") < 5, lit("< 5")).otherwise(col("k").cast("string")))
         .select(
@@ -50,7 +58,6 @@ object Scalar {
           trim(concat(lit("  "), col("event_type"), lit(" "))).as("trimmed"),
           regexp_replace(col("event_type"), "[aeiou]", "_").as("devoweled"),
           when(col("raw") === "< 5", 5).otherwise(col("raw").cast("int")).as("parsed_count"))
-        .orderBy(col("event_id"))
     },
     Some(s"""SELECT event_id,
         upper(event_type) AS upper_type,

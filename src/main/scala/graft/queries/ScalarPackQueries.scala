@@ -100,7 +100,13 @@ object ScalarPackQueries {
   val q62 = GraftQuery(
     "q62_property_cleaning", "P4 F9",
     (s, d) => {
+      // sort-first: the trailing orderBy's range exchange samples its
+      // child, so sorting the narrow scan up front keeps the JSON build +
+      // parse out of the sampling pass (they run once, above the Sort);
+      // fence/filter/project all preserve the sorted order (see q26)
       val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("props"))
+        .orderBy(col("event_id"))
         .select(col("event_id"), col("event_type"), Synthetic.k.as("k"))
         // an open properties object: two scalars, one nested (must drop),
         // a callsign that is sometimes UNKNOWN, metadata fallbacks
@@ -114,27 +120,25 @@ object ScalarPackQueries {
           when(col("k") % 6 === 0, lit("\"quality\":\"deleted\",")).otherwise(lit("")),
           lit("\"r\":\"R"), col("k"), lit("\"}}")))
       // parse-once: ONE from_json to map<string,string> for the open
-      // object, one struct parse of the small metadata blob — no Generate,
-      // no per-reference re-parse (each field is a cheap struct extract)
-      val metaSchema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("flight",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("r",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("quality",
-          org.apache.spark.sql.types.StringType)))
-      // the fence pins both parses to exactly one evaluation: without it
+      // object. The metadata sub-object needs only three scalar paths, and
+      // two of them sit inside the UNKNOWN-callsign branch — lazy
+      // `get_json_object` over the (tiny) metadata text beats a second
+      // full from_json struct parse of text the map already holds
+      // (measured: the struct re-parse was the query's biggest cost).
+      // The fence pins the map parse to exactly one evaluation: without it
       // the F9 filter (which sits BELOW the projection) would have the
       // whole parse chain pushed into it and re-parsed again by the final
       // projection
-      Synthetic.fence(e.select(col("event_id"),
+      val meta = Synthetic.fence(e.select(col("event_id"),
           from_json(col("props_json"), org.apache.spark.sql.types.MapType(
             org.apache.spark.sql.types.StringType,
-            org.apache.spark.sql.types.StringType)).as("m"))
-        .withColumn("ms", from_json(col("m")("metadata"), metaSchema)))
+            org.apache.spark.sql.types.StringType)).as("m")))
+        .withColumn("mtxt", col("m")("metadata"))
+      meta
         // F9: drop deleted-quality features (index.py:252-263) — a filter
         // on a nested dynamic path, applied before any projection
-        .filter(coalesce(col("ms")("quality") =!= "deleted", lit(true)))
+        .filter(coalesce(
+          get_json_object(col("mtxt"), "$.quality") =!= "deleted", lit(true)))
         .select(col("event_id"),
           // scalar-only cleaning: nested values re-serialize starting with
           // '{'; one map traversal total. Keys are emitted SORTED — map
@@ -143,9 +147,9 @@ object ScalarPackQueries {
           concat_ws(",", array_sort(map_keys(map_filter(col("m"),
             (_, v) => !v.startsWith("{"))))).as("kept_keys"),
           when(col("m")("callsign") === "UNKNOWN",
-            coalesce(col("ms")("flight"), col("ms")("r")))
+            coalesce(get_json_object(col("mtxt"), "$.flight"),
+              get_json_object(col("mtxt"), "$.r")))
             .otherwise(col("m")("callsign")).as("callsign"))
-        .orderBy(col("event_id"))
     },
     Some(s"""SELECT event_id,
         'callsign,label,speed' AS kept_keys,

@@ -46,8 +46,12 @@ object WindowFilterQueries {
       // parse-once: k crosses the encoder fence as a plain int, so the ~10
       // downstream references cost integer math, not repeated JSON parses;
       // 2^z is an exact long shift (z ≤ 13), not double pow per reference
+      // sort-first: the narrow scan is sorted before the k parse + fence,
+      // so the sampling pass never runs the JSON path (see q26)
       val e = Synthetic.fence(
-          Tables.events(s, d).select(col("event_id"), Synthetic.k.as("k")))
+          Tables.events(s, d).select(col("event_id"), col("props"))
+            .orderBy(col("event_id"))
+            .select(col("event_id"), Synthetic.k.as("k")))
         .withColumn("z", (col("k") % 6 + 8).cast("int")) // 8..13
         .withColumn("p2z", expr("shiftleft(CAST(1 AS BIGINT), z)"))
         .withColumn("x", ((col("event_id") * 131) % col("p2z")).cast("long"))
@@ -61,7 +65,6 @@ object WindowFilterQueries {
           ((col("y") % col("scale")) * (lit(256) / col("scale")).cast("long")).as("offset_y"),
           (col("x") >= 0 && col("x") < col("p2z") &&
             col("y") >= 0 && col("y") < col("p2z")).as("valid"))
-        .orderBy(col("event_id"))
     },
     Some(s"""WITH t AS (
         SELECT event_id, (${Synthetic.kSql} % 6 + 8) AS z,
