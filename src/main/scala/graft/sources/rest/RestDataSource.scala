@@ -58,7 +58,7 @@ class RestTable(schema: StructType, props: Map[String, String])
   override def name(): String = s"graft-rest(${props.getOrElse("endpoint", "?")})"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new RestScanBuilder(schema, props ++ options.asScala)
 }
@@ -71,7 +71,10 @@ class RestScanBuilder(fullSchema: StructType, props: Map[String, String])
   private var required: StructType = fullSchema
 
   /** Server-side-expressible predicates: (in)equality + comparisons on the
-    * item fields. Everything else is returned for Spark to evaluate.
+    * item fields, plus type-set (`In`) and substring (`StringContains`)
+    * narrowing — the reference's message-type-list / text subscription
+    * (`ais-proxy/server.js:279-283`, `power-outages/server.js:517-536`).
+    * Everything else is returned for Spark to evaluate.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition {
@@ -80,6 +83,9 @@ class RestScanBuilder(fullSchema: StructType, props: Map[String, String])
       case GreaterThanOrEqual(a, _) => fullSchema.fieldNames.contains(a)
       case LessThan(a, _) => fullSchema.fieldNames.contains(a)
       case LessThanOrEqual(a, _) => fullSchema.fieldNames.contains(a)
+      case In(a, _) => fullSchema.fieldNames.contains(a)
+      case StringContains(a, _) => fullSchema.fieldNames.contains(a)
+      case IsNotNull(a) => fullSchema.fieldNames.contains(a)
       case _ => false
     }
     pushed = ok
@@ -103,6 +109,7 @@ class RestScan(readSchema0: StructType, props: Map[String, String],
   private val endpoint = props.getOrElse("endpoint",
     throw new IllegalArgumentException("graft-rest requires an endpoint option"))
   private val maxPages = props.getOrElse("maxPages", "100000").toLong
+  private val probeMode = props.getOrElse("probe", "doubling")
 
   /** The reference renders pushed predicates into the subscription string
     * (`ais-proxy/server.js:279-283`); shown in `description()` so plans
@@ -114,6 +121,9 @@ class RestScan(readSchema0: StructType, props: Map[String, String],
     case GreaterThanOrEqual(a, v) => s"$a>=$v"
     case LessThan(a, v) => s"$a<$v"
     case LessThanOrEqual(a, v) => s"$a<=$v"
+    case In(a, vs) => s"$a in(${vs.map(String.valueOf).sorted.mkString(",")})"
+    case StringContains(a, v) => s"$a contains($v)"
+    case IsNotNull(a) => s"$a?"
     case f => f.toString
   }.sorted.mkString("&")
 
@@ -122,24 +132,102 @@ class RestScan(readSchema0: StructType, props: Map[String, String],
     s"graft-rest endpoint=$endpoint subscription=[$subscription]"
   override def toBatch: Batch = this
 
-  /** Partition-per-page. Planning probes existence sequentially from page 0
-    * until the first missing page — the reference's loop-until-empty,
-    * moved to the driver so the page FETCHES parallelize.
+  /** S1/S14 streaming transport parity (`ais-proxy/server.js:256-345`,
+    * `tak-contacts-ws/index.mjs:145-200`): the offset is the page cursor,
+    * and each micro-batch reads exactly the pages that appeared since the
+    * last one — `readStream.format("graft-rest")` feeds
+    * [[graft.streaming.KeyedMerge]] directly, with Structured Streaming
+    * supplying checkpointed restart (the reference's snapshot reload).
     */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val out = Seq.newBuilder[InputPartition]
-    var page = 0L
-    var more = true
-    while (more && page < maxPages) {
-      val uri = endpoint.replace("{page}", page.toString)
-      if (RestPageFetch.exists(uri)) { out += RestPagePartition(page, uri); page += 1 }
-      else more = false
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new RestMicroBatchStream(readSchema0, endpoint, maxPages, probeMode, pushed)
+
+  /** Partition-per-page. Planning discovers the page count with a
+    * doubling-then-bisect existence search by default (probe 1, 2, 4, …
+    * until a miss, then binary-search the boundary) — O(log n) driver
+    * round-trips instead of O(n), which is what keeps planning cheap at
+    * thousands of pages. Doubling relies on the REST pagination contract
+    * that pages are contiguous from 0 ("page exists" is monotone); for a
+    * server that answers 200 past the end of the feed, `probe=sequential`
+    * restores the reference's exact walk-until-first-miss schedule
+    * (`tak-cot-proxy/index.mjs:400-402`). Existence is a HEAD / stat
+    * probe either way — no page body is ever fetched at planning time.
+    */
+  override def planInputPartitions(): Array[InputPartition] =
+    Array.tabulate(RestScan.pageCount(endpoint, maxPages, probeMode).toInt) { i =>
+      RestPagePartition(i.toLong, endpoint.replace("{page}", i.toString))
     }
-    out.result().toArray
-  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new RestReaderFactory(readSchema0, pushed)
+}
+
+object RestScan {
+  /** Number of existing pages in [0, maxPages]. `doubling` (default) is an
+    * exponential probe + bisect over the "page exists" predicate —
+    * ≤ 2·log2(n) + 2 probes, correct when pages are contiguous from 0.
+    * `sequential` is the reference-exact walk that stops at the first
+    * missing page — O(n) probes, but also correct when a server keeps
+    * answering past the end of the feed.
+    */
+  def pageCount(endpoint: String, maxPages: Long, mode: String = "doubling"): Long = {
+    def ex(p: Long): Boolean =
+      p < maxPages && RestPageFetch.exists(endpoint.replace("{page}", p.toString))
+    mode match {
+      case "sequential" =>
+        var page = 0L
+        while (ex(page)) page += 1
+        page
+      case _ =>
+        if (!ex(0L)) 0L
+        else {
+          var lo = 0L // highest page known to exist
+          var hi = 1L // candidate first-missing page
+          while (ex(hi)) { lo = hi; hi = math.min(hi * 2, maxPages) }
+          while (hi - lo > 1) { // invariant: ex(lo) && !ex(hi)
+            val mid = lo + (hi - lo) / 2
+            if (ex(mid)) lo = mid else hi = mid
+          }
+          hi
+        }
+    }
+  }
+}
+
+/** Page-cursor offset: `pages` = number of contiguous pages consumed. */
+case class RestOffset(pages: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pages.toString
+}
+
+/** Micro-batch facet of the paginated feed: `latestOffset` re-runs the
+  * O(log n) existence search (new pages only ever append), and a batch is
+  * the half-open page range `[start, end)` — one input partition per new
+  * page, same reader and pushed subscription as the batch scan. Page
+  * discovery happens on the driver only; executors fetch page bodies.
+  */
+class RestMicroBatchStream(schema: StructType, endpoint: String,
+    maxPages: Long, probeMode: String, pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = RestOffset(0L)
+  override def latestOffset(): Offset =
+    RestOffset(RestScan.pageCount(endpoint, maxPages, probeMode))
+  override def deserializeOffset(json: String): Offset =
+    RestOffset(json.trim.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[RestOffset].pages
+    val e = end.asInstanceOf[RestOffset].pages
+    (s until e).map { p =>
+      RestPagePartition(p, endpoint.replace("{page}", p.toString)): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RestReaderFactory(schema, pushed)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class RestReaderFactory(schema: StructType, pushed: Array[Filter])
@@ -186,7 +274,13 @@ class RestPageReader(p: RestPagePartition, schema: StructType,
 
 /** Transport + the "server side" of the pushed subscription. */
 object RestPageFetch {
-  def exists(uri: String): Boolean =
+  /** Total existence probes issued (test observability for the O(log n)
+    * planning guarantee).
+    */
+  val probeCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def exists(uri: String): Boolean = {
+    probeCount.incrementAndGet()
     if (uri.startsWith("file:")) new java.io.File(new java.net.URI(uri)).exists()
     else {
       val c = new java.net.URI(uri).toURL.openConnection()
@@ -196,6 +290,7 @@ object RestPageFetch {
         case _ => true
       }
     }
+  }
 
   def fetch(uri: String): String = {
     val in = new java.net.URI(uri).toURL.openStream()
@@ -217,6 +312,12 @@ object RestPageFetch {
       case GreaterThanOrEqual(a, v) => cmp(a, v).exists(_ >= 0)
       case LessThan(a, v) => cmp(a, v).exists(_ < 0)
       case LessThanOrEqual(a, v) => cmp(a, v).exists(_ <= 0)
+      case In(a, vs) => vs.exists(v => cmp(a, v).contains(0))
+      case StringContains(a, v) => row.get(a) match {
+        case Some(s: String) => s.contains(v)
+        case _ => false
+      }
+      case IsNotNull(a) => row.get(a).exists(_ != null)
       case _ => true
     }
   }

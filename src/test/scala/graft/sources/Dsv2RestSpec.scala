@@ -27,9 +27,13 @@ class Dsv2RestSpec extends SparkSpec {
     dir
   }
 
+  // the poison fixture violates page contiguity on purpose, so these tests
+  // exercise the reference-exact sequential probe; doubling-mode tests
+  // stage their own contiguous fixtures
   private def read(dir: java.io.File) =
     spark.read.format("graft-rest")
       .option("endpoint", s"file://${dir.getAbsolutePath}/page-{page}.json")
+      .option("probe", "sequential")
       .load()
 
   test("partition-per-page with early exit at the first missing page") {
@@ -59,5 +63,77 @@ class Dsv2RestSpec extends SparkSpec {
     val df = read(dir).select("id")
     val scans = df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }
     assert(scans.head.scan.readSchema().fieldNames.toSeq === Seq("id"))
+  }
+
+  test("In and StringContains push into the subscription and drop rows at source") {
+    val dir = stagePages()
+    val df = read(dir)
+      .filter(col("type").isin("click", "tap") && col("type").contains("li"))
+    val scans = df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }
+    val desc = scans.head.scan.description()
+    assert(desc.contains("type in(click,tap)") && desc.contains("type contains(li)"),
+      s"subscription should carry the type-set and substring predicates: $desc")
+    // the Spark plan keeps no residual Filter — the source enforces both
+    val residual = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }
+    assert(residual.isEmpty, "pushed predicates must not stay in the plan")
+    assert(df.collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
+
+  test("planning discovers the page count in O(log n) existence probes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rest_log").toFile
+    (0 until 8).foreach { p =>
+      val w = new java.io.PrintWriter(new java.io.File(dir, s"page-$p.json"), "UTF-8")
+      try w.write(s"""{"page":$p,"items":[{"id":$p,"type":"t","k":$p}],"total":1}""")
+      finally w.close()
+    }
+    val before = graft.sources.rest.RestPageFetch.probeCount.get()
+    val n = graft.sources.rest.RestScan.pageCount(
+      s"file://${dir.getAbsolutePath}/page-{page}.json", 100000L)
+    val probes = graft.sources.rest.RestPageFetch.probeCount.get() - before
+    assert(n === 8L)
+    // 0,1,2,4,8(miss),6,7 — doubling then bisect, not a page-per-probe walk
+    assert(probes === 7L, s"expected 7 probes for 8 pages, got $probes")
+  }
+
+  test("micro-batch stream reads only newly appeared pages and restores its cursor") {
+    import spark.implicits._
+    // contiguous fixture (default doubling probe): pages 0-2, page 2 empty
+    val dir = java.nio.file.Files.createTempDirectory("graft_rest_stream_pages").toFile
+    def page(name: String, text: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+      try w.write(text) finally w.close()
+    }
+    page("page-0.json",
+      """{"page":0,"items":[{"id":1,"type":"click","k":5},{"id":2,"type":"view","k":20}],"total":2}""")
+    page("page-1.json", """{"page":1,"items":[{"id":3,"type":"click","k":30}],"total":1}""")
+    page("page-2.json", """{"page":2,"items":[],"total":0}""")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rest_stream")
+    val ckpt = tmp.resolve("ckpt").toString
+    val outDir = tmp.resolve("out").toString
+    def start() = spark.readStream.format("graft-rest")
+      .option("endpoint", s"file://${dir.getAbsolutePath}/page-{page}.json")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }.start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val firstRun = spark.read.parquet(outDir).as[(Long, String, Long, Long)].collect().toSet
+    assert(firstRun.map(_._1) === Set(1L, 2L, 3L), s"run 1 should drain pages 0-2: $firstRun")
+
+    // page 3 appears while the stream is down; restart must resume at
+    // offset 3 and emit ONLY the new page (no replay of pages 0-2)
+    val w = new java.io.PrintWriter(new java.io.File(dir, "page-3.json"), "UTF-8")
+    try w.write("""{"page":3,"items":[{"id":9,"type":"tap","k":90}],"total":1}""")
+    finally w.close()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val all = spark.read.parquet(outDir).as[(Long, String, Long, Long)].collect()
+    assert(all.length === 4, s"restart must not replay consumed pages: ${all.toSeq}")
+    assert(all.map(_._1).toSet === Set(1L, 2L, 3L, 9L))
   }
 }

@@ -176,6 +176,53 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("avail_now").count() === 2)
   }
 
+  test("S1/S14: readStream graft-rest feeds the keyed merge, cursor survives restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_rest_merge").toFile
+    def page(p: Int, id: Long, typ: String, k: Long): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, s"page-$p.json"), "UTF-8")
+      try w.write(s"""{"page":$p,"items":[{"id":$id,"type":"$typ","k":$k}],"total":1}""")
+      finally w.close()
+    }
+    page(0, 7L, "click", 100L)
+    page(1, 7L, "view", 200L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rest_merge_ckpt")
+    val ckpt = tmp.resolve("ckpt").toString
+    val outDir = tmp.resolve("out").toString
+
+    // the WebSocket-transport analog: paginated feed → typed events →
+    // flatMapGroupsWithState latest-state merge, checkpointed end to end
+    def start() = KeyedMerge.latestState(
+      spark.readStream.format("graft-rest")
+        .option("endpoint", s"file://${dir.getAbsolutePath}/page-{page}.json")
+        .load()
+        .select(col("k").as("event_id"), (col("k") * 1000000L).as("tsu"),
+          col("id").as("user_id"), col("type").as("event_type"),
+          col("k").cast("double").as("value"))
+        .as[KeyedMerge.Ev],
+      ttlMicros = None, "1 hour")
+      .writeStream.outputMode("update").option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[KeyedMerge.StateOut], _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }.start()
+
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val run1 = spark.read.parquet(outDir).as[KeyedMerge.StateOut].collect()
+    assert(run1.maxBy(_.n_updates).n_updates === 2L, s"run 1 should merge pages 0-1: ${run1.toSeq}")
+
+    // a new page lands while the stream is down; the restarted query must
+    // resume at the checkpointed page cursor AND the restored key state
+    page(2, 7L, "error", 300L)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val last = spark.read.parquet(outDir).as[KeyedMerge.StateOut].collect().maxBy(_.n_updates)
+    assert(last.n_updates === 3L, "state + cursor must both restore")
+    assert(last.event_id === 300L && last.event_type === "error")
+    assert(last.filled === Some(200.0), "error rows carry no reading; fill stays at the view")
+  }
+
   test("vessel table: streamed union of AIS + enrichment sources (U2)") {
     import spark.implicits._
     import VesselMerge._
