@@ -32,13 +32,28 @@ import org.apache.spark.sql.functions._
 object MbtilesSink {
 
   /** MBTiles stores rows bottom-up (TMS); web-XYZ counts top-down. The
-    * reference flips with `tms_y = (2**zoom - 1) - y`; doubles are exact for
-    * every real tile zoom (≤ 2^53), and the cast lands back on int.
+    * reference flips with `tms_y = (2**zoom - 1) - y`; the long cast keeps
+    * the flip exact through zoom 52 (pow doubles are exact to 2^53) — far
+    * past MBTiles' practical zoom ceiling, and no int overflow at zoom ≥ 31.
     */
   def xyzToTms(zoom: Column, y: Column): Column =
-    (pow(lit(2.0), zoom.cast("double")) - 1).cast("int") - y
+    (pow(lit(2.0), zoom.cast("double")) - 1).cast("long") - y.cast("long")
 
   val KeyCols = Seq("zoom_level", "tile_column", "tile_row")
+
+  /** True only for unique/constraint violations: the typed subclass, or
+    * SQLState class 23 (integrity violation — 23505 is unique), checked
+    * across the chained-exception list because batch drivers wrap the
+    * violation in a `BatchUpdateException`.
+    */
+  private[sinks] def isDuplicate(e: SQLException): Boolean = {
+    import scala.jdk.CollectionConverters._
+    e.iterator().asScala.exists {
+      case _: java.sql.SQLIntegrityConstraintViolationException => true
+      case sq: SQLException => Option(sq.getSQLState).exists(_.startsWith("23"))
+      case _ => false
+    }
+  }
 
   /** Creates `metadata` + `tiles` + the unique tile index when the target
     * DB does not have them yet, inserting the metadata rows on first
@@ -73,7 +88,13 @@ object MbtilesSink {
 
   /** Append tiles not already in the DB. `df` must carry the four MBTiles
     * columns (`tile_row` already TMS — apply [[xyzToTms]] upstream if the
-    * pipeline is XYZ). Returns rows actually inserted: 0 on a pure re-run.
+    * pipeline is XYZ). Returns rows actually inserted — 0 on a pure re-run —
+    * as a BEST-EFFORT count: if a task fails after committing some batches,
+    * Spark discards that attempt's accumulator updates and the retry
+    * swallows the already-committed rows as duplicates, undercounting. The
+    * DB is still exactly right (the unique index is the source of truth);
+    * callers needing an exact count should diff [[tileCount]] around the
+    * write.
     */
   def appendNew(
       df: DataFrame,
@@ -111,9 +132,14 @@ object MbtilesSink {
               ps.executeBatch()
               written.add(pending.size)
             } catch {
-              case _: SQLException =>
+              case e: SQLException if isDuplicate(e) =>
                 // a tile slipped in between the anti-join and this insert —
-                // replay one-by-one, letting the unique index drop the dups
+                // replay one-by-one, letting the unique index drop the dups.
+                // ONLY unique-index violations are swallowed (the
+                // reference's `except sqlite3.IntegrityError`); any other
+                // SQLException (dead connection, disk full, type mismatch)
+                // propagates so Spark's task failure/retry kicks in instead
+                // of silently dropping the partition's remaining tiles
                 conn.rollback()
                 ps.clearBatch()
                 pending.foreach { r =>
@@ -122,7 +148,9 @@ object MbtilesSink {
                     ps.setInt(3, r.getInt(2)); ps.setBytes(4, r.getAs[Array[Byte]](3))
                     ps.executeUpdate()
                     written.add(1)
-                  } catch { case _: SQLException => () } // duplicate tile
+                  } catch {
+                    case e2: SQLException if isDuplicate(e2) => () // duplicate tile
+                  }
                 }
             }
             conn.commit() // the reference's commit-every-N

@@ -31,9 +31,22 @@ class MbtilesSinkSpec extends SparkSpec {
 
   test("xyzToTms matches the reference flip (2**z - 1) - y") {
     import spark.implicits._
-    val flipped = Seq((0, 0), (2, 0), (2, 3), (15, 12345)).toDF("z", "y")
-      .select(MbtilesSink.xyzToTms(col("z"), col("y"))).as[Int].collect().toSeq
-    assert(flipped === Seq(0, 3, 0, (1 << 15) - 1 - 12345))
+    val flipped = Seq((0, 0), (2, 0), (2, 3), (15, 12345), (33, 7)).toDF("z", "y")
+      .select(MbtilesSink.xyzToTms(col("z"), col("y"))).as[Long].collect().toSeq
+    assert(flipped === Seq(0L, 3L, 0L, (1L << 15) - 1 - 12345,
+      (1L << 33) - 1 - 7)) // > int range: the long cast must not wrap
+  }
+
+  test("only integrity violations count as duplicates; real errors propagate") {
+    val dup = new java.sql.SQLIntegrityConstraintViolationException("dup", "23505")
+    val wrapped = new java.sql.BatchUpdateException("batch failed", "HY000", 0,
+      Array.empty[Int], null)
+    wrapped.setNextException(dup)
+    val dead = new java.sql.SQLException("connection closed", "08003")
+    assert(MbtilesSink.isDuplicate(dup))
+    assert(MbtilesSink.isDuplicate(new java.sql.SQLException("unique", "23505")))
+    assert(MbtilesSink.isDuplicate(wrapped), "chained violations must be found")
+    assert(!MbtilesSink.isDuplicate(dead), "a dead connection is not a duplicate")
   }
 
   test("re-run writes zero duplicate tiles; overlap writes only new keys") {
