@@ -255,6 +255,18 @@ object FilterDsl {
     * surface exactly as `get_json_object` renders them (numbers/booleans as
     * their JSON text, strings unquoted, missing → null) — and deeper paths
     * descend into the nested JSON text the map value holds.
+    *
+    * VariantType decision (§1.1.3, evaluated round 4 on Spark 4.1.2 with
+    * `graft.tools.VariantProbe`): `parse_json`/`variant_get` are available
+    * AND a Variant column crosses the encoder fence, but on the
+    * reference-sized documents (few keys, one nesting level) throughput is
+    * identical — map 0.44-0.50 s vs variant 0.44-0.53 s steady-state for
+    * parse + 3 path extracts over sf0.1 events. The map stays because it
+    * is the representation the DuckDB oracle can replicate (hash-parity is
+    * the engine's correctness gate; Variant binaries have no DuckDB twin).
+    * For corpora of large deeply-nested documents, swap the `from_json`
+    * for `parse_json` and this resolver for `variant_get` — the shredded
+    * binary then skips the per-path re-parse of nested text below.
     */
   def mapResolver(m: Column): String => Column =
     path => path.split('.').toSeq match {
