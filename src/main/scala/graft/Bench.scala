@@ -38,6 +38,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // experiment knob: AQE on by default (the at-scale configuration);
+      // SPARK_GRAFT_AQE=false measures its per-query re-plan overhead
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: pay session/codegen/parquet-footer costs once so the
@@ -51,6 +55,16 @@ object Bench {
     // exercises
     graft.core.Tables.events(spark, sfDir).select("event_id")
       .orderBy("event_id").write.format("noop").mode("overwrite").save()
+    // ...and the hash-aggregate exchange path + the other parquet footers
+    // (the first measured query otherwise pays both: q01 ran ~1.5 s over
+    // its steady state before this)
+    graft.core.Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").count()
+      .write.format("noop").mode("overwrite").save()
+    Seq("orders", "customer", "documents", "embeddings").foreach { t =>
+      graft.core.Tables(spark, sfDir, t).limit(1)
+        .write.format("noop").mode("overwrite").save()
+    }
     graft.queries.SourceQueries.stageAll(spark, sfDir)
     graft.queries.IngestQueries.stageAll(spark, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -144,13 +144,15 @@ object Scalar {
   val q30 = GraftQuery(
     "q30_json_path", "S2",
     (s, d) =>
+      // sort-first: keep both JSON-path probes out of the sampling pass
       Tables.events(s, d)
+        .select(col("event_id"), col("props"))
+        .orderBy(col("event_id"))
         .select(
           col("event_id"),
           Synthetic.k.as("k"),
           get_json_object(col("props"), "$.missing.path").as("missing"))
-        .withColumn("k_even", col("k") % 2 === 0)
-        .orderBy(col("event_id")),
+        .withColumn("k_even", col("k") % 2 === 0),
     Some(s"""SELECT event_id, ${Synthetic.kSql} AS k,
         json_extract_string(props, '$$.missing.path') AS missing,
         (${Synthetic.kSql} % 2 = 0) AS k_even

@@ -90,8 +90,12 @@ object WindowFilterQueries {
   val q59 = GraftQuery(
     "q59_filter_pack", "F4 F6 F11 F15",
     (s, d) => {
-      // parse-once: k is referenced by three predicate branches + the output
+      // parse-once: k is referenced by three predicate branches + the output.
+      // sort-first: the narrow scan is sorted before the parse + fence, so
+      // the sampling pass never runs the JSON path or the filters (see q26)
       val e = Synthetic.fence(Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("props"))
+          .orderBy(col("event_id"))
           .select(col("event_id"), col("event_type"), Synthetic.k.as("k")))
         .withColumn("valid",
           when(col("k") % 7 === 0, lit(false))
@@ -104,7 +108,6 @@ object WindowFilterQueries {
         .filter(col("k") >= 10) // F6 minCustomers
         .filter(col("event_type").startsWith("cl") || col("event_type").startsWith("v")) // F11
         .select(col("event_id"), col("event_type"), col("k"), col("valid"))
-        .orderBy(col("event_id"))
     },
     Some(s"""WITH t AS (
         SELECT event_id, event_type, ${Synthetic.kSql} AS k,
