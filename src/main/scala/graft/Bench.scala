@@ -67,23 +67,38 @@ object Bench {
     }
     graft.queries.SourceQueries.stageAll(spark, sfDir)
     graft.queries.IngestQueries.stageAll(spark, sfDir)
+    // each query runs twice, full pipeline both times (fresh DataFrame →
+    // analysis → optimization → execution → noop write). The FIRST run is
+    // the reported headline ("queries"/"value" — comparable with prior
+    // rounds): it includes the plan's one-time Janino + JIT compile. The
+    // SECOND run hits the codegen cache and warm JIT, so it measures the
+    // steady-state throughput a long-running job sees — at 100 TB the
+    // one-time compile amortizes to zero, and "steady_total" is the
+    // number that scales. Both runs execute every row (noop serializes
+    // the full result); a failure aborts loudly either way.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (jit0, gc0) = (Jvm.jitMs, Jvm.gcMs)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        spark.stop()
-        sys.exit(1)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          spark.stop()
+          sys.exit(1)
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s ${sec}%7.2fs  jit+${Jvm.jitMs - jit0}%5dms  gc+${Jvm.gcMs - gc0}%5dms  codecache=${Jvm.codeCacheMb}%4dMB")
-      name -> sec
+      val (jit0, gc0) = (Jvm.jitMs, Jvm.gcMs)
+      val cold = once()
+      val (jit1, gc1) = (Jvm.jitMs - jit0, Jvm.gcMs - gc0)
+      val steady = once()
+      System.err.println(f"[bench] $name%-28s cold=${cold}%6.2fs steady=${steady}%6.2fs  jit+${jit1}%5dms  gc+${gc1}%5dms  codecache=${Jvm.codeCacheMb}%4dMB")
+      (name, cold, steady)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def json(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val steadyTotal = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results.map(r => r._1 -> r._2))},"steady_total":$steadyTotal,"steady":${json(results.map(r => r._1 -> r._3))},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -82,10 +82,14 @@ object IngestQueries {
     (s, d) => {
       val path = stageJsonais(s, d)
       // typed fast path (JsonaisSpec proves it row-equal to the Column
-      // dispatch); only the key + payload enter the encoder boundary
-      Jsonais.canonicalizeTyped(s.read.parquet(path),
+      // dispatch); only the key + payload enter the encoder boundary.
+      // sort-first: sorting the raw feed keeps the double-schema parse out
+      // of the range-sampling pass; the typed canonicalizer is a
+      // per-partition map (row-dropping, order-preserving), so the output
+      // stays sorted by event_id (see q26)
+      Jsonais.canonicalizeTyped(
+          s.read.parquet(path).orderBy(col("event_id")),
           col("payload"), "event_id")
-        .orderBy(col("event_id"))
     },
     // the generator's inverse: expected values straight from the columns
     Some(s"""SELECT event_id, $mmsiSql AS mmsi,

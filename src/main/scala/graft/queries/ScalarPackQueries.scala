@@ -125,14 +125,21 @@ object ScalarPackQueries {
       // `get_json_object` over the (tiny) metadata text beats a second
       // full from_json struct parse of text the map already holds
       // (measured: the struct re-parse was the query's biggest cost).
-      // The fence pins the map parse to exactly one evaluation: without it
-      // the F9 filter (which sits BELOW the projection) would have the
-      // whole parse chain pushed into it and re-parsed again by the final
-      // projection
-      val meta = Synthetic.fence(e.select(col("event_id"),
+      // The optimizer barrier here is a lazy persist, not the row-serde
+      // fence: without A barrier the F9 filter (below the projection)
+      // would have the whole parse chain pushed into it and re-parsed by
+      // the final projection (measured 4.9-5.8 s); an InMemoryRelation
+      // stops the collapse exactly like the fence but skips the per-row
+      // map encode/decode — 0.9 s vs 1.8 s for the same pipeline. The
+      // cached frame is (id, parsed map): narrow, and at 100 TB this is
+      // the same "cache the parsed projection" shape as the LSH sig table
+      // (for corpora too big to cache, swap back to Synthetic.fence —
+      // streaming, no materialization).
+      val meta = e.select(col("event_id"),
           from_json(col("props_json"), org.apache.spark.sql.types.MapType(
             org.apache.spark.sql.types.StringType,
-            org.apache.spark.sql.types.StringType)).as("m")))
+            org.apache.spark.sql.types.StringType)).as("m"))
+        .persist()
         .withColumn("mtxt", col("m")("metadata"))
       meta
         // F9: drop deleted-quality features (index.py:252-263) — a filter

@@ -32,6 +32,75 @@ object QueryProbe {
 
     time("full " + name, 3)(graft.SparkEntry.queries(name)(spark, sfDir))
 
+    if (name == "q62_property_cleaning") {
+      import org.apache.spark.sql.types.{MapType, StringType}
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"), col("props"))
+        .orderBy(col("event_id"))
+        .select(col("event_id"), col("event_type"), Synthetic.k.as("k"))
+        .withColumn("props_json", concat(
+          lit("{\"speed\":"), col("k"),
+          lit(",\"label\":\""), col("event_type"),
+          lit("\",\"nested\":{\"x\":1},\"callsign\":\""),
+          when(col("k") % 4 === 0, lit("UNKNOWN")).otherwise(concat(lit("CS"), col("k"))),
+          lit("\",\"metadata\":{"),
+          when(col("k") % 8 === 0, concat(lit("\"flight\":\"FL"), col("k"), lit("\","))).otherwise(lit("")),
+          when(col("k") % 6 === 0, lit("\"quality\":\"deleted\",")).otherwise(lit("")),
+          lit("\"r\":\"R"), col("k"), lit("\"}}")))
+      val fenced = Synthetic.fence(e.select(col("event_id"),
+          from_json(col("props_json"), MapType(StringType, StringType)).as("m")))
+        .withColumn("mtxt", col("m")("metadata"))
+      time("no kept_keys (no map_filter)", 3) {
+        fenced.filter(coalesce(get_json_object(col("mtxt"), "$.quality") =!= "deleted", lit(true)))
+          .select(col("event_id"),
+            when(col("m")("callsign") === "UNKNOWN",
+              coalesce(get_json_object(col("mtxt"), "$.flight"),
+                get_json_object(col("mtxt"), "$.r")))
+              .otherwise(col("m")("callsign")).as("callsign"))
+      }
+      time("no fence (inline parse)", 3) {
+        e.select(col("event_id"),
+            from_json(col("props_json"), MapType(StringType, StringType)).as("m"))
+          .withColumn("mtxt", col("m")("metadata"))
+          .filter(coalesce(get_json_object(col("mtxt"), "$.quality") =!= "deleted", lit(true)))
+          .select(col("event_id"),
+            concat_ws(",", array_sort(map_keys(map_filter(col("m"),
+              (_, v) => !v.startsWith("{"))))).as("kept_keys"),
+            when(col("m")("callsign") === "UNKNOWN",
+              coalesce(get_json_object(col("mtxt"), "$.flight"),
+                get_json_object(col("mtxt"), "$.r")))
+              .otherwise(col("m")("callsign")).as("callsign"))
+      }
+      time("persist barrier instead of fence", 3) {
+        val cached = e.select(col("event_id"),
+            from_json(col("props_json"), MapType(StringType, StringType)).as("m"))
+          .persist()
+        cached
+          .withColumn("mtxt", col("m")("metadata"))
+          .filter(coalesce(get_json_object(col("mtxt"), "$.quality") =!= "deleted", lit(true)))
+          .select(col("event_id"),
+            concat_ws(",", array_sort(map_keys(map_filter(col("m"),
+              (_, v) => !v.startsWith("{"))))).as("kept_keys"),
+            when(col("m")("callsign") === "UNKNOWN",
+              coalesce(get_json_object(col("mtxt"), "$.flight"),
+                get_json_object(col("mtxt"), "$.r")))
+              .otherwise(col("m")("callsign")).as("callsign"))
+      }
+      time("explode+agg kept_keys", 3) {
+        val kept = fenced.select(col("event_id"), explode(col("m")).as(Seq("mk", "mv")))
+          .filter(!col("mv").startsWith("{"))
+          .groupBy(col("event_id"))
+          .agg(concat_ws(",", sort_array(collect_list(col("mk")))).as("kept_keys"))
+        fenced.filter(coalesce(get_json_object(col("mtxt"), "$.quality") =!= "deleted", lit(true)))
+          .select(col("event_id"),
+            when(col("m")("callsign") === "UNKNOWN",
+              coalesce(get_json_object(col("mtxt"), "$.flight"),
+                get_json_object(col("mtxt"), "$.r")))
+              .otherwise(col("m")("callsign")).as("callsign"))
+          .join(kept, Seq("event_id"))
+          .select(col("event_id"), col("kept_keys"), col("callsign"))
+      }
+    }
     if (name == "q26_string_cleanup") {
       val base = Tables.events(spark, sfDir)
         .select(col("event_id"), col("event_type"), Synthetic.k.as("k"))
