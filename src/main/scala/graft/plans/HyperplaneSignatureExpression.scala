@@ -65,14 +65,28 @@ case class HyperplaneSignatureExpression(child: Expression, dims: Int, bits: Int
 object HyperplaneSignatureExpression {
   /** Static kernel the generated code calls: bit i of the result is the
     * sign of the left-associated dot(v, plane_i).
+    *
+    * Semantics match the unrolled `element_at` form and the SQL twin: an
+    * array shorter than dims errors (ANSI `element_at` out-of-bounds), and
+    * a null element makes the dot NULL, so that bit contributes 0.
     */
   def signature(arr: ArrayData, planes: Array[Array[Double]], isFloat: Boolean): Long = {
+    val dims = if (planes.length == 0) 0 else planes(0).length
+    if (arr.numElements() < dims)
+      throw new IllegalArgumentException(
+        s"graft_hyperplane_sig: vector has ${arr.numElements()} elements, needs $dims")
+    // null elements are rare (clean embedding tables have none) — scan
+    // once up front so the hot loop stays branch-light
+    var hasNull = false
+    var j = 0
+    while (j < dims && !hasNull) { hasNull = arr.isNullAt(j); j += 1 }
+    if (hasNull) return 0L // every dot is NULL -> every bit falls to 0
     var sig = 0L
     var i = 0
     while (i < planes.length) {
       val row = planes(i)
       var acc = row(0) * (if (isFloat) arr.getFloat(0).toDouble else arr.getDouble(0))
-      var j = 1
+      j = 1
       while (j < row.length) {
         acc += row(j) * (if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j))
         j += 1

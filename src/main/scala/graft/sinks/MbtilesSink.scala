@@ -33,24 +33,33 @@ object MbtilesSink {
 
   /** MBTiles stores rows bottom-up (TMS); web-XYZ counts top-down. The
     * reference flips with `tms_y = (2**zoom - 1) - y`; the long cast keeps
-    * the flip exact through zoom 52 (pow doubles are exact to 2^53) — far
-    * past MBTiles' practical zoom ceiling, and no int overflow at zoom ≥ 31.
+    * the COLUMN exact through zoom 52 (pow doubles are exact to 2^53).
+    * End-to-end the sink's MBTiles schema stores INTEGER keys, so
+    * [[appendNew]] enforces zoom ≤ 30 (fail-loud) rather than letting the
+    * int cast wrap.
     */
   def xyzToTms(zoom: Column, y: Column): Column =
     (pow(lit(2.0), zoom.cast("double")) - 1).cast("long") - y.cast("long")
 
   val KeyCols = Seq("zoom_level", "tile_column", "tile_row")
 
-  /** True only for unique/constraint violations: the typed subclass, or
-    * SQLState class 23 (integrity violation — 23505 is unique), checked
-    * across the chained-exception list because batch drivers wrap the
-    * violation in a `BatchUpdateException`.
+  /** True only for UNIQUE violations (the duplicate-tile race this sink
+    * swallows): the typed subclass or SQLState 23505, checked across the
+    * chained-exception list because batch drivers wrap the violation in a
+    * `BatchUpdateException`. Deliberately NOT the whole SQLState class 23 —
+    * a NOT NULL (23502) or FK (23503) failure is a real data error that
+    * must propagate into task failure, not be dropped as "duplicate".
     */
   private[sinks] def isDuplicate(e: SQLException): Boolean = {
     import scala.jdk.CollectionConverters._
     e.iterator().asScala.exists {
-      case _: java.sql.SQLIntegrityConstraintViolationException => true
-      case sq: SQLException => Option(sq.getSQLState).exists(_.startsWith("23"))
+      // the typed subclass still spans class 23 (Derby raises it for NOT
+      // NULL too), so the state must agree — null state gets the benefit
+      // of the doubt only on the typed subclass (drivers that don't set
+      // SQLState, e.g. older sqlite-jdbc)
+      case sq: java.sql.SQLIntegrityConstraintViolationException =>
+        sq.getSQLState == null || sq.getSQLState == "23505"
+      case sq: SQLException => sq.getSQLState == "23505"
       case _ => false
     }
   }
@@ -103,8 +112,15 @@ object MbtilesSink {
       batchSize: Int = 10): Long = {
     val spark = df.sparkSession
     val fresh = ensureSchema(url, metadata)
+    // MBTiles stores the key triple as INTEGER; zoom > 30 would silently
+    // wrap tile_row through the int cast, so fail loud instead (no real
+    // tileset exceeds z=22)
     val incoming =
-      df.select(col("zoom_level").cast("int"), col("tile_column").cast("int"),
+      df.select(
+        when(col("zoom_level") <= 30, col("zoom_level").cast("int"))
+          .otherwise(raise_error(concat(lit("MBTiles zoom out of range: "),
+            col("zoom_level")))).as("zoom_level"),
+        col("tile_column").cast("int"),
         col("tile_row").cast("int"), col("tile_data"))
     val toWrite =
       if (fresh) incoming

@@ -66,6 +66,24 @@ class HyperplaneSignatureSpec extends SparkSpec {
     assert(!out(0).isNullAt(0))
   }
 
+  test("null element zeroes the signature; short vector fails loud") {
+    import spark.implicits._
+    registered
+    // a null element makes every dot NULL -> every bit falls to 0 (the
+    // element_at/when-otherwise semantics of the unrolled form and the
+    // SQL twin)
+    val withNull = Seq(Seq[Option[Float]](Some(1.0f), None, Some(2.0f)))
+      .toDF("v")
+    assert(withNull.select(Sketches.hyperplaneSigN(col("v"), 3, 8))
+      .as[Long].head() === 0L)
+    // fewer elements than dims = ANSI element_at out-of-bounds semantics
+    val short = Seq(Seq(1.0f, 2.0f)).toDF("v")
+    val err = intercept[Exception] {
+      short.select(Sketches.hyperplaneSigN(col("v"), 3, 8)).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("interpreted eval matches the codegen path") {
     val v = (0 until dims).map(j => math.sin(j * 13) * 2).toArray
     val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v)

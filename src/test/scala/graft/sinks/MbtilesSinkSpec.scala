@@ -47,6 +47,10 @@ class MbtilesSinkSpec extends SparkSpec {
     assert(MbtilesSink.isDuplicate(new java.sql.SQLException("unique", "23505")))
     assert(MbtilesSink.isDuplicate(wrapped), "chained violations must be found")
     assert(!MbtilesSink.isDuplicate(dead), "a dead connection is not a duplicate")
+    // class 23 but NOT a duplicate: a NOT NULL / FK failure is real data
+    // loss if swallowed — must propagate
+    assert(!MbtilesSink.isDuplicate(
+      new java.sql.SQLIntegrityConstraintViolationException("null tile_data", "23502")))
   }
 
   test("re-run writes zero duplicate tiles; overlap writes only new keys") {
