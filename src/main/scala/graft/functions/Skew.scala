@@ -41,4 +41,25 @@ object Skew {
           saltedBig("__salt") === replicated("__salt"))
       .drop("__salt")
   }
+
+  /** Hot-bucket guard for LSH candidate generation (the one quadratic
+    * term in the dedup/ANN path): a bucket with n members yields n²/2
+    * candidate pairs, so one boilerplate mega-cluster (a shared header,
+    * an empty-document band hash) can dominate the whole pair join at
+    * corpus scale. Production MinHash pipelines drop buckets past a cap —
+    * members of a mega-cluster are near-identical to each other anyway,
+    * and exact/canonical dedup (L1/L2) catches them far cheaper upstream.
+    *
+    * Scale shape: one map-side-combined count per key, the (tiny) list of
+    * oversized keys broadcast into a LEFT ANTI join — the big frame never
+    * reshuffles on anything except the aggregate's own exchange, and the
+    * pair join that follows is bounded by cap·n instead of n².
+    */
+  def dropHotBuckets(df: DataFrame, keyCols: Seq[String], cap: Long): DataFrame = {
+    val hot = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") > cap)
+      .select(keyCols.map(col): _*)
+    df.join(broadcast(hot), keyCols, "left_anti")
+  }
 }

@@ -129,7 +129,12 @@ object LlmPipeline {
       })
 
     /* L4: banded LSH near-dup pairs, Jaccard-verified. The oracle replicates
-     * the banding (not brute force) so candidate semantics are checked. */
+     * the banding (not brute force) so candidate semantics are checked.
+     * 100 TB guard: the bucket self-join below is the path's one quadratic
+     * term — at corpus scale insert `Skew.dropHotBuckets(bands,
+     * Seq("band", "bh"), cap)` before it (SkewBucketSpec demonstrates the
+     * mega-cluster collapse; not applied here because the oracle-checked
+     * fixture has no bucket past any sane cap). */
     val q36 = GraftQuery(
       "q36_lsh_neardup_pairs", "L4 L2",
       (s, d) => {

@@ -27,6 +27,29 @@ class SkewBucketSpec extends SparkSpec {
     assert(spread > 8, s"hot key only spread over $spread salts")
   }
 
+  test("dropHotBuckets bounds the LSH pair join: mega-cluster gone, real pair kept") {
+    // 60 boilerplate docs share one band hash (the mega-cluster), two
+    // genuine near-dups share another — the shape that turns an LSH pair
+    // join quadratic at corpus scale
+    val bands = spark.range(60)
+      .select(col("id").as("doc_id"), lit(0).as("band"), lit(111L).as("bh"))
+      .union(Seq((1000L, 0, 222L), (1001L, 0, 222L)).toDF("doc_id", "band", "bh"))
+    def pairs(b: org.apache.spark.sql.DataFrame) = b.as("x")
+      .join(b.as("y"), col("x.band") === col("y.band") &&
+        col("x.bh") === col("y.bh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    assert(pairs(bands).count() === 60L * 59 / 2 + 1, "uncapped join is quadratic")
+    val capped = Skew.dropHotBuckets(bands, Seq("band", "bh"), cap = 10)
+    val got = pairs(capped).as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1000L, 1001L)),
+      "cap must drop only the mega-cluster's pairs, never a normal bucket's")
+    // the guard itself broadcasts the (tiny) hot-key list — no shuffle of
+    // the big side beyond the count's own exchange
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"hot-key anti-join should broadcast:\n$plan")
+  }
+
   test("salted join equals the direct join") {
     val dim = Seq((7L, "hot"), (0L, "zero"), (20L, "cold")).toDF("k", "label")
     val direct = skewed.join(dim, skewed("key") === dim("k"))
