@@ -141,7 +141,8 @@ class RestScan(readSchema0: StructType, props: Map[String, String],
     */
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new RestMicroBatchStream(readSchema0, endpoint, maxPages, probeMode, pushed)
+    new RestMicroBatchStream(readSchema0, endpoint, maxPages, probeMode,
+      props.get("maxPagesPerTrigger").map(_.toLong), pushed)
 
   /** Partition-per-page. Planning discovers the page count with a
     * doubling-then-bisect existence search by default (probe 1, 2, 4, …
@@ -164,27 +165,29 @@ class RestScan(readSchema0: StructType, props: Map[String, String],
 }
 
 object RestScan {
-  /** Number of existing pages in [0, maxPages]. `doubling` (default) is an
-    * exponential probe + bisect over the "page exists" predicate —
-    * ≤ 2·log2(n) + 2 probes, correct when pages are contiguous from 0.
-    * `sequential` is the reference-exact walk that stops at the first
-    * missing page — O(n) probes, but also correct when a server keeps
-    * answering past the end of the feed.
+  /** Number of existing pages in [0, maxPages], all pages below `from`
+    * already known to exist (a consumed stream cursor). `doubling`
+    * (default) is an exponential probe + bisect over the "page exists"
+    * predicate — ≤ 2·log2(new pages) + 2 probes, correct when pages are
+    * contiguous from 0. `sequential` is the reference-exact walk that
+    * stops at the first missing page — O(n) probes, but also correct when
+    * a server keeps answering past the end of the feed.
     */
-  def pageCount(endpoint: String, maxPages: Long, mode: String = "doubling"): Long = {
+  def pageCount(endpoint: String, maxPages: Long, mode: String = "doubling",
+      from: Long = 0L): Long = {
     def ex(p: Long): Boolean =
       p < maxPages && RestPageFetch.exists(endpoint.replace("{page}", p.toString))
     mode match {
       case "sequential" =>
-        var page = 0L
+        var page = from
         while (ex(page)) page += 1
         page
       case _ =>
-        if (!ex(0L)) 0L
+        if (!ex(from)) from
         else {
-          var lo = 0L // highest page known to exist
-          var hi = 1L // candidate first-missing page
-          while (ex(hi)) { lo = hi; hi = math.min(hi * 2, maxPages) }
+          var lo = from // highest page known to exist
+          var hi = from + 1 // candidate first-missing page
+          while (ex(hi)) { lo = hi; hi = math.min(from + (hi - from) * 2, maxPages) }
           while (hi - lo > 1) { // invariant: ex(lo) && !ex(hi)
             val mid = lo + (hi - lo) / 2
             if (ex(mid)) lo = mid else hi = mid
@@ -201,20 +204,39 @@ case class RestOffset(pages: Long)
   override def json(): String = pages.toString
 }
 
-/** Micro-batch facet of the paginated feed: `latestOffset` re-runs the
-  * O(log n) existence search (new pages only ever append), and a batch is
-  * the half-open page range `[start, end)` — one input partition per new
-  * page, same reader and pushed subscription as the batch scan. Page
-  * discovery happens on the driver only; executors fetch page bodies.
+/** Micro-batch facet of the paginated feed: `latestOffset` resumes the
+  * O(log new-pages) existence search from the committed cursor (pages
+  * only ever append), and a batch is the half-open page range
+  * `[start, end)` — one input partition per new page, same reader and
+  * pushed subscription as the batch scan. Page discovery happens on the
+  * driver only; executors fetch page bodies.
+  *
+  * Admission control: `maxPagesPerTrigger` caps each micro-batch (the
+  * Kafka `maxOffsetsPerTrigger` shape) so a restart against a deep
+  * backlog drains in bounded batches instead of one giant catch-up job.
   */
 class RestMicroBatchStream(schema: StructType, endpoint: String,
-    maxPages: Long, probeMode: String, pushed: Array[Filter])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    maxPages: Long, probeMode: String, maxPagesPerTrigger: Option[Long],
+    pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
 
   override def initialOffset(): Offset = RestOffset(0L)
+  override def getDefaultReadLimit: ReadLimit =
+    maxPagesPerTrigger.map(m => ReadLimit.maxRows(m)).getOrElse(ReadLimit.allAvailable())
   override def latestOffset(): Offset =
-    RestOffset(RestScan.pageCount(endpoint, maxPages, probeMode))
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used with SupportsAdmissionControl")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[RestOffset].pages
+    val avail = RestScan.pageCount(endpoint, maxPages, probeMode, from = s)
+    RestOffset(limit match {
+      case m: ReadMaxRows => math.min(avail, s + m.maxRows)
+      case _ => avail
+    })
+  }
+  override def reportLatestOffset(): Offset = null // unknown without a probe
   override def deserializeOffset(json: String): Offset =
     RestOffset(json.trim.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -97,6 +97,31 @@ class Dsv2RestSpec extends SparkSpec {
     assert(probes === 7L, s"expected 7 probes for 8 pages, got $probes")
   }
 
+  test("maxPagesPerTrigger drains a backlog in bounded micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rest_admission").toFile
+    (0 until 5).foreach { p =>
+      val w = new java.io.PrintWriter(new java.io.File(dir, s"page-$p.json"), "UTF-8")
+      try w.write(s"""{"page":$p,"items":[{"id":$p,"type":"t","k":$p}],"total":1}""")
+      finally w.close()
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rest_admission_out")
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graft-rest")
+      .option("endpoint", s"file://${dir.getAbsolutePath}/page-{page}.json")
+      .option("maxPagesPerTrigger", "2")
+      .load()
+      .writeStream.option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += batch.count() }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    // 5 pages at 2 per trigger → 2+2+1, never more than the cap
+    assert(batchSizes.sum === 5L, s"backlog must drain fully: $batchSizes")
+    assert(batchSizes.forall(_ <= 2L), s"no batch may exceed the cap: $batchSizes")
+    assert(batchSizes.count(_ > 0) === 3, s"expected 3 non-empty batches: $batchSizes")
+  }
+
   test("micro-batch stream reads only newly appeared pages and restores its cursor") {
     import spark.implicits._
     // contiguous fixture (default doubling probe): pages 0-2, page 2 empty
