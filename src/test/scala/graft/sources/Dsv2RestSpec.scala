@@ -97,6 +97,49 @@ class Dsv2RestSpec extends SparkSpec {
     assert(probes === 7L, s"expected 7 probes for 8 pages, got $probes")
   }
 
+  test("http transport: HEAD-probe planning + body fetch against a live server") {
+    // the reference feed is an HTTP service — exercise the real transport
+    // with the JDK's built-in server: 3 pages, 404 beyond, and a HEAD/GET
+    // method log proving planning probes without fetching bodies
+    val pages = Map(
+      0 -> """{"page":0,"items":[{"id":1,"type":"click","k":5}],"total":1}""",
+      1 -> """{"page":1,"items":[{"id":2,"type":"view","k":20}],"total":1}""",
+      2 -> """{"page":2,"items":[],"total":0}""")
+    val methods = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/feed/", { exchange =>
+      val page = exchange.getRequestURI.getPath.stripPrefix("/feed/page-")
+        .stripSuffix(".json").toInt
+      methods.add(s"${exchange.getRequestMethod} $page")
+      pages.get(page) match {
+        case Some(body) if exchange.getRequestMethod == "HEAD" =>
+          exchange.sendResponseHeaders(200, -1)
+        case Some(body) =>
+          val bytes = body.getBytes("UTF-8")
+          exchange.sendResponseHeaders(200, bytes.length)
+          exchange.getResponseBody.write(bytes)
+        case None => exchange.sendResponseHeaders(404, -1)
+      }
+      exchange.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val df = spark.read.format("graft-rest")
+        .option("endpoint", s"http://127.0.0.1:$port/feed/page-{page}.json")
+        .load()
+        .filter(col("k") >= 10)
+      assert(df.rdd.getNumPartitions === 3, "one partition per live page")
+      assert(df.collect().map(_.getLong(0)).toSet === Set(2L))
+      val log = methods.toArray(Array.empty[String]).toSeq
+      assert(log.count(_.startsWith("HEAD")) >= 3, s"planning must HEAD-probe: $log")
+      // bodies fetched only for existing pages, exactly one GET each
+      assert(log.filter(_.startsWith("GET")).sorted === Seq("GET 0", "GET 1", "GET 2"),
+        s"each live page fetched once, none past the end: $log")
+    } finally server.stop(0)
+  }
+
   test("maxPagesPerTrigger drains a backlog in bounded micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rest_admission").toFile
     (0 until 5).foreach { p =>
