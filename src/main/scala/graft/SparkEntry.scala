@@ -15,13 +15,21 @@ import graft.queries._
   * ScalaTest specs instead:
   *
   *  - S1 subscription pushdown / S3 poll TTL / S8 fan-out fetch / S12 tile
-  *    fetch / J8 rate-limited lookup / T10 retry-backoff → RestPatternsSpec
+  *    fetch / J8 rate-limited lookup / T10 retry-backoff → RestPatternsSpec;
+  *    the DSv2 form (pushdown incl. In/StringContains, O(log n) page
+  *    discovery, HTTP transport, micro-batch streaming + admission
+  *    control) → Dsv2RestSpec
   *  - S14 keyed WS store / T1-T3 streaming forms / T7 AvailableNow trigger /
-  *    T8+K6 checkpoint restore → StreamingSpec
+  *    T8+K6 checkpoint restore / S1+S14 transport-to-state glue
+  *    (readStream graft-rest → KeyedMerge) → StreamingSpec
   *  - S15 TTL config scan → ConfigSourceSpec
   *  - K3 PNG codec / C18 geoid bilinear / R2-R4 tile ops / S11 GTX decode
   *    → RasterSpec; multimodal binary batching → MultimodalSpec
-  *  - K4 idempotent resume + K5 JSON write → ResumableSinkSpec
+  *  - K4 idempotent resume + K5 JSON write → ResumableSinkSpec; the JDBC
+  *    MBTiles form (unique-index resume, duplicate classification) →
+  *    MbtilesSinkSpec
+  *  - L7 native signature kernel → HyperplaneSignatureSpec; skew/bucket
+  *    guards incl. the LSH hot-bucket cap → SkewBucketSpec
   *  - P5 context projection / C25 brace-balanced extraction / the LLM stage
   *    → SitRepSpec
   *  - F12/F14 edge semantics → FilterDslSpec / GeoSpec; sketches →
