@@ -56,10 +56,15 @@ object Skew {
     * pair join that follows is bounded by cap·n instead of n².
     */
   def dropHotBuckets(df: DataFrame, keyCols: Seq[String], cap: Long): DataFrame = {
+    // null-SAFE key equality: the degenerate mega-cluster is often exactly
+    // the NULL key (empty/unparseable documents hashing to nothing), and a
+    // plain equi-anti-join would count it hot yet never drop it
     val hot = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__bucket_n"))
       .filter(col("__bucket_n") > cap)
-      .select(keyCols.map(col): _*)
-    df.join(broadcast(hot), keyCols, "left_anti")
+      .select(keyCols.map(k => col(k).as(s"__hot_$k")): _*)
+    df.join(broadcast(hot),
+        keyCols.map(k => col(k) <=> col(s"__hot_$k")).reduce(_ && _),
+        "left_anti")
   }
 }

@@ -66,15 +66,14 @@ object HyperplaneSignatureExpression {
   /** Static kernel the generated code calls: bit i of the result is the
     * sign of the left-associated dot(v, plane_i).
     *
-    * Semantics match the unrolled `element_at` form and the SQL twin: an
-    * array shorter than dims errors (ANSI `element_at` out-of-bounds), and
-    * a null element makes the dot NULL, so that bit contributes 0.
+    * Semantics match the SQL twin (`hyperplaneSigNSql`, 1-based `v[j]`
+    * indexing): a missing element — array shorter than dims — or a null
+    * element makes every dot NULL, so every bit falls to 0 and the
+    * signature is 0.
     */
   def signature(arr: ArrayData, planes: Array[Array[Double]], isFloat: Boolean): Long = {
     val dims = if (planes.length == 0) 0 else planes(0).length
-    if (arr.numElements() < dims)
-      throw new IllegalArgumentException(
-        s"graft_hyperplane_sig: vector has ${arr.numElements()} elements, needs $dims")
+    if (arr.numElements() < dims) return 0L // out-of-bounds -> NULL dots -> 0
     // null elements are rare (clean embedding tables have none) — scan
     // once up front so the hot loop stays branch-light
     var hasNull = false

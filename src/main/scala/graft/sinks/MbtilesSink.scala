@@ -52,14 +52,22 @@ object MbtilesSink {
     */
   private[sinks] def isDuplicate(e: SQLException): Boolean = {
     import scala.jdk.CollectionConverters._
+    // unique-violation states: 23505 is SQL-standard, 23000 is the XOPEN
+    // class code MySQL-family drivers report for ER_DUP_ENTRY
+    def dupState(s: String): Boolean = s == "23505" || s == "23000"
+    // sqlite-jdbc throws a PLAIN SQLException (often null SQLState); its
+    // unique violation is identifiable only by the result-code message
+    def dupMessage(sq: SQLException): Boolean =
+      Option(sq.getMessage).exists(m =>
+        m.contains("SQLITE_CONSTRAINT_UNIQUE") || m.contains("UNIQUE constraint failed"))
     e.iterator().asScala.exists {
       // the typed subclass still spans class 23 (Derby raises it for NOT
       // NULL too), so the state must agree — null state gets the benefit
-      // of the doubt only on the typed subclass (drivers that don't set
-      // SQLState, e.g. older sqlite-jdbc)
+      // of the doubt only on the typed subclass
       case sq: java.sql.SQLIntegrityConstraintViolationException =>
-        sq.getSQLState == null || sq.getSQLState == "23505"
-      case sq: SQLException => sq.getSQLState == "23505"
+        sq.getSQLState == null || dupState(sq.getSQLState)
+      case sq: SQLException =>
+        Option(sq.getSQLState).exists(dupState) || dupMessage(sq)
       case _ => false
     }
   }

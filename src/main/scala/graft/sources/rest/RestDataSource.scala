@@ -106,10 +106,24 @@ case class RestPagePartition(page: Long, uri: String) extends InputPartition
 class RestScan(readSchema0: StructType, props: Map[String, String],
     pushed: Array[Filter]) extends Scan with Batch {
 
-  private val endpoint = props.getOrElse("endpoint",
+  // DSv2 options are case-insensitive everywhere else (they travel through
+  // CaseInsensitiveStringMap, which lowercases), so normalize before lookup
+  // — a camelCase key from the table-properties path must not silently miss
+  private val opts = props.map { case (k, v) => k.toLowerCase -> v }
+  private val endpoint = opts.getOrElse("endpoint",
     throw new IllegalArgumentException("graft-rest requires an endpoint option"))
-  private val maxPages = props.getOrElse("maxPages", "100000").toLong
-  private val probeMode = props.getOrElse("probe", "doubling")
+  private val maxPages = opts.getOrElse("maxpages", "100000").toLong
+  private val probeMode = opts.getOrElse("probe", "doubling")
+  private val maxPagesPerTrigger: Option[Long] =
+    opts.get("maxpagespertrigger").map { v =>
+      val n = try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-rest maxPagesPerTrigger must be a positive long, got '$v'")
+      }
+      require(n > 0, s"graft-rest maxPagesPerTrigger must be > 0, got $n" +
+        " (0 would stall the stream forever)")
+      n
+    }
 
   /** The reference renders pushed predicates into the subscription string
     * (`ais-proxy/server.js:279-283`); shown in `description()` so plans
@@ -142,7 +156,7 @@ class RestScan(readSchema0: StructType, props: Map[String, String],
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new RestMicroBatchStream(readSchema0, endpoint, maxPages, probeMode,
-      props.get("maxPagesPerTrigger").map(_.toLong), pushed)
+      maxPagesPerTrigger, pushed)
 
   /** Partition-per-page. Planning discovers the page count with a
     * doubling-then-bisect existence search by default (probe 1, 2, 4, …

@@ -43,6 +43,15 @@ class SkewBucketSpec extends SparkSpec {
     val got = pairs(capped).as[(Long, Long)].collect().toSeq
     assert(got === Seq((1000L, 1001L)),
       "cap must drop only the mega-cluster's pairs, never a normal bucket's")
+    // the degenerate NULL-key cluster (empty docs hashing to nothing) must
+    // also be droppable — requires null-safe key equality in the anti-join
+    val withNullKey = bands.union(
+      spark.range(40).select(col("id") + 2000, lit(0), lit(null).cast("long"))
+        .toDF("doc_id", "band", "bh"))
+    val cappedNull = Skew.dropHotBuckets(withNullKey, Seq("band", "bh"), cap = 10)
+    assert(cappedNull.filter(col("bh").isNull).count() === 0L,
+      "the NULL-key mega-cluster must be dropped, not skipped by null equality")
+    assert(pairs(cappedNull).as[(Long, Long)].collect().toSeq === Seq((1000L, 1001L)))
     // the guard itself broadcasts the (tiny) hot-key list — no shuffle of
     // the big side beyond the count's own exchange
     val plan = capped.queryExecution.executedPlan.toString

@@ -66,22 +66,20 @@ class HyperplaneSignatureSpec extends SparkSpec {
     assert(!out(0).isNullAt(0))
   }
 
-  test("null element zeroes the signature; short vector fails loud") {
+  test("null or missing elements zero the signature (SQL-twin NULL semantics)") {
     import spark.implicits._
     registered
     // a null element makes every dot NULL -> every bit falls to 0 (the
-    // element_at/when-otherwise semantics of the unrolled form and the
-    // SQL twin)
+    // when-otherwise semantics of the SQL twin)
     val withNull = Seq(Seq[Option[Float]](Some(1.0f), None, Some(2.0f)))
       .toDF("v")
     assert(withNull.select(Sketches.hyperplaneSigN(col("v"), 3, 8))
       .as[Long].head() === 0L)
-    // fewer elements than dims = ANSI element_at out-of-bounds semantics
+    // fewer elements than dims: the twin's 1-based v[j] yields NULL past
+    // the end -> NULL dots -> 0, never a crash
     val short = Seq(Seq(1.0f, 2.0f)).toDF("v")
-    val err = intercept[Exception] {
-      short.select(Sketches.hyperplaneSigN(col("v"), 3, 8)).collect()
-    }
-    assert(err.getMessage != null)
+    assert(short.select(Sketches.hyperplaneSigN(col("v"), 3, 8))
+      .as[Long].head() === 0L)
   }
 
   test("interpreted eval matches the codegen path") {

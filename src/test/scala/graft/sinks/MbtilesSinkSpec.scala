@@ -51,6 +51,26 @@ class MbtilesSinkSpec extends SparkSpec {
     // loss if swallowed — must propagate
     assert(!MbtilesSink.isDuplicate(
       new java.sql.SQLIntegrityConstraintViolationException("null tile_data", "23502")))
+    // MySQL-family drivers report the XOPEN class code 23000 for dup keys
+    assert(MbtilesSink.isDuplicate(
+      new java.sql.SQLIntegrityConstraintViolationException("dup entry", "23000")))
+    // sqlite-jdbc throws a PLAIN SQLException with a null state — only the
+    // result-code message identifies the unique violation
+    assert(MbtilesSink.isDuplicate(new java.sql.SQLException(
+      "[SQLITE_CONSTRAINT_UNIQUE] A UNIQUE constraint failed (UNIQUE constraint failed: tiles.zoom_level, tiles.tile_column, tiles.tile_row)")))
+    assert(!MbtilesSink.isDuplicate(new java.sql.SQLException(
+      "[SQLITE_BUSY] The database file is locked")))
+  }
+
+  test("zoom past 30 fails loud instead of wrapping through the int key") {
+    val url = freshUrl()
+    import spark.implicits._
+    val bad = Seq((33, 0, 7)).toDF("zoom_level", "tile_column", "xyz_row")
+      .withColumn("tile_row", MbtilesSink.xyzToTms(col("zoom_level"), col("xyz_row")))
+      .withColumn("tile_data", lit("x").cast("binary"))
+      .drop("xyz_row")
+    val err = intercept[Exception] { MbtilesSink.appendNew(bad, url) }
+    assert(err.getMessage != null)
   }
 
   test("re-run writes zero duplicate tiles; overlap writes only new keys") {

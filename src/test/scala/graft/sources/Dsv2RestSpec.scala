@@ -151,7 +151,7 @@ class Dsv2RestSpec extends SparkSpec {
     val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
     val q = spark.readStream.format("graft-rest")
       .option("endpoint", s"file://${dir.getAbsolutePath}/page-{page}.json")
-      .option("maxPagesPerTrigger", "2")
+      .option("MAXPAGESPERTRIGGER", "2") // options are case-insensitive
       .load()
       .writeStream.option("checkpointLocation", tmp.resolve("ckpt").toString)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
