@@ -32,6 +32,14 @@ object RasterQueries {
         .withColumn("k", Synthetic.k)
         .withColumn("tile_id", expr("event_id div 64"))
         .withColumn("pos", row_number().over(byTile) - 1)
+        // COMPLETE tiles only: the corpus tail yields a partial tile whose
+        // pixels may all fall outside its crop quadrant — the relational
+        // oracle's GROUP BY then has no rows for it while mapGroups would
+        // still emit one. A real tile pipeline never renders partial
+        // tiles either; sf0.1's 32-pixel tail tile exposed the mismatch.
+        .withColumn("tile_n",
+          count(lit(1)).over(Window.partitionBy(col("tile_id"))))
+        .filter(col("tile_n") === PixelsPerTile)
         .withColumn("v", (col("k") + (col("event_id") % 2).cast("int") * 128))
         .withColumn("a", when(col("k") % 11 === 0, 0).otherwise(255))
         .select(col("tile_id"), col("pos"), col("v"), col("a"))
@@ -66,12 +74,14 @@ object RasterQueries {
         }
         s"(CASE ${whens.mkString(" ")} ELSE 0 END)"
       }
-      s"""WITH p AS (
+      s"""WITH p0 AS (
           SELECT event_id // 64 AS tile_id,
             (${Synthetic.kSql} + (event_id % 2) * 128) AS v,
             CASE WHEN ${Synthetic.kSql} % 11 = 0 THEN 0 ELSE 255 END AS a,
-            row_number() OVER (PARTITION BY event_id // 64 ORDER BY event_id) - 1 AS pos
+            row_number() OVER (PARTITION BY event_id // 64 ORDER BY event_id) - 1 AS pos,
+            COUNT(*) OVER (PARTITION BY event_id // 64) AS tile_n
           FROM events),
+        p AS (SELECT * FROM p0 WHERE tile_n = $PixelsPerTile),
         q AS (SELECT tile_id, v, a, pos % $Side AS px, pos // $Side AS py,
             tile_id % 2 AS sx, (tile_id // 2) % 2 AS sy FROM p),
         sel AS (SELECT * FROM q

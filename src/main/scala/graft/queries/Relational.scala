@@ -37,7 +37,14 @@ object Relational {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
+          // the product sum carries scale 8, whose scaled integer exceeds
+          // 2^53 at sf ≥ 0.1 — DuckDB's decimal→double (int/10^scale in
+          // float arithmetic) then rounds differently from Spark's exact
+          // BigDecimal conversion by 1 ulp. Rounding to scale 4 first
+          // keeps the scaled integer < 2^53, where BOTH conversions are
+          // correctly rounded and bit-identical at any corpus size.
           sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 4))
             .cast("double").as("sum_disc_price"),
           davg(col("l_quantity")).as("avg_qty"),
           count(lit(1)).as("count_order"))
@@ -46,7 +53,7 @@ object Relational {
     Some("""SELECT l_returnflag, l_linestatus,
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS DOUBLE) AS avg_qty,
       COUNT(*) AS count_order
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-06-01'
