@@ -59,6 +59,22 @@ class SkewBucketSpec extends SparkSpec {
       s"hot-key anti-join should broadcast:\n$plan")
   }
 
+  test("dropHotBuckets == the direct keep-filter on random skewed data") {
+    // deterministic skewed keys incl. a NULL group
+    val df = spark.range(2000)
+      .select(when(pmod(hash(col("id")), lit(20)) === 0, lit(null).cast("int"))
+          .otherwise(pmod(hash(col("id")), lit(20)).cast("int")).as("key"),
+        col("id").as("payload"))
+    val cap = 90L
+    val got = Skew.dropHotBuckets(df, Seq("key"), cap)
+    val keep = df.groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= cap).select(col("key").as("kk"))
+    val want = df.join(keep, col("key") <=> col("kk"), "left_semi")
+    assert(got.count() === want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "guard must equal the direct per-key size filter, null keys included")
+  }
+
   test("salted join equals the direct join") {
     val dim = Seq((7L, "hot"), (0L, "zero"), (20L, "cold")).toDF("k", "label")
     val direct = skewed.join(dim, skewed("key") === dim("k"))

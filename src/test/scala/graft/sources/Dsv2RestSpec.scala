@@ -97,6 +97,27 @@ class Dsv2RestSpec extends SparkSpec {
     assert(probes === 7L, s"expected 7 probes for 8 pages, got $probes")
   }
 
+  test("doubling page count == sequential for every contiguous feed length") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rest_prop").toFile
+    (0 until 40).foreach { p =>
+      val w = new java.io.PrintWriter(new java.io.File(dir, s"page-$p.json"), "UTF-8")
+      try w.write(s"""{"page":$p,"items":[],"total":0}""") finally w.close()
+    }
+    val ep = s"file://${dir.getAbsolutePath}/page-{page}.json"
+    // maxPages = n simulates a feed of exactly n pages (cap interplay with
+    // the bisect boundary); the 40-page dir exercises the miss boundary
+    (0 to 40).foreach { n =>
+      val d = graft.sources.rest.RestScan.pageCount(ep, n, "doubling")
+      val s = graft.sources.rest.RestScan.pageCount(ep, n, "sequential")
+      assert(d === s && d === math.min(n, 40), s"feed length $n: doubling=$d sequential=$s")
+    }
+    // cursor-relative discovery agrees from every starting offset
+    (0 to 40).foreach { from =>
+      val d = graft.sources.rest.RestScan.pageCount(ep, 100000L, "doubling", from)
+      assert(d === 40L, s"from=$from: got $d")
+    }
+  }
+
   test("http transport: HEAD-probe planning + body fetch against a live server") {
     // the reference feed is an HTTP service — exercise the real transport
     // with the JDK's built-in server: 3 pages, 404 beyond, and a HEAD/GET
