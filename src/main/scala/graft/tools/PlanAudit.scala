@@ -4,21 +4,65 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev audit: scan every registered query's PHYSICAL plan for scale
   * hazards — unpartitioned windows, cartesian products, non-broadcast
-  * nested-loop joins — and report join strategies.
+  * nested-loop joins — report join strategies, and measure whole-stage-
+  * codegen coverage (narrow `WholeStageCodegen` spans mean interpreted
+  * islands on the hot path — the thing to widen).
   * `runMain graft.tools.PlanAudit [sfDir]`
   */
 object PlanAudit {
+
+  /** Fraction of codegen-ELIGIBLE leaf-to-root operators that actually sit
+    * inside a WholeStageCodegen span, plus the names of eligible operators
+    * left outside (the interpreted islands). Scans/exchanges/commands are
+    * not eligible and don't count against coverage.
+    */
+  def codegenCoverage(plan: org.apache.spark.sql.execution.SparkPlan):
+      (Int, Int, Seq[String]) = {
+    import org.apache.spark.sql.execution._
+    var inside = 0
+    var eligible = 0
+    val islands = Seq.newBuilder[String]
+    def walk(p: SparkPlan, inCodegen: Boolean): Unit = p match {
+      // AQE wrappers are childless — descend into their current plan
+      case a: adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan, inCodegen)
+      case q: adaptive.QueryStageExec => walk(q.plan, inCodegen)
+      case w: WholeStageCodegenExec => w.children.foreach(walk(_, true))
+      case _: InputAdapter | _: InputRDDCodegen =>
+        p.children.foreach(walk(_, false))
+      case c: CodegenSupport if c.supportCodegen =>
+        eligible += 1
+        if (inCodegen) inside += 1 else islands += p.nodeName
+        p.children.foreach(walk(_, inCodegen))
+      case _ =>
+        p.children.foreach(walk(_, false))
+    }
+    walk(plan, inCodegen = false)
+    (inside, eligible, islands.result().distinct)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // static audit: AQE defers codegen collapse to per-stage
+      // materialization, so the adaptive initial plan never shows
+      // WholeStageCodegen spans — audit the non-adaptive physical plan
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var flagged = 0
+    var coveredTotal = 0
+    var eligibleTotal = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val executed = fn(spark, dir).queryExecution.executedPlan
+        val plan = executed.toString
+        val (inside, eligible, islands) = codegenCoverage(executed)
+        coveredTotal += inside; eligibleTotal += eligible
+        if (eligible > 0 && inside < eligible)
+          println(s"codegen $name: $inside/$eligible in whole-stage spans; " +
+            s"interpreted islands: ${islands.mkString(", ")}")
         val hazards = Seq(
           "CartesianProduct" -> plan.contains("CartesianProduct"),
           // single-partition window: ORDER BY with no PARTITION BY
@@ -40,6 +84,7 @@ object PlanAudit {
         case e: Throwable => println(s"ERROR  $name: ${e.getMessage.take(120)}")
       }
     }
+    println(f"codegen coverage: $coveredTotal/$eligibleTotal eligible operators in whole-stage spans (${100.0 * coveredTotal / math.max(1, eligibleTotal)}%.1f%%)")
     println(s"done, $flagged hazard(s)")
     spark.stop()
   }
