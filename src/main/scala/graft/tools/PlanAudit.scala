@@ -27,7 +27,7 @@ object PlanAudit {
       case a: adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan, inCodegen)
       case q: adaptive.QueryStageExec => walk(q.plan, inCodegen)
       case w: WholeStageCodegenExec => w.children.foreach(walk(_, true))
-      case _: InputAdapter | _: InputRDDCodegen =>
+      case _: InputRDDCodegen => // incl. InputAdapter: span boundary
         p.children.foreach(walk(_, false))
       case c: CodegenSupport if c.supportCodegen =>
         eligible += 1

@@ -10,20 +10,31 @@ import graft.SparkSpec
   */
 class Dsv2RestSpec extends SparkSpec {
 
+  private def writePage(dir: java.io.File, name: String, text: String): Unit = {
+    val w = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+    try w.write(text) finally w.close()
+  }
+
+  /** n contiguous pages, one `{"id":p,"type":"t","k":p}` item each. */
+  private def stageContiguous(n: Int): java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rest_contig").toFile
+    (0 until n).foreach { p =>
+      writePage(dir, s"page-$p.json",
+        s"""{"page":$p,"items":[{"id":$p,"type":"t","k":$p}],"total":1}""")
+    }
+    dir
+  }
+
   private def stagePages(): java.io.File = {
     val dir = java.nio.file.Files.createTempDirectory("graft_rest_spec").toFile
-    def write(name: String, text: String): Unit = {
-      val w = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
-      try w.write(text) finally w.close()
-    }
-    write("page-0.json",
+    writePage(dir, "page-0.json",
       """{"page":0,"items":[{"id":1,"type":"click","k":5},{"id":2,"type":"view","k":20}],"total":2}""")
-    write("page-1.json",
+    writePage(dir, "page-1.json",
       """{"page":1,"items":[{"id":3,"type":"click","k":30}],"total":1}""")
-    write("page-2.json", """{"page":2,"items":[],"total":0}""")
+    writePage(dir, "page-2.json", """{"page":2,"items":[],"total":0}""")
     // page-3 missing → planning must stop; page-4 is poison that must
     // never be fetched (unparseable JSON would throw)
-    write("page-4.json", "NOT JSON")
+    writePage(dir, "page-4.json", "NOT JSON")
     dir
   }
 
@@ -82,12 +93,7 @@ class Dsv2RestSpec extends SparkSpec {
   }
 
   test("planning discovers the page count in O(log n) existence probes") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_rest_log").toFile
-    (0 until 8).foreach { p =>
-      val w = new java.io.PrintWriter(new java.io.File(dir, s"page-$p.json"), "UTF-8")
-      try w.write(s"""{"page":$p,"items":[{"id":$p,"type":"t","k":$p}],"total":1}""")
-      finally w.close()
-    }
+    val dir = stageContiguous(8)
     val before = graft.sources.rest.RestPageFetch.probeCount.get()
     val n = graft.sources.rest.RestScan.pageCount(
       s"file://${dir.getAbsolutePath}/page-{page}.json", 100000L)
@@ -98,11 +104,7 @@ class Dsv2RestSpec extends SparkSpec {
   }
 
   test("doubling page count == sequential for every contiguous feed length") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_rest_prop").toFile
-    (0 until 40).foreach { p =>
-      val w = new java.io.PrintWriter(new java.io.File(dir, s"page-$p.json"), "UTF-8")
-      try w.write(s"""{"page":$p,"items":[],"total":0}""") finally w.close()
-    }
+    val dir = stageContiguous(40)
     val ep = s"file://${dir.getAbsolutePath}/page-{page}.json"
     // maxPages = n simulates a feed of exactly n pages (cap interplay with
     // the bisect boundary); the 40-page dir exercises the miss boundary
@@ -162,12 +164,7 @@ class Dsv2RestSpec extends SparkSpec {
   }
 
   test("maxPagesPerTrigger drains a backlog in bounded micro-batches") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_rest_admission").toFile
-    (0 until 5).foreach { p =>
-      val w = new java.io.PrintWriter(new java.io.File(dir, s"page-$p.json"), "UTF-8")
-      try w.write(s"""{"page":$p,"items":[{"id":$p,"type":"t","k":$p}],"total":1}""")
-      finally w.close()
-    }
+    val dir = stageContiguous(5)
     val tmp = java.nio.file.Files.createTempDirectory("graft_rest_admission_out")
     val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
     val q = spark.readStream.format("graft-rest")
@@ -190,14 +187,10 @@ class Dsv2RestSpec extends SparkSpec {
     import spark.implicits._
     // contiguous fixture (default doubling probe): pages 0-2, page 2 empty
     val dir = java.nio.file.Files.createTempDirectory("graft_rest_stream_pages").toFile
-    def page(name: String, text: String): Unit = {
-      val w = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
-      try w.write(text) finally w.close()
-    }
-    page("page-0.json",
+    writePage(dir, "page-0.json",
       """{"page":0,"items":[{"id":1,"type":"click","k":5},{"id":2,"type":"view","k":20}],"total":2}""")
-    page("page-1.json", """{"page":1,"items":[{"id":3,"type":"click","k":30}],"total":1}""")
-    page("page-2.json", """{"page":2,"items":[],"total":0}""")
+    writePage(dir, "page-1.json", """{"page":1,"items":[{"id":3,"type":"click","k":30}],"total":1}""")
+    writePage(dir, "page-2.json", """{"page":2,"items":[],"total":0}""")
     val tmp = java.nio.file.Files.createTempDirectory("graft_rest_stream")
     val ckpt = tmp.resolve("ckpt").toString
     val outDir = tmp.resolve("out").toString
@@ -216,9 +209,8 @@ class Dsv2RestSpec extends SparkSpec {
 
     // page 3 appears while the stream is down; restart must resume at
     // offset 3 and emit ONLY the new page (no replay of pages 0-2)
-    val w = new java.io.PrintWriter(new java.io.File(dir, "page-3.json"), "UTF-8")
-    try w.write("""{"page":3,"items":[{"id":9,"type":"tap","k":90}],"total":1}""")
-    finally w.close()
+    writePage(dir, "page-3.json",
+      """{"page":3,"items":[{"id":9,"type":"tap","k":90}],"total":1}""")
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()
     val all = spark.read.parquet(outDir).as[(Long, String, Long, Long)].collect()
