@@ -200,9 +200,12 @@ object FilterDsl {
       val hits = values.map(v => cmp(c, "==", v, types(path)))
       coalesce(c.isNotNull && hits.reduceOption(_ || _).getOrElse(lit(false)), lit(false))
     case Contains(path, value) if types(path) == TArray =>
-      // array membership via strict includes (`:218`)
+      // array membership via strict includes (`:218`). array_contains, not
+      // an exists() lambda: identical three-valued semantics for equality
+      // (true if present, null only when absent-but-null-present, false
+      // otherwise) but codegen'd — HOF lambdas run interpreted per row
       val c = resolve(path)
-      coalesce(c.isNotNull && exists(c, e => e === litOf(value)), lit(false))
+      coalesce(c.isNotNull && array_contains(c, litOf(value)), lit(false))
     case Contains(path, _) if types(path) == TNumeric =>
       lit(false) // not a string, not an array → false (`:219`)
     case Contains(path, value) =>
