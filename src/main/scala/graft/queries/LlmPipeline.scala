@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.Tables
-import graft.functions.{Sketches, TextFunctions}
+import graft.core.{CacheScope, Tables}
+import graft.functions.{Sketches, Skew, TextFunctions}
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
   * (builder brief: first-class alongside SURVEY §2; inventory §2.12).
@@ -39,6 +39,15 @@ object LlmPipeline {
   private val JaccardThreshold = 0.8
   private val Dims = 64
   private val TopK = 5
+
+  /** Max members per LSH bucket before [[graft.functions.Skew.dropHotBuckets]]
+    * drops the bucket from candidate generation (a bucket of n yields n²/2
+    * pairs; members past this size are boilerplate mega-clusters that
+    * L1/L2 exact dedup already collapses far cheaper). 10k is ~3 orders of
+    * magnitude above the test fixtures' largest bucket, so the oracle hash
+    * proves the guard non-binding; a 100 TB run tunes it down (10²–10³).
+    */
+  private val HotBucketCap = 10000L
 
   /** L1: exact-duplicate clustering by content fingerprint. Every row keeps
     * its cluster size and whether it is the canonical (min-id) survivor —
@@ -131,19 +140,24 @@ object LlmPipeline {
     /* L4: banded LSH near-dup pairs, Jaccard-verified. The oracle replicates
      * the banding (not brute force) so candidate semantics are checked.
      * 100 TB guard: the bucket self-join below is the path's one quadratic
-     * term — at corpus scale insert `Skew.dropHotBuckets(bands,
-     * Seq("band", "bh"), cap)` before it (SkewBucketSpec demonstrates the
-     * mega-cluster collapse; not applied here because the oracle-checked
-     * fixture has no bucket past any sane cap). */
+     * term — `Skew.dropHotBuckets` runs IN the executed plan (one
+     * map-side-combined count + a broadcast anti-join) so a boilerplate
+     * mega-cluster is capped at HotBucketCap·n pairs instead of n². The
+     * cap is far above any fixture bucket (hashes unchanged — the oracle
+     * proves the guard is non-binding here); SkewBucketSpec demonstrates
+     * the mega-cluster collapse and LlmPlanSpec asserts the anti-join is
+     * in q36/q67's optimized plan. */
     val q36 = GraftQuery(
       "q36_lsh_neardup_pairs", "L4 L2",
       (s, d) => {
         val ex = shingleRows(s, d)
         val sig = signatures(ex)
-        val bands = sig.select(col("doc_id"), explode(array(
-            (0 until Sketches.Bands).map(b =>
-              struct(lit(b).as("band"), Sketches.bandHash(b).as("bh"))): _*)).as("e"))
-          .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh"))
+        val bands = Skew.dropHotBuckets(
+          sig.select(col("doc_id"), explode(array(
+              (0 until Sketches.Bands).map(b =>
+                struct(lit(b).as("band"), Sketches.bandHash(b).as("bh"))): _*)).as("e"))
+            .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh")),
+          Seq("band", "bh"), HotBucketCap)
         val cand = bands.as("x")
           .join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -232,10 +246,9 @@ object LlmPipeline {
     val q38 = GraftQuery(
       "q38_ann_brute_topk", "L6",
       (s, d) => {
-        val e = Tables.embeddings(s, d)
+        val e = CacheScope.tracked(Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding"),
-            Sketches.norm(col("embedding"), Dims).as("nrm"))
-          .persist()
+            Sketches.norm(col("embedding"), Dims).as("nrm")))
         val q = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
         broadcast(q).join(e, col("vec_id") =!= col("q_id"))
@@ -272,11 +285,10 @@ object LlmPipeline {
         // Lazy persist instead of eager localCheckpoint so building the
         // plan runs no Spark jobs — audit tooling stays side-effect-free
         // and the materialization cost lands inside the timed execution
-        val e = Tables.embeddings(s, d)
+        val e = CacheScope.tracked(Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding"),
             Sketches.norm(col("embedding"), Dims).as("nrm"),
-            Sketches.hyperplaneSig(col("embedding"), Dims).as("sig"))
-          .persist()
+            Sketches.hyperplaneSig(col("embedding"), Dims).as("sig")))
         val b = e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
           col("nrm").as("bn"), col("sig").as("b_sig"))
         val nn = e.join(b, col("sig") === col("b_sig") && col("vec_id") =!= col("b_id"))
@@ -325,17 +337,20 @@ object LlmPipeline {
         // At 100 TB the sig table is narrow (id + int64) — caching it is
         // the standard LSH shape; the embedding+norm frame would instead
         // be re-scanned or selectively cached there.
-        val emb = Tables.embeddings(s, d)
+        val emb = CacheScope.tracked(Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding"),
-            Sketches.norm(col("embedding"), Dims).as("nrm"))
-          .persist()
-        val sigs = Tables.embeddings(s, d)
+            Sketches.norm(col("embedding"), Dims).as("nrm")))
+        val sigs = CacheScope.tracked(Tables.embeddings(s, d)
           .select(col("vec_id"),
-            Sketches.hyperplaneSigN(col("embedding"), Dims, 16).as("sig"))
-          .persist()
-        val bands = sigs.select(col("vec_id"),
-          posexplode(array(col("sig").bitwiseAND(lit(255L)),
-            shiftright(col("sig"), 8).bitwiseAND(lit(255L)))).as(Seq("bi", "bv")))
+            Sketches.hyperplaneSigN(col("embedding"), Dims, 16).as("sig")))
+        // hot-bucket guard in the executed plan (same rationale as q36):
+        // one count aggregate + broadcast anti-join before the quadratic
+        // self-join; the cap never binds on the fixture (oracle-verified)
+        val bands = Skew.dropHotBuckets(
+          sigs.select(col("vec_id"),
+            posexplode(array(col("sig").bitwiseAND(lit(255L)),
+              shiftright(col("sig"), 8).bitwiseAND(lit(255L)))).as(Seq("bi", "bv"))),
+          Seq("bi", "bv"), HotBucketCap)
         val cand = bands
           .join(bands.select(col("vec_id").as("b_id"), col("bi"), col("bv")),
             Seq("bi", "bv"))

@@ -135,11 +135,11 @@ object ScalarPackQueries {
       // the same "cache the parsed projection" shape as the LSH sig table
       // (for corpora too big to cache, swap back to Synthetic.fence —
       // streaming, no materialization).
-      val meta = e.select(col("event_id"),
-          from_json(col("props_json"), org.apache.spark.sql.types.MapType(
-            org.apache.spark.sql.types.StringType,
-            org.apache.spark.sql.types.StringType)).as("m"))
-        .persist()
+      val meta = graft.core.CacheScope.tracked(
+          e.select(col("event_id"),
+            from_json(col("props_json"), org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType)).as("m")))
         .withColumn("mtxt", col("m")("metadata"))
       meta
         // F9: drop deleted-quality features (index.py:252-263) — a filter
