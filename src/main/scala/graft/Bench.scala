@@ -83,6 +83,11 @@ object Bench {
     // shared projection re-materialize it inside BOTH timed regions (the
     // steady pass measures warm-JIT pipelines, not warm caches) and (b)
     // cached relations don't accumulate across the 69-query suite.
+    case class QueryRun(name: String, cold: Double, steady: Double,
+        jitColdMs: Long, gcColdMs: Long, jitSteadyMs: Long, gcSteadyMs: Long,
+        codeCacheMb: Long) {
+      def best: Double = math.min(cold, steady)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         spark.sharedState.cacheManager.clearCache()
@@ -104,39 +109,63 @@ object Bench {
       val cold = once()
       val (jit1, gc1) = (Jvm.jitMs - jit0, Jvm.gcMs - gc0)
       val steady = once()
+      val (jit2, gc2) = (Jvm.jitMs - jit0 - jit1, Jvm.gcMs - gc0 - gc1)
       System.err.println(f"[bench] $name%-28s cold=${cold}%6.2fs steady=${steady}%6.2fs  jit+${jit1}%5dms  gc+${gc1}%5dms  codecache=${Jvm.codeCacheMb}%4dMB")
-      (name, cold, steady)
+      QueryRun(name, cold, steady, jit1, gc1, jit2, gc2, Jvm.codeCacheMb)
     }
-    // The driver captures only the last ~2000 chars of output and parses
-    // the JSON line it finds there; sbt appends a ~73-char "[success]"
-    // line after ours. Round 4's single ~9 KB line (cold + steady maps,
-    // full-precision doubles) was truncated at the front of that window
-    // and the driver recorded "parsed": null — the gate could not read
-    // the round's own numbers. So stdout gets ONE compact line: the cold
-    // per-query map at centisecond precision (trailing zeros stripped)
-    // plus scalar totals, budget-checked to stay under the window; the
-    // full-precision cold/steady/best maps go to stderr for the judge.
+    // The driver captures only the last ~2000 chars of MERGED output (sbt
+    // folds the forked JVM's stderr into stdout) and parses the JSON line
+    // it finds there; sbt appends a ~73-char "[success]" line after ours.
+    // Round 4's single ~9 KB line was front-truncated in that window;
+    // round 5's fix printed the full dump to stderr AFTER the compact
+    // line, so the merged stream still evicted it ("parsed": null three
+    // rounds running). So: the full-precision dump (cold/steady/best maps
+    // plus per-query JIT/GC/code-cache counters, so an environment-induced
+    // slowdown on the driver box is attributable from the artifact alone)
+    // goes to target/bench_full.json, and the ONE compact stdout line —
+    // cold per-query map at centisecond precision, budget-checked against
+    // the window — is the LAST thing printed before sbt's [success].
     def num(v: Double, dp: Int): String = {
-      val s = s"%.${dp}f".format(v)
+      val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", v: java.lang.Double)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
     def json(kv: Seq[(String, Double)], dp: Int): String =
       kv.map { case (k, v) => "\"" + k + "\":" + num(v, dp) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val steadyTotal = results.map(_._3).sum
-    val bestTotal = results.map(r => math.min(r._2, r._3)).sum
+    def jsonL(kv: Seq[(String, Long)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_.cold).sum
+    val steadyTotal = results.map(_.steady).sum
+    val bestTotal = results.map(_.best).sum
+    val fullJson =
+      s"""{"cold":${json(results.map(r => r.name -> r.cold), 6)},
+         |"steady":${json(results.map(r => r.name -> r.steady), 6)},
+         |"best":${json(results.map(r => r.name -> r.best), 6)},
+         |"jit_cold_ms":${jsonL(results.map(r => r.name -> r.jitColdMs))},
+         |"gc_cold_ms":${jsonL(results.map(r => r.name -> r.gcColdMs))},
+         |"jit_steady_ms":${jsonL(results.map(r => r.name -> r.jitSteadyMs))},
+         |"gc_steady_ms":${jsonL(results.map(r => r.name -> r.gcSteadyMs))},
+         |"codecache_mb":${jsonL(results.map(r => r.name -> r.codeCacheMb))},
+         |"total":$total,"steady_total":$steadyTotal,"best_total":$bestTotal,
+         |"sf":"$sfDir"}""".stripMargin.replace("\n", "")
+    val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
+    java.nio.file.Files.createDirectories(fullPath.getParent)
+    java.nio.file.Files.write(fullPath, fullJson.getBytes("UTF-8"))
+    System.err.println(s"[bench] full-precision dump: $fullPath (${fullJson.length} bytes)")
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("\"" + sfDir + "\"")
     def line(dp: Int, extras: String): String =
-      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":${json(results.map(r => r._1 -> r._2), dp)}$extras,"sf":$sfNum}"""
-    // degrade gracefully if the map outgrows the capture window: first drop
-    // the scalar extras, then coarsen per-query precision to deciseconds
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":${json(results.map(r => r.name -> r.cold), dp)}$extras,"sf":$sfNum}"""
+    // degrade gracefully if the map outgrows the capture window: drop the
+    // scalar extras, coarsen per-query precision, and as a guaranteed-fit
+    // last resort emit totals only (always well under the window)
     val candidates = Seq(
       line(2, s""","steady_total":${num(steadyTotal, 2)},"best_total":${num(bestTotal, 2)}"""),
       line(2, s""","steady_total":${num(steadyTotal, 2)}"""),
       line(2, ""),
-      line(1, ""))
-    println(candidates.find(_.length <= 1900).getOrElse(candidates.last))
-    System.err.println(s"""[bench-full] {"cold":${json(results.map(r => r._1 -> r._2), 6)},"steady":${json(results.map(r => r._1 -> r._3), 6)},"best":${json(results.map(r => r._1 -> math.min(r._2, r._3)), 6)},"steady_total":$steadyTotal,"best_total":$bestTotal,"sf":"$sfDir"}""")
+      line(1, ""),
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","steady_total":${num(steadyTotal, 2)},"best_total":${num(bestTotal, 2)},"sf":$sfNum}""")
     spark.stop()
+    // LAST stdout write of the process: nothing (not even spark.stop()'s
+    // shutdown logging) may land after this line in the merged stream
+    println(candidates.find(_.length <= 1900).getOrElse(candidates.last))
   }
 }

@@ -1,0 +1,203 @@
+package graft.sources.socket
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+import java.util.{Map => JMap}
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Push-socket streaming source (SURVEY §2.1 S1/S14 literal transport).
+  *
+  * The reference's live feeds are socket PUSH, not poll: a long-lived
+  * connection the server writes newline-delimited messages into, with the
+  * client expected to reconnect (with backoff) when the peer drops it
+  * (`ais-proxy/server.js:256-345` — connect, subscribe, buffer, reconnect on
+  * `close`/`error`; `display-proxy/lambdas/tak-contacts-ws/index.mjs:145-200`).
+  * This is the same source family as `graft-rest` but with the transport the
+  * reference actually uses for AIS/CoT:
+  *
+  * `spark.readStream.format("graft-socket").option("host", h).option("port", p)`
+  * yields rows `(line STRING, seq LONG)`; downstream parsing (jsonais,
+  * `from_json`) and the keyed-state merge ([[graft.streaming.KeyedMerge]])
+  * are unchanged — transport and semantics compose instead of being one
+  * hand-rolled client like the reference.
+  *
+  * Execution model (the public `TextSocketMicroBatchStream` shape): a single
+  * driver-side reader thread owns the connection and appends lines to a
+  * buffer; the offset is the count of lines consumed; each micro-batch ships
+  * the `[start, end)` slice to executors; `commit` trims the buffer below
+  * the committed offset so memory is bounded by one trigger's backlog, not
+  * the stream's history. A push subscription is inherently one connection —
+  * at scale you run one source per subscription (per feed/bbox shard) and
+  * union them, which is exactly the reference's N-upstream fan-in; the
+  * per-source driver cost is a thread and one trigger of buffered lines.
+  *
+  * Reconnect: the reader thread survives socket drops — on EOF/IOException
+  * it backs off (exponential, `reconnectMs`..`maxReconnectMs`) and redials,
+  * resetting the backoff after a successful connect. Lines pushed while
+  * disconnected are lost, exactly like the reference's transport (its
+  * recovery path is the server-side snapshot replay, which is the
+  * checkpointed-restart semantics proven in StreamingSpec/Dsv2RestSpec).
+  */
+class SocketPushTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-socket"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SocketPushTableProvider.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new SocketPushTable(schema, properties.asScala.toMap)
+}
+
+object SocketPushTableProvider {
+  /** Raw pushed line plus its stream sequence number (the offset the line
+    * was consumed at — a stable per-connection identity for dedup/debug).
+    */
+  val Schema: StructType = StructType(Seq(
+    StructField("line", StringType),
+    StructField("seq", LongType)))
+}
+
+class SocketPushTable(schema: StructType, props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"graft-socket(${props.getOrElse("host", "?")}:${props.getOrElse("port", "?")})"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val opts = props ++ options.asScala
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema
+        override def description(): String = name()
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new SocketPushMicroBatchStream(
+            opts.getOrElse("host",
+              throw new IllegalArgumentException("graft-socket requires a host option")),
+            opts.getOrElse("port",
+              throw new IllegalArgumentException("graft-socket requires a port option")).toInt,
+            opts.getOrElse("reconnectms", "50").toLong,
+            opts.getOrElse("maxreconnectms", "2000").toLong)
+      }
+    }
+  }
+}
+
+/** Line-count offset: `rows` = lines consumed since the stream started. */
+case class SocketOffset(rows: Long) extends Offset {
+  override def json(): String = rows.toString
+}
+
+class SocketPushMicroBatchStream(host: String, port: Int,
+    reconnectMs: Long, maxReconnectMs: Long) extends MicroBatchStream {
+
+  // buffer holds lines [firstOffset, firstOffset + buffer.size); all access
+  // under `lock`. The reader thread is the only writer; commit() trims.
+  private val lock = new Object
+  private val buffer = new ArrayBuffer[String]()
+  private var firstOffset = 0L
+  @volatile private var stopped = false
+  @volatile private var currentSocket: Socket = null
+
+  /** Completed connections (test/metrics observability for the reconnect
+    * contract — increments on each successful dial).
+    */
+  val connectCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private val reader = new Thread(s"graft-socket-$host:$port") {
+    override def run(): Unit = {
+      var backoff = reconnectMs
+      while (!stopped) {
+        try {
+          val s = new Socket(host, port)
+          currentSocket = s
+          connectCount.incrementAndGet()
+          backoff = reconnectMs // successful dial resets the backoff
+          val in = new BufferedReader(
+            new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
+          var line = in.readLine()
+          while (line != null && !stopped) {
+            lock.synchronized { buffer += line }
+            line = in.readLine()
+          }
+        } catch { case _: java.io.IOException => /* dropped or refused */ }
+        finally {
+          val s = currentSocket
+          if (s != null) { try s.close() catch { case _: java.io.IOException => () } }
+        }
+        if (!stopped) {
+          try Thread.sleep(backoff) catch { case _: InterruptedException => () }
+          backoff = math.min(backoff * 2, maxReconnectMs)
+        }
+      }
+    }
+  }
+  reader.setDaemon(true)
+  reader.start()
+
+  override def initialOffset(): Offset = SocketOffset(0L)
+  override def deserializeOffset(json: String): Offset = SocketOffset(json.trim.toLong)
+  override def latestOffset(): Offset =
+    lock.synchronized { SocketOffset(firstOffset + buffer.size) }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    lock.synchronized {
+      val s = start.asInstanceOf[SocketOffset].rows
+      val e = end.asInstanceOf[SocketOffset].rows
+      // clamp to what is actually buffered: a checkpoint-restarted query may
+      // ask for offsets below firstOffset (this transport is replay-less,
+      // like Spark's own socket source — recovery is the server's concern)
+      val lo = math.max(s, firstOffset)
+      val rows = (lo until e).map { off =>
+        (buffer((off - firstOffset).toInt), off)
+      }.toArray
+      if (rows.isEmpty) Array.empty
+      else Array(SocketRowsPartition(rows))
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SocketRowsReaderFactory
+
+  override def commit(end: Offset): Unit = lock.synchronized {
+    val e = end.asInstanceOf[SocketOffset].rows
+    val drop = (e - firstOffset).toInt
+    if (drop > 0) { buffer.remove(0, math.min(drop, buffer.size)); firstOffset = math.max(e, firstOffset) }
+  }
+
+  override def stop(): Unit = {
+    stopped = true
+    val s = currentSocket
+    if (s != null) { try s.close() catch { case _: java.io.IOException => () } }
+    reader.interrupt()
+  }
+}
+
+/** One micro-batch's buffered lines (driver → executors by value — the
+  * slice is at most one trigger's backlog of a single push connection).
+  */
+case class SocketRowsPartition(rows: Array[(String, Long)]) extends InputPartition
+
+class SocketRowsReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[SocketRowsPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow =
+        InternalRow(UTF8String.fromString(rows(i)._1), rows(i)._2)
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -15,12 +15,16 @@ class LlmPlanSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  private def leftAntiCount(name: String): Int = {
-    val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    df.queryExecution.optimizedPlan.collect {
-      case j: Join if j.joinType == LeftAnti => j
-    }.size
-  }
+  // scoped: the builders persist shared projections via CacheScope.tracked;
+  // without a scope those frames stay registered in the shared session's
+  // CacheManager and leak InMemoryRelations into later suites' plans
+  private def leftAntiCount(name: String): Int =
+    graft.core.CacheScope.scoped {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.queryExecution.optimizedPlan.collect {
+        case j: Join if j.joinType == LeftAnti => j
+      }.size
+    }
 
   test("q36 banded-LSH pair generation carries the hot-bucket anti-join") {
     assert(leftAntiCount("q36_lsh_neardup_pairs") >= 1,

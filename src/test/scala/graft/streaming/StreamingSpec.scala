@@ -223,6 +223,84 @@ class StreamingSpec extends SparkSpec {
     assert(last.filled === Some(200.0), "error rows carry no reading; fill stays at the view")
   }
 
+  test("S1/S14: socket-push transport drives the keyed merge and reconnects after a drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, from_json}
+
+    // local push server (the Dsv2RestSpec local-server pattern, but a raw
+    // socket): the test owns each accepted connection so it can push lines
+    // and then drop the peer mid-stream, like the reference's upstream feed
+    val server = new java.net.ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
+    val accepted = new java.util.concurrent.LinkedBlockingQueue[java.net.Socket]()
+    val acceptCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val acceptor = new Thread("spec-socket-server") {
+      override def run(): Unit =
+        try while (true) {
+          val s = server.accept(); acceptCount.incrementAndGet(); accepted.put(s)
+        } catch { case _: java.io.IOException => () } // server closed
+    }
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    def push(s: java.net.Socket, ev: (Long, Long, Long, String, Double)): Unit = {
+      val w = new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8")
+      w.write(s"""{"event_id":${ev._1},"tsu":${ev._2},"user_id":${ev._3},"event_type":"${ev._4}","value":${ev._5}}""" + "\n")
+      w.flush()
+    }
+    val evSchema = org.apache.spark.sql.Encoders.product[KeyedMerge.Ev].schema
+
+    val q = KeyedMerge.latestState(
+      spark.readStream.format("graft-socket")
+        .option("host", "127.0.0.1").option("port", server.getLocalPort.toString)
+        .load()
+        .select(from_json(col("line"), evSchema).as("ev"))
+        .select(col("ev.*")).as[KeyedMerge.Ev],
+      ttlMicros = None, "1 hour")
+      .writeStream.format("memory").queryName("socket_merge").outputMode("update")
+      .start()
+
+    // the push source buffers on its own thread, so "available" lags the
+    // write — poll the sink to a target update count instead of a single
+    // processAllAvailable
+    def awaitUpdates(n: Long, msg: String): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var done = false
+      while (!done && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        val rows = spark.table("socket_merge").as[KeyedMerge.StateOut].collect()
+        if (rows.nonEmpty && rows.map(_.n_updates).max >= n) done = true
+        else Thread.sleep(50)
+      }
+      assert(done, msg)
+    }
+
+    try {
+      val t0 = 5000000000000L
+      val c1 = accepted.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(c1 != null, "source never dialed the server")
+      push(c1, (1L, t0, 7L, "click", 1.0))
+      push(c1, (2L, t0 + 1, 7L, "view", 2.0))
+      awaitUpdates(2, "pushed lines did not reach the keyed merge")
+
+      c1.close() // abrupt drop — no FIN handshake with pending reads matters here
+      val c2 = accepted.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(c2 != null, "source did not reconnect after the drop")
+      assert(acceptCount.get >= 2, "reconnect must be a NEW connection")
+      push(c2, (3L, t0 + 2, 7L, "error", 9.0))
+      awaitUpdates(3, "post-reconnect line did not reach the keyed merge")
+
+      val last = spark.table("socket_merge").as[KeyedMerge.StateOut].collect()
+        .maxBy(_.n_updates)
+      // state carried across the drop: the error row brings no reading, so
+      // the fill must still be the pre-drop view's 2.0
+      assert(last.event_id === 3L && last.filled === Some(2.0))
+      c2.close()
+    } finally {
+      q.stop()
+      server.close()
+    }
+  }
+
   test("vessel table: streamed union of AIS + enrichment sources (U2)") {
     import spark.implicits._
     import VesselMerge._
