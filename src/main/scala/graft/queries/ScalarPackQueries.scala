@@ -179,12 +179,23 @@ object ScalarPackQueries {
     (s, d) => {
       import s.implicits._
       val norm = graft.plans.NormalizeKeyExpression.normalizeKey _
+      // register the native functions before any frame that analyzes a
+      // call_function eagerly (lutNorm below) — a standalone run of this
+      // query must not depend on an earlier query's Tables call
+      graft.plans.GraftExtensions.register(s)
       val lut = Seq(("Taupō", -38.7, "Waikato"), ("Ōtaki", -40.75, "Wellington"))
         .toDF("name", "lat", "region")
       val lutNorm = lut.select(norm(col("name")).as("nname"),
         col("lat").as("nlat"), col("region").as("nregion"))
+      // sort-first (see q26/q62): the trailing orderBy's range exchange
+      // samples its child, so sorting the narrow scan up front keeps the
+      // k-parse + fence + icon strings + both broadcast joins out of the
+      // sampling pass; fence/project/broadcast-join stream sides preserve
+      // the sorted order
       // parse-once: k fans out into locality/icon/marker branches (~8 refs)
       val e = Synthetic.fence(Tables.events(s, d)
+          .select(col("event_id"), col("props"))
+          .orderBy(col("event_id"))
           .select(col("event_id"), Synthetic.k.as("k")))
         .withColumn("locality", element_at(
           array(lit("Taupō"), lit("Ōtaki"), lit("taupo"), lit("OTAKI"), lit("Nowhere")),
@@ -209,7 +220,6 @@ object ScalarPackQueries {
           coalesce(col("lat"), col("nlat"), lit(-39.0)).as("loc_lat"), // DEFAULT_COORDS
           coalesce(col("region"), col("nregion"), lit("Central North Island"))
             .as("loc_region")) // DEFAULT_REGION
-        .orderBy(col("event_id"))
     },
     // construction-inverse: the oracle derives expectations from k alone
     Some(s"""WITH t AS (SELECT event_id, ${Synthetic.kSql} AS k FROM events),

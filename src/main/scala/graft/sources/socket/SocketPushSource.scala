@@ -89,7 +89,12 @@ class SocketPushTable(schema: StructType, props: Map[String, String])
             opts.getOrElse("port",
               throw new IllegalArgumentException("graft-socket requires a port option")).toInt,
             opts.getOrElse("reconnectms", "50").toLong,
-            opts.getOrElse("maxreconnectms", "2000").toLong)
+            opts.getOrElse("maxreconnectms", "2000").toLong,
+            opts.get("maxlinespertrigger").map { v =>
+              val n = v.toLong
+              require(n > 0, s"graft-socket maxLinesPerTrigger must be > 0, got $n")
+              n
+            })
       }
     }
   }
@@ -101,7 +106,10 @@ case class SocketOffset(rows: Long) extends Offset {
 }
 
 class SocketPushMicroBatchStream(host: String, port: Int,
-    reconnectMs: Long, maxReconnectMs: Long) extends MicroBatchStream {
+    reconnectMs: Long, maxReconnectMs: Long,
+    maxLinesPerTrigger: Option[Long] = None) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
 
   // buffer holds lines [firstOffset, firstOffset + buffer.size); all access
   // under `lock`. The reader thread is the only writer; commit() trims.
@@ -150,6 +158,25 @@ class SocketPushMicroBatchStream(host: String, port: Int,
   override def initialOffset(): Offset = SocketOffset(0L)
   override def deserializeOffset(json: String): Offset = SocketOffset(json.trim.toLong)
   override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used with SupportsAdmissionControl")
+
+  /** Admission control (the `graft-rest` maxPagesPerTrigger shape): after a
+    * reconnect against a fast producer the buffered backlog drains in
+    * bounded micro-batches instead of one giant catch-up job.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxLinesPerTrigger.map(m => ReadLimit.maxRows(m)).getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    lock.synchronized {
+      val s = start.asInstanceOf[SocketOffset].rows
+      val avail = firstOffset + buffer.size
+      SocketOffset(limit match {
+        case m: ReadMaxRows => math.min(avail, s + m.maxRows)
+        case _ => avail
+      })
+    }
+  override def reportLatestOffset(): Offset =
     lock.synchronized { SocketOffset(firstOffset + buffer.size) }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.SparkSpec
 import graft.queries.Temporal
@@ -299,6 +301,46 @@ class StreamingSpec extends SparkSpec {
       q.stop()
       server.close()
     }
+  }
+
+  test("graft-socket maxLinesPerTrigger drains a pushed backlog in bounded batches") {
+    val server = new java.net.ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
+    val accepted = new java.util.concurrent.LinkedBlockingQueue[java.net.Socket]()
+    val acceptor = new Thread("spec-socket-server-ac") {
+      override def run(): Unit =
+        try while (true) accepted.put(server.accept())
+        catch { case _: java.io.IOException => () }
+    }
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-socket")
+      .option("host", "127.0.0.1").option("port", server.getLocalPort.toString)
+      .option("maxLinesPerTrigger", "2")
+      .load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = batch.count()
+        if (n > 0) batchSizes.add(n)
+        ()
+      }.start()
+    try {
+      val c = accepted.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(c != null, "source never dialed")
+      val w = new java.io.OutputStreamWriter(c.getOutputStream, "UTF-8")
+      (1 to 5).foreach(i => w.write(s"line-$i\n"))
+      w.flush()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (batchSizes.asScala.sum < 5 && System.nanoTime() < deadline) {
+        q.processAllAvailable(); Thread.sleep(50)
+      }
+      val sizes = batchSizes.asScala.toSeq
+      assert(sizes.sum === 5L, s"all pushed lines must arrive: $sizes")
+      assert(sizes.forall(_ <= 2L), s"every micro-batch must respect the cap: $sizes")
+      assert(sizes.size >= 3, s"a 5-line backlog at cap 2 needs >=3 batches: $sizes")
+      c.close()
+    } finally { q.stop(); server.close() }
   }
 
   test("vessel table: streamed union of AIS + enrichment sources (U2)") {

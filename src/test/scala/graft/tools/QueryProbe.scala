@@ -27,6 +27,9 @@ object QueryProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // a solo run must not depend on an earlier query having registered the
+    // native functions via Tables (q64 analyzes a call_function eagerly)
+    graft.plans.GraftExtensions.register(spark)
     import graft.core.Tables
     import graft.queries.Synthetic
 
