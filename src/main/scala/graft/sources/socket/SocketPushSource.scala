@@ -94,7 +94,8 @@ class SocketPushTable(schema: StructType, props: Map[String, String])
               val n = v.toLong
               require(n > 0, s"graft-socket maxLinesPerTrigger must be > 0, got $n")
               n
-            })
+            },
+            opts.getOrElse("linesperpartition", "10000").toInt)
       }
     }
   }
@@ -107,7 +108,8 @@ case class SocketOffset(rows: Long) extends Offset {
 
 class SocketPushMicroBatchStream(host: String, port: Int,
     reconnectMs: Long, maxReconnectMs: Long,
-    maxLinesPerTrigger: Option[Long] = None) extends MicroBatchStream
+    maxLinesPerTrigger: Option[Long] = None,
+    linesPerPartition: Int = 10000) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
 
@@ -190,8 +192,11 @@ class SocketPushMicroBatchStream(host: String, port: Int,
       val rows = (lo until e).map { off =>
         (buffer((off - firstOffset).toInt), off)
       }.toArray
-      if (rows.isEmpty) Array.empty
-      else Array(SocketRowsPartition(rows))
+      // chunk so a deep post-reconnect backlog parses in parallel instead
+      // of serializing on one task (downstream jsonais/from_json is the
+      // expensive part, not the transport)
+      rows.grouped(math.max(1, linesPerPartition))
+        .map(SocketRowsPartition(_): InputPartition).toArray
     }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -303,6 +303,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("S2 over S1: jsonais dialect canonicalization composes over the socket transport") {
+    import org.apache.spark.sql.functions.col
+    // the reference's actual AIS pipeline: socket push feed → 6-dialect
+    // jsonais canonicalize — here as two composed library pieces instead of
+    // one hand-rolled client (ais-proxy/server.js:256-345 + :470-560)
+    val server = new java.net.ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
+    val accepted = new java.util.concurrent.LinkedBlockingQueue[java.net.Socket]()
+    val acceptor = new Thread("spec-socket-server-ais") {
+      override def run(): Unit =
+        try while (true) accepted.put(server.accept())
+        catch { case _: java.io.IOException => () }
+    }
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    val canon = graft.ingest.Jsonais.canonicalizeDf(
+      spark.readStream.format("graft-socket")
+        .option("host", "127.0.0.1").option("port", server.getLocalPort.toString)
+        .load(),
+      col("line"), "canon", dropAfterParse = Seq("line"))
+      .filter(col("canon").isNotNull)
+      .select(col("canon.mmsi"), col("canon.lat"), col("canon.lon"))
+    val q = canon.writeStream.format("memory").queryName("socket_ais")
+      .outputMode("append").start()
+    try {
+      val c = accepted.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(c != null, "source never dialed")
+      val w = new java.io.OutputStreamWriter(c.getOutputStream, "UTF-8")
+      // msgs[] dialect (first element invalid → second wins) + APRS dialect
+      w.write("""{"msgs":[{"mmsi":"7","lat":"-41.1","lon":"174.1"},{"mmsi":"512000001","lat":"-41.2","lon":"174.2","rxtime":"20240101000000"}]}""" + "\n")
+      w.write("""{"call":"512000005","lat":"-44.0","lng":"171.0","time":"2024-01-04T05:06:07Z"}""" + "\n")
+      w.write("not json at all\n") // must be dropped, not crash the stream
+      w.flush()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table("socket_ais").count() < 2 && System.nanoTime() < deadline) {
+        q.processAllAvailable(); Thread.sleep(50)
+      }
+      val rows = spark.table("socket_ais").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+      assert(rows.toSeq === Seq((512000001L, -41.2, 174.2), (512000005L, -44.0, 171.0)),
+        s"got ${rows.toSeq}")
+      c.close()
+    } finally { q.stop(); server.close() }
+  }
+
   test("graft-socket maxLinesPerTrigger drains a pushed backlog in bounded batches") {
     val server = new java.net.ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
     val accepted = new java.util.concurrent.LinkedBlockingQueue[java.net.Socket]()
