@@ -118,6 +118,10 @@ class SocketPushMicroBatchStream(host: String, port: Int,
   private val lock = new Object
   private val buffer = new ArrayBuffer[String]()
   private var firstOffset = 0L
+  // false until this incarnation has planned or committed a batch — gates
+  // the restart fast-forward (renumbering is only safe while nothing has
+  // been delivered yet)
+  private var started = false
   @volatile private var stopped = false
   @volatile private var currentSocket: Socket = null
 
@@ -172,7 +176,15 @@ class SocketPushMicroBatchStream(host: String, port: Int,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     lock.synchronized {
       val s = start.asInstanceOf[SocketOffset].rows
-      val avail = firstOffset + buffer.size
+      // clean-restart reconciliation: the checkpointed cursor resumes ahead
+      // of this incarnation's 0-based numbering. Before anything has been
+      // planned or committed, renumbering is safe (nothing was delivered),
+      // so adopt the cursor — lines buffered since reconnect become
+      // [s, s + size) instead of being silently skipped
+      if (!started && s > firstOffset) firstOffset = s
+      started = true
+      // ...and never regress below the cursor either way
+      val avail = math.max(firstOffset + buffer.size, s)
       SocketOffset(limit match {
         case m: ReadMaxRows => math.min(avail, s + m.maxRows)
         case _ => avail
@@ -183,13 +195,18 @@ class SocketPushMicroBatchStream(host: String, port: Int,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     lock.synchronized {
+      started = true // a replayed batch counts: its commit may fast-forward
       val s = start.asInstanceOf[SocketOffset].rows
       val e = end.asInstanceOf[SocketOffset].rows
-      // clamp to what is actually buffered: a checkpoint-restarted query may
-      // ask for offsets below firstOffset (this transport is replay-less,
-      // like Spark's own socket source — recovery is the server's concern)
+      // clamp BOTH ends to what is actually buffered: a checkpoint-restarted
+      // query replays its last logged batch against a fresh (possibly empty)
+      // buffer, so the requested range can lie entirely outside
+      // [firstOffset, firstOffset + size). The replayed batch then yields
+      // no rows — this transport is replay-less, like Spark's own socket
+      // source; recovery is the server's concern
       val lo = math.max(s, firstOffset)
-      val rows = (lo until e).map { off =>
+      val hi = math.min(e, firstOffset + buffer.size)
+      val rows = (lo until hi).map { off =>
         (buffer((off - firstOffset).toInt), off)
       }.toArray
       // chunk so a deep post-reconnect backlog parses in parallel instead
@@ -204,8 +221,18 @@ class SocketPushMicroBatchStream(host: String, port: Int,
 
   override def commit(end: Offset): Unit = lock.synchronized {
     val e = end.asInstanceOf[SocketOffset].rows
-    val drop = (e - firstOffset).toInt
-    if (drop > 0) { buffer.remove(0, math.min(drop, buffer.size)); firstOffset = math.max(e, firstOffset) }
+    if (e > firstOffset + buffer.size) {
+      // committing STRICTLY past everything buffered = the replayed-batch
+      // case after a restart (a normal full drain commits exactly at
+      // firstOffset + size and takes the trim branch): fast-forward the
+      // numbering to the checkpointed cursor and KEEP the buffer — these
+      // lines arrived post-restart and were never delivered (dropping them
+      // here would silently lose live data)
+      firstOffset = e
+    } else if (e > firstOffset) {
+      buffer.remove(0, (e - firstOffset).toInt)
+      firstOffset = e
+    }
   }
 
   override def stop(): Unit = {

@@ -348,6 +348,69 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); server.close() }
   }
 
+  test("graft-socket survives a checkpointed restart: cursor reconciles, no dupes, no loss") {
+    import org.apache.spark.sql.functions.col
+    val server = new java.net.ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
+    val accepted = new java.util.concurrent.LinkedBlockingQueue[java.net.Socket]()
+    val acceptor = new Thread("spec-socket-server-ckpt") {
+      override def run(): Unit =
+        try while (true) accepted.put(server.accept())
+        catch { case _: java.io.IOException => () }
+    }
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_socket_ckpt")
+    val ckpt = tmp.resolve("ckpt").toString
+    val outDir = tmp.resolve("out").toString
+    def start() = spark.readStream.format("graft-socket")
+      .option("host", "127.0.0.1").option("port", server.getLocalPort.toString)
+      .load().select(col("line"))
+      .writeStream.outputMode("append").option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }.start()
+    def lines(): Seq[String] =
+      try spark.read.parquet(outDir).collect().map(_.getString(0)).toSeq
+      catch { case _: Exception => Seq.empty } // outDir not created yet
+    def pushAndAwait(q: org.apache.spark.sql.streaming.StreamingQuery,
+        c: java.net.Socket, line: String, expect: Int): Unit = {
+      val w = new java.io.OutputStreamWriter(c.getOutputStream, "UTF-8")
+      w.write(line + "\n"); w.flush()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (lines().size < expect && System.nanoTime() < deadline) {
+        q.processAllAvailable(); Thread.sleep(50)
+      }
+      assert(lines().size >= expect, s"expected $expect lines, got ${lines()}")
+    }
+
+    // run 1: two lines through the checkpointed pipeline, clean stop
+    val q1 = start()
+    try {
+      val c1 = accepted.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(c1 != null, "run 1 never dialed")
+      pushAndAwait(q1, c1, "alpha", 1)
+      pushAndAwait(q1, c1, "bravo", 2)
+      c1.close()
+    } finally q1.stop()
+
+    // run 2: SAME checkpoint, fresh source incarnation (its internal
+    // numbering restarts at 0 while the checkpoint cursor is at 2) — the
+    // restart must neither crash on the cursor gap, nor re-deliver
+    // alpha/bravo, nor skip the first post-restart line
+    val q2 = start()
+    try {
+      val c2 = accepted.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(c2 != null, "run 2 never dialed")
+      pushAndAwait(q2, c2, "charlie", 3)
+      c2.close()
+    } finally { q2.stop(); server.close() }
+
+    val got = lines().sorted
+    assert(got === Seq("alpha", "bravo", "charlie"), s"got $got")
+  }
+
   test("graft-socket maxLinesPerTrigger drains a pushed backlog in bounded batches") {
     val server = new java.net.ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
     val accepted = new java.util.concurrent.LinkedBlockingQueue[java.net.Socket]()
