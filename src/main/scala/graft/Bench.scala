@@ -147,10 +147,17 @@ object Bench {
          |"codecache_mb":${jsonL(results.map(r => r.name -> r.codeCacheMb))},
          |"total":$total,"steady_total":$steadyTotal,"best_total":$bestTotal,
          |"sf":"$sfDir"}""".stripMargin.replace("\n", "")
-    val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
-    java.nio.file.Files.createDirectories(fullPath.getParent)
-    java.nio.file.Files.write(fullPath, fullJson.getBytes("UTF-8"))
-    System.err.println(s"[bench] full-precision dump: $fullPath (${fullJson.length} bytes)")
+    // the dump is diagnostics; a failed write (disk full, read-only target/)
+    // must not abort the run after all queries measured and cost the driver
+    // the compact line below — the one output it parses
+    try {
+      val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
+      java.nio.file.Files.createDirectories(fullPath.getParent)
+      java.nio.file.Files.write(fullPath, fullJson.getBytes("UTF-8"))
+      System.err.println(s"[bench] full-precision dump: $fullPath (${fullJson.length} bytes)")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] bench_full.json write failed (continuing): $e")
+    }
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("\"" + sfDir + "\"")
     def line(dp: Int, extras: String): String =
       s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":${json(results.map(r => r.name -> r.cold), dp)}$extras,"sf":$sfNum}"""

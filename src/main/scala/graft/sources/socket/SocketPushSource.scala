@@ -113,6 +113,14 @@ class SocketPushMicroBatchStream(host: String, port: Int,
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
 
+  // fail at construction, not as a silently-dead reader thread: these
+  // values are only ever used inside the pump loop, where an
+  // IllegalArgumentException would otherwise kill it without surfacing
+  require(port > 0 && port <= 65535, s"graft-socket port out of range: $port")
+  require(reconnectMs > 0, s"graft-socket reconnectMs must be > 0, got $reconnectMs")
+  require(maxReconnectMs >= reconnectMs,
+    s"graft-socket maxReconnectMs ($maxReconnectMs) must be >= reconnectMs ($reconnectMs)")
+
   // buffer holds lines [firstOffset, firstOffset + buffer.size); all access
   // under `lock`. The reader thread is the only writer; commit() trims.
   private val lock = new Object
@@ -125,11 +133,6 @@ class SocketPushMicroBatchStream(host: String, port: Int,
   @volatile private var stopped = false
   @volatile private var currentSocket: Socket = null
 
-  /** Completed connections (test/metrics observability for the reconnect
-    * contract — increments on each successful dial).
-    */
-  val connectCount = new java.util.concurrent.atomic.AtomicLong(0L)
-
   private val reader = new Thread(s"graft-socket-$host:$port") {
     override def run(): Unit = {
       var backoff = reconnectMs
@@ -137,7 +140,9 @@ class SocketPushMicroBatchStream(host: String, port: Int,
         try {
           val s = new Socket(host, port)
           currentSocket = s
-          connectCount.incrementAndGet()
+          // stop() may have run while the dial was in flight (connect is not
+          // interruptible): bail out instead of blocking in readLine forever
+          if (stopped) return
           backoff = reconnectMs // successful dial resets the backoff
           val in = new BufferedReader(
             new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
@@ -146,7 +151,12 @@ class SocketPushMicroBatchStream(host: String, port: Int,
             lock.synchronized { buffer += line }
             line = in.readLine()
           }
-        } catch { case _: java.io.IOException => /* dropped or refused */ }
+        } catch {
+          // dropped, refused, or anything else transient — a pump that dies
+          // on an unanticipated throwable hangs the query at 0 rows forever,
+          // so every non-fatal error takes the backoff-and-redial path
+          case scala.util.control.NonFatal(_) => ()
+        }
         finally {
           val s = currentSocket
           if (s != null) { try s.close() catch { case _: java.io.IOException => () } }
@@ -195,25 +205,36 @@ class SocketPushMicroBatchStream(host: String, port: Int,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     lock.synchronized {
-      started = true // a replayed batch counts: its commit may fast-forward
       val s = start.asInstanceOf[SocketOffset].rows
       val e = end.asInstanceOf[SocketOffset].rows
-      // clamp BOTH ends to what is actually buffered: a checkpoint-restarted
-      // query replays its last logged batch against a fresh (possibly empty)
-      // buffer, so the requested range can lie entirely outside
-      // [firstOffset, firstOffset + size). The replayed batch then yields
-      // no rows — this transport is replay-less, like Spark's own socket
-      // source; recovery is the server's concern
-      val lo = math.max(s, firstOffset)
-      val hi = math.min(e, firstOffset + buffer.size)
-      val rows = (lo until hi).map { off =>
-        (buffer((off - firstOffset).toInt), off)
-      }.toArray
-      // chunk so a deep post-reconnect backlog parses in parallel instead
-      // of serializing on one task (downstream jsonais/from_json is the
-      // expensive part, not the transport)
-      rows.grouped(math.max(1, linesPerPartition))
-        .map(SocketRowsPartition(_): InputPartition).toArray
+      if (!started) {
+        // first planning call of this incarnation with no latestOffset
+        // before it = a checkpoint REPLAY of the last logged batch (a fresh
+        // query's batch 0 always resolves latestOffset first). The replayed
+        // range is checkpoint-numbered; the 0-based buffer holds only lines
+        // pushed since the reconnect, so serving the range from it would
+        // deliver the WRONG lines. The original data is gone — this
+        // transport is replay-less, like Spark's own socket source — so the
+        // replay yields no rows, and the numbering fast-forwards past the
+        // replayed range (keeping the buffer: those lines become
+        // [e, e + size) and flow into the NEXT batch instead of being
+        // dropped or mislabeled)
+        started = true
+        if (e > firstOffset) firstOffset = e
+        Array.empty
+      } else {
+        // in-incarnation offsets: belt-and-braces clamp to what is buffered
+        val lo = math.max(s, firstOffset)
+        val hi = math.min(e, firstOffset + buffer.size)
+        val rows = (lo until hi).map { off =>
+          (buffer((off - firstOffset).toInt), off)
+        }.toArray
+        // chunk so a deep post-reconnect backlog parses in parallel instead
+        // of serializing on one task (downstream jsonais/from_json is the
+        // expensive part, not the transport)
+        rows.grouped(math.max(1, linesPerPartition))
+          .map(SocketRowsPartition(_): InputPartition).toArray
+      }
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -240,6 +261,10 @@ class SocketPushMicroBatchStream(host: String, port: Int,
     val s = currentSocket
     if (s != null) { try s.close() catch { case _: java.io.IOException => () } }
     reader.interrupt()
+    // join so a stopped stream leaves no pump behind still buffering (the
+    // post-connect `stopped` check bounds how long a dial in flight can
+    // outlive us; daemon status backstops a pathological blocked join)
+    try reader.join(5000) catch { case _: InterruptedException => () }
   }
 }
 

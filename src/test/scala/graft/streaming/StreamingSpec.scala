@@ -225,81 +225,96 @@ class StreamingSpec extends SparkSpec {
     assert(last.filled === Some(200.0), "error rows carry no reading; fill stays at the view")
   }
 
-  test("S1/S14: socket-push transport drives the keyed merge and reconnects after a drop") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions.{col, from_json}
+  /** Local push-server fixture for the graft-socket tests (the Dsv2RestSpec
+    * local-server pattern, but a raw socket): the test owns each accepted
+    * connection, so it can push lines and drop the peer mid-stream like the
+    * reference's upstream feed.
+    */
+  private case class PushServer(server: java.net.ServerSocket,
+      accepted: java.util.concurrent.LinkedBlockingQueue[java.net.Socket],
+      acceptCount: java.util.concurrent.atomic.AtomicInteger) {
+    def port: Int = server.getLocalPort
+    def awaitConnection(msg: String): java.net.Socket = {
+      val s = accepted.poll(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(s != null, msg)
+      s
+    }
+  }
 
-    // local push server (the Dsv2RestSpec local-server pattern, but a raw
-    // socket): the test owns each accepted connection so it can push lines
-    // and then drop the peer mid-stream, like the reference's upstream feed
+  private def withPushServer(body: PushServer => Unit): Unit = {
     val server = new java.net.ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
-    val accepted = new java.util.concurrent.LinkedBlockingQueue[java.net.Socket]()
-    val acceptCount = new java.util.concurrent.atomic.AtomicInteger(0)
-    val acceptor = new Thread("spec-socket-server") {
+    val ps = PushServer(server,
+      new java.util.concurrent.LinkedBlockingQueue[java.net.Socket](),
+      new java.util.concurrent.atomic.AtomicInteger(0))
+    val acceptor = new Thread("spec-push-server") {
       override def run(): Unit =
         try while (true) {
-          val s = server.accept(); acceptCount.incrementAndGet(); accepted.put(s)
+          val s = server.accept(); ps.acceptCount.incrementAndGet(); ps.accepted.put(s)
         } catch { case _: java.io.IOException => () } // server closed
     }
     acceptor.setDaemon(true)
     acceptor.start()
+    try body(ps) finally server.close()
+  }
 
-    def push(s: java.net.Socket, ev: (Long, Long, Long, String, Double)): Unit = {
-      val w = new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8")
-      w.write(s"""{"event_id":${ev._1},"tsu":${ev._2},"user_id":${ev._3},"event_type":"${ev._4}","value":${ev._5}}""" + "\n")
-      w.flush()
-    }
-    val evSchema = org.apache.spark.sql.Encoders.product[KeyedMerge.Ev].schema
+  private def pushLine(s: java.net.Socket, line: String): Unit = {
+    val w = new java.io.OutputStreamWriter(s.getOutputStream, "UTF-8")
+    w.write(line + "\n"); w.flush()
+  }
 
-    val q = KeyedMerge.latestState(
-      spark.readStream.format("graft-socket")
-        .option("host", "127.0.0.1").option("port", server.getLocalPort.toString)
-        .load()
-        .select(from_json(col("line"), evSchema).as("ev"))
-        .select(col("ev.*")).as[KeyedMerge.Ev],
-      ttlMicros = None, "1 hour")
-      .writeStream.format("memory").queryName("socket_merge").outputMode("update")
-      .start()
+  test("S1/S14: socket-push transport drives the keyed merge and reconnects after a drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, from_json}
+    withPushServer { ps =>
+      def push(s: java.net.Socket, ev: (Long, Long, Long, String, Double)): Unit =
+        pushLine(s, s"""{"event_id":${ev._1},"tsu":${ev._2},"user_id":${ev._3},"event_type":"${ev._4}","value":${ev._5}}""")
+      val evSchema = org.apache.spark.sql.Encoders.product[KeyedMerge.Ev].schema
 
-    // the push source buffers on its own thread, so "available" lags the
-    // write — poll the sink to a target update count instead of a single
-    // processAllAvailable
-    def awaitUpdates(n: Long, msg: String): Unit = {
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      var done = false
-      while (!done && System.nanoTime() < deadline) {
-        q.processAllAvailable()
-        val rows = spark.table("socket_merge").as[KeyedMerge.StateOut].collect()
-        if (rows.nonEmpty && rows.map(_.n_updates).max >= n) done = true
-        else Thread.sleep(50)
+      val q = KeyedMerge.latestState(
+        spark.readStream.format("graft-socket")
+          .option("host", "127.0.0.1").option("port", ps.port.toString)
+          .load()
+          .select(from_json(col("line"), evSchema).as("ev"))
+          .select(col("ev.*")).as[KeyedMerge.Ev],
+        ttlMicros = None, "1 hour")
+        .writeStream.format("memory").queryName("socket_merge").outputMode("update")
+        .start()
+
+      // the push source buffers on its own thread, so "available" lags the
+      // write — poll the sink to a target update count instead of a single
+      // processAllAvailable
+      def awaitUpdates(n: Long, msg: String): Unit = {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var done = false
+        while (!done && System.nanoTime() < deadline) {
+          q.processAllAvailable()
+          val rows = spark.table("socket_merge").as[KeyedMerge.StateOut].collect()
+          if (rows.nonEmpty && rows.map(_.n_updates).max >= n) done = true
+          else Thread.sleep(50)
+        }
+        assert(done, msg)
       }
-      assert(done, msg)
-    }
 
-    try {
-      val t0 = 5000000000000L
-      val c1 = accepted.poll(30, java.util.concurrent.TimeUnit.SECONDS)
-      assert(c1 != null, "source never dialed the server")
-      push(c1, (1L, t0, 7L, "click", 1.0))
-      push(c1, (2L, t0 + 1, 7L, "view", 2.0))
-      awaitUpdates(2, "pushed lines did not reach the keyed merge")
+      try {
+        val t0 = 5000000000000L
+        val c1 = ps.awaitConnection("source never dialed the server")
+        push(c1, (1L, t0, 7L, "click", 1.0))
+        push(c1, (2L, t0 + 1, 7L, "view", 2.0))
+        awaitUpdates(2, "pushed lines did not reach the keyed merge")
 
-      c1.close() // abrupt drop — no FIN handshake with pending reads matters here
-      val c2 = accepted.poll(30, java.util.concurrent.TimeUnit.SECONDS)
-      assert(c2 != null, "source did not reconnect after the drop")
-      assert(acceptCount.get >= 2, "reconnect must be a NEW connection")
-      push(c2, (3L, t0 + 2, 7L, "error", 9.0))
-      awaitUpdates(3, "post-reconnect line did not reach the keyed merge")
+        c1.close() // abrupt drop — no FIN handshake with pending reads matters here
+        val c2 = ps.awaitConnection("source did not reconnect after the drop")
+        assert(ps.acceptCount.get >= 2, "reconnect must be a NEW connection")
+        push(c2, (3L, t0 + 2, 7L, "error", 9.0))
+        awaitUpdates(3, "post-reconnect line did not reach the keyed merge")
 
-      val last = spark.table("socket_merge").as[KeyedMerge.StateOut].collect()
-        .maxBy(_.n_updates)
-      // state carried across the drop: the error row brings no reading, so
-      // the fill must still be the pre-drop view's 2.0
-      assert(last.event_id === 3L && last.filled === Some(2.0))
-      c2.close()
-    } finally {
-      q.stop()
-      server.close()
+        val last = spark.table("socket_merge").as[KeyedMerge.StateOut].collect()
+          .maxBy(_.n_updates)
+        // state carried across the drop: the error row brings no reading, so
+        // the fill must still be the pre-drop view's 2.0
+        assert(last.event_id === 3L && last.filled === Some(2.0))
+        c2.close()
+      } finally q.stop()
     }
   }
 
@@ -308,147 +323,118 @@ class StreamingSpec extends SparkSpec {
     // the reference's actual AIS pipeline: socket push feed → 6-dialect
     // jsonais canonicalize — here as two composed library pieces instead of
     // one hand-rolled client (ais-proxy/server.js:256-345 + :470-560)
-    val server = new java.net.ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
-    val accepted = new java.util.concurrent.LinkedBlockingQueue[java.net.Socket]()
-    val acceptor = new Thread("spec-socket-server-ais") {
-      override def run(): Unit =
-        try while (true) accepted.put(server.accept())
-        catch { case _: java.io.IOException => () }
+    withPushServer { ps =>
+      val canon = graft.ingest.Jsonais.canonicalizeDf(
+        spark.readStream.format("graft-socket")
+          .option("host", "127.0.0.1").option("port", ps.port.toString)
+          .load(),
+        col("line"), "canon", dropAfterParse = Seq("line"))
+        .filter(col("canon").isNotNull)
+        .select(col("canon.mmsi"), col("canon.lat"), col("canon.lon"))
+      val q = canon.writeStream.format("memory").queryName("socket_ais")
+        .outputMode("append").start()
+      try {
+        val c = ps.awaitConnection("source never dialed")
+        // msgs[] dialect (first element invalid → second wins) + APRS dialect
+        pushLine(c, """{"msgs":[{"mmsi":"7","lat":"-41.1","lon":"174.1"},{"mmsi":"512000001","lat":"-41.2","lon":"174.2","rxtime":"20240101000000"}]}""")
+        pushLine(c, """{"call":"512000005","lat":"-44.0","lng":"171.0","time":"2024-01-04T05:06:07Z"}""")
+        pushLine(c, "not json at all") // must be dropped, not crash the stream
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (spark.table("socket_ais").count() < 2 && System.nanoTime() < deadline) {
+          q.processAllAvailable(); Thread.sleep(50)
+        }
+        val rows = spark.table("socket_ais").collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+        assert(rows.toSeq === Seq((512000001L, -41.2, 174.2), (512000005L, -44.0, 171.0)),
+          s"got ${rows.toSeq}")
+        c.close()
+      } finally q.stop()
     }
-    acceptor.setDaemon(true)
-    acceptor.start()
-
-    val canon = graft.ingest.Jsonais.canonicalizeDf(
-      spark.readStream.format("graft-socket")
-        .option("host", "127.0.0.1").option("port", server.getLocalPort.toString)
-        .load(),
-      col("line"), "canon", dropAfterParse = Seq("line"))
-      .filter(col("canon").isNotNull)
-      .select(col("canon.mmsi"), col("canon.lat"), col("canon.lon"))
-    val q = canon.writeStream.format("memory").queryName("socket_ais")
-      .outputMode("append").start()
-    try {
-      val c = accepted.poll(30, java.util.concurrent.TimeUnit.SECONDS)
-      assert(c != null, "source never dialed")
-      val w = new java.io.OutputStreamWriter(c.getOutputStream, "UTF-8")
-      // msgs[] dialect (first element invalid → second wins) + APRS dialect
-      w.write("""{"msgs":[{"mmsi":"7","lat":"-41.1","lon":"174.1"},{"mmsi":"512000001","lat":"-41.2","lon":"174.2","rxtime":"20240101000000"}]}""" + "\n")
-      w.write("""{"call":"512000005","lat":"-44.0","lng":"171.0","time":"2024-01-04T05:06:07Z"}""" + "\n")
-      w.write("not json at all\n") // must be dropped, not crash the stream
-      w.flush()
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (spark.table("socket_ais").count() < 2 && System.nanoTime() < deadline) {
-        q.processAllAvailable(); Thread.sleep(50)
-      }
-      val rows = spark.table("socket_ais").collect()
-        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
-      assert(rows.toSeq === Seq((512000001L, -41.2, 174.2), (512000005L, -44.0, 171.0)),
-        s"got ${rows.toSeq}")
-      c.close()
-    } finally { q.stop(); server.close() }
   }
 
   test("graft-socket survives a checkpointed restart: cursor reconciles, no dupes, no loss") {
     import org.apache.spark.sql.functions.col
-    val server = new java.net.ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
-    val accepted = new java.util.concurrent.LinkedBlockingQueue[java.net.Socket]()
-    val acceptor = new Thread("spec-socket-server-ckpt") {
-      override def run(): Unit =
-        try while (true) accepted.put(server.accept())
-        catch { case _: java.io.IOException => () }
-    }
-    acceptor.setDaemon(true)
-    acceptor.start()
-
-    val tmp = java.nio.file.Files.createTempDirectory("graft_socket_ckpt")
-    val ckpt = tmp.resolve("ckpt").toString
-    val outDir = tmp.resolve("out").toString
-    def start() = spark.readStream.format("graft-socket")
-      .option("host", "127.0.0.1").option("port", server.getLocalPort.toString)
-      .load().select(col("line"))
-      .writeStream.outputMode("append").option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").parquet(outDir)
-        ()
-      }.start()
-    def lines(): Seq[String] =
-      try spark.read.parquet(outDir).collect().map(_.getString(0)).toSeq
-      catch { case _: Exception => Seq.empty } // outDir not created yet
-    def pushAndAwait(q: org.apache.spark.sql.streaming.StreamingQuery,
-        c: java.net.Socket, line: String, expect: Int): Unit = {
-      val w = new java.io.OutputStreamWriter(c.getOutputStream, "UTF-8")
-      w.write(line + "\n"); w.flush()
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (lines().size < expect && System.nanoTime() < deadline) {
-        q.processAllAvailable(); Thread.sleep(50)
+    withPushServer { ps =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_socket_ckpt")
+      val ckpt = tmp.resolve("ckpt").toString
+      val outDir = tmp.resolve("out").toString
+      def start() = spark.readStream.format("graft-socket")
+        .option("host", "127.0.0.1").option("port", ps.port.toString)
+        .load().select(col("line"))
+        .writeStream.outputMode("append").option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+          ()
+        }.start()
+      def lines(): Seq[String] =
+        try spark.read.parquet(outDir).collect().map(_.getString(0)).toSeq
+        catch { case _: Exception => Seq.empty } // outDir not created yet
+      def pushAndAwait(q: org.apache.spark.sql.streaming.StreamingQuery,
+          c: java.net.Socket, line: String, expect: Int): Unit = {
+        pushLine(c, line)
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (lines().size < expect && System.nanoTime() < deadline) {
+          q.processAllAvailable(); Thread.sleep(50)
+        }
+        assert(lines().size >= expect, s"expected $expect lines, got ${lines()}")
       }
-      assert(lines().size >= expect, s"expected $expect lines, got ${lines()}")
+
+      // run 1: two lines through the checkpointed pipeline, clean stop
+      val q1 = start()
+      try {
+        val c1 = ps.awaitConnection("run 1 never dialed")
+        pushAndAwait(q1, c1, "alpha", 1)
+        pushAndAwait(q1, c1, "bravo", 2)
+        c1.close()
+      } finally q1.stop()
+      // between c1.close() and q1.stop() the run-1 source may have redialed
+      // (50 ms backoff); q1.stop() joins its reader, so after this drain no
+      // stale run-1 connection can be mistaken for run 2's dial
+      ps.accepted.clear()
+
+      // run 2: SAME checkpoint, fresh source incarnation (its internal
+      // numbering restarts at 0 while the checkpoint cursor is at 2) — the
+      // restart must neither crash on the cursor gap, nor re-deliver
+      // alpha/bravo, nor skip the first post-restart line
+      val q2 = start()
+      try {
+        val c2 = ps.awaitConnection("run 2 never dialed")
+        pushAndAwait(q2, c2, "charlie", 3)
+        c2.close()
+      } finally q2.stop()
+
+      val got = lines().sorted
+      assert(got === Seq("alpha", "bravo", "charlie"), s"got $got")
     }
-
-    // run 1: two lines through the checkpointed pipeline, clean stop
-    val q1 = start()
-    try {
-      val c1 = accepted.poll(30, java.util.concurrent.TimeUnit.SECONDS)
-      assert(c1 != null, "run 1 never dialed")
-      pushAndAwait(q1, c1, "alpha", 1)
-      pushAndAwait(q1, c1, "bravo", 2)
-      c1.close()
-    } finally q1.stop()
-
-    // run 2: SAME checkpoint, fresh source incarnation (its internal
-    // numbering restarts at 0 while the checkpoint cursor is at 2) — the
-    // restart must neither crash on the cursor gap, nor re-deliver
-    // alpha/bravo, nor skip the first post-restart line
-    val q2 = start()
-    try {
-      val c2 = accepted.poll(30, java.util.concurrent.TimeUnit.SECONDS)
-      assert(c2 != null, "run 2 never dialed")
-      pushAndAwait(q2, c2, "charlie", 3)
-      c2.close()
-    } finally { q2.stop(); server.close() }
-
-    val got = lines().sorted
-    assert(got === Seq("alpha", "bravo", "charlie"), s"got $got")
   }
 
   test("graft-socket maxLinesPerTrigger drains a pushed backlog in bounded batches") {
-    val server = new java.net.ServerSocket(0, 8, java.net.InetAddress.getLoopbackAddress)
-    val accepted = new java.util.concurrent.LinkedBlockingQueue[java.net.Socket]()
-    val acceptor = new Thread("spec-socket-server-ac") {
-      override def run(): Unit =
-        try while (true) accepted.put(server.accept())
-        catch { case _: java.io.IOException => () }
+    withPushServer { ps =>
+      val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.format("graft-socket")
+        .option("host", "127.0.0.1").option("port", ps.port.toString)
+        .option("maxLinesPerTrigger", "2")
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = batch.count()
+          if (n > 0) batchSizes.add(n)
+          ()
+        }.start()
+      try {
+        val c = ps.awaitConnection("source never dialed")
+        (1 to 5).foreach(i => pushLine(c, s"line-$i"))
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (batchSizes.asScala.sum < 5 && System.nanoTime() < deadline) {
+          q.processAllAvailable(); Thread.sleep(50)
+        }
+        val sizes = batchSizes.asScala.toSeq
+        assert(sizes.sum === 5L, s"all pushed lines must arrive: $sizes")
+        assert(sizes.forall(_ <= 2L), s"every micro-batch must respect the cap: $sizes")
+        assert(sizes.size >= 3, s"a 5-line backlog at cap 2 needs >=3 batches: $sizes")
+        c.close()
+      } finally q.stop()
     }
-    acceptor.setDaemon(true)
-    acceptor.start()
-
-    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
-    val q = spark.readStream.format("graft-socket")
-      .option("host", "127.0.0.1").option("port", server.getLocalPort.toString)
-      .option("maxLinesPerTrigger", "2")
-      .load()
-      .writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val n = batch.count()
-        if (n > 0) batchSizes.add(n)
-        ()
-      }.start()
-    try {
-      val c = accepted.poll(30, java.util.concurrent.TimeUnit.SECONDS)
-      assert(c != null, "source never dialed")
-      val w = new java.io.OutputStreamWriter(c.getOutputStream, "UTF-8")
-      (1 to 5).foreach(i => w.write(s"line-$i\n"))
-      w.flush()
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (batchSizes.asScala.sum < 5 && System.nanoTime() < deadline) {
-        q.processAllAvailable(); Thread.sleep(50)
-      }
-      val sizes = batchSizes.asScala.toSeq
-      assert(sizes.sum === 5L, s"all pushed lines must arrive: $sizes")
-      assert(sizes.forall(_ <= 2L), s"every micro-batch must respect the cap: $sizes")
-      assert(sizes.size >= 3, s"a 5-line backlog at cap 2 needs >=3 batches: $sizes")
-      c.close()
-    } finally { q.stop(); server.close() }
   }
 
   test("vessel table: streamed union of AIS + enrichment sources (U2)") {
