@@ -40,8 +40,9 @@ object Temporal {
     * portable unit for oracle parity. `event_id` breaks any residual tie.
     */
   private val tsu = expr("ts div 1000")
-  private val byKeyDesc =
-    Window.partitionBy(col("user_id")).orderBy(col("tsu").desc, col("event_id").desc)
+  // only the genuinely cumulative query (q15 running totals) windows; the
+  // latest/first-per-key family (q09/q10/q16/q42) is max_by/min_by
+  // aggregates — see q42 for the rationale
   private val byKeyAsc =
     Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
 
@@ -50,12 +51,20 @@ object Temporal {
     */
   val q09 = GraftQuery(
     "q09_latest_state_per_key", "T1 O3",
+    // argmax-per-key as ONE hash aggregate (same shape as q42): max_by over
+    // the unique (tsu, event_id) total order replaces the row_number window
+    // — no per-key sort, map-side partials, the shuffle carries one combined
+    // row per (partition, user) instead of the full event stream
     (s, d) =>
       Tables.events(s, d)
         .withColumn("tsu", tsu)
-        .withColumn("rn", row_number().over(byKeyDesc))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_id"), col("tsu"), col("event_type"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("event_id"), col("tsu"), col("event_type"), col("value")),
+          struct(col("tsu"), col("event_id"))).as("r"))
+        .select(col("user_id"), col("r.event_id").as("event_id"),
+          col("r.tsu").as("tsu"), col("r.event_type").as("event_type"),
+          col("r.value").as("value"))
         .orderBy(col("user_id")),
     Some("""SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type, value FROM (
         SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
@@ -66,12 +75,14 @@ object Temporal {
     */
   val q10 = GraftQuery(
     "q10_dedup_business_key", "J9 U3 O5",
+    // argmin twin of q09: first-seen survivor = min_by on the unique
+    // event_id, one aggregate instead of a sorted window pass
     (s, d) =>
       Tables.events(s, d)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("user_id"), col("event_type")).orderBy(col("event_id"))))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min_by(struct(col("event_id"), col("value")), col("event_id")).as("r"))
+        .select(col("user_id"), col("event_type"),
+          col("r.event_id").as("event_id"), col("r.value").as("value"))
         .orderBy(col("user_id"), col("event_type")),
     Some("""SELECT user_id, event_type, event_id, value FROM (
         SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
@@ -207,17 +218,20 @@ object Temporal {
     */
   val q16 = GraftQuery(
     "q16_fill_if_missing_merge", "J5 T1 T3",
-    (s, d) =>
+    // latest-non-null as an aggregate (the single-field form of q42):
+    // max_by's ordering is nulled on readingless rows, so MaxBy skips them;
+    // keys whose readings are ALL null still group (filled = null)
+    (s, d) => {
+      val reading =
+        when(col("event_type") === "error", lit(null)).otherwise(col("value"))
       Tables.events(s, d)
         .withColumn("tsu", tsu)
-        .withColumn("reading",
-          when(col("event_type") === "error", lit(null)).otherwise(col("value")))
-        .withColumn("filled", last(col("reading"), ignoreNulls = true).over(
-          byKeyAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("rn", row_number().over(byKeyDesc))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("filled"))
-        .orderBy(col("user_id")),
+        .groupBy(col("user_id"))
+        .agg(max_by(reading,
+          when(reading.isNotNull, struct(col("tsu"), col("event_id"))))
+          .as("filled"))
+        .orderBy(col("user_id"))
+    },
     Some("""SELECT user_id, filled FROM (
         SELECT user_id,
           last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
