@@ -170,9 +170,13 @@ object Bench {
       line(2, ""),
       line(1, ""),
       s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","steady_total":${num(steadyTotal, 2)},"best_total":${num(bestTotal, 2)},"sf":$sfNum}""")
-    spark.stop()
-    // LAST stdout write of the process: nothing (not even spark.stop()'s
-    // shutdown logging) may land after this line in the merged stream
+    // stop() before the final line so no shutdown logging can land after
+    // it in the merged stream — but guarded: a throwing shutdown listener
+    // must not cost the driver its one parseable output either
+    try spark.stop() catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] spark.stop() failed (continuing): $e")
+    }
+    // LAST stdout write of the process
     println(candidates.find(_.length <= 1900).getOrElse(candidates.last))
   }
 }

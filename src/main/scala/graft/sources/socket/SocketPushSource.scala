@@ -77,7 +77,10 @@ class SocketPushTable(schema: StructType, props: Map[String, String])
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val opts = props ++ options.asScala
+    // normalize like RestScan: options travel through the lowercasing
+    // CaseInsensitiveStringMap, but table PROPERTIES keep original case —
+    // a camelCase key from that path must not silently miss the lookups
+    val opts = props.map { case (k, v) => k.toLowerCase -> v } ++ options.asScala
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema
@@ -136,6 +139,7 @@ class SocketPushMicroBatchStream(host: String, port: Int,
   private val reader = new Thread(s"graft-socket-$host:$port") {
     override def run(): Unit = {
       var backoff = reconnectMs
+      var lastLogged: String = null
       while (!stopped) {
         try {
           val s = new Socket(host, port)
@@ -144,6 +148,7 @@ class SocketPushMicroBatchStream(host: String, port: Int,
           // interruptible): bail out instead of blocking in readLine forever
           if (stopped) return
           backoff = reconnectMs // successful dial resets the backoff
+          lastLogged = null // next failure after a live connection logs again
           val in = new BufferedReader(
             new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
           var line = in.readLine()
@@ -154,8 +159,17 @@ class SocketPushMicroBatchStream(host: String, port: Int,
         } catch {
           // dropped, refused, or anything else transient — a pump that dies
           // on an unanticipated throwable hangs the query at 0 rows forever,
-          // so every non-fatal error takes the backoff-and-redial path
-          case scala.util.control.NonFatal(_) => ()
+          // so every non-fatal error takes the backoff-and-redial path.
+          // Log each DISTINCT error once per outage (not per retry): a
+          // typo'd host must be diagnosable from the logs, but a long
+          // outage must not flood them at the retry cadence
+          case scala.util.control.NonFatal(e) =>
+            val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+            if (msg != lastLogged) {
+              lastLogged = msg
+              System.err.println(
+                s"[graft-socket] $host:$port unavailable, retrying with backoff: $msg")
+            }
         }
         finally {
           val s = currentSocket

@@ -388,9 +388,12 @@ class StreamingSpec extends SparkSpec {
         c1.close()
       } finally q1.stop()
       // between c1.close() and q1.stop() the run-1 source may have redialed
-      // (50 ms backoff); q1.stop() joins its reader, so after this drain no
-      // stale run-1 connection can be mistaken for run 2's dial
-      ps.accepted.clear()
+      // (50 ms backoff). q1.stop() joins the reader, so no NEW dials follow
+      // — but a handshake completed just before the join can still be
+      // sitting in (or racing into) the acceptor's queue. Drain until the
+      // queue stays empty for 500 ms so a late-enqueued stale connection
+      // cannot be mistaken for run 2's dial
+      while (ps.accepted.poll(500, java.util.concurrent.TimeUnit.MILLISECONDS) != null) ()
 
       // run 2: SAME checkpoint, fresh source incarnation (its internal
       // numbering restarts at 0 while the checkpoint cursor is at 2) — the
