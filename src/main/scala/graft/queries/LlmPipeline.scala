@@ -20,6 +20,9 @@ import graft.functions.{Sketches, Skew, TextFunctions}
   *       accepting candidates that agree on ANY 8-bit band)
   *  - L8 language ID (stopword heuristic)           → q40
   *  - L9 quality scoring + token counting           → q41
+  *  - L11 IVF coarse-quantized ANN (the data-adaptive
+  *       scale path: broadcast codebook, cell-keyed
+  *       candidate join, NProbe recall dial)         → q70
   *
   * Oracle-parity design: every hash is the md5-prefix BIGINT, every float
   * reduction a fixed-order term list (see [[graft.functions.Sketches]]) —
@@ -39,6 +42,18 @@ object LlmPipeline {
   private val JaccardThreshold = 0.8
   private val Dims = 64
   private val TopK = 5
+
+  /** IVF (q70): every CentroidStep-th vector seeds the codebook — K grows
+    * with the corpus (~n/63: 8 cells on the 500-row fixtures, 32 at sf0.1),
+    * keeping per-cell candidate lists bounded as n does. NProbe is the
+    * recall/cost dial. The fixtures are UNIFORMLY RANDOM vectors — the
+    * worst case for any space-partitioning index (recall ≈ fraction of
+    * corpus probed; measured 9/10 top-1 at these settings, vs 4/10 at
+    * K=17/NProbe=2). Real embedding corpora cluster, which is the entire
+    * premise of IVF — production tuning is K ~ sqrt(n), NProbe ~ K/16.
+    */
+  private val CentroidStep = 63
+  private val NProbe = 4
 
   /** Max members per LSH bucket before [[graft.functions.Skew.dropHotBuckets]]
     * drops the bucket from candidate generation (a bucket of n yields n²/2
@@ -475,6 +490,92 @@ object LlmPipeline {
           FROM documents ORDER BY doc_id"""
       })
 
-    Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q67)
+    /* L7 IVF variant: inverted-file coarse quantization — the other
+     * classic ANN scale path (the FAISS IVF-Flat shape), complementing the
+     * LSH family (q39/q67) with a data-adaptive partition of the space.
+     * The centroid table is a small broadcast frame (here a deterministic
+     * corpus sample standing in for an offline-trained k-means codebook —
+     * at 100 TB the quantizer is an INPUT to the query, not something it
+     * trains). Cell assignment is a broadcast score fan-out collapsed by
+     * ONE map-side-combined max_by aggregate — no window, no per-key sort;
+     * the shuffle carries one partial per (map partition, vector). The
+     * cell id then plays exactly the role the LSH bucket plays in q39/q67:
+     * the equi-join shuffle key for candidate generation, with ids-only
+     * riding the shuffle and embeddings re-joined by id. Queries probe
+     * their NProbe nearest cells to buy back the recall a single cell
+     * loses at the cell boundary. */
+    val q70 = GraftQuery(
+      "q70_ann_ivf_coarse", "L11 L7",
+      (s, d) => {
+        val e = CacheScope.tracked(Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            Sketches.norm(col("embedding"), Dims).as("nrm")))
+        val c = e.filter(col("vec_id") % CentroidStep === 0)
+          .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+            col("nrm").as("cn"))
+        def centroidCos = Sketches.cosineFromParts(
+          Sketches.dot(col("embedding"), col("ce"), Dims), col("nrm"), col("cn"))
+        // one cell per vector: argmax cosine over the broadcast codebook,
+        // ties to the lowest centroid id (struct max on (cos, -c_id))
+        val asn = e.crossJoin(broadcast(c))
+          .select(col("vec_id"), col("c_id"), centroidCos.as("ccos"))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("c_id"), struct(col("ccos"), -col("c_id"))).as("cell"))
+        // the query workload is the small side by definition — ranking its
+        // NProbe probes with a window is per-query work, not corpus work
+        val probes = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding"), col("nrm"))
+          .crossJoin(broadcast(c))
+          .select(col("q_id"), col("c_id"), centroidCos.as("ccos"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("c_id"))))
+          .filter(col("rn") <= NProbe)
+          .select(col("q_id"), col("c_id").as("cell"))
+        val cand = probes.join(asn, Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), col("cell"))
+        val scored = cand
+          .join(e.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+            col("nrm").as("qn")), Seq("q_id"))
+          .join(e, Seq("vec_id"))
+          .withColumn("cos", Sketches.cosineFromParts(
+            Sketches.dot(col("qe"), col("embedding"), Dims), col("qn"), col("nrm")))
+        scored
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rank") <= TopK)
+          .select(col("q_id"), col("rank"), col("vec_id"), col("cell"), col("cos"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        val ccos = s"(${Sketches.dotSql("e.embedding", "c.embedding", Dims)}) / " +
+          s"((${Sketches.normSql("e.embedding", Dims)}) * (${Sketches.normSql("c.embedding", Dims)}))"
+        val qcos = s"(${Sketches.dotSql("q.embedding", "e.embedding", Dims)}) / " +
+          s"((${Sketches.normSql("q.embedding", Dims)}) * (${Sketches.normSql("e.embedding", Dims)}))"
+        s"""WITH c AS (SELECT vec_id AS c_id, embedding FROM embeddings
+              WHERE vec_id % $CentroidStep = 0),
+          asn AS (SELECT vec_id, c_id AS cell FROM (
+            SELECT e.vec_id, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY $ccos DESC, c.c_id) AS rn
+            FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+          pr AS (SELECT q_id, c_id AS cell FROM (
+            SELECT e.vec_id AS q_id, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY $ccos DESC, c.c_id) AS rn
+            FROM embeddings e CROSS JOIN c WHERE e.vec_id % 50 = 0)
+            WHERE rn <= $NProbe),
+          cand AS (SELECT pr.q_id, a.vec_id, a.cell
+            FROM pr JOIN asn a ON a.cell = pr.cell WHERE a.vec_id <> pr.q_id),
+          scored AS (SELECT cand.q_id, cand.vec_id, cand.cell, $qcos AS cos
+            FROM cand JOIN embeddings q ON q.vec_id = cand.q_id
+              JOIN embeddings e ON e.vec_id = cand.vec_id),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id) AS rank FROM scored)
+          SELECT q_id, rank, vec_id, cell, cos FROM ranked
+          WHERE rank <= $TopK ORDER BY q_id, rank"""
+      })
+
+    Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q67, q70)
   }
 }
