@@ -531,12 +531,18 @@ object LlmPipeline {
             Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("c_id"))))
           .filter(col("rn") <= NProbe)
           .select(col("q_id"), col("c_id").as("cell"))
-        val cand = probes.join(asn, Seq("cell"))
+        // probes is |queries|·NProbe rows — broadcast it so the corpus-
+        // sized assignment table is NEVER shuffled on cell (map-side hash
+        // join against the cells each query probes), and broadcast the
+        // query-side embeddings the same way q38 broadcasts its query set
+        val cand = asn.join(broadcast(probes), Seq("cell"))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id"), col("cell"))
+        val qemb = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
         val scored = cand
-          .join(e.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-            col("nrm").as("qn")), Seq("q_id"))
+          .join(broadcast(qemb), Seq("q_id"))
           .join(e, Seq("vec_id"))
           .withColumn("cos", Sketches.cosineFromParts(
             Sketches.dot(col("qe"), col("embedding"), Dims), col("qn"), col("nrm")))
