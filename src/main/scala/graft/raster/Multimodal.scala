@@ -50,4 +50,88 @@ object Multimodal {
       rows.map(r => decoder.decode(r.media_id, r.mime, r.payload))
     }
   }
+
+  final case class ResizedMedia(media_id: Long, mime: String, width: Int,
+      height: Int, payload: Array[Byte])
+
+  /** Resizer contract: 1 input row → 1 output row whose payload length is
+    * exactly `width * height` — the size contract downstream batch sizing
+    * (`spark.sql.files.maxPartitionBytes`, arrow batch rows) plans against.
+    */
+  trait MediaResizer extends Serializable {
+    def resize(row: MediaRow, width: Int, height: Int): ResizedMedia
+  }
+
+  /** STUB — nearest-neighbor over the byte stream standing in for a real
+    * scaler: output byte i samples input byte ⌊i·len/n⌋, so content is a
+    * deterministic function of the input and the size contract is exact.
+    */
+  object StubResizer extends MediaResizer {
+    def resize(r: MediaRow, width: Int, height: Int): ResizedMedia = {
+      val n = width * height
+      val out = new Array[Byte](n)
+      if (r.payload.nonEmpty) {
+        var i = 0
+        while (i < n) {
+          out(i) = r.payload((i.toLong * r.payload.length / n).toInt)
+          i += 1
+        }
+      }
+      ResizedMedia(r.media_id, r.mime, width, height, out)
+    }
+  }
+
+  /** Batched per-partition resize (same mapInPandas-equivalent shape as
+    * [[extractFeatures]]).
+    */
+  def resizeAll(media: Dataset[MediaRow], width: Int, height: Int,
+      resizer: MediaResizer): Dataset[ResizedMedia] = {
+    implicit val enc = Encoders.product[ResizedMedia]
+    media.mapPartitions { rows =>
+      rows.map(r => resizer.resize(r, width, height))
+    }
+  }
+
+  final case class FrameRow(media_id: Long, frame_idx: Int, t_ms: Long,
+      payload: Array[Byte])
+
+  /** Frame sampler contract: 1 video row → 0..N frame rows — the flatMap
+    * batch shape, where output cardinality differs from input. This is the
+    * case a `mapInPandas` pipeline must declare with an exploded return
+    * schema, and the reason the sampler returns an Iterator (a partition's
+    * frames stream out without materializing the whole expansion).
+    */
+  trait FrameSampler extends Serializable {
+    def sample(row: MediaRow, everyMs: Long): Iterator[FrameRow]
+  }
+
+  /** STUB — models the payload as fixed-size frames ([[FrameBytes]] bytes,
+    * [[FrameMs]] apart, i.e. 25 fps); emits every k-th frame where
+    * k = everyMs/FrameMs. A trailing partial frame is dropped, as a real
+    * demuxer drops a truncated final packet.
+    */
+  object StubFrameSampler extends FrameSampler {
+    val FrameBytes = 64
+    val FrameMs = 40L
+    def sample(r: MediaRow, everyMs: Long): Iterator[FrameRow] = {
+      val nFrames = r.payload.length / FrameBytes
+      val step = math.max(1L, everyMs / FrameMs).toInt
+      Iterator.range(0, nFrames, step).map { fi =>
+        FrameRow(r.media_id, fi, fi * FrameMs,
+          java.util.Arrays.copyOfRange(r.payload, fi * FrameBytes, (fi + 1) * FrameBytes))
+      }
+    }
+  }
+
+  /** Batched per-partition frame sampling — the 1→N expansion runs inside
+    * the partition iterator, so a long video expands lazily instead of
+    * buffering all frames in executor memory.
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long,
+      sampler: FrameSampler): Dataset[FrameRow] = {
+    implicit val enc = Encoders.product[FrameRow]
+    media.mapPartitions { rows =>
+      rows.flatMap(r => sampler.sample(r, everyMs))
+    }
+  }
 }
