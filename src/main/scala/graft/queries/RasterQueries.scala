@@ -16,7 +16,8 @@ import graft.raster.{Codecs, GeoidGrid, Reproject, Tile, Tiles}
   *
   * q47 is the multimodal-column surface: media as opaque binary + typed
   * metadata, with deterministic byte-level features both engines can
-  * compute.
+  * compute. q71 puts the typed 1→N frame-sampling operator under the same
+  * oracle gate via hex-space byte slicing.
   */
 object RasterQueries {
 
@@ -122,6 +123,43 @@ object RasterQueries {
         octet_length(encode(text)) // 512 + 1 AS fake_height,
         ascii(substring(text, 1, 1)) AS first_byte
       FROM documents ORDER BY doc_id"""))
+
+  /** Multimodal frame sampling (L12) under the oracle gate: the REAL typed
+    * operator ([[graft.raster.Multimodal.sampleFrames]] — the 1→N flatMap
+    * expansion, batched per partition, StubFrameSampler's fixed-size-frame
+    * model) runs over document bytes as the media stand-in; the oracle
+    * re-derives every frame relationally — per-doc frame count from the
+    * byte length, every-2nd-frame stride, and frame CONTENT via hex-space
+    * byte slicing (DuckDB cannot slice BLOBs, so both engines emit the
+    * frame as a hex string: Spark `hex(payload)` of the byte slice, DuckDB
+    * `substring(hex(encode(text)))` — 2 hex chars per byte).
+    */
+  val q71 = {
+    import graft.raster.Multimodal
+    val fb = Multimodal.StubFrameSampler.FrameBytes // 64 bytes / frame
+    val fm = Multimodal.StubFrameSampler.FrameMs // 40 ms / frame
+    GraftQuery(
+      "q71_frame_sample", "L12",
+      (s, d) => {
+        import s.implicits._
+        val media = Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"), lit("video/mp4").as("mime"),
+            col("text").cast("binary").as("payload"))
+          .as[Multimodal.MediaRow]
+        Multimodal.sampleFrames(media, everyMs = 2 * fm, Multimodal.StubFrameSampler)
+          .toDF()
+          .select(col("media_id").as("doc_id"),
+            col("frame_idx").cast("long").as("frame_idx"), col("t_ms"),
+            lower(hex(col("payload"))).as("frame_hex"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some(s"""WITH f AS (SELECT doc_id, encode(text) AS b,
+              octet_length(encode(text)) // $fb AS nf FROM documents),
+          idx AS (SELECT doc_id, b, UNNEST(range(0, nf, 2)) AS fi FROM f)
+        SELECT doc_id, fi AS frame_idx, fi * $fm AS t_ms,
+          lower(substring(hex(b), CAST(fi * ${2 * fb} + 1 AS INT), ${2 * fb})) AS frame_hex
+        FROM idx ORDER BY doc_id, frame_idx"""))
+  }
 
   /** R4 under the oracle gate: the FULL reprojection gather
     * (`Reproject.reprojectDataset` — fan-out to covering Mercator tiles,
@@ -238,5 +276,5 @@ object RasterQueries {
       })
   }
 
-  val all: Seq[GraftQuery] = Seq(q46, q47, q69)
+  val all: Seq[GraftQuery] = Seq(q46, q47, q69, q71)
 }
