@@ -153,4 +153,44 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  test("stub resizer: exact size contract, content sampled from the input") {
+    import graft.raster.Multimodal.{MediaRow, StubResizer}
+    val gen = for {
+      n <- Gen.choose(0, 2000)
+      w <- Gen.choose(1, 64)
+      h <- Gen.choose(1, 64)
+      seed <- Gen.choose(0, 250)
+    } yield (n, w, h, seed)
+    check(forAll(gen) { case (n, w, h, seed) =>
+      val payload = Array.tabulate(n)(i => ((i * 7 + seed) % 251).toByte)
+      val out = StubResizer.resize(MediaRow(1L, "image/png", payload), w, h)
+      val again = StubResizer.resize(MediaRow(1L, "image/png", payload), w, h)
+      out.payload.length == w * h &&
+        out.payload.sameElements(again.payload) &&
+        (payload.isEmpty || out.payload.forall(payload.contains(_))) &&
+        (payload.nonEmpty || out.payload.forall(_ == 0))
+    })
+  }
+
+  test("stub frame sampler: cardinality formula, tiling, monotone timestamps") {
+    import graft.raster.Multimodal.{MediaRow, StubFrameSampler}
+    import StubFrameSampler.{FrameBytes, FrameMs}
+    val gen = for {
+      n <- Gen.choose(0, 5000)
+      everyMs <- Gen.choose(1L, 400L)
+    } yield (n, everyMs)
+    check(forAll(gen) { case (n, everyMs) =>
+      val payload = Array.tabulate(n)(i => (i % 251).toByte)
+      val frames = StubFrameSampler.sample(MediaRow(1L, "video/mp4", payload), everyMs).toSeq
+      val step = math.max(1L, everyMs / FrameMs).toInt
+      val nFrames = n / FrameBytes
+      val wantCount = if (nFrames == 0) 0 else (nFrames + step - 1) / step
+      frames.size == wantCount &&
+        frames.forall(f => f.payload.length == FrameBytes && f.t_ms == f.frame_idx * FrameMs) &&
+        frames.map(_.frame_idx) == (0 until nFrames by step).toSeq &&
+        frames.forall(f =>
+          f.payload.sameElements(payload.slice(f.frame_idx * FrameBytes, (f.frame_idx + 1) * FrameBytes)))
+    })
+  }
 }
