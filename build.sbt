@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through unbuffered and UN-PREFIXED: under
+// the default LoggedOutput every line arrives as "[info] {...}", which is
+// what a strict JSON parser reading the tail of the merged stream chokes
+// on. StdoutOutput hands the child's streams straight to ours, so the
+// bench's one machine-readable line reaches the caller bare.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
