@@ -171,8 +171,25 @@ object Sketches {
   def norm(a: Column, dims: Int): Column = sqrt(dot(a, a, dims))
   def normSql(a: String, dims: Int): String = s"sqrt(${dotSql(a, a, dims)})"
 
-  /** cosine = dot / (norm_a * norm_b), with norms precomputed per side. */
-  def cosineFromParts(d: Column, na: Column, nb: Column): Column = d / (na * nb)
+  /** cosine = dot / (norm_a * norm_b), with norms precomputed per side.
+    *
+    * Zero-norm guard: engines disagree on x/0.0 for doubles (Spark's
+    * non-ANSI Divide yields NULL, DuckDB yields ±inf/NaN), so a degenerate
+    * zero vector would silently diverge the engine from the oracle — and a
+    * NULL cosine would make downstream max_by/row_number ranking
+    * engine-dependent. The guard pins BOTH sides ([[cosineSql]] mirrors
+    * it) to an explicit NULL for zero-norm inputs; the fixture contains
+    * none, so results are unchanged and the agreement is now by
+    * construction rather than by fixture luck.
+    */
+  def cosineFromParts(d: Column, na: Column, nb: Column): Column = {
+    val p = na * nb
+    when(p > 0d, d / p)
+  }
+
+  /** DuckDB rendering of [[cosineFromParts]], same zero-norm contract. */
+  def cosineSql(d: String, na: String, nb: String): String =
+    s"CASE WHEN ($na) * ($nb) > 0 THEN ($d) / (($na) * ($nb)) END"
 
   // --- random-hyperplane LSH for embeddings ---
 

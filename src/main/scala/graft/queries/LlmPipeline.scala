@@ -6,7 +6,7 @@ import graft.core.{CacheScope, Tables}
 import graft.functions.{Sketches, Skew, TextFunctions}
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
-  * (builder brief: first-class alongside SURVEY §2; inventory §2.12).
+  * (builder brief: first-class alongside SURVEY §2; inventory §2.11a).
   *
   *  - L1 exact dedup (content fingerprint)          → q33
   *  - L2 canonical-form dedup (bag-of-words key)    → q34
@@ -281,7 +281,7 @@ object LlmPipeline {
         val en = Sketches.normSql("e.embedding", Dims)
         s"""WITH pairs AS (
             SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
-              ($dot) / (($qn) * ($en)) AS cos
+              ${Sketches.cosineSql(dot, qn, en)} AS cos
             FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
             WHERE q.vec_id % 50 = 0),
           ranked AS (SELECT *, row_number() OVER
@@ -325,9 +325,9 @@ object LlmPipeline {
         s"""WITH e AS (SELECT vec_id, embedding, $sig AS sig FROM embeddings),
           nn AS (SELECT * FROM (
             SELECT a.vec_id, b.vec_id AS nn_id,
-              ($dot) / (($an) * ($bn)) AS nn_cos,
+              ${Sketches.cosineSql(dot, an, bn)} AS nn_cos,
               row_number() OVER (PARTITION BY a.vec_id
-                ORDER BY ($dot) / (($an) * ($bn)) DESC, b.vec_id) AS rn
+                ORDER BY ${Sketches.cosineSql(dot, an, bn)} DESC, b.vec_id) AS rn
             FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id <> b.vec_id)
             WHERE rn = 1)
           SELECT e.vec_id, e.sig, nn.nn_id, nn.nn_cos
@@ -398,9 +398,9 @@ object LlmPipeline {
               AND a.vec_id <> c.vec_id),
           nn AS (SELECT * FROM (
             SELECT cand.va AS vec_id, cand.vb AS nn_id,
-              ($dot) / (($xn) * ($yn)) AS nn_cos,
+              ${Sketches.cosineSql(dot, xn, yn)} AS nn_cos,
               row_number() OVER (PARTITION BY cand.va
-                ORDER BY ($dot) / (($xn) * ($yn)) DESC, cand.vb) AS rn
+                ORDER BY ${Sketches.cosineSql(dot, xn, yn)} DESC, cand.vb) AS rn
             FROM cand JOIN e x ON x.vec_id = cand.va
               JOIN e y ON y.vec_id = cand.vb)
             WHERE rn = 1)
@@ -554,10 +554,14 @@ object LlmPipeline {
           .orderBy(col("q_id"), col("rank"))
       },
       Some {
-        val ccos = s"(${Sketches.dotSql("e.embedding", "c.embedding", Dims)}) / " +
-          s"((${Sketches.normSql("e.embedding", Dims)}) * (${Sketches.normSql("c.embedding", Dims)}))"
-        val qcos = s"(${Sketches.dotSql("q.embedding", "e.embedding", Dims)}) / " +
-          s"((${Sketches.normSql("q.embedding", Dims)}) * (${Sketches.normSql("e.embedding", Dims)}))"
+        val ccos = Sketches.cosineSql(
+          Sketches.dotSql("e.embedding", "c.embedding", Dims),
+          Sketches.normSql("e.embedding", Dims),
+          Sketches.normSql("c.embedding", Dims))
+        val qcos = Sketches.cosineSql(
+          Sketches.dotSql("q.embedding", "e.embedding", Dims),
+          Sketches.normSql("q.embedding", Dims),
+          Sketches.normSql("e.embedding", Dims))
         s"""WITH c AS (SELECT vec_id AS c_id, embedding FROM embeddings
               WHERE vec_id % $CentroidStep = 0),
           asn AS (SELECT vec_id, c_id AS cell FROM (

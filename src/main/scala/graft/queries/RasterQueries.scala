@@ -138,6 +138,11 @@ object RasterQueries {
     import graft.raster.Multimodal
     val fb = Multimodal.StubFrameSampler.FrameBytes // 64 bytes / frame
     val fm = Multimodal.StubFrameSampler.FrameMs // 40 ms / frame
+    val everyMs = 2 * fm // sample every 2nd frame
+    // derive the frame-index stride ONCE and interpolate it into BOTH
+    // sides — a hardcoded oracle stride would silently break parity if the
+    // sampling interval changed on the Scala side
+    val step = everyMs / fm
     GraftQuery(
       "q71_frame_sample", "L12",
       (s, d) => {
@@ -146,7 +151,7 @@ object RasterQueries {
           .select(col("doc_id").as("media_id"), lit("video/mp4").as("mime"),
             col("text").cast("binary").as("payload"))
           .as[Multimodal.MediaRow]
-        Multimodal.sampleFrames(media, everyMs = 2 * fm, Multimodal.StubFrameSampler)
+        Multimodal.sampleFrames(media, everyMs = everyMs, Multimodal.StubFrameSampler)
           .toDF()
           .select(col("media_id").as("doc_id"),
             col("frame_idx").cast("long").as("frame_idx"), col("t_ms"),
@@ -155,7 +160,7 @@ object RasterQueries {
       },
       Some(s"""WITH f AS (SELECT doc_id, encode(text) AS b,
               octet_length(encode(text)) // $fb AS nf FROM documents),
-          idx AS (SELECT doc_id, b, UNNEST(range(0, nf, 2)) AS fi FROM f)
+          idx AS (SELECT doc_id, b, UNNEST(range(0, nf, $step)) AS fi FROM f)
         SELECT doc_id, fi AS frame_idx, fi * $fm AS t_ms,
           lower(substring(hex(b), CAST(fi * ${2 * fb} + 1 AS INT), ${2 * fb})) AS frame_hex
         FROM idx ORDER BY doc_id, frame_idx"""))
