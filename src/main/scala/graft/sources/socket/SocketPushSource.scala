@@ -34,6 +34,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * are unchanged — transport and semantics compose instead of being one
   * hand-rolled client like the reference.
   *
+  * Two wire protocols behind the same reader thread:
+  * `option("protocol", "tcp")` (default) reads newline-delimited text;
+  * `option("protocol", "ws")` speaks RFC 6455 WebSocket — the reference
+  * feeds' actual framing (`ais-proxy/server.js:256`) — via [[WsFraming]]:
+  * HTTP upgrade on connect (`option("path", ...)`, default "/"), one text
+  * message per row, pings answered transparently, close/EOF/protocol
+  * errors all funneling into the same backoff-and-redial recovery.
+  *
   * Execution model (the public `TextSocketMicroBatchStream` shape): a single
   * driver-side reader thread owns the connection and appends lines to a
   * buffer; the offset is the count of lines consumed; each micro-batch ships
@@ -98,7 +106,9 @@ class SocketPushTable(schema: StructType, props: Map[String, String])
               require(n > 0, s"graft-socket maxLinesPerTrigger must be > 0, got $n")
               n
             },
-            opts.getOrElse("linesperpartition", "10000").toInt)
+            opts.getOrElse("linesperpartition", "10000").toInt,
+            opts.getOrElse("protocol", "tcp"),
+            opts.getOrElse("path", "/"))
       }
     }
   }
@@ -112,7 +122,9 @@ case class SocketOffset(rows: Long) extends Offset {
 class SocketPushMicroBatchStream(host: String, port: Int,
     reconnectMs: Long, maxReconnectMs: Long,
     maxLinesPerTrigger: Option[Long] = None,
-    linesPerPartition: Int = 10000) extends MicroBatchStream
+    linesPerPartition: Int = 10000,
+    protocol: String = "tcp",
+    wsPath: String = "/") extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
 
@@ -123,6 +135,12 @@ class SocketPushMicroBatchStream(host: String, port: Int,
   require(reconnectMs > 0, s"graft-socket reconnectMs must be > 0, got $reconnectMs")
   require(maxReconnectMs >= reconnectMs,
     s"graft-socket maxReconnectMs ($maxReconnectMs) must be >= reconnectMs ($reconnectMs)")
+  require(protocol == "tcp" || protocol == "ws",
+    s"graft-socket protocol must be 'tcp' or 'ws', got '$protocol'")
+  require(wsPath.startsWith("/"), s"graft-socket path must start with '/', got '$wsPath'")
+  private val useWs = protocol == "ws"
+  // frame-mask randomness for client→server control frames (ws only)
+  private lazy val wsRandom = new java.security.SecureRandom()
 
   // buffer holds lines [firstOffset, firstOffset + buffer.size); all access
   // under `lock`. The reader thread is the only writer; commit() trims.
@@ -147,14 +165,37 @@ class SocketPushMicroBatchStream(host: String, port: Int,
           // stop() may have run while the dial was in flight (connect is not
           // interruptible): bail out instead of blocking in readLine forever
           if (stopped) return
-          backoff = reconnectMs // successful dial resets the backoff
-          lastLogged = null // next failure after a live connection logs again
-          val in = new BufferedReader(
-            new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
-          var line = in.readLine()
-          while (line != null && !stopped) {
-            lock.synchronized { buffer += line }
-            line = in.readLine()
+          if (useWs) {
+            // ws:// transport (the reference's actual feed protocol): HTTP
+            // upgrade first — a server that accepts TCP but refuses the
+            // upgrade throws here and takes the normal backoff path (the
+            // reset below is only reached on a COMPLETED handshake)
+            WsFraming.clientHandshake(s.getInputStream, s.getOutputStream,
+              host, port, wsPath, wsRandom)
+            backoff = reconnectMs
+            lastLogged = null
+            // one WS text message = one pushed document (the reference
+            // sends one AIS/CoT JSON per message); embedded newlines split
+            // into rows so message framing and line framing stay equivalent
+            // for downstream parsers, and blank segments are dropped
+            var msg = WsFraming.readMessage(s.getInputStream, s.getOutputStream, wsRandom)
+            while (msg.isDefined && !stopped) {
+              msg.get.split("\n").foreach { l =>
+                if (l.nonEmpty) lock.synchronized { buffer += l }
+              }
+              msg = WsFraming.readMessage(s.getInputStream, s.getOutputStream, wsRandom)
+            }
+            // msg == None: clean close from the server — redial like a drop
+          } else {
+            backoff = reconnectMs // successful dial resets the backoff
+            lastLogged = null // next failure after a live connection logs again
+            val in = new BufferedReader(
+              new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
+            var line = in.readLine()
+            while (line != null && !stopped) {
+              lock.synchronized { buffer += line }
+              line = in.readLine()
+            }
           }
         } catch {
           // dropped, refused, or anything else transient — a pump that dies

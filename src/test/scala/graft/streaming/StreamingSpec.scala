@@ -318,6 +318,87 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  /** Upgrade an accepted raw socket into a WebSocket server connection:
+    * read the client's HTTP request, answer 101 with the derived accept
+    * key (the stub side of `graft.sources.socket.WsFraming`'s client
+    * handshake). After this, unmasked server text frames can be pushed.
+    */
+  private def wsAccept(s: java.net.Socket): Unit = {
+    import graft.sources.socket.WsFraming
+    val headers = WsFraming.readHttpHeaders(s.getInputStream)
+    assert(headers.head.startsWith("GET "), s"not a WS upgrade: ${headers.head}")
+    val key = headers.collectFirst {
+      case h if h.toLowerCase.startsWith("sec-websocket-key:") =>
+        h.substring(h.indexOf(':') + 1).trim
+    }.getOrElse(fail("client sent no Sec-WebSocket-Key"))
+    val out = s.getOutputStream
+    out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+      "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+      s"Sec-WebSocket-Accept: ${WsFraming.acceptKeyFor(key)}\r\n\r\n")
+      .getBytes("US-ASCII"))
+    out.flush()
+  }
+
+  private def pushWsText(s: java.net.Socket, msg: String): Unit =
+    graft.sources.socket.WsFraming.writeFrame(
+      s.getOutputStream, 0x1, msg.getBytes("UTF-8"), None)
+
+  test("S1/S14 over ws://: RFC 6455 handshake + frames drive the keyed merge, reconnect included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, from_json}
+    withPushServer { ps =>
+      def push(s: java.net.Socket, ev: (Long, Long, Long, String, Double)): Unit =
+        pushWsText(s, s"""{"event_id":${ev._1},"tsu":${ev._2},"user_id":${ev._3},"event_type":"${ev._4}","value":${ev._5}}""")
+      val evSchema = org.apache.spark.sql.Encoders.product[KeyedMerge.Ev].schema
+
+      val q = KeyedMerge.latestState(
+        spark.readStream.format("graft-socket")
+          .option("host", "127.0.0.1").option("port", ps.port.toString)
+          .option("protocol", "ws").option("path", "/feed")
+          .load()
+          .select(from_json(col("line"), evSchema).as("ev"))
+          .select(col("ev.*")).as[KeyedMerge.Ev],
+        ttlMicros = None, "1 hour")
+        .writeStream.format("memory").queryName("ws_merge").outputMode("update")
+        .start()
+
+      def awaitUpdates(n: Long, msg: String): Unit = {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var done = false
+        while (!done && System.nanoTime() < deadline) {
+          q.processAllAvailable()
+          val rows = spark.table("ws_merge").as[KeyedMerge.StateOut].collect()
+          if (rows.nonEmpty && rows.map(_.n_updates).max >= n) done = true
+          else Thread.sleep(50)
+        }
+        assert(done, msg)
+      }
+
+      try {
+        val t0 = 6000000000000L
+        val c1 = ps.awaitConnection("source never dialed the ws server")
+        wsAccept(c1)
+        push(c1, (1L, t0, 7L, "click", 1.0))
+        push(c1, (2L, t0 + 1, 7L, "view", 2.0))
+        awaitUpdates(2, "ws frames did not reach the keyed merge")
+
+        c1.close() // mid-stream drop, no close frame — like a dead upstream
+        val c2 = ps.awaitConnection("source did not redial after the ws drop")
+        assert(ps.acceptCount.get >= 2, "reconnect must be a NEW connection")
+        wsAccept(c2) // the redial must re-handshake from scratch
+        push(c2, (3L, t0 + 2, 7L, "error", 9.0))
+        awaitUpdates(3, "post-reconnect ws frame did not reach the keyed merge")
+
+        val last = spark.table("ws_merge").as[KeyedMerge.StateOut].collect()
+          .maxBy(_.n_updates)
+        // state carried across the drop: the error row brings no reading,
+        // so the fill must still be the pre-drop view's 2.0
+        assert(last.event_id === 3L && last.filled === Some(2.0))
+        c2.close()
+      } finally q.stop()
+    }
+  }
+
   test("S2 over S1: jsonais dialect canonicalization composes over the socket transport") {
     import org.apache.spark.sql.functions.col
     // the reference's actual AIS pipeline: socket push feed → 6-dialect
