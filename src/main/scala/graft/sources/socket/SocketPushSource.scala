@@ -41,6 +41,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * HTTP upgrade on connect (`option("path", ...)`, default "/"), one text
   * message per row, pings answered transparently, close/EOF/protocol
   * errors all funneling into the same backoff-and-redial recovery.
+  * `option("subscribe", msg)` sends `msg` after EVERY successful
+  * (re)connect — the reference re-sends its subscription JSON on each
+  * 'open' (`ais-proxy/server.js:286-290`), because a redial without a
+  * re-subscribe receives nothing. `option("pingIntervalMs", n)` (ws
+  * only) sends a client ping after `n` ms of idle — the reference's 30 s
+  * keepalive.
   *
   * Execution model (the public `TextSocketMicroBatchStream` shape): a single
   * driver-side reader thread owns the connection and appends lines to a
@@ -108,7 +114,9 @@ class SocketPushTable(schema: StructType, props: Map[String, String])
             },
             opts.getOrElse("linesperpartition", "10000").toInt,
             opts.getOrElse("protocol", "tcp"),
-            opts.getOrElse("path", "/"))
+            opts.getOrElse("path", "/"),
+            opts.get("subscribe"),
+            opts.getOrElse("pingintervalms", "0").toLong)
       }
     }
   }
@@ -124,7 +132,9 @@ class SocketPushMicroBatchStream(host: String, port: Int,
     maxLinesPerTrigger: Option[Long] = None,
     linesPerPartition: Int = 10000,
     protocol: String = "tcp",
-    wsPath: String = "/") extends MicroBatchStream
+    wsPath: String = "/",
+    subscribe: Option[String] = None,
+    pingIntervalMs: Long = 0) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
 
@@ -138,6 +148,10 @@ class SocketPushMicroBatchStream(host: String, port: Int,
   require(protocol == "tcp" || protocol == "ws",
     s"graft-socket protocol must be 'tcp' or 'ws', got '$protocol'")
   require(wsPath.startsWith("/"), s"graft-socket path must start with '/', got '$wsPath'")
+  require(pingIntervalMs >= 0,
+    s"graft-socket pingIntervalMs must be >= 0, got $pingIntervalMs")
+  require(pingIntervalMs == 0 || protocol == "ws",
+    "graft-socket pingIntervalMs requires protocol=ws (tcp has no ping frame)")
   private val useWs = protocol == "ws"
   // frame-mask randomness for client→server control frames (ws only)
   private lazy val wsRandom = new java.security.SecureRandom()
@@ -174,21 +188,43 @@ class SocketPushMicroBatchStream(host: String, port: Int,
               host, port, wsPath, wsRandom)
             backoff = reconnectMs
             lastLogged = null
+            // subscription goes out after EVERY successful handshake — a
+            // redial without a re-subscribe receives nothing (the
+            // reference re-sends its subscription on each 'open',
+            // ais-proxy/server.js:286-290)
+            subscribe.foreach { sub =>
+              WsFraming.writeFrame(s.getOutputStream, 0x1,
+                sub.getBytes(StandardCharsets.UTF_8), Some(wsRandom))
+            }
+            // keepalive: SO_TIMEOUT + idlePing turns an idle read timeout
+            // at a frame boundary into a client ping (reference pings
+            // every 30 s to hold the upstream open)
+            val idlePing = pingIntervalMs > 0
+            if (idlePing) s.setSoTimeout(pingIntervalMs.toInt)
             // one WS text message = one pushed document (the reference
             // sends one AIS/CoT JSON per message); embedded newlines split
             // into rows so message framing and line framing stay equivalent
             // for downstream parsers, and blank segments are dropped
-            var msg = WsFraming.readMessage(s.getInputStream, s.getOutputStream, wsRandom)
+            var msg = WsFraming.readMessage(s.getInputStream, s.getOutputStream,
+              wsRandom, idlePing)
             while (msg.isDefined && !stopped) {
               msg.get.split("\n").foreach { l =>
                 if (l.nonEmpty) lock.synchronized { buffer += l }
               }
-              msg = WsFraming.readMessage(s.getInputStream, s.getOutputStream, wsRandom)
+              msg = WsFraming.readMessage(s.getInputStream, s.getOutputStream,
+                wsRandom, idlePing)
             }
             // msg == None: clean close from the server — redial like a drop
           } else {
             backoff = reconnectMs // successful dial resets the backoff
             lastLogged = null // next failure after a live connection logs again
+            // tcp subscribe: one line out after every (re)connect — same
+            // re-subscription semantics as the ws path
+            subscribe.foreach { sub =>
+              val w = s.getOutputStream
+              w.write((sub + "\n").getBytes(StandardCharsets.UTF_8))
+              w.flush()
+            }
             val in = new BufferedReader(
               new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
             var line = in.readLine()

@@ -96,12 +96,31 @@ object WsFraming {
     * masked pongs transparently; pongs are ignored. Returns None on a
     * clean close (after echoing a masked close); throws on EOF mid-frame
     * or any protocol violation — the caller's redial path handles both.
+    *
+    * `idlePing = true` turns a read timeout AT A FRAME BOUNDARY (the
+    * socket's SO_TIMEOUT expiring before the next frame's first byte)
+    * into a masked client ping — the reference's 30 s keepalive
+    * (`ais-proxy/server.js:292-296`) — and keeps waiting. A timeout
+    * MID-frame still throws: a peer that stalls inside a frame is dead,
+    * not idle.
     */
-  def readMessage(in: InputStream, out: OutputStream, rnd: SecureRandom): Option[String] = {
+  def readMessage(in: InputStream, out: OutputStream, rnd: SecureRandom,
+      idlePing: Boolean = false): Option[String] = {
     val assembled = new java.io.ByteArrayOutputStream()
     var assembling = false
     while (true) {
-      val b0 = read1(in)
+      val b0 =
+        if (!idlePing) read1(in)
+        else {
+          var first = -1
+          while (first < 0) {
+            try first = read1(in)
+            catch { case _: java.net.SocketTimeoutException =>
+              writeFrame(out, 0x9, Array.emptyByteArray, Some(rnd))
+            }
+          }
+          first
+        }
       val fin = (b0 & 0x80) != 0
       if ((b0 & 0x70) != 0)
         throw new IOException(f"RSV bits set (0x$b0%02x) with no extension negotiated")
@@ -175,6 +194,27 @@ object WsFraming {
   /** Unmask a client frame's payload in place — stub-server side. */
   def unmask(payload: Array[Byte], mask: Array[Byte]): Array[Byte] =
     payload.zipWithIndex.map { case (b, i) => (b ^ mask(i % 4)).toByte }
+
+  /** Stub-server side: read ONE client frame, enforce the client-must-mask
+    * rule (RFC 6455 §5.3), and return (opcode, unmasked payload). Single
+    * frame only — this codec's client never fragments.
+    */
+  def readClientFrame(in: InputStream): (Int, Array[Byte]) = {
+    val b0 = read1(in)
+    val b1 = read1(in)
+    if ((b1 & 0x80) == 0)
+      throw new IOException("client frame must be masked (RFC 6455 section 5.3)")
+    val len7 = b1 & 0x7f
+    val len: Long = len7 match {
+      case 126 => ((read1(in).toLong << 8) | read1(in)) & 0xffffL
+      case 127 => (0 until 8).foldLeft(0L)((acc, _) => (acc << 8) | read1(in))
+      case n => n.toLong
+    }
+    if (len > MaxFramePayload)
+      throw new IOException(s"client frame payload $len exceeds cap $MaxFramePayload")
+    val mask = readN(in, 4)
+    (b0 & 0x0f, unmask(readN(in, len.toInt), mask))
+  }
 
   private def read1(in: InputStream): Int = {
     val b = in.read()

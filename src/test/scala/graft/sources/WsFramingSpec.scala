@@ -121,6 +121,48 @@ class WsFramingSpec extends AnyFunSuite {
       "payload")
   }
 
+  test("readClientFrame enforces masking and round-trips writeFrame(masked)") {
+    val out = new ByteArrayOutputStream()
+    WsFraming.writeFrame(out, 0x1, "subscribe-me".getBytes(StandardCharsets.UTF_8), Some(rnd))
+    val (opcode, payload) = WsFraming.readClientFrame(new ByteArrayInputStream(out.toByteArray))
+    assert(opcode === 0x1)
+    assert(new String(payload, StandardCharsets.UTF_8) === "subscribe-me")
+    // an unmasked frame must be rejected on the server side
+    intercept[IOException] {
+      WsFraming.readClientFrame(serverFrames(
+        rawFrame(fin = true, 0x1, "bare".getBytes(StandardCharsets.UTF_8))))
+    }
+  }
+
+  test("idlePing: a read timeout at a frame boundary emits a masked ping and keeps reading") {
+    // stream that times out twice before serving a complete text frame
+    val frame = rawFrame(fin = true, 0x1, "late".getBytes(StandardCharsets.UTF_8))
+    val in = new java.io.InputStream {
+      private var timeouts = 2
+      private var i = 0
+      override def read(): Int = {
+        if (timeouts > 0) { timeouts -= 1; throw new java.net.SocketTimeoutException("idle") }
+        if (i < frame.length) { i += 1; frame(i - 1) & 0xff } else -1
+      }
+    }
+    val out = new ByteArrayOutputStream()
+    assert(WsFraming.readMessage(in, out, rnd, idlePing = true) === Some("late"))
+    // two pings went out: each FIN+0x9, masked, empty payload (2+4 bytes)
+    val sent = out.toByteArray
+    assert(sent.length === 12, s"expected two 6-byte masked pings, got ${sent.length} bytes")
+    Seq(0, 6).foreach { off =>
+      assert((sent(off) & 0xff) === 0x89, "keepalive must be a FIN ping")
+      assert((sent(off + 1) & 0xff) === 0x80, "keepalive must be masked with empty payload")
+    }
+    // ...and WITHOUT idlePing the timeout propagates (dead-peer path)
+    val in2 = new java.io.InputStream {
+      override def read(): Int = throw new java.net.SocketTimeoutException("idle")
+    }
+    intercept[java.net.SocketTimeoutException] {
+      WsFraming.readMessage(in2, new ByteArrayOutputStream(), rnd)
+    }
+  }
+
   test("client handshake: well-formed upgrade request; refusal and bad accept key throw") {
     // request shape: capture what the client writes (EOF on the empty
     // response stream is expected and proves the request precedes any read)

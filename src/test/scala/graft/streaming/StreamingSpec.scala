@@ -355,6 +355,7 @@ class StreamingSpec extends SparkSpec {
         spark.readStream.format("graft-socket")
           .option("host", "127.0.0.1").option("port", ps.port.toString)
           .option("protocol", "ws").option("path", "/feed")
+          .option("subscribe", """{"bbox":[[-48,166],[-34,179]]}""")
           .load()
           .select(from_json(col("line"), evSchema).as("ev"))
           .select(col("ev.*")).as[KeyedMerge.Ev],
@@ -374,10 +375,21 @@ class StreamingSpec extends SparkSpec {
         assert(done, msg)
       }
 
+      // after each accept+handshake the client must SUBSCRIBE before the
+      // server pushes anything — a redial that skips the re-subscribe
+      // would receive nothing on a real feed
+      def expectSubscribe(c: java.net.Socket, when: String): Unit = {
+        val (opcode, payload) = graft.sources.socket.WsFraming.readClientFrame(c.getInputStream)
+        assert(opcode === 0x1, s"$when: subscription must be a text frame")
+        assert(new String(payload, "UTF-8") === """{"bbox":[[-48,166],[-34,179]]}""",
+          s"$when: wrong subscription payload")
+      }
+
       try {
         val t0 = 6000000000000L
         val c1 = ps.awaitConnection("source never dialed the ws server")
         wsAccept(c1)
+        expectSubscribe(c1, "initial connect")
         push(c1, (1L, t0, 7L, "click", 1.0))
         push(c1, (2L, t0 + 1, 7L, "view", 2.0))
         awaitUpdates(2, "ws frames did not reach the keyed merge")
@@ -386,6 +398,7 @@ class StreamingSpec extends SparkSpec {
         val c2 = ps.awaitConnection("source did not redial after the ws drop")
         assert(ps.acceptCount.get >= 2, "reconnect must be a NEW connection")
         wsAccept(c2) // the redial must re-handshake from scratch
+        expectSubscribe(c2, "reconnect") // ...and re-subscribe from scratch
         push(c2, (3L, t0 + 2, 7L, "error", 9.0))
         awaitUpdates(3, "post-reconnect ws frame did not reach the keyed merge")
 
