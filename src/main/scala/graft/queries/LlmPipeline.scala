@@ -23,6 +23,9 @@ import graft.functions.{Sketches, Skew, TextFunctions}
   *  - L11 IVF coarse-quantized ANN (the data-adaptive
   *       scale path: broadcast codebook, cell-keyed
   *       candidate join, NProbe recall dial)         → q70
+  *  - embedding-cosine near-dup dedup (the brief's
+  *       fifth dedup modality: banded candidates →
+  *       exact-cosine verify → min-id survivor)      → q72
   *
   * Oracle-parity design: every hash is the md5-prefix BIGINT, every float
   * reduction a fixed-order term list (see [[graft.functions.Sketches]]) —
@@ -63,6 +66,14 @@ object LlmPipeline {
     * proves the guard non-binding; a 100 TB run tunes it down (10²–10³).
     */
   private val HotBucketCap = 10000L
+
+  /** Cosine threshold for q72's embedding near-dup verify. The fixtures
+    * are uniformly random unit-ish vectors (pairwise cosine ~N(0, 1/√64),
+    * max observed ≈ 0.51), so 0.3 admits the genuine upper tail — the
+    * point is the operator's semantics and shape; a real embedding corpus
+    * runs this at 0.9+.
+    */
+  private val NearDupTau = 0.3
 
   /** L1: exact-duplicate clustering by content fingerprint. Every row keeps
     * its cluster size and whether it is the canonical (min-id) survivor —
@@ -586,6 +597,72 @@ object LlmPipeline {
           WHERE rank <= $TopK ORDER BY q_id, rank"""
       })
 
-    Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q67, q70)
+    /* Embedding-cosine near-dup dedup — the fifth dedup modality of the
+     * brief (after exact, MinHash-LSH, SimHash, n-gram Jaccard): banded
+     * 16-bit-signature candidates (q67's generation, hot-bucket guard
+     * included) verified by EXACT cosine >= NearDupTau, then the same
+     * min-id-survivor policy as q33/q34 applied in embedding space —
+     * each vector's dup_of is its lowest-id near-duplicate with a
+     * smaller id, NULL marking the survivor. Single-pass assignment, not
+     * transitive-closure clustering: at 100 TB the iterative union-find
+     * is a driver-side orchestration of exactly this candidate+verify
+     * kernel, so the kernel is the operator. Ids-only ride the band and
+     * pair shuffles; embeddings re-join by id for the verify. */
+    val q72 = GraftQuery(
+      "q72_embed_neardup", "L7 L2 J9",
+      (s, d) => {
+        val emb = CacheScope.tracked(Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            Sketches.norm(col("embedding"), Dims).as("nrm")))
+        val sigs = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            Sketches.hyperplaneSigN(col("embedding"), Dims, 16).as("sig"))
+        val bands = Skew.dropHotBuckets(
+          sigs.select(col("vec_id"),
+            posexplode(array(col("sig").bitwiseAND(lit(255L)),
+              shiftright(col("sig"), 8).bitwiseAND(lit(255L)))).as(Seq("bi", "bv"))),
+          Seq("bi", "bv"), HotBucketCap)
+        val cand = bands
+          .join(bands.select(col("vec_id").as("b_id"), col("bi"), col("bv")),
+            Seq("bi", "bv"))
+          .filter(col("vec_id") < col("b_id"))
+          .select(col("vec_id").as("a_id"), col("b_id")).distinct()
+        val dup = cand
+          .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+            col("nrm").as("an")), Seq("a_id"))
+          .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+            col("nrm").as("bn")), Seq("b_id"))
+          .withColumn("cos", Sketches.cosineFromParts(
+            Sketches.dot(col("ae"), col("be"), Dims), col("an"), col("bn")))
+          .filter(col("cos") >= NearDupTau)
+          .groupBy(col("b_id"))
+          .agg(min(col("a_id")).as("dup_of"))
+        Tables.embeddings(s, d).select(col("vec_id"))
+          .join(dup, col("vec_id") === col("b_id"), "left")
+          .select(col("vec_id"), col("dup_of"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val sig = Sketches.hyperplaneSigNSql("embedding", Dims, 16)
+        val cos = Sketches.cosineSql(
+          Sketches.dotSql("x.embedding", "y.embedding", Dims),
+          Sketches.normSql("x.embedding", Dims),
+          Sketches.normSql("y.embedding", Dims))
+        s"""WITH e AS (SELECT vec_id, embedding, $sig AS sig FROM embeddings),
+          bd AS (SELECT vec_id, UNNEST([sig & 255, (sig >> 8) & 255]) AS bv,
+                   UNNEST([0, 1]) AS bi FROM e),
+          cand AS (SELECT DISTINCT a.vec_id AS a_id, c.vec_id AS b_id
+            FROM bd a JOIN bd c ON a.bi = c.bi AND a.bv = c.bv
+              AND a.vec_id < c.vec_id),
+          dup AS (SELECT b_id, MIN(a_id) AS dup_of FROM cand
+            JOIN e x ON x.vec_id = cand.a_id
+            JOIN e y ON y.vec_id = cand.b_id
+            WHERE $cos >= $NearDupTau GROUP BY b_id)
+          SELECT e.vec_id, dup.dup_of FROM e
+          LEFT JOIN dup ON dup.b_id = e.vec_id
+          ORDER BY e.vec_id"""
+      })
+
+    Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q67, q70, q72)
   }
 }
