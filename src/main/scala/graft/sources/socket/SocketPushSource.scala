@@ -46,7 +46,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * 'open' (`ais-proxy/server.js:286-290`), because a redial without a
   * re-subscribe receives nothing. `option("pingIntervalMs", n)` (ws
   * only) sends a client ping after `n` ms of idle — the reference's 30 s
-  * keepalive.
+  * keepalive. Reconnect policy mirrors the reference's close handler
+  * (`ais-proxy/server.js:330-350`): close codes 1000/1008 (normal /
+  * auth) end the pump for good instead of redialing, and
+  * `option("maxReconnectAttempts", n)` bounds consecutive failed dials
+  * (0 = retry forever, the long-lived-job default).
   *
   * Execution model (the public `TextSocketMicroBatchStream` shape): a single
   * driver-side reader thread owns the connection and appends lines to a
@@ -116,7 +120,8 @@ class SocketPushTable(schema: StructType, props: Map[String, String])
             opts.getOrElse("protocol", "tcp"),
             opts.getOrElse("path", "/"),
             opts.get("subscribe"),
-            opts.getOrElse("pingintervalms", "0").toLong)
+            opts.getOrElse("pingintervalms", "0").toLong,
+            opts.getOrElse("maxreconnectattempts", "0").toInt)
       }
     }
   }
@@ -134,7 +139,8 @@ class SocketPushMicroBatchStream(host: String, port: Int,
     protocol: String = "tcp",
     wsPath: String = "/",
     subscribe: Option[String] = None,
-    pingIntervalMs: Long = 0) extends MicroBatchStream
+    pingIntervalMs: Long = 0,
+    maxReconnectAttempts: Int = 0) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
 
@@ -152,7 +158,18 @@ class SocketPushMicroBatchStream(host: String, port: Int,
     s"graft-socket pingIntervalMs must be >= 0, got $pingIntervalMs")
   require(pingIntervalMs == 0 || protocol == "ws",
     "graft-socket pingIntervalMs requires protocol=ws (tcp has no ping frame)")
+  require(maxReconnectAttempts >= 0,
+    s"graft-socket maxReconnectAttempts must be >= 0 (0 = unlimited), got $maxReconnectAttempts")
   private val useWs = protocol == "ws"
+
+  /** Close codes after which the pump does NOT redial: 1000 (normal
+    * closure) and 1008 (policy violation — auth rejection in practice).
+    * The reference applies exactly this policy
+    * (`ais-proxy/server.js:333-337`: "closed normally or due to auth
+    * error, not reconnecting") — hammering a server that deliberately
+    * ended the stream is wrong at any scale.
+    */
+  private val FinalCloseCodes = Set(1000, 1008)
   // frame-mask randomness for client→server control frames (ws only)
   private lazy val wsRandom = new java.security.SecureRandom()
 
@@ -171,8 +188,12 @@ class SocketPushMicroBatchStream(host: String, port: Int,
   private val reader = new Thread(s"graft-socket-$host:$port") {
     override def run(): Unit = {
       var backoff = reconnectMs
+      // consecutive cycles without a completed connect (dial or handshake
+      // failure); reset on success, like the reference's reconnectAttempts
+      var attempts = 0
       var lastLogged: String = null
       while (!stopped) {
+        var connected = false
         try {
           val s = new Socket(host, port)
           currentSocket = s
@@ -186,6 +207,7 @@ class SocketPushMicroBatchStream(host: String, port: Int,
             // reset below is only reached on a COMPLETED handshake)
             WsFraming.clientHandshake(s.getInputStream, s.getOutputStream,
               host, port, wsPath, wsRandom)
+            connected = true; attempts = 0
             backoff = reconnectMs
             lastLogged = null
             // subscription goes out after EVERY successful handshake — a
@@ -205,17 +227,28 @@ class SocketPushMicroBatchStream(host: String, port: Int,
             // sends one AIS/CoT JSON per message); embedded newlines split
             // into rows so message framing and line framing stay equivalent
             // for downstream parsers, and blank segments are dropped
-            var msg = WsFraming.readMessage(s.getInputStream, s.getOutputStream,
-              wsRandom, idlePing)
-            while (msg.isDefined && !stopped) {
-              msg.get.split("\n").foreach { l =>
-                if (l.nonEmpty) lock.synchronized { buffer += l }
+            var live = true
+            while (live && !stopped) {
+              WsFraming.readEvent(s.getInputStream, s.getOutputStream,
+                  wsRandom, idlePing) match {
+                case WsFraming.WsText(m) =>
+                  m.split("\n").foreach { l =>
+                    if (l.nonEmpty) lock.synchronized { buffer += l }
+                  }
+                case WsFraming.WsClosed(code) if code.exists(FinalCloseCodes) =>
+                  // deliberate closure (normal end-of-stream or auth
+                  // rejection): redialing would hammer a server that chose
+                  // to end the stream — pump ends for good; buffered lines
+                  // stay drainable by later micro-batches
+                  System.err.println(s"[graft-socket] $host:$port closed the " +
+                    s"stream (code ${code.get}) — not reconnecting")
+                  return
+                case WsFraming.WsClosed(_) =>
+                  live = false // transient close — redial like a drop
               }
-              msg = WsFraming.readMessage(s.getInputStream, s.getOutputStream,
-                wsRandom, idlePing)
             }
-            // msg == None: clean close from the server — redial like a drop
           } else {
+            connected = true; attempts = 0
             backoff = reconnectMs // successful dial resets the backoff
             lastLogged = null // next failure after a live connection logs again
             // tcp subscribe: one line out after every (re)connect — same
@@ -253,6 +286,17 @@ class SocketPushMicroBatchStream(host: String, port: Int,
           if (s != null) { try s.close() catch { case _: java.io.IOException => () } }
         }
         if (!stopped) {
+          if (!connected) {
+            attempts += 1
+            if (maxReconnectAttempts > 0 && attempts >= maxReconnectAttempts) {
+              // the reference gives up after MAX_RECONNECT_ATTEMPTS
+              // (ais-proxy/server.js:252,346-350); 0 keeps the default
+              // retry-forever behavior for long-lived jobs
+              System.err.println(s"[graft-socket] $host:$port unreachable after " +
+                s"$attempts attempts — giving up")
+              return
+            }
+          }
           try Thread.sleep(backoff) catch { case _: InterruptedException => () }
           backoff = math.min(backoff * 2, maxReconnectMs)
         }
@@ -261,6 +305,11 @@ class SocketPushMicroBatchStream(host: String, port: Int,
   }
   reader.setDaemon(true)
   reader.start()
+
+  /** Spec hook: whether the pump thread is still running (false after a
+    * deliberate-close halt, a reconnect-budget exhaustion, or stop()).
+    */
+  private[socket] def readerAlive: Boolean = reader.isAlive
 
   override def initialOffset(): Offset = SocketOffset(0L)
   override def deserializeOffset(json: String): Offset = SocketOffset(json.trim.toLong)

@@ -91,11 +91,31 @@ object WsFraming {
     */
   val MaxFramePayload: Long = 16L * 1024 * 1024
 
+  /** Message-level events [[readEvent]] can yield: one complete text
+    * message, or the peer's close (with its status code when the close
+    * frame carried one — the caller uses it to distinguish deliberate
+    * closure from a transient drop).
+    */
+  sealed trait WsEvent
+  case class WsText(msg: String) extends WsEvent
+  case class WsClosed(code: Option[Int]) extends WsEvent
+
+  /** [[readEvent]] with closes collapsed to None — the transient-drop-only
+    * view for callers that treat every close as a redial.
+    */
+  def readMessage(in: InputStream, out: OutputStream, rnd: SecureRandom,
+      idlePing: Boolean = false): Option[String] =
+    readEvent(in, out, rnd, idlePing) match {
+      case WsText(m) => Some(m)
+      case WsClosed(_) => None
+    }
+
   /** Read frames until one complete text (or binary, decoded lossily as
     * UTF-8) message is assembled. Interleaved pings are answered with
-    * masked pongs transparently; pongs are ignored. Returns None on a
-    * clean close (after echoing a masked close); throws on EOF mid-frame
-    * or any protocol violation — the caller's redial path handles both.
+    * masked pongs transparently; pongs are ignored. A close frame is
+    * echoed (masked) and returned as [[WsClosed]] with its status code;
+    * EOF mid-frame and protocol violations throw — the caller's redial
+    * path handles those.
     *
     * `idlePing = true` turns a read timeout AT A FRAME BOUNDARY (the
     * socket's SO_TIMEOUT expiring before the next frame's first byte)
@@ -104,8 +124,8 @@ object WsFraming {
     * MID-frame still throws: a peer that stalls inside a frame is dead,
     * not idle.
     */
-  def readMessage(in: InputStream, out: OutputStream, rnd: SecureRandom,
-      idlePing: Boolean = false): Option[String] = {
+  def readEvent(in: InputStream, out: OutputStream, rnd: SecureRandom,
+      idlePing: Boolean = false): WsEvent = {
     val assembled = new java.io.ByteArrayOutputStream()
     var assembling = false
     while (true) {
@@ -141,23 +161,26 @@ object WsFraming {
         case 0x1 | 0x2 => // text / binary: first fragment of a message
           if (assembling)
             throw new IOException("new data frame while a fragmented message is open")
-          if (fin) return Some(new String(payload, StandardCharsets.UTF_8))
+          if (fin) return WsText(new String(payload, StandardCharsets.UTF_8))
           assembled.write(payload); assembling = true
         case 0x0 => // continuation
           if (!assembling)
             throw new IOException("continuation frame with no message open")
           assembled.write(payload)
-          if (fin) return Some(new String(assembled.toByteArray, StandardCharsets.UTF_8))
+          if (fin) return WsText(new String(assembled.toByteArray, StandardCharsets.UTF_8))
         case 0x8 => // close: echo (masked — we are the client) and finish
           try writeFrame(out, 0x8, payload.take(125), Some(rnd))
           catch { case _: IOException => () } // peer may already be gone
-          return None
+          return WsClosed(
+            if (payload.length >= 2)
+              Some(((payload(0) & 0xff) << 8) | (payload(1) & 0xff))
+            else None)
         case 0x9 => writeFrame(out, 0xA, payload, Some(rnd)) // ping → pong
         case 0xA => () // unsolicited pong — keepalive noise, ignore
         case other => throw new IOException(f"unsupported opcode 0x$other%x")
       }
     }
-    None // unreachable
+    WsClosed(None) // unreachable
   }
 
   /** Write one FIN frame. `maskWith = Some(rnd)` produces a client frame
