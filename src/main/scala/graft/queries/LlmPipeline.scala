@@ -609,7 +609,7 @@ object LlmPipeline {
      * kernel, so the kernel is the operator. Ids-only ride the band and
      * pair shuffles; embeddings re-join by id for the verify. */
     val q72 = GraftQuery(
-      "q72_embed_neardup", "L7 L2 J9",
+      "q72_embed_neardup", "L13 L7 J9",
       (s, d) => {
         val emb = CacheScope.tracked(Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding"),
