@@ -218,6 +218,18 @@ object Bench {
     // evidence (counters + t_start gaps) is in bench_full.json
     val suspectExtra = if (coldSuspects == "[]") "" else s""","cold_stall_suspects":$coldSuspects"""
     val totalsExtra = s""","cold_total":${num(total, 2)},"best_total":${num(bestTotal, 2)}"""
+    // short-key fallback: at 72 queries the full-name dp1 map alone is
+    // ~1900 chars (measured 1902 on the first 72-query run — it no longer
+    // fits), so before surrendering the per-query map entirely, emit it
+    // under the unique "qNN" prefixes at full precision WITH all extras
+    // (~920 chars): every per-query value survives, and the full names are
+    // recoverable from the prefix (bench_full.json carries them verbatim)
+    def lineShort(extras: String): String =
+      s"""{"metric":"steady_total","value":${num(steadyTotal, 2)},"unit":"sec","queries":${json(results.map(r => r.name.takeWhile(_ != '_') -> r.steady), 2)}$extras,"sf":$sfNum}"""
+    // a future qNN prefix collision would emit duplicate JSON keys — in
+    // that case the short rungs drop out rather than corrupt the line
+    val shortKeysUnique =
+      results.map(_.name.takeWhile(_ != '_')).distinct.size == results.size
     val candidates = Seq(
       line(2, s"""$totalsExtra,"seed":$seed$suspectExtra"""),
       // a stall flag outranks centisecond precision: a reader grading the
@@ -226,9 +238,11 @@ object Bench {
       line(1, s"""$totalsExtra,"seed":$seed$suspectExtra"""),
       line(2, totalsExtra),
       line(1, totalsExtra),
-      line(1, s""","cold_total":${num(total, 2)}"""),
-      line(2, ""),
-      line(1, ""),
+      line(1, "")) ++
+      (if (shortKeysUnique)
+        Seq(lineShort(s"""$totalsExtra,"seed":$seed$suspectExtra"""),
+          lineShort(totalsExtra))
+      else Seq.empty) ++ Seq(
       s"""{"metric":"steady_total","value":${num(steadyTotal, 2)},"unit":"sec","cold_total":${num(total, 2)},"best_total":${num(bestTotal, 2)},"sf":$sfNum}""")
     // stop() before the final line so no shutdown logging can land after
     // it in the merged stream — but guarded: a throwing shutdown listener
