@@ -26,6 +26,14 @@ import graft.functions.{Sketches, Skew, TextFunctions}
   *  - embedding-cosine near-dup dedup (the brief's
   *       fifth dedup modality: banded candidates →
   *       exact-cosine verify → min-id survivor)      → q72
+  *  - L14 deterministic stratified split (salted id
+  *       hash → train/val/test, per-stratum report)  → q73
+  *  - L15 token-budget sequence packing (sharded
+  *       contiguous fill, no global window)          → q74
+  *  - L16 repetition/boilerplate filters (C4/Gopher
+  *       dup-2-gram ratio + top-word fraction)       → q75
+  *  - L17 benchmark decontamination (n-gram overlap
+  *       vs a broadcast eval set)                    → q76
   *
   * Oracle-parity design: every hash is the md5-prefix BIGINT, every float
   * reduction a fixed-order term list (see [[graft.functions.Sketches]]) —
@@ -66,6 +74,23 @@ object LlmPipeline {
     * proves the guard non-binding; a 100 TB run tunes it down (10²–10³).
     */
   private val HotBucketCap = 10000L
+
+  /** q73: deterministic hash-split fractions (train/val/test = 80/10/10)
+    * and the salt that decorrelates the split hash from the content
+    * fingerprints (L1) and shard hash (q74) — the standard trick so that
+    * re-running dedup or resharding never migrates documents across
+    * splits.
+    */
+  private val TrainPct = 80
+  private val ValPct = 10
+
+  /** q74: contiguous-fill sequence packing — shard count and per-window
+    * token budget. At 100 TB PackShards scales with the corpus (it is the
+    * unit of parallelism AND the bound on any per-key sort), while the
+    * budget is the model's context length.
+    */
+  private val PackShards = 8
+  private val PackBudget = 512
 
   /** Cosine threshold for q72's embedding near-dup verify. The fixtures
     * are uniformly random unit-ish vectors (pairwise cosine ~N(0, 1/√64),
@@ -663,6 +688,177 @@ object LlmPipeline {
           ORDER BY e.vec_id"""
       })
 
-    Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q67, q70, q72)
+    /* L14: deterministic stratified train/val/test split. Assignment is a
+     * pure map-side hash of the document ID (salted, so it is independent
+     * of the content fingerprint and the q74 shard hash): h mod 100 →
+     * 80/10/10. No shuffle to ASSIGN — the only shuffle is the reporting
+     * aggregate, and the per-stratum fraction is a window over the
+     * ALREADY-AGGREGATED frame (|langs|×3 rows), never over documents.
+     * This is the split you can re-derive on any engine, any partitioning,
+     * any day — membership is a function of the id alone, which is what
+     * makes held-out sets stable across pipeline re-runs at 100 TB. */
+    val q73 = GraftQuery(
+      "q73_stratified_split", "L14",
+      (s, d) => {
+        val h = pmod(TextFunctions.md5Fingerprint(
+          concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+        val assigned = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            when(h < TrainPct, "train")
+              .when(h < TrainPct + ValPct, "val")
+              .otherwise("test").as("split"))
+        val counts = assigned.groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"))
+        counts
+          .withColumn("stratum_frac", col("n_docs").cast("double") /
+            sum(col("n_docs")).over(Window.partitionBy(col("lang"))).cast("double"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some {
+        val h = TextFunctions.md5FingerprintSql("'split:' || CAST(doc_id AS VARCHAR)")
+        s"""WITH a AS (SELECT doc_id, lang,
+            CASE WHEN $h % 100 < $TrainPct THEN 'train'
+                 WHEN $h % 100 < ${TrainPct + ValPct} THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents),
+          c AS (SELECT lang, split, COUNT(*) AS n_docs FROM a GROUP BY 1, 2)
+          SELECT lang, split, n_docs,
+            CAST(n_docs AS DOUBLE) /
+              CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS stratum_frac
+          FROM c ORDER BY lang, split"""
+      })
+
+    /* L15: token-budget sequence packing (contiguous fill). Documents are
+     * hash-sharded, ordered by id within the shard, and a document lands
+     * in the bin where its FIRST token falls in the shard's contiguous
+     * token stream (exclusive prefix sum div budget) — the deterministic
+     * packing used to build fixed-context training batches. The window is
+     * partitioned by shard, so the per-key sort is bounded by corpus/
+     * PackShards and the shard count is the scale dial — there is no
+     * global window (the O4 rule). Greedy first-fit bin packing is
+     * order-dependent by nature; fixing the order to (shard, doc_id) is
+     * what makes it both distributable and reproducible. */
+    val q74 = GraftQuery(
+      "q74_token_packing", "L15 L9",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(
+          col("doc_id"),
+          pmod(TextFunctions.md5Fingerprint(
+            concat(lit("shard:"), col("doc_id").cast("string"))), lit(PackShards.toLong)).as("shard"),
+          TextFunctions.tokenCountBpeIsh(col("text")).cast("long").as("tokens"))
+        val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs
+          .withColumn("cum", sum(col("tokens")).over(w))
+          .withColumn("bin", floor((col("cum") - col("tokens")) / lit(PackBudget.toDouble)))
+          .groupBy(col("shard"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("bin_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy(col("shard"), col("bin"))
+      },
+      Some {
+        val h = TextFunctions.md5FingerprintSql("'shard:' || CAST(doc_id AS VARCHAR)")
+        s"""WITH t AS (SELECT doc_id, $h % $PackShards AS shard,
+            len(regexp_extract_all(text, '${TextFunctions.BpeIshPattern}')) AS tokens
+          FROM documents),
+          c AS (SELECT *, CAST(SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
+          SELECT shard, CAST(FLOOR((cum - tokens) / $PackBudget.0) AS BIGINT) AS bin,
+            COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS bin_tokens,
+            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+          FROM c GROUP BY 1, 2 ORDER BY shard, bin"""
+      })
+
+    /* L16: repetition/boilerplate quality filters — the C4/Gopher rules:
+     * duplicate-2-gram ratio (how much of the document is the same phrase
+     * repeated) and top-word fraction (machine-generated and boilerplate
+     * pages are dominated by one token), plus a minimum word count. All
+     * relational: ONE posexplode of the word stream feeds both the 2-gram
+     * window (partitioned by doc_id — bounded sort, the shingleRows shape)
+     * and the word-frequency aggregate; no array lambdas in the hot path.
+     * The thresholds are the published C4/Gopher ballpark; the output
+     * carries the raw ratios so a 100 TB run re-tunes them by filtering,
+     * not recomputing. */
+    val q75 = GraftQuery(
+      "q75_repetition_filter", "L16 L9",
+      (s, d) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val words = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(Sketches.words(col("text"))).as(Seq("pos", "w0")))
+        val gstats = words
+          .withColumn("gram", concat(col("w0"), lit(" "), lead(col("w0"), 1).over(w)))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"), countDistinct(col("gram")).as("dist2"))
+        val wstats = words.groupBy(col("doc_id"), col("w0")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("maxc"))
+        val top = col("maxc").cast("double") / col("n_words").cast("double")
+        val dup = when(col("n_words") >= 2,
+          lit(1.0) - col("dist2").cast("double") / (col("n_words") - 1).cast("double"))
+          .otherwise(lit(0.0))
+        gstats.join(wstats, Seq("doc_id"))
+          .select(col("doc_id"), col("n_words"), top.as("top_frac"), dup.as("dup2_ratio"))
+          .withColumn("keep",
+            col("n_words") >= 10 && col("top_frac") <= 0.2 && col("dup2_ratio") <= 0.3)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val ws = Sketches.wordsSql("text")
+        s"""WITH a AS (SELECT doc_id, $ws AS ws FROM documents),
+          g AS (SELECT doc_id, len(ws) AS n_words,
+              len(list_distinct(list_transform(generate_series(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i + 1]))) AS dist2 FROM a),
+          wc AS (SELECT doc_id, word, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(ws) AS word FROM a) GROUP BY 1, 2),
+          mx AS (SELECT doc_id, MAX(c) AS maxc FROM wc GROUP BY 1),
+          r AS (SELECT g.doc_id, n_words,
+              CAST(maxc AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_frac,
+              CASE WHEN n_words >= 2
+                THEN 1.0e0 - CAST(dist2 AS DOUBLE) / CAST(n_words - 1 AS DOUBLE)
+                ELSE 0.0e0 END AS dup2_ratio
+            FROM g JOIN mx ON mx.doc_id = g.doc_id)
+          SELECT doc_id, n_words, top_frac, dup2_ratio,
+            (n_words >= 10 AND top_frac <= 0.2e0 AND dup2_ratio <= 0.3e0) AS keep
+          FROM r ORDER BY doc_id"""
+      })
+
+    /* L17: benchmark decontamination — find training documents sharing any
+     * word n-gram with a held-out evaluation set (the standard pretraining
+     * decontamination kernel; production uses 8-13-gram windows, scaled to
+     * 3 here for the fixtures' ~50-word documents). The eval set is tiny
+     * relative to the corpus BY CONSTRUCTION (benchmarks are fixed-size;
+     * here every 97th doc id), so its distinct gram fingerprints BROADCAST
+     * and the corpus is filtered map-side — the 100 TB shape: the corpus
+     * never shuffles, and the join key is an 8-byte md5-prefix fingerprint
+     * rather than the gram string. Reuses q35's relational shingle frame. */
+    val q76 = GraftQuery(
+      "q76_decontaminate", "L17 L3",
+      (s, d) => {
+        val grams = shingleRows(s, d)
+          .select(col("doc_id"), TextFunctions.md5Fingerprint(col("s")).as("g"))
+        val ev = grams.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("eval_id"), col("g"))
+        grams.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(ev), Seq("g"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("eval_id")).as("eval_hits"),
+            countDistinct(col("g")).as("gram_hits"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val shed = Sketches.shinglesSql("text", ShingleN)
+        val fp = TextFunctions.md5FingerprintSql("s")
+        s"""WITH sh AS (SELECT doc_id, unnest(s) AS s FROM
+            (SELECT doc_id, $shed AS s FROM documents)),
+          h AS (SELECT doc_id, $fp AS g FROM sh),
+          ev AS (SELECT doc_id AS eval_id, g FROM h WHERE doc_id % 97 = 0),
+          tr AS (SELECT doc_id, g FROM h WHERE doc_id % 97 <> 0)
+          SELECT tr.doc_id, COUNT(DISTINCT eval_id) AS eval_hits,
+            COUNT(DISTINCT tr.g) AS gram_hits
+          FROM tr JOIN ev ON ev.g = tr.g
+          GROUP BY 1 ORDER BY doc_id"""
+      })
+
+    Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q67, q70, q72, q73, q74,
+      q75, q76)
   }
 }
