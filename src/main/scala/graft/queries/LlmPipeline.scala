@@ -34,6 +34,8 @@ import graft.functions.{Sketches, Skew, TextFunctions}
   *       dup-2-gram ratio + top-word fraction)       → q75
   *  - L17 benchmark decontamination (n-gram overlap
   *       vs a broadcast eval set)                    → q76
+  *  - L18 mixture resampling to target weights
+  *       (downsample-only, hash-deterministic)       → q77
   *
   * Oracle-parity design: every hash is the md5-prefix BIGINT, every float
   * reduction a fixed-order term list (see [[graft.functions.Sketches]]) —
@@ -91,6 +93,15 @@ object LlmPipeline {
     */
   private val PackShards = 8
   private val PackBudget = 512
+
+  /** q77: target mixture weights per language (must cover every lang in
+    * the corpus; a production run derives them from the data card). The
+    * binding stratum (largest n/weight deficit) keeps its full count and
+    * every other stratum downsamples to match — downsample-only mixing,
+    * never upsampling.
+    */
+  private val MixtureWeights: Seq[(String, Double)] =
+    Seq("de" -> 0.15, "en" -> 0.4, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
 
   /** Cosine threshold for q72's embedding near-dup verify. The fixtures
     * are uniformly random unit-ish vectors (pairwise cosine ~N(0, 1/√64),
@@ -858,7 +869,66 @@ object LlmPipeline {
           GROUP BY 1 ORDER BY doc_id"""
       })
 
+    /* L18: deterministic mixture resampling — downsample each language
+     * stratum so the surviving corpus matches target mixture weights (the
+     * Pile/Dolma-style mixing step). The per-stratum acceptance threshold
+     * is derived from the observed counts (tiny aggregate, broadcast back
+     * onto the corpus), and membership is the same salted id-hash trick as
+     * q73 — a document's fate is a function of its id and the weight
+     * table alone, so the mix is reproducible and composes with dedup/
+     * split re-runs. Corpus passes are all map-side (filter against a
+     * broadcast threshold row); the only shuffles are the |langs|-row
+     * aggregates. Downsample-only: the binding stratum (largest n/weight
+     * deficit) keeps every row, everyone else thins to match. */
+    val q77 = GraftQuery(
+      "q77_mixture_resample", "L18 L14",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        val weights = MixtureWeights.toDF("lang", "tw")
+        val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .join(weights, Seq("lang"))
+        val tot = counts.agg(min(col("n").cast("double") / col("tw")).as("tot"))
+        val thresholds = counts.crossJoin(broadcast(tot))
+          .withColumn("thresh",
+            floor(least((col("tw") * col("tot")) / col("n").cast("double"), lit(1.0))
+              * lit(1000000)).cast("long"))
+        val accepted = docs
+          .join(broadcast(thresholds.select(col("lang"), col("thresh"))), Seq("lang"))
+          .filter(pmod(TextFunctions.md5Fingerprint(
+            concat(lit("mix:"), col("doc_id").cast("string"))), lit(1000000L)) < col("thresh"))
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        val totalSampled = accepted.agg(sum(col("n_sampled")).as("tot_s"))
+        accepted
+          .join(thresholds.select(col("lang"), col("n"), col("tw")), Seq("lang"))
+          .crossJoin(broadcast(totalSampled))
+          .select(col("lang"), col("n").as("n_docs"), col("tw").as("target_w"),
+            col("n_sampled"),
+            (col("n_sampled").cast("double") / col("tot_s").cast("double"))
+              .as("achieved_frac"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val w = MixtureWeights
+          .map { case (l, tw) => s"('$l', ${tw}e0)" }.mkString(", ")
+        val fp = TextFunctions.md5FingerprintSql("'mix:' || CAST(doc_id AS VARCHAR)")
+        s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+          w AS (SELECT * FROM (VALUES $w) AS t(lang, tw)),
+          t AS (SELECT MIN(CAST(n AS DOUBLE) / tw) AS tot FROM c JOIN w USING (lang)),
+          p AS (SELECT lang, n, tw,
+              CAST(FLOOR(LEAST((tw * tot) / CAST(n AS DOUBLE), 1.0e0) * 1000000)
+                AS BIGINT) AS thresh
+            FROM c JOIN w USING (lang), t),
+          acc AS (SELECT d.lang, COUNT(*) AS n_sampled
+            FROM documents d JOIN p USING (lang)
+            WHERE $fp % 1000000 < thresh GROUP BY 1),
+          ts AS (SELECT CAST(SUM(n_sampled) AS BIGINT) AS tot_s FROM acc)
+          SELECT p.lang, p.n AS n_docs, p.tw AS target_w, acc.n_sampled,
+            CAST(acc.n_sampled AS DOUBLE) / CAST(ts.tot_s AS DOUBLE) AS achieved_frac
+          FROM p JOIN acc USING (lang), ts ORDER BY lang"""
+      })
+
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q67, q70, q72, q73, q74,
-      q75, q76)
+      q75, q76, q77)
   }
 }

@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.SparkSpec
+
+/** Plan-shape assertions for the training-data pipeline verbs added in
+  * round 7 (q73-q76). Each pins the invariant that makes the operator
+  * survive a 100 TB corpus, in the IvfPlanSpec style (direct invariants,
+  * not node counts):
+  *
+  *  - q73/q74/q75: no global Window — every Window partitions on the
+  *    declared bounded key (the aggregated stratum frame, the shard, the
+  *    document), so no single task ever sorts the corpus.
+  *  - q73: the per-stratum fraction Window runs over an ALREADY-AGGREGATED
+  *    frame (an Aggregate below every Window), never over raw documents.
+  *  - q76: the eval-side n-gram fingerprints join by broadcast — the
+  *    corpus is filtered map-side and never shuffles on the gram key.
+  */
+class TrainingPipelinePlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def windowPartitionKeys(name: String): Seq[Seq[String]] =
+    graft.core.CacheScope.scoped {
+      val plan = graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.optimizedPlan
+      plan.collect { case w: Window => w }.map(
+        _.partitionSpec.flatMap(_.references.toSeq.map(_.name)).distinct)
+    }
+
+  test("q73 windows partition only on the stratum key, above an aggregate") {
+    graft.core.CacheScope.scoped {
+      val plan = graft.SparkEntry.queries("q73_stratified_split")(spark, sfDir)
+        .queryExecution.optimizedPlan
+      val windows = plan.collect { case w: Window => w }
+      assert(windows.nonEmpty, "q73 must compute the stratum fraction as a window")
+      windows.foreach { w =>
+        val keys = w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).distinct
+        assert(keys.nonEmpty && keys.forall(_ == "lang"),
+          s"q73 Window partitions on ${keys.mkString(",")} — must be the stratum key")
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          "q73's fraction Window must run over the aggregated |strata|x3 frame, " +
+            "not raw documents")
+      }
+    }
+  }
+
+  test("q74 packing windows partition only on the shard key (no global window)") {
+    val keyLists = windowPartitionKeys("q74_token_packing")
+    assert(keyLists.nonEmpty, "q74 must compute the prefix sum as a window")
+    keyLists.foreach { keys =>
+      assert(keys.nonEmpty && keys.forall(_ == "shard"),
+        s"q74 Window partitions on ${keys.mkString(",")} — the per-shard sort " +
+          "bound is the operator's scale contract")
+    }
+  }
+
+  test("q75 repetition windows partition only on doc_id (no global window)") {
+    val keyLists = windowPartitionKeys("q75_repetition_filter")
+    assert(keyLists.nonEmpty, "q75 must build 2-grams with a per-doc window")
+    keyLists.foreach { keys =>
+      assert(keys.nonEmpty && keys.forall(_ == "doc_id"),
+        s"q75 Window partitions on ${keys.mkString(",")} — per-document only")
+    }
+  }
+
+  // AQE wraps materialized stages in leaf QueryStageExec nodes, so a plain
+  // collect stops at stage boundaries — flatten through them (the PlanAudit
+  // walk)
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
+    case other => other +: other.children.flatMap(flatten)
+  }
+
+  test("q76 joins the corpus to the eval set by broadcast, never sort-merge") {
+    graft.core.CacheScope.scoped {
+      val df = graft.SparkEntry.queries("q76_decontaminate")(spark, sfDir)
+      // materialize so AQE finalizes the physical plan it actually ran
+      df.collect()
+      val nodes = flatten(df.queryExecution.executedPlan)
+      val bhj = nodes.collect { case j: BroadcastHashJoinExec => j }
+      val smj = nodes.collect { case j: SortMergeJoinExec => j }
+      assert(bhj.nonEmpty,
+        "q76's eval-set fingerprint join must be a BroadcastHashJoin")
+      assert(smj.isEmpty,
+        "q76 must never shuffle the corpus on the gram key (found SortMergeJoin)")
+    }
+  }
+}
