@@ -36,6 +36,9 @@ import graft.functions.{Sketches, Skew, TextFunctions}
   *       vs a broadcast eval set)                    → q76
   *  - L18 mixture resampling to target weights
   *       (downsample-only, hash-deterministic)       → q77
+  *  - L19 transitive near-dup clustering (iterative
+  *       min-label propagation vs a recursive-CTE
+  *       closure oracle)                             → q78
   *
   * Oracle-parity design: every hash is the md5-prefix BIGINT, every float
   * reduction a fixed-order term list (see [[graft.functions.Sketches]]) —
@@ -102,6 +105,25 @@ object LlmPipeline {
     */
   private val MixtureWeights: Seq[(String, Double)] =
     Seq("de" -> 0.15, "en" -> 0.4, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+
+  /** q78: cap on min-label-propagation rounds. Convergence needs
+    * O(component diameter) rounds; near-dup components are dedup clusters
+    * (handfuls of vectors), so the cap is a runaway guard, not a tuning
+    * knob — the convergence probe exits the loop as soon as a round
+    * changes nothing.
+    */
+  private val MaxCcRounds = 50
+
+  /** q78 clusters the CONFIDENT near-dup graph. At the assignment
+    * threshold (NearDupTau = 0.3) the uniform-random fixture vectors form
+    * a percolating graph — pair count grows with n², so any fixed
+    * threshold densifies as the corpus grows and the "clusters" become
+    * one giant component (13 propagation rounds measured at sf0.1). Real
+    * near-dup clusters are the right tail, so the transitive step uses a
+    * stricter cosine: subcritical edge density, handful-sized components,
+    * O(1) rounds. q72 (best single dup per vector) stays at NearDupTau.
+    */
+  private val CcTau = 0.45
 
   /** Cosine threshold for q72's embedding near-dup verify. The fixtures
     * are uniformly random unit-ish vectors (pairwise cosine ~N(0, 1/√64),
@@ -644,33 +666,63 @@ object LlmPipeline {
      * is a driver-side orchestration of exactly this candidate+verify
      * kernel, so the kernel is the operator. Ids-only ride the band and
      * pair shuffles; embeddings re-join by id for the verify. */
+    /* Shared verified near-dup pair kernel (q72 single-pass assignment,
+     * q78 transitive clustering): banded 16-bit-signature candidates →
+     * exact cosine >= NearDupTau — one (a_id, b_id) row per verified pair,
+     * a_id < b_id. Ids-only ride the band and pair shuffles; embeddings
+     * re-join by id for the verify. */
+    def embedNearDupPairs(s: org.apache.spark.sql.SparkSession, d: String)
+        : org.apache.spark.sql.DataFrame = {
+      val emb = CacheScope.tracked(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          Sketches.norm(col("embedding"), Dims).as("nrm")))
+      val sigs = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          Sketches.hyperplaneSigN(col("embedding"), Dims, 16).as("sig"))
+      val bands = Skew.dropHotBuckets(
+        sigs.select(col("vec_id"),
+          posexplode(array(col("sig").bitwiseAND(lit(255L)),
+            shiftright(col("sig"), 8).bitwiseAND(lit(255L)))).as(Seq("bi", "bv"))),
+        Seq("bi", "bv"), HotBucketCap)
+      val cand = bands
+        .join(bands.select(col("vec_id").as("b_id"), col("bi"), col("bv")),
+          Seq("bi", "bv"))
+        .filter(col("vec_id") < col("b_id"))
+        .select(col("vec_id").as("a_id"), col("b_id")).distinct()
+      cand
+        .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+          col("nrm").as("an")), Seq("a_id"))
+        .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+          col("nrm").as("bn")), Seq("b_id"))
+        .withColumn("cos", Sketches.cosineFromParts(
+          Sketches.dot(col("ae"), col("be"), Dims), col("an"), col("bn")))
+        .filter(col("cos") >= NearDupTau)
+        .select(col("a_id"), col("b_id"), col("cos").as("pcos"))
+    }
+
+    /* SQL twin of embedNearDupPairs, as CTEs ending in `pr(a_id, b_id)`. */
+    def embedPairsCtes: String = {
+      val sig = Sketches.hyperplaneSigNSql("embedding", Dims, 16)
+      val cos = Sketches.cosineSql(
+        Sketches.dotSql("x.embedding", "y.embedding", Dims),
+        Sketches.normSql("x.embedding", Dims),
+        Sketches.normSql("y.embedding", Dims))
+      s"""e AS (SELECT vec_id, embedding, $sig AS sig FROM embeddings),
+          bd AS (SELECT vec_id, UNNEST([sig & 255, (sig >> 8) & 255]) AS bv,
+                   UNNEST([0, 1]) AS bi FROM e),
+          cand AS (SELECT DISTINCT a.vec_id AS a_id, c.vec_id AS b_id
+            FROM bd a JOIN bd c ON a.bi = c.bi AND a.bv = c.bv
+              AND a.vec_id < c.vec_id),
+          pr AS (SELECT a_id, b_id, $cos AS pcos FROM cand
+            JOIN e x ON x.vec_id = cand.a_id
+            JOIN e y ON y.vec_id = cand.b_id
+            WHERE $cos >= $NearDupTau)"""
+    }
+
     val q72 = GraftQuery(
       "q72_embed_neardup", "L13 L7 J9",
       (s, d) => {
-        val emb = CacheScope.tracked(Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"),
-            Sketches.norm(col("embedding"), Dims).as("nrm")))
-        val sigs = Tables.embeddings(s, d)
-          .select(col("vec_id"),
-            Sketches.hyperplaneSigN(col("embedding"), Dims, 16).as("sig"))
-        val bands = Skew.dropHotBuckets(
-          sigs.select(col("vec_id"),
-            posexplode(array(col("sig").bitwiseAND(lit(255L)),
-              shiftright(col("sig"), 8).bitwiseAND(lit(255L)))).as(Seq("bi", "bv"))),
-          Seq("bi", "bv"), HotBucketCap)
-        val cand = bands
-          .join(bands.select(col("vec_id").as("b_id"), col("bi"), col("bv")),
-            Seq("bi", "bv"))
-          .filter(col("vec_id") < col("b_id"))
-          .select(col("vec_id").as("a_id"), col("b_id")).distinct()
-        val dup = cand
-          .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
-            col("nrm").as("an")), Seq("a_id"))
-          .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("be"),
-            col("nrm").as("bn")), Seq("b_id"))
-          .withColumn("cos", Sketches.cosineFromParts(
-            Sketches.dot(col("ae"), col("be"), Dims), col("an"), col("bn")))
-          .filter(col("cos") >= NearDupTau)
+        val dup = embedNearDupPairs(s, d)
           .groupBy(col("b_id"))
           .agg(min(col("a_id")).as("dup_of"))
         Tables.embeddings(s, d).select(col("vec_id"))
@@ -679,21 +731,8 @@ object LlmPipeline {
           .orderBy(col("vec_id"))
       },
       Some {
-        val sig = Sketches.hyperplaneSigNSql("embedding", Dims, 16)
-        val cos = Sketches.cosineSql(
-          Sketches.dotSql("x.embedding", "y.embedding", Dims),
-          Sketches.normSql("x.embedding", Dims),
-          Sketches.normSql("y.embedding", Dims))
-        s"""WITH e AS (SELECT vec_id, embedding, $sig AS sig FROM embeddings),
-          bd AS (SELECT vec_id, UNNEST([sig & 255, (sig >> 8) & 255]) AS bv,
-                   UNNEST([0, 1]) AS bi FROM e),
-          cand AS (SELECT DISTINCT a.vec_id AS a_id, c.vec_id AS b_id
-            FROM bd a JOIN bd c ON a.bi = c.bi AND a.bv = c.bv
-              AND a.vec_id < c.vec_id),
-          dup AS (SELECT b_id, MIN(a_id) AS dup_of FROM cand
-            JOIN e x ON x.vec_id = cand.a_id
-            JOIN e y ON y.vec_id = cand.b_id
-            WHERE $cos >= $NearDupTau GROUP BY b_id)
+        s"""WITH $embedPairsCtes,
+          dup AS (SELECT b_id, MIN(a_id) AS dup_of FROM pr GROUP BY b_id)
           SELECT e.vec_id, dup.dup_of FROM e
           LEFT JOIN dup ON dup.b_id = e.vec_id
           ORDER BY e.vec_id"""
@@ -928,7 +967,89 @@ object LlmPipeline {
           FROM p JOIN acc USING (lang), ts ORDER BY lang"""
       })
 
+    /* L19: transitive near-dup clustering — connected components over the
+     * verified pair graph, each vector labeled with the minimum id
+     * reachable through near-duplicate edges (q72 assigns each vector its
+     * best single dup; this closes the transitive chain a->b->c into one
+     * cluster). Distributed min-label propagation: each round joins the
+     * current labels onto the symmetric edge list and takes the min label
+     * seen across neighbors — a per-round cost of one id-keyed join + one
+     * hash aggregate, converging in O(component diameter) rounds. The
+     * driver only orchestrates (per-round single-row convergence probe);
+     * labels and edges are never collected. Near-dup components are tiny
+     * by construction (dedup clusters, not the social graph), so the
+     * diameter bound is small; a 100 TB run persists/checkpoints the label
+     * frame between rounds exactly as CacheScope does here. The oracle is
+     * the full transitive closure via a recursive CTE — an INDEPENDENT
+     * formulation of reachability, so the iterative kernel is verified
+     * against closed-form semantics, not against itself. */
+    val q78 = GraftQuery(
+      "q78_neardup_components", "L19 L13 J9",
+      (s, d) => {
+        val pairs = CacheScope.tracked(
+          embedNearDupPairs(s, d).filter(col("pcos") >= CcTau))
+        val edges = CacheScope.tracked(
+          pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+            .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
+        // iterate ONLY over the dup subgraph — vertices with at least one
+        // edge. Singletons (the overwhelming majority of a deduped corpus)
+        // never enter the loop; they rejoin as their own cluster at the
+        // end. This is what keeps the iteration cheap at 100 TB: the
+        // per-round frames are sized by the duplicate population, not the
+        // corpus.
+        var labels = CacheScope.tracked(
+          edges.select(col("src").as("vec_id")).distinct()
+            .select(col("vec_id"), col("vec_id").as("cluster")))
+        var converged = false
+        var round = 0
+        while (!converged && round < MaxCcRounds) {
+          val prop = labels
+            .join(edges, col("vec_id") === col("src"))
+            .select(col("dst").as("vec_id"), col("cluster"))
+          val nmin = labels.union(prop).groupBy(col("vec_id"))
+            .agg(min(col("cluster")).as("cluster"))
+          // pointer jump: follow the label one hop (cluster ids are vertex
+          // ids, so cluster(cluster(v)) is a self-join) — path compression
+          // turns O(diameter) rounds into O(log diameter)
+          val jump = nmin
+            .join(nmin.select(col("vec_id").as("cluster"), col("cluster").as("cc")),
+              Seq("cluster"))
+            .select(col("vec_id"), least(col("cluster"), col("cc")).as("cluster"))
+          // cut the LOGICAL lineage each round (createDataFrame over the
+          // round's RDD): without this the plan tree doubles per round and
+          // analysis/cache-matching cost grows exponentially even though
+          // execution is cached. Distribution and laziness are preserved;
+          // the persist bounds the physical recompute chain.
+          val next = CacheScope.tracked(s.createDataFrame(jump.rdd, labels.schema))
+          val changed = next
+            .join(labels.withColumnRenamed("cluster", "old"), Seq("vec_id"))
+            .filter(col("cluster") =!= col("old"))
+            .limit(1).count()
+          labels = next
+          converged = changed == 0L
+          round += 1
+        }
+        // rounds-to-convergence is the operator's cost model — surface it
+        System.err.println(s"[q78] label propagation converged=$converged rounds=$round")
+        Tables.embeddings(s, d).select(col("vec_id"))
+          .join(labels, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("cluster"), col("vec_id")).as("cluster"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        s"""WITH RECURSIVE $embedPairsCtes,
+          cc AS (SELECT a_id, b_id FROM pr WHERE pcos >= $CcTau),
+          ed AS (SELECT a_id AS src, b_id AS dst FROM cc
+                 UNION ALL SELECT b_id, a_id FROM cc),
+          r AS (SELECT vec_id AS v, vec_id AS u FROM embeddings
+                UNION
+                SELECT r.v, ed.dst FROM r JOIN ed ON ed.src = r.u)
+          SELECT v AS vec_id, MIN(u) AS cluster FROM r
+          GROUP BY v ORDER BY v"""
+      })
+
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q67, q70, q72, q73, q74,
-      q75, q76, q77)
+      q75, q76, q77, q78)
   }
 }
