@@ -21,7 +21,9 @@ import graft.queries._
   *    control) → Dsv2RestSpec
   *  - S14 keyed WS store / T1-T3 streaming forms / T7 AvailableNow trigger /
   *    T8+K6 checkpoint restore / S1+S14 transport-to-state glue
-  *    (readStream graft-rest → KeyedMerge) → StreamingSpec
+  *    (readStream graft-rest → KeyedMerge) → StreamingSpec; L1 streaming
+  *    form (exact dedup across micro-batches, TTL'd seen-set)
+  *    → StreamingDedupSpec
   *  - S15 TTL config scan → ConfigSourceSpec
   *  - K3 PNG codec / C18 geoid bilinear / R2-R4 tile ops / S11 GTX decode
   *    → RasterSpec; multimodal binary batching → MultimodalSpec
