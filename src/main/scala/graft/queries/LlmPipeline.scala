@@ -833,13 +833,19 @@ object LlmPipeline {
       "q75_repetition_filter", "L16 L9",
       (s, d) => {
         val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val words = Tables.documents(s, d)
+        // BOTH aggregate branches read the same exploded+windowed frame:
+        // the branches' child subtrees are identical up to the doc_id
+        // exchange, so ReuseExchange executes the corpus scan + explode
+        // ONCE; and since the frame is already hash-partitioned by doc_id,
+        // the (doc_id, w0) and doc_id aggregations need no further shuffle
+        // (subset-clustering satisfaction) — one corpus pass total.
+        val withGram = Tables.documents(s, d)
           .select(col("doc_id"), posexplode(Sketches.words(col("text"))).as(Seq("pos", "w0")))
-        val gstats = words
           .withColumn("gram", concat(col("w0"), lit(" "), lead(col("w0"), 1).over(w)))
+        val gstats = withGram
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_words"), countDistinct(col("gram")).as("dist2"))
-        val wstats = words.groupBy(col("doc_id"), col("w0")).agg(count(lit(1)).as("c"))
+        val wstats = withGram.groupBy(col("doc_id"), col("w0")).agg(count(lit(1)).as("c"))
           .groupBy(col("doc_id")).agg(max(col("c")).as("maxc"))
         val top = col("maxc").cast("double") / col("n_words").cast("double")
         val dup = when(col("n_words") >= 2,
