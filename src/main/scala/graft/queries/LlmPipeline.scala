@@ -39,6 +39,8 @@ import graft.functions.{Sketches, Skew, TextFunctions}
   *  - L19 transitive near-dup clustering (iterative
   *       min-label propagation vs a recursive-CTE
   *       closure oracle)                             → q78
+  *  - L20 context-window chunking (map-side 1→N
+  *       sliding windows + chunk fingerprints)       → q79
   *
   * Oracle-parity design: every hash is the md5-prefix BIGINT, every float
   * reduction a fixed-order term list (see [[graft.functions.Sketches]]) —
@@ -124,6 +126,13 @@ object LlmPipeline {
     * O(1) rounds. q72 (best single dup per vector) stays at NearDupTau.
     */
   private val CcTau = 0.45
+
+  /** q79: sliding context-window chunking — window size and stride in
+    * words (the fixture-scale token proxy; a production run swaps in the
+    * tokenizer's counts). Overlap = ChunkSize - ChunkStride.
+    */
+  private val ChunkSize = 48
+  private val ChunkStride = 32
 
   /** Cosine threshold for q72's embedding near-dup verify. The fixtures
     * are uniformly random unit-ish vectors (pairwise cosine ~N(0, 1/√64),
@@ -1055,7 +1064,54 @@ object LlmPipeline {
           GROUP BY v ORDER BY v"""
       })
 
+    /* L20: sliding context-window chunking — each document expands into
+     * overlapping word windows (size ChunkSize, stride ChunkStride), the
+     * standard RAG/pretraining chunking step and the text analog of the
+     * multimodal 1->N frame sample (L12). Pure map-side 1->N expansion:
+     * chunk count and boundaries are arithmetic on the word count, the
+     * window text is an array slice, and the only shuffle is the output
+     * sort — no joins, no aggregates, so the operator scales as a single
+     * corpus pass at any size. Each chunk carries its boundary metadata
+     * and an md5-prefix fingerprint of its text (chunk-level exact dedup
+     * composes directly with L1). */
+    val q79 = GraftQuery(
+      "q79_window_chunking", "L20 L12",
+      (s, d) => {
+        val words = Sketches.words(col("text"))
+        val n = size(words)
+        val nc = when(n <= ChunkSize, lit(1L)).otherwise(
+          ceil((n - ChunkSize).cast("double") / ChunkStride.toDouble) + 1L)
+        Tables.documents(s, d)
+          .select(col("doc_id"), words.as("ws"), nc.as("nc"))
+          .select(col("doc_id"), col("ws"),
+            explode(sequence(lit(0L), col("nc") - 1L)).as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id"),
+            (col("chunk_id") * ChunkStride).as("start_word"),
+            least(size(col("ws")) - col("chunk_id") * ChunkStride, lit(ChunkSize))
+              .as("n_chunk_words"),
+            TextFunctions.md5Fingerprint(array_join(
+              slice(col("ws"), (col("chunk_id") * ChunkStride + 1).cast("int"),
+                lit(ChunkSize)), " ")).as("chunk_fp"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some {
+        val ws = Sketches.wordsSql("text")
+        val fp = TextFunctions.md5FingerprintSql(
+          s"array_to_string(ws[CAST(chunk_id * $ChunkStride + 1 AS BIGINT):" +
+            s"CAST(chunk_id * $ChunkStride + $ChunkSize AS BIGINT)], ' ')")
+        s"""WITH a AS (SELECT doc_id, $ws AS ws FROM documents),
+          n AS (SELECT doc_id, ws, CASE WHEN len(ws) <= $ChunkSize THEN 1
+              ELSE CAST(CEIL(CAST(len(ws) - $ChunkSize AS DOUBLE) / $ChunkStride.0)
+                AS BIGINT) + 1 END AS nc FROM a),
+          c AS (SELECT doc_id, ws, unnest(generate_series(0, nc - 1)) AS chunk_id
+            FROM n)
+          SELECT doc_id, chunk_id, chunk_id * $ChunkStride AS start_word,
+            LEAST(len(ws) - chunk_id * $ChunkStride, $ChunkSize) AS n_chunk_words,
+            $fp AS chunk_fp
+          FROM c ORDER BY doc_id, chunk_id"""
+      })
+
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q67, q70, q72, q73, q74,
-      q75, q76, q77, q78)
+      q75, q76, q77, q78, q79)
   }
 }
