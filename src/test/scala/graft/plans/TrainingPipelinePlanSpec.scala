@@ -76,6 +76,31 @@ class TrainingPipelinePlanSpec extends SparkSpec {
     case other => other +: other.children.flatMap(flatten)
   }
 
+  test("q77 mixing never shuffles the corpus: broadcast thresholds, no sort-merge") {
+    graft.core.CacheScope.scoped {
+      val df = graft.SparkEntry.queries("q77_mixture_resample")(spark, sfDir)
+      df.collect()
+      val nodes = flatten(df.queryExecution.executedPlan)
+      val smj = nodes.collect { case j: SortMergeJoinExec => j }
+      val bhj = nodes.collect { case j: BroadcastHashJoinExec => j }
+      assert(smj.isEmpty,
+        "q77's corpus joins must all be broadcast (thresholds are |langs| rows)")
+      assert(bhj.nonEmpty, "q77 must join the broadcast threshold table")
+    }
+  }
+
+  test("q79 chunking is a single map-side pass: no joins, no aggregates") {
+    graft.core.CacheScope.scoped {
+      val plan = graft.SparkEntry.queries("q79_window_chunking")(spark, sfDir)
+        .queryExecution.optimizedPlan
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Join => LJoin}
+      assert(plan.collect { case j: LJoin => j }.isEmpty,
+        "q79 must not join — the 1->N expansion is per-document arithmetic")
+      assert(plan.collect { case a: LAgg => a }.isEmpty,
+        "q79 must not aggregate — chunk counts are computed per row")
+    }
+  }
+
   test("q76 joins the corpus to the eval set by broadcast, never sort-merge") {
     graft.core.CacheScope.scoped {
       val df = graft.SparkEntry.queries("q76_decontaminate")(spark, sfDir)
