@@ -41,6 +41,9 @@ import graft.functions.{Sketches, Skew, TextFunctions}
   *       closure oracle)                             → q78
   *  - L20 context-window chunking (map-side 1→N
   *       sliding windows + chunk fingerprints)       → q79
+  *  - corpus-assembly funnel: L1 → L16 → L17 → L14
+  *       composed as ONE plan, cumulative survivor
+  *       counts per (lang, split)                    → q80
   *
   * Oracle-parity design: every hash is the md5-prefix BIGINT, every float
   * reduction a fixed-order term list (see [[graft.functions.Sketches]]) —
@@ -1111,7 +1114,124 @@ object LlmPipeline {
           FROM c ORDER BY doc_id, chunk_id"""
       })
 
+    /* Corpus-assembly funnel — the verbs COMPOSE: one plan that runs exact
+     * dedup (L1 canonical flag), repetition-quality filtering (L16 keep),
+     * benchmark decontamination (L17 clean), and the deterministic split
+     * (L14) over every document, then reports the per-(lang, split)
+     * survivor funnel. Each stage is a per-doc boolean derived exactly as
+     * its standalone query derives it, so this is the end-to-end pretraining
+     * corpus build as a single Catalyst plan: the scan is shared, the
+     * stage flags are independent columns joined by doc id, and the only
+     * wide operations are the same bounded shuffles the standalone
+     * operators use (fp groupBy, per-doc window, broadcast eval set).
+     * Conditional-sum funnel columns: each count applies the stages
+     * CUMULATIVELY (dedup -> +quality -> +decontam), which is the order a
+     * production build applies them. */
+    val q80 = GraftQuery(
+      "q80_corpus_funnel", "L1 L14 L16 L17",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // L1: canonical = min doc_id of the content-fingerprint cluster
+        val canon = docs
+          .withColumn("fp", TextFunctions.md5Fingerprint(col("text")))
+          .groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+        // L16: repetition/quality keep flag (q75's exact construction)
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val withGram = docs
+          .select(col("doc_id"), posexplode(Sketches.words(col("text"))).as(Seq("pos", "w0")))
+          .withColumn("gram", concat(col("w0"), lit(" "), lead(col("w0"), 1).over(w)))
+        val gstats = withGram.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"), countDistinct(col("gram")).as("dist2"))
+        val wstats = withGram.groupBy(col("doc_id"), col("w0")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("maxc"))
+        val quality = gstats.join(wstats, Seq("doc_id"))
+          .select(col("doc_id"),
+            (col("n_words") >= 10 &&
+              col("maxc").cast("double") / col("n_words").cast("double") <= 0.2 &&
+              when(col("n_words") >= 2,
+                lit(1.0) - col("dist2").cast("double") / (col("n_words") - 1).cast("double"))
+                .otherwise(lit(0.0)) <= 0.3).as("keep"))
+        // L17: contaminated = shares any 3-gram fingerprint with the eval set
+        val grams = shingleRows(s, d)
+          .select(col("doc_id"), TextFunctions.md5Fingerprint(col("s")).as("g"))
+        val dirty = grams.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(grams.filter(col("doc_id") % 97 === 0)
+            .select(col("g")).distinct()), Seq("g"))
+          .select(col("doc_id")).distinct()
+          .withColumn("contaminated", lit(true))
+        // L14: deterministic split (eval docs excluded from the corpus)
+        val h = pmod(TextFunctions.md5Fingerprint(
+          concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+        docs.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), col("lang"),
+            TextFunctions.md5Fingerprint(col("text")).as("fp"),
+            when(h < TrainPct, "train")
+              .when(h < TrainPct + ValPct, "val")
+              .otherwise("test").as("split"))
+          .join(canon, Seq("fp"))
+          .join(quality, Seq("doc_id"))
+          .join(dirty, Seq("doc_id"), "left")
+          .select(col("lang"), col("split"),
+            (col("doc_id") === col("keeper")).as("canon"),
+            col("keep"), coalesce(col("contaminated"), lit(false)).as("dirty"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_raw"),
+            sum(when(col("canon"), 1L).otherwise(0L)).as("n_dedup"),
+            sum(when(col("canon") && col("keep"), 1L).otherwise(0L)).as("n_quality"),
+            sum(when(col("canon") && col("keep") && !col("dirty"), 1L).otherwise(0L))
+              .as("n_clean"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some {
+        val fp = TextFunctions.md5FingerprintSql("text")
+        val h = TextFunctions.md5FingerprintSql("'split:' || CAST(d.doc_id AS VARCHAR)")
+        val ws = Sketches.wordsSql("text")
+        val shed = Sketches.shinglesSql("text", ShingleN)
+        val gfp = TextFunctions.md5FingerprintSql("s")
+        s"""WITH canon AS (SELECT $fp AS fp, MIN(doc_id) AS keeper
+            FROM documents GROUP BY 1),
+          a AS (SELECT doc_id, $ws AS ws FROM documents),
+          g AS (SELECT doc_id, len(ws) AS n_words,
+              len(list_distinct(list_transform(generate_series(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i + 1]))) AS dist2 FROM a),
+          wc AS (SELECT doc_id, word, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(ws) AS word FROM a) GROUP BY 1, 2),
+          mx AS (SELECT doc_id, MAX(c) AS maxc FROM wc GROUP BY 1),
+          quality AS (SELECT g.doc_id,
+              (n_words >= 10
+               AND CAST(maxc AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.2e0
+               AND (CASE WHEN n_words >= 2
+                    THEN 1.0e0 - CAST(dist2 AS DOUBLE) / CAST(n_words - 1 AS DOUBLE)
+                    ELSE 0.0e0 END) <= 0.3e0) AS keep
+            FROM g JOIN mx ON mx.doc_id = g.doc_id),
+          sh AS (SELECT doc_id, unnest(s) AS s FROM
+            (SELECT doc_id, $shed AS s FROM documents)),
+          hg AS (SELECT doc_id, $gfp AS g FROM sh),
+          dirty AS (SELECT DISTINCT tr.doc_id FROM hg tr
+            JOIN (SELECT DISTINCT g FROM hg WHERE doc_id % 97 = 0) ev
+              ON ev.g = tr.g
+            WHERE tr.doc_id % 97 <> 0),
+          base AS (SELECT d.lang,
+              CASE WHEN $h % 100 < $TrainPct THEN 'train'
+                   WHEN $h % 100 < ${TrainPct + ValPct} THEN 'val'
+                   ELSE 'test' END AS split,
+              d.doc_id = canon.keeper AS canon,
+              quality.keep AS keep,
+              dirty.doc_id IS NOT NULL AS dirty
+            FROM documents d
+            JOIN canon ON canon.fp = $fp
+            JOIN quality ON quality.doc_id = d.doc_id
+            LEFT JOIN dirty ON dirty.doc_id = d.doc_id
+            WHERE d.doc_id % 97 <> 0)
+          SELECT lang, split, COUNT(*) AS n_raw,
+            CAST(SUM(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+            CAST(SUM(CASE WHEN canon AND keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+            CAST(SUM(CASE WHEN canon AND keep AND NOT dirty THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_clean
+          FROM base GROUP BY 1, 2 ORDER BY lang, split"""
+      })
+
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q67, q70, q72, q73, q74,
-      q75, q76, q77, q78, q79)
+      q75, q76, q77, q78, q79, q80)
   }
 }
