@@ -31,7 +31,9 @@ import graft.queries._
   *    MBTiles form (unique-index resume, duplicate classification) →
   *    MbtilesSinkSpec
   *  - L7 native signature kernel → HyperplaneSignatureSpec; skew/bucket
-  *    guards incl. the LSH hot-bucket cap → SkewBucketSpec
+  *    guards incl. the LSH hot-bucket cap → SkewBucketSpec; HyperLogLog
+  *    sketch aggregate (accuracy, merge determinism, partial-agg plan)
+  *    → HllAggSpec
   *  - P5 context projection / C25 brace-balanced extraction / the LLM stage
   *    → SitRepSpec
   *  - F12/F14 edge semantics → FilterDslSpec / GeoSpec; sketches →

@@ -50,6 +50,15 @@ object GraftExtensions {
           e.eval().asInstanceOf[Number].intValue()
         }
         HyperplaneSignatureExpression(children(0), asInt(children(1)), asInt(children(2)))
+      }),
+    ("graft_hll",
+      new ExpressionInfo(classOf[HyperLogLogAgg].getName, "graft_hll"),
+      (children: Seq[Expression]) => {
+        // precision rides as a foldable int literal; the analyzer wraps the
+        // AggregateFunction into an AggregateExpression itself
+        require(children(1).foldable, "graft_hll precision must be literal")
+        HyperLogLogAgg(children(0),
+          children(1).eval().asInstanceOf[Number].intValue())
       }))
 
   /** Imperative registration for externally-created sessions: functions go

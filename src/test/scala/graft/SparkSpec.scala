@@ -11,4 +11,17 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  /** Flatten an executed plan THROUGH adaptive stage boundaries — AQE wraps
+    * materialized stages in leaf QueryStageExec nodes, so a plain collect
+    * stops at stage edges (the PlanAudit walk, shared by plan-shape specs).
+    */
+  def flattenExecuted(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      flattenExecuted(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      flattenExecuted(q.plan)
+    case other => other +: other.children.flatMap(flattenExecuted)
+  }
 }

@@ -66,21 +66,11 @@ class TrainingPipelinePlanSpec extends SparkSpec {
     }
   }
 
-  // AQE wraps materialized stages in leaf QueryStageExec nodes, so a plain
-  // collect stops at stage boundaries — flatten through them (the PlanAudit
-  // walk)
-  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
-    case other => other +: other.children.flatMap(flatten)
-  }
-
   test("q77 mixing never shuffles the corpus: broadcast thresholds, no sort-merge") {
     graft.core.CacheScope.scoped {
       val df = graft.SparkEntry.queries("q77_mixture_resample")(spark, sfDir)
       df.collect()
-      val nodes = flatten(df.queryExecution.executedPlan)
+      val nodes = flattenExecuted(df.queryExecution.executedPlan)
       val smj = nodes.collect { case j: SortMergeJoinExec => j }
       val bhj = nodes.collect { case j: BroadcastHashJoinExec => j }
       assert(smj.isEmpty,
@@ -106,7 +96,7 @@ class TrainingPipelinePlanSpec extends SparkSpec {
       val df = graft.SparkEntry.queries("q76_decontaminate")(spark, sfDir)
       // materialize so AQE finalizes the physical plan it actually ran
       df.collect()
-      val nodes = flatten(df.queryExecution.executedPlan)
+      val nodes = flattenExecuted(df.queryExecution.executedPlan)
       val bhj = nodes.collect { case j: BroadcastHashJoinExec => j }
       val smj = nodes.collect { case j: SortMergeJoinExec => j }
       assert(bhj.nonEmpty,
