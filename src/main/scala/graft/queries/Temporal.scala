@@ -288,5 +288,57 @@ object Temporal {
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       ) WHERE rn = 1 ORDER BY user_id"""))
 
-  val all: Seq[GraftQuery] = Seq(q09, q10, q11, q12, q13, q14, q15, q16, q42)
+  /* As-of join (J11) — each purchase joined to the user's latest view at
+   * or before its event time. The Spark-first shape is the UNION-TAG
+   * DECOMPOSITION, not a range join: tag both sides, ONE shuffle on the
+   * user key, one bounded per-user sort by (tsu, side), and a running
+   * `last(ignoreNulls)` carries the most recent view forward into each
+   * purchase row — O(n log n_user) with no per-row probe, the plan that
+   * survives a 100 TB event log. Views pre-collapse to one row per
+   * (user, tsu) via max_by so equal-timestamp semantics are deterministic
+   * (>= match, highest event_id wins the tie). The oracle is DuckDB's
+   * NATIVE `ASOF LEFT JOIN` — an independent formulation of the same
+   * semantics, so the decomposition is verified against a purpose-built
+   * asof operator rather than against itself. */
+  val q81 = GraftQuery(
+    "q81_asof_join", "J11 T3",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), tsu.as("tsu"),
+        col("user_id"), col("event_type"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("tsu"))
+        .agg(max_by(col("value"), col("event_id")).as("vvalue"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val tagged = views.select(col("user_id"), col("tsu"), lit(0).as("side"),
+          lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
+          col("vvalue"))
+        .unionByName(purchases.select(col("user_id"), col("tsu"), lit(1).as("side"),
+          col("event_id"), col("value"), lit(null).cast("double").as("vvalue")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("lastv", last(when(col("side") === 0,
+          struct(col("tsu").as("vtsu"), col("vvalue").as("vval"))),
+          ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"), col("tsu"), col("value"),
+          col("lastv.vtsu").as("view_tsu"), col("lastv.vval").as("view_value"),
+          (col("tsu") - col("lastv.vtsu")).as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH ev AS (SELECT event_id, epoch_us(ts) AS tsu, user_id,
+          event_type, value FROM events),
+        v AS (SELECT user_id, tsu, max_by(value, event_id) AS vvalue
+          FROM ev WHERE event_type = 'view' GROUP BY 1, 2),
+        p AS (SELECT event_id, user_id, tsu, value FROM ev
+          WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id, p.tsu, p.value,
+          v.tsu AS view_tsu, v.vvalue AS view_value,
+          p.tsu - v.tsu AS gap_us
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND p.tsu >= v.tsu
+        ORDER BY p.event_id"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(q09, q10, q11, q12, q13, q14, q15, q16, q42, q81)
 }
