@@ -339,6 +339,86 @@ object Temporal {
           ON p.user_id = v.user_id AND p.tsu >= v.tsu
         ORDER BY p.event_id"""))
 
+  /** q82: inactivity gap that closes a session (30 min). */
+  private val SessionGapUs = 1800000000L
+
+  /* Sessionization (T11, engine addition — the reference's T9 is activity
+   * roll-off, not session windows): per-user sessions split on >30 min
+   * inactivity gaps. The lag flag and the running session counter are both
+   * windows PARTITIONED BY USER — bounded per-key sorts, never a global
+   * window — and the session rollup is a hash aggregate on (user,
+   * session). The same shuffle serves all three steps. */
+  val q82 = GraftQuery(
+    "q82_sessionize", "T11 T9",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), tsu.as("tsu"), col("user_id"))
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("tsu"), col("event_id"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("prev", lag(col("tsu"), 1).over(ord))
+        .withColumn("ns",
+          when(col("prev").isNull || col("tsu") - col("prev") > SessionGapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("ns")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("tsu")).as("session_start"),
+          max(col("tsu")).as("session_end"),
+          (max(col("tsu")) - min(col("tsu"))).as("duration_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some(s"""WITH e AS (SELECT event_id, epoch_us(ts) AS tsu, user_id FROM events),
+        g AS (SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+               OR tsu - lag(tsu) OVER w > $SessionGapUs THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        sess AS (SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id
+            ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM g)
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+          MIN(tsu) AS session_start, MAX(tsu) AS session_end,
+          MAX(tsu) - MIN(tsu) AS duration_us
+        FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id"""))
+
+  /** q83: half-width of the burst pairing window (10 min). */
+  private val BurstWindowUs = 600000000L
+
+  /* Bucketed range join (J12, engine addition): all pairs of error events
+   * within BurstWindowUs of each other, ACROSS users — a non-equi time
+   * join. The Spark-first shape is time-bucketing: quantize to
+   * window-sized buckets, fan one side out to its three candidate buckets
+   * (|delta t| <= W implies bucket distance <= 1), equi-join on the bucket
+   * id, and apply the exact range predicate after. The shuffle key is the
+   * bucket — never a cartesian/BNLJ range probe — and each pair matches
+   * exactly one candidate bucket, so no dedup pass is needed. Burst-heavy
+   * data skews the bucket key; the L4 hot-bucket guard applies verbatim if
+   * a bucket exceeds the pair budget. The oracle is DuckDB's native range
+   * join (BETWEEN over its IEJoin operator) — an independent formulation
+   * of the same semantics. */
+  val q83 = GraftQuery(
+    "q83_burst_pairs", "J12 T6",
+    (s, d) => {
+      val err = Tables.events(s, d)
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), tsu.as("tsu"),
+          expr(s"(ts div 1000) div $BurstWindowUs").as("bkt"))
+      val cand = err.select(col("event_id").as("a_id"), col("tsu").as("a_tsu"),
+          explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("cb"))
+      cand
+        .join(err.select(col("event_id").as("b_id"), col("tsu").as("b_tsu"),
+          col("bkt").as("cb")), Seq("cb"))
+        .filter(col("a_id") < col("b_id") &&
+          abs(col("b_tsu") - col("a_tsu")) <= BurstWindowUs)
+        .select(col("a_id"), col("b_id"), (col("b_tsu") - col("a_tsu")).as("delta_us"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""WITH e AS (SELECT event_id, epoch_us(ts) AS tsu FROM events
+          WHERE event_type = 'error')
+        SELECT a.event_id AS a_id, b.event_id AS b_id, b.tsu - a.tsu AS delta_us
+        FROM e a JOIN e b
+          ON b.tsu BETWEEN a.tsu - $BurstWindowUs AND a.tsu + $BurstWindowUs
+          AND a.event_id < b.event_id
+        ORDER BY a_id, b_id"""))
+
   val all: Seq[GraftQuery] =
-    Seq(q09, q10, q11, q12, q13, q14, q15, q16, q42, q81)
+    Seq(q09, q10, q11, q12, q13, q14, q15, q16, q42, q81, q82, q83)
 }
