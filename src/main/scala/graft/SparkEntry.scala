@@ -23,7 +23,8 @@ import graft.queries._
   *    T8+K6 checkpoint restore / S1+S14 transport-to-state glue
   *    (readStream graft-rest → KeyedMerge) → StreamingSpec; L1 streaming
   *    form (exact dedup across micro-batches, TTL'd seen-set)
-  *    → StreamingDedupSpec
+  *    → StreamingDedupSpec; T11 streaming form (gap sessions closed by
+  *    event-time timeout, stream == batch q82) → StreamingSessionsSpec
   *  - S15 TTL config scan → ConfigSourceSpec
   *  - K3 PNG codec / C18 geoid bilinear / R2-R4 tile ops / S11 GTX decode
   *    → RasterSpec; multimodal binary batching → MultimodalSpec
