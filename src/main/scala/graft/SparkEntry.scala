@@ -30,7 +30,8 @@ import graft.queries._
   *    → RasterSpec; multimodal binary batching → MultimodalSpec
   *  - K4 idempotent resume + K5 JSON write → ResumableSinkSpec; the JDBC
   *    MBTiles form (unique-index resume, duplicate classification) →
-  *    MbtilesSinkSpec
+  *    MbtilesSinkSpec; K7 training-shard writer (hash-sharded, key-sorted,
+  *    size-capped parquet layout) → ShardWriterSpec
   *  - L7 native signature kernel → HyperplaneSignatureSpec; skew/bucket
   *    guards incl. the LSH hot-bucket cap → SkewBucketSpec; HyperLogLog
   *    sketch aggregate (accuracy, merge determinism, partial-agg plan)
