@@ -44,6 +44,8 @@ import graft.functions.{Sketches, Skew, TextFunctions}
   *  - corpus-assembly funnel: L1 → L16 → L17 → L14
   *       composed as ONE plan, cumulative survivor
   *       counts per (lang, split)                    → q80
+  *  - L21 quality-aware survivor selection (best
+  *       scored per cluster, not first seen)         → q84
   *
   * Oracle-parity design: every hash is the md5-prefix BIGINT, every float
   * reduction a fixed-order term list (see [[graft.functions.Sketches]]) —
@@ -1231,7 +1233,59 @@ object LlmPipeline {
           FROM base GROUP BY 1, 2 ORDER BY lang, split"""
       })
 
+    /* L21: quality-aware survivor selection — the production refinement of
+     * the min-id rule: within each canonical-form cluster (q34's
+     * bag-of-words key — members share a word set but differ in order and
+     * repetition, so their quality scores differ) keep the HIGHEST
+     * QUALITY copy, smallest doc_id on ties. "First seen" discards signal
+     * that "best scored" keeps. Spark: ONE map-side-combined hash
+     * aggregate — max_by(doc_id, struct(quality, -doc_id)) — no window,
+     * no re-join (the q42 family shape). The oracle derives the identical
+     * survivor by the independent two-step formulation (per-cluster max
+     * quality, then min id among the bit-identical maximal rows), so the
+     * lexicographic-struct argmax is cross-checked, not replicated. */
+    val q84 = GraftQuery(
+      "q84_best_of_cluster", "L21 L2 L9",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          Sketches.h64(array_join(sort_array(array_distinct(
+            Sketches.words(col("text")))), " ")).as("fp"),
+          TextFunctions.qualityScoreColumn(col("text")).as("quality"))
+        docs.groupBy(col("fp"))
+          .agg(count(lit(1)).as("cluster_n"),
+            max_by(col("doc_id"),
+              struct(col("quality"), (-col("doc_id")).as("nid"))).as("survivor"),
+            max(col("quality")).as("best_quality"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("first_doc"))
+          .select(col("fp"), col("cluster_n"), col("survivor"),
+            col("best_quality"), col("first_doc"))
+      },
+      Some {
+        val key = s"array_to_string(list_sort(list_distinct(${Sketches.wordsSql("text")})), ' ')"
+        val t = "trim(text)"
+        val ws = s"regexp_split_to_array($t, '\\s+')"
+        val en = TextFunctions.StopwordProfiles.toMap.apply("en")
+          .toSeq.sorted.map(w => s"'$w'").mkString("[", ", ", "]")
+        val nChars = s"CAST(len($t) AS DOUBLE)"
+        val nWords = s"CAST(len($ws) AS DOUBLE)"
+        val lenScore = s"least($nChars / 500.0, 1.0)"
+        val stopRatio = s"CAST(len(list_filter($ws, w -> list_contains($en, lower(w)))) AS DOUBLE) / $nWords"
+        val meanWordLen = s"(($nChars - ($nWords - 1)) / $nWords)"
+        val wordLenScore = s"(1.0 - least(abs($meanWordLen - 5.0) / 5.0, 1.0))"
+        val quality = s"$lenScore * 0.4 + least($stopRatio * 5.0, 1.0) * 0.3 + $wordLenScore * 0.3"
+        s"""WITH q AS (SELECT doc_id, ${Sketches.h64Sql(key)} AS fp,
+              $quality AS quality FROM documents),
+          c AS (SELECT fp, COUNT(*) AS cluster_n, MAX(quality) AS best_quality,
+              MIN(doc_id) AS first_doc FROM q GROUP BY fp)
+          SELECT c.fp, c.cluster_n, MIN(q.doc_id) AS survivor,
+            c.best_quality, c.first_doc
+          FROM c JOIN q ON q.fp = c.fp AND q.quality = c.best_quality
+          GROUP BY c.fp, c.cluster_n, c.best_quality, c.first_doc
+          ORDER BY c.first_doc"""
+      })
+
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q67, q70, q72, q73, q74,
-      q75, q76, q77, q78, q79, q80)
+      q75, q76, q77, q78, q79, q80, q84)
   }
 }
