@@ -158,12 +158,22 @@ object Sketches {
 
   // --- fixed-order cosine similarity ---
 
-  /** Explicit left-associated dot product over `dims` elements — identical
-    * IEEE addition order in both engines → bit-identical doubles.
+  /** Left-associated dot product over `dims` elements — identical IEEE
+    * addition order in both engines → bit-identical doubles.
+    *
+    * Implementation: the native loop expression
+    * [[graft.plans.DotProductExpression]], NOT an unrolled term tree. The
+    * unrolled form was correct in isolation, but Catalyst's projection
+    * collapse could fuse several 64-term dots/norms into one generated
+    * aggregate method and blow the JVM's 64 KB limit (q78 did exactly
+    * that, silently de-optimizing to an interpreted aggregate). The native
+    * node is constant-size bytecode at any width and accumulates in the
+    * same left-to-right order, so oracle bit-parity is preserved. Requires
+    * the graft function registry ([[graft.plans.GraftExtensions.register]]
+    * — the table loader installs it).
     */
   def dot(a: Column, b: Column, dims: Int): Column =
-    (1 to dims).map(i =>
-      element_at(a, i).cast("double") * element_at(b, i).cast("double")).reduce(_ + _)
+    call_function("graft_dot", a, b, lit(dims))
   def dotSql(a: String, b: String, dims: Int): String =
     (1 to dims).map(i =>
       s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")

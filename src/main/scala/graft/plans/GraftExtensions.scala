@@ -45,17 +45,31 @@ object GraftExtensions {
       new ExpressionInfo(classOf[HyperplaneSignatureExpression].getName, "graft_hyperplane_sig"),
       (children: Seq[Expression]) => {
         // dims/bits ride as foldable int literals
+        require(children.length == 3,
+          s"graft_hyperplane_sig expects (vec, dims, bits), got ${children.length} args")
         def asInt(e: Expression): Int = {
           require(e.foldable, "graft_hyperplane_sig dims/bits must be literal")
           e.eval().asInstanceOf[Number].intValue()
         }
         HyperplaneSignatureExpression(children(0), asInt(children(1)), asInt(children(2)))
       }),
+    ("graft_dot",
+      new ExpressionInfo(classOf[DotProductExpression].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        // dims rides as a foldable int literal
+        require(children.length == 3,
+          s"graft_dot expects (a, b, dims), got ${children.length} args")
+        require(children(2).foldable, "graft_dot dims must be literal")
+        DotProductExpression(children(0), children(1),
+          children(2).eval().asInstanceOf[Number].intValue())
+      }),
     ("graft_hll",
       new ExpressionInfo(classOf[HyperLogLogAgg].getName, "graft_hll"),
       (children: Seq[Expression]) => {
         // precision rides as a foldable int literal; the analyzer wraps the
         // AggregateFunction into an AggregateExpression itself
+        require(children.length == 2,
+          s"graft_hll expects (col, precision), got ${children.length} args")
         require(children(1).foldable, "graft_hll precision must be literal")
         HyperLogLogAgg(children(0),
           children(1).eval().asInstanceOf[Number].intValue())

@@ -40,6 +40,36 @@ object PlanAudit {
     (inside, eligible, islands.result().distinct)
   }
 
+  /** Statically compile every WholeStageCodegen span in the plan and
+    * return the failures ("method grows beyond 64 KB" and friends).
+    *
+    * At execution time Spark catches these, logs one ERROR line, and
+    * SILENTLY falls back to interpreted evaluation — correct results, real
+    * at-scale cost, no failing signal anywhere (q78 shipped a round with
+    * exactly that). Compiling the generated source at audit time turns the
+    * silent de-optimization into a hard audit failure.
+    */
+  def codegenCompileErrors(plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution._
+    val errs = Seq.newBuilder[String]
+    def walk(p: SparkPlan): Unit = p match {
+      case a: adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: adaptive.QueryStageExec => walk(q.plan)
+      case w: WholeStageCodegenExec =>
+        try {
+          val (_, source) = w.doCodeGen()
+          org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.compile(source)
+        } catch {
+          case e: Throwable =>
+            errs += s"${w.child.nodeName}: ${String.valueOf(e.getMessage).linesIterator.next().take(160)}"
+        }
+        w.children.foreach(walk)
+      case _ => p.children.foreach(walk)
+    }
+    walk(plan)
+    errs.result()
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder().master("local[4]")
@@ -60,6 +90,11 @@ object PlanAudit {
         val plan = executed.toString
         val (inside, eligible, islands) = codegenCoverage(executed)
         coveredTotal += inside; eligibleTotal += eligible
+        val compileErrs = codegenCompileErrors(executed)
+        if (compileErrs.nonEmpty) {
+          flagged += 1
+          compileErrs.foreach(e => println(s"HAZARD $name: codegen-compile-error $e"))
+        }
         if (eligible > 0 && inside < eligible)
           println(s"codegen $name: $inside/$eligible in whole-stage spans; " +
             s"interpreted islands: ${islands.mkString(", ")}")
@@ -87,5 +122,9 @@ object PlanAudit {
     println(f"codegen coverage: $coveredTotal/$eligibleTotal eligible operators in whole-stage spans (${100.0 * coveredTotal / math.max(1, eligibleTotal)}%.1f%%)")
     println(s"done, $flagged hazard(s)")
     spark.stop()
+    // fail loudly: a hazard (including a codegen compile error, which
+    // Spark itself only WARNs about before silently going interpreted)
+    // must break the audit, not scroll past it
+    if (flagged > 0) sys.exit(1)
   }
 }
