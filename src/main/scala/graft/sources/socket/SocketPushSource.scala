@@ -34,10 +34,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * are unchanged — transport and semantics compose instead of being one
   * hand-rolled client like the reference.
   *
-  * Two wire protocols behind the same reader thread:
+  * Three wire protocols behind the same reader thread:
   * `option("protocol", "tcp")` (default) reads newline-delimited text;
   * `option("protocol", "ws")` speaks RFC 6455 WebSocket — the reference
-  * feeds' actual framing (`ais-proxy/server.js:256`) — via [[WsFraming]]:
+  * feeds' actual framing (`ais-proxy/server.js:256`); `option("protocol",
+  * "wss")` is the same WebSocket codec over TLS — the reference's real
+  * endpoint is `wss://` (`ais-proxy/server.js:256-262`), trusted via the
+  * JVM default chain or `option("truststore", jksPath)` +
+  * `option("truststorePassword", pw)` for self-signed feeds. All via
+  * [[WsFraming]]:
   * HTTP upgrade on connect (`option("path", ...)`, default "/"), one text
   * message per row, pings answered transparently, close/EOF/protocol
   * errors all funneling into the same backoff-and-redial recovery.
@@ -121,7 +126,9 @@ class SocketPushTable(schema: StructType, props: Map[String, String])
             opts.getOrElse("path", "/"),
             opts.get("subscribe"),
             opts.getOrElse("pingintervalms", "0").toLong,
-            opts.getOrElse("maxreconnectattempts", "0").toInt)
+            opts.getOrElse("maxreconnectattempts", "0").toInt,
+            opts.get("truststore"),
+            opts.getOrElse("truststorepassword", ""))
       }
     }
   }
@@ -140,7 +147,9 @@ class SocketPushMicroBatchStream(host: String, port: Int,
     wsPath: String = "/",
     subscribe: Option[String] = None,
     pingIntervalMs: Long = 0,
-    maxReconnectAttempts: Int = 0) extends MicroBatchStream
+    maxReconnectAttempts: Int = 0,
+    truststore: Option[String] = None,
+    truststorePassword: String = "") extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
 
@@ -151,16 +160,62 @@ class SocketPushMicroBatchStream(host: String, port: Int,
   require(reconnectMs > 0, s"graft-socket reconnectMs must be > 0, got $reconnectMs")
   require(maxReconnectMs >= reconnectMs,
     s"graft-socket maxReconnectMs ($maxReconnectMs) must be >= reconnectMs ($reconnectMs)")
-  require(protocol == "tcp" || protocol == "ws",
-    s"graft-socket protocol must be 'tcp' or 'ws', got '$protocol'")
+  require(protocol == "tcp" || protocol == "ws" || protocol == "wss",
+    s"graft-socket protocol must be 'tcp', 'ws', or 'wss', got '$protocol'")
   require(wsPath.startsWith("/"), s"graft-socket path must start with '/', got '$wsPath'")
   require(pingIntervalMs >= 0,
     s"graft-socket pingIntervalMs must be >= 0, got $pingIntervalMs")
-  require(pingIntervalMs == 0 || protocol == "ws",
-    "graft-socket pingIntervalMs requires protocol=ws (tcp has no ping frame)")
+  // setSoTimeout takes an Int: a larger value would truncate negative and
+  // turn EVERY connect cycle into a silent backoff-redial loop
+  require(pingIntervalMs <= Int.MaxValue,
+    s"graft-socket pingIntervalMs must be <= ${Int.MaxValue}, got $pingIntervalMs")
+  require(pingIntervalMs == 0 || protocol != "tcp",
+    "graft-socket pingIntervalMs requires protocol=ws/wss (tcp has no ping frame)")
   require(maxReconnectAttempts >= 0,
     s"graft-socket maxReconnectAttempts must be >= 0 (0 = unlimited), got $maxReconnectAttempts")
-  private val useWs = protocol == "ws"
+  require(truststore.isEmpty || protocol == "wss",
+    "graft-socket truststore requires protocol=wss")
+  private val useWs = protocol == "ws" || protocol == "wss"
+  private val useTls = protocol == "wss"
+
+  /** TLS socket factory for `wss`: the JVM default trust chain, or — for
+    * self-signed endpoints (and the TLS spec's local stub) — the JKS/PKCS12
+    * truststore from `option("truststore", path)` +
+    * `option("truststorePassword", pw)`. Built once; dial failures
+    * (untrusted cert, handshake alert) surface per-connect in the pump's
+    * normal backoff path.
+    */
+  private lazy val sslFactory: javax.net.ssl.SSLSocketFactory = truststore match {
+    case None => javax.net.ssl.SSLContext.getDefault.getSocketFactory
+    case Some(path) =>
+      val ks = java.security.KeyStore.getInstance(java.security.KeyStore.getDefaultType)
+      val in = new java.io.FileInputStream(path)
+      try ks.load(in, truststorePassword.toCharArray) finally in.close()
+      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(ks)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, tmf.getTrustManagers, null)
+      ctx.getSocketFactory
+  }
+
+  /** Dial one connection: plain TCP for tcp/ws, TLS for wss. The TLS
+    * handshake runs eagerly so a certificate rejection fails THIS connect
+    * cycle (backoff-and-redial) instead of surfacing lazily mid-read.
+    */
+  private def dial(): Socket =
+    if (!useTls) new Socket(host, port)
+    else {
+      val s = sslFactory.createSocket(host, port).asInstanceOf[javax.net.ssl.SSLSocket]
+      // HTTPS endpoint identification: the peer cert must actually name
+      // `host` — without this, ANY trusted certificate authenticates any
+      // endpoint (silent MITM exposure for every wss feed)
+      val params = s.getSSLParameters
+      params.setEndpointIdentificationAlgorithm("HTTPS")
+      s.setSSLParameters(params)
+      s.startHandshake()
+      s
+    }
 
   /** Close codes after which the pump does NOT redial: 1000 (normal
     * closure) and 1008 (policy violation — auth rejection in practice).
@@ -195,7 +250,7 @@ class SocketPushMicroBatchStream(host: String, port: Int,
       while (!stopped) {
         var connected = false
         try {
-          val s = new Socket(host, port)
+          val s = dial()
           currentSocket = s
           // stop() may have run while the dial was in flight (connect is not
           // interruptible): bail out instead of blocking in readLine forever
