@@ -74,7 +74,15 @@ case class HyperLogLogAgg(
   }
 
   override def eval(buf: Array[Byte]): Any = {
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // Flajolet et al. specify exact alpha for the small register counts
+    // where the asymptotic formula is biased: 0.673 (m=16), 0.697 (m=32),
+    // 0.709 (m=64); the asymptotic 0.7213/(1 + 1.079/m) applies for m>=128
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
     var sum = 0.0
     var zeros = 0
     var i = 0

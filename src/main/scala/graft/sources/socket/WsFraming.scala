@@ -233,7 +233,9 @@ object WsFraming {
       case 127 => (0 until 8).foldLeft(0L)((acc, _) => (acc << 8) | read1(in))
       case n => n.toLong
     }
-    if (len > MaxFramePayload)
+    // len < 0: a 64-bit length with the high bit set wrapped negative —
+    // reject it like readEvent does, or readN would see a garbage size
+    if (len < 0 || len > MaxFramePayload)
       throw new IOException(s"client frame payload $len exceeds cap $MaxFramePayload")
     val mask = readN(in, 4)
     (b0 & 0x0f, unmask(readN(in, len.toInt), mask))

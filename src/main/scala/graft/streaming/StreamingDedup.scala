@@ -76,7 +76,12 @@ object StreamingDedup {
         }
         state.update(st.get)
         ttlMicros.foreach { ttl =>
-          state.setTimeoutTimestamp(st.get.lastTsu / 1000 + ttl / 1000)
+          // clamped above the current watermark: for TTL < watermark delay,
+          // a late row would otherwise set a timeout at-or-before the
+          // watermark, which the state API rejects (query-killing IAE)
+          state.setTimeoutTimestamp(math.max(
+            st.get.lastTsu / 1000 + ttl / 1000,
+            state.getCurrentWatermarkMs() + 1))
         }
         out.iterator
       }

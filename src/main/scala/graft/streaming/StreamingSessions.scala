@@ -63,8 +63,14 @@ object StreamingSessions {
         }
         state.update(cur.get)
         // event-time timeout: the session closes when the watermark passes
-        // its end plus the gap (timestamps are millis for the state API)
-        state.setTimeoutTimestamp(cur.get.end / 1000 + gapUs / 1000)
+        // its end plus the gap (timestamps are millis for the state API).
+        // Clamped above the current watermark: when the watermark delay
+        // exceeds the gap, a legitimately-late event would otherwise compute
+        // a timeout at-or-before the watermark, which the state API rejects
+        // with an IllegalArgumentException that kills the whole query.
+        state.setTimeoutTimestamp(math.max(
+          cur.get.end / 1000 + gapUs / 1000,
+          state.getCurrentWatermarkMs() + 1))
         closed.result().iterator
       }
     }

@@ -107,4 +107,22 @@ class StreamingDedupSpec extends SparkSpec {
     assert(tombs.map(t => (t.fp, t.survivor, t.n_dups)).toSeq === Seq((42L, 1L, 2L)),
       "TTL must tombstone the idle fingerprint with its final dup count")
   }
+
+  test("TTL timeout clamps above the watermark when TTL < watermark delay") {
+    // a late doc with lastTsu + ttl <= watermark would otherwise hand the
+    // state API a timeout at/before the watermark — query-killing IAE
+    val watermarkMs = 50_000_000L
+    val lateTsu = (watermarkMs - 120_000L) * 1000L // 2 min before the watermark
+    val ttlUs = 10_000_000L                        // 10 s TTL << 2 min lateness
+    val state = org.apache.spark.sql.streaming.TestGroupState.create[StreamingDedup.SeenState](
+      org.apache.spark.api.java.Optional.empty(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(watermarkMs)),
+      hasTimedOut = false)
+    StreamingDedup.dedupFunc(Some(ttlUs))(
+      42L, Iterator(StreamingDedup.Doc(1L, lateTsu, 42L)), state).toList
+    assert(state.getTimeoutTimestampMs.isPresent)
+    assert(state.getTimeoutTimestampMs.get() === watermarkMs + 1,
+      "computed timeout at/before the watermark must clamp to watermark + 1")
+  }
 }

@@ -55,4 +55,51 @@ class StreamingSessionsSpec extends SparkSpec {
       assert(g === w, s"session mismatch: streamed $g vs batch $w")
     }
   }
+
+  test("timeout clamps above the watermark when the delay exceeds the gap") {
+    // a legitimately-late event (inside the watermark delay, but older than
+    // watermark - gap) computes end + gap <= watermark; unclamped, the
+    // state API rejects that timestamp and kills the whole query
+    val watermarkMs = 10_000_000L
+    val lateTsu = (watermarkMs - 60_000L) * 1000L // 60 s before the watermark
+    val gapUs = 10_000_000L                       // 10 s gap << 60 s lateness
+    val state = org.apache.spark.sql.streaming.TestGroupState.create[StreamingSessions.SessState](
+      org.apache.spark.api.java.Optional.empty(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(watermarkMs)),
+      hasTimedOut = false)
+    StreamingSessions.sessionFunc(gapUs)(
+      7L, Iterator(StreamingSessions.Ev(1L, lateTsu, 7L)), state).toList
+    assert(state.getTimeoutTimestampMs.isPresent)
+    assert(state.getTimeoutTimestampMs.get() === watermarkMs + 1,
+      "computed timeout at/before the watermark must clamp to watermark + 1")
+  }
+
+  test("sessions survive a watermark delay longer than the gap (end-to-end)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 10_000_000L // 10 s gap, 1 h delay: every event takes the clamp-risk path
+    val stream = MemoryStream[StreamingSessions.Ev]
+    val q = StreamingSessions.sessionize(stream.toDS(), gapUs, "1 hour")
+      .writeStream.format("memory").queryName("late_sessions").outputMode("append")
+      .start()
+    try {
+      val base = 100_000_000_000L
+      stream.addData(StreamingSessions.Ev(1L, base, 1L))
+      q.processAllAvailable()
+      // out-of-order events within the delay, older than watermark - gap
+      stream.addData(StreamingSessions.Ev(2L, base - 1_000_000_000L, 1L),
+        StreamingSessions.Ev(3L, base - 990_000_000L, 2L))
+      q.processAllAvailable()
+      // sentinel advances the watermark far enough to flush everything
+      stream.addData(StreamingSessions.Ev(-1L, base + 10_000_000_000_000L, -1L))
+      q.processAllAvailable()
+      stream.addData(StreamingSessions.Ev(-2L, base + 10_000_100_000_000L, -1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val closed = spark.table("late_sessions").as[StreamingSessions.SessionOut]
+      .collect().filter(_.user_id >= 0)
+    assert(closed.exists(_.user_id == 1L) && closed.exists(_.user_id == 2L),
+      s"late events must still close sessions, got ${closed.toSeq}")
+  }
 }
