@@ -382,6 +382,39 @@ object Temporal {
   /** q83: half-width of the burst pairing window (10 min). */
   private val BurstWindowUs = 600000000L
 
+  /** Hot-bucket cap for the burst pair join — the L4 guard bound. Far
+    * above any fixture bucket (max observed: 14 error events per 10-min
+    * bucket at sf0.1), so the CORRECTNESS hashes prove it non-binding;
+    * at scale it bounds one storm bucket to cap·n pairs instead of n².
+    */
+  private[queries] val BurstBucketCap = 10000L
+
+  /** Shared bucketed-range-join pair kernel (q83 + the mega-burst guard
+    * spec): all (a, b) event pairs with |tsu_b - tsu_a| <= windowUs,
+    * a_id < b_id, over an input of (event_id, tsu) rows. Quantize to
+    * window-sized buckets, fan one side to its three candidate buckets,
+    * equi-join on the bucket, exact range predicate after.
+    *
+    * Burst-heavy data skews the bucket key, so the L4 hot-bucket guard is
+    * IN the executed plan (VERDICT r7 #2 — it was previously only cited in
+    * a comment): events in a bucket past `cap` leave the pairing entirely,
+    * exactly the mega-cluster semantics of the LSH dedup path — one storm
+    * window cannot go quadratic at scale.
+    */
+  def burstPairs(events: org.apache.spark.sql.DataFrame, windowUs: Long,
+      cap: Long): org.apache.spark.sql.DataFrame = {
+    val err = graft.functions.Skew.dropHotBuckets(
+      events.withColumn("bkt", expr(s"tsu div $windowUs")), Seq("bkt"), cap)
+    val cand = err.select(col("event_id").as("a_id"), col("tsu").as("a_tsu"),
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("cb"))
+    cand
+      .join(err.select(col("event_id").as("b_id"), col("tsu").as("b_tsu"),
+        col("bkt").as("cb")), Seq("cb"))
+      .filter(col("a_id") < col("b_id") &&
+        abs(col("b_tsu") - col("a_tsu")) <= windowUs)
+      .select(col("a_id"), col("b_id"), (col("b_tsu") - col("a_tsu")).as("delta_us"))
+  }
+
   /* Bucketed range join (J12, engine addition): all pairs of error events
    * within BurstWindowUs of each other, ACROSS users — a non-equi time
    * join. The Spark-first shape is time-bucketing: quantize to
@@ -390,27 +423,19 @@ object Temporal {
    * id, and apply the exact range predicate after. The shuffle key is the
    * bucket — never a cartesian/BNLJ range probe — and each pair matches
    * exactly one candidate bucket, so no dedup pass is needed. Burst-heavy
-   * data skews the bucket key; the L4 hot-bucket guard applies verbatim if
-   * a bucket exceeds the pair budget. The oracle is DuckDB's native range
-   * join (BETWEEN over its IEJoin operator) — an independent formulation
-   * of the same semantics. */
+   * data skews the bucket key; [[burstPairs]] wires the L4 hot-bucket
+   * guard into the executed plan (cap non-binding at test SFs — the
+   * oracle proves it). The oracle is DuckDB's native range join (BETWEEN
+   * over its IEJoin operator) — an independent formulation of the same
+   * semantics. */
   val q83 = GraftQuery(
     "q83_burst_pairs", "J12 T6",
-    (s, d) => {
-      val err = Tables.events(s, d)
-        .filter(col("event_type") === "error")
-        .select(col("event_id"), tsu.as("tsu"),
-          expr(s"(ts div 1000) div $BurstWindowUs").as("bkt"))
-      val cand = err.select(col("event_id").as("a_id"), col("tsu").as("a_tsu"),
-          explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("cb"))
-      cand
-        .join(err.select(col("event_id").as("b_id"), col("tsu").as("b_tsu"),
-          col("bkt").as("cb")), Seq("cb"))
-        .filter(col("a_id") < col("b_id") &&
-          abs(col("b_tsu") - col("a_tsu")) <= BurstWindowUs)
-        .select(col("a_id"), col("b_id"), (col("b_tsu") - col("a_tsu")).as("delta_us"))
-        .orderBy(col("a_id"), col("b_id"))
-    },
+    (s, d) => burstPairs(
+        Tables.events(s, d)
+          .filter(col("event_type") === "error")
+          .select(col("event_id"), tsu.as("tsu")),
+        BurstWindowUs, BurstBucketCap)
+      .orderBy(col("a_id"), col("b_id")),
     Some(s"""WITH e AS (SELECT event_id, epoch_us(ts) AS tsu FROM events
           WHERE event_type = 'error')
         SELECT a.event_id AS a_id, b.event_id AS b_id, b.tsu - a.tsu AS delta_us
