@@ -197,15 +197,17 @@ object LlmPipeline {
      * distinct shingle. Fully codegen'd (the array-lambda formulation is
      * interpreted and 5-10× slower); the window partitions by doc_id, so
      * there is no global sort. */
-    def shingleRows(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    def shingleRows(s: org.apache.spark.sql.SparkSession, d: String,
+        n: Int = ShingleN): org.apache.spark.sql.DataFrame = {
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      Tables.documents(s, d)
+      val base = Tables.documents(s, d)
         .select(col("doc_id"), posexplode(Sketches.words(col("text"))).as(Seq("pos", "w0")))
-        .withColumn("w1", lead(col("w0"), 1).over(w))
-        .withColumn("w2", lead(col("w0"), 2).over(w))
-        .filter(col("w2").isNotNull)
+      val withLeads = (1 until n).foldLeft(base)((df, i) =>
+        df.withColumn(s"w$i", lead(col("w0"), i).over(w)))
+      withLeads
+        .filter(col(s"w${n - 1}").isNotNull)
         .select(col("doc_id"),
-          concat(col("w0"), lit(" "), col("w1"), lit(" "), col("w2")).as("s"))
+          concat_ws(" ", (0 until n).map(i => col(s"w$i")): _*).as("s"))
         .distinct()
     }
 
@@ -555,21 +557,11 @@ object LlmPipeline {
             TextFunctions.qualityScoreColumn(col("text")).as("quality"))
           .orderBy(col("doc_id")),
       Some {
-        val t = "trim(text)"
-        val ws = s"regexp_split_to_array($t, '\\s+')"
-        val en = TextFunctions.StopwordProfiles.toMap.apply("en")
-          .toSeq.sorted.map(w => s"'$w'").mkString("[", ", ", "]")
-        val nChars = s"CAST(len($t) AS DOUBLE)"
-        val nWords = s"CAST(len($ws) AS DOUBLE)"
-        val lenScore = s"least($nChars / 500.0, 1.0)"
-        val stopRatio = s"CAST(len(list_filter($ws, w -> list_contains($en, lower(w)))) AS DOUBLE) / $nWords"
-        val meanWordLen = s"(($nChars - ($nWords - 1)) / $nWords)"
-        val wordLenScore = s"(1.0 - least(abs($meanWordLen - 5.0) / 5.0, 1.0))"
         s"""SELECT doc_id,
             CASE WHEN len(trim(text)) = 0 THEN 0
                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok_ws,
             len(regexp_extract_all(text, '${TextFunctions.BpeIshPattern}')) AS tok_bpe,
-            $lenScore * 0.4 + least($stopRatio * 5.0, 1.0) * 0.3 + $wordLenScore * 0.3 AS quality
+            ${TextFunctions.qualityScoreSql("text")} AS quality
           FROM documents ORDER BY doc_id"""
       })
 
@@ -893,40 +885,56 @@ object LlmPipeline {
 
     /* L17: benchmark decontamination — find training documents sharing any
      * word n-gram with a held-out evaluation set (the standard pretraining
-     * decontamination kernel; production uses 8-13-gram windows, scaled to
-     * 3 here for the fixtures' ~50-word documents). The eval set is tiny
-     * relative to the corpus BY CONSTRUCTION (benchmarks are fixed-size;
-     * here every 97th doc id), so its distinct gram fingerprints BROADCAST
-     * and the corpus is filtered map-side — the 100 TB shape: the corpus
-     * never shuffles, and the join key is an 8-byte md5-prefix fingerprint
-     * rather than the gram string. Reuses q35's relational shingle frame. */
+     * decontamination kernel). The eval set is tiny relative to the corpus
+     * BY CONSTRUCTION (benchmarks are fixed-size; the fixture split takes
+     * every `evalMod`-th doc id), so its distinct gram fingerprints
+     * BROADCAST and the corpus is filtered map-side — the 100 TB shape:
+     * the corpus never shuffles, and the join key is an 8-byte md5-prefix
+     * fingerprint rather than the gram string. Reuses q35's relational
+     * shingle frame; the window width `n` is the production dial
+     * (SURVEY L17: 8-13 grams), oracle-gated at BOTH n=3 (q76, dense
+     * matches on the ~50-word fixture docs) and n=8 (q85, the width that
+     * ships — a denser eval split compensates for the fixtures' short
+     * documents so the gated result is non-trivial at both SFs). */
+    def decontaminate(s: org.apache.spark.sql.SparkSession, d: String,
+        n: Int, evalMod: Int): org.apache.spark.sql.DataFrame = {
+      val grams = shingleRows(s, d, n)
+        .select(col("doc_id"), TextFunctions.md5Fingerprint(col("s")).as("g"))
+      val ev = grams.filter(col("doc_id") % evalMod === 0)
+        .select(col("doc_id").as("eval_id"), col("g"))
+      grams.filter(col("doc_id") % evalMod =!= 0)
+        .join(broadcast(ev), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("eval_id")).as("eval_hits"),
+          countDistinct(col("g")).as("gram_hits"))
+        .orderBy(col("doc_id"))
+    }
+    def decontaminateSql(n: Int, evalMod: Int): String = {
+      val shed = Sketches.shinglesSql("text", n)
+      val fp = TextFunctions.md5FingerprintSql("s")
+      s"""WITH sh AS (SELECT doc_id, unnest(s) AS s FROM
+          (SELECT doc_id, $shed AS s FROM documents)),
+        h AS (SELECT doc_id, $fp AS g FROM sh),
+        ev AS (SELECT doc_id AS eval_id, g FROM h WHERE doc_id % $evalMod = 0),
+        tr AS (SELECT doc_id, g FROM h WHERE doc_id % $evalMod <> 0)
+        SELECT tr.doc_id, COUNT(DISTINCT eval_id) AS eval_hits,
+          COUNT(DISTINCT tr.g) AS gram_hits
+        FROM tr JOIN ev ON ev.g = tr.g
+        GROUP BY 1 ORDER BY doc_id"""
+    }
     val q76 = GraftQuery(
       "q76_decontaminate", "L17 L3",
-      (s, d) => {
-        val grams = shingleRows(s, d)
-          .select(col("doc_id"), TextFunctions.md5Fingerprint(col("s")).as("g"))
-        val ev = grams.filter(col("doc_id") % 97 === 0)
-          .select(col("doc_id").as("eval_id"), col("g"))
-        grams.filter(col("doc_id") % 97 =!= 0)
-          .join(broadcast(ev), Seq("g"))
-          .groupBy(col("doc_id"))
-          .agg(countDistinct(col("eval_id")).as("eval_hits"),
-            countDistinct(col("g")).as("gram_hits"))
-          .orderBy(col("doc_id"))
-      },
-      Some {
-        val shed = Sketches.shinglesSql("text", ShingleN)
-        val fp = TextFunctions.md5FingerprintSql("s")
-        s"""WITH sh AS (SELECT doc_id, unnest(s) AS s FROM
-            (SELECT doc_id, $shed AS s FROM documents)),
-          h AS (SELECT doc_id, $fp AS g FROM sh),
-          ev AS (SELECT doc_id AS eval_id, g FROM h WHERE doc_id % 97 = 0),
-          tr AS (SELECT doc_id, g FROM h WHERE doc_id % 97 <> 0)
-          SELECT tr.doc_id, COUNT(DISTINCT eval_id) AS eval_hits,
-            COUNT(DISTINCT tr.g) AS gram_hits
-          FROM tr JOIN ev ON ev.g = tr.g
-          GROUP BY 1 ORDER BY doc_id"""
-      })
+      (s, d) => decontaminate(s, d, ShingleN, 97),
+      Some(decontaminateSql(ShingleN, 97)))
+
+    /* L17 at production window width: the 8-gram form (SURVEY's 8-13-gram
+     * spec), same plan shape — only the lead-window width and therefore
+     * the gram length changes, which is exactly why the width is a dial
+     * and not a rewrite. */
+    val q85 = GraftQuery(
+      "q85_decontaminate_n8", "L17 L3",
+      (s, d) => decontaminate(s, d, 8, 7),
+      Some(decontaminateSql(8, 7)))
 
     /* L18: deterministic mixture resampling — downsample each language
      * stratum so the surviving corpus matches target mixture weights (the
@@ -1263,17 +1271,7 @@ object LlmPipeline {
       },
       Some {
         val key = s"array_to_string(list_sort(list_distinct(${Sketches.wordsSql("text")})), ' ')"
-        val t = "trim(text)"
-        val ws = s"regexp_split_to_array($t, '\\s+')"
-        val en = TextFunctions.StopwordProfiles.toMap.apply("en")
-          .toSeq.sorted.map(w => s"'$w'").mkString("[", ", ", "]")
-        val nChars = s"CAST(len($t) AS DOUBLE)"
-        val nWords = s"CAST(len($ws) AS DOUBLE)"
-        val lenScore = s"least($nChars / 500.0, 1.0)"
-        val stopRatio = s"CAST(len(list_filter($ws, w -> list_contains($en, lower(w)))) AS DOUBLE) / $nWords"
-        val meanWordLen = s"(($nChars - ($nWords - 1)) / $nWords)"
-        val wordLenScore = s"(1.0 - least(abs($meanWordLen - 5.0) / 5.0, 1.0))"
-        val quality = s"$lenScore * 0.4 + least($stopRatio * 5.0, 1.0) * 0.3 + $wordLenScore * 0.3"
+        val quality = TextFunctions.qualityScoreSql("text")
         s"""WITH q AS (SELECT doc_id, ${Sketches.h64Sql(key)} AS fp,
               $quality AS quality FROM documents),
           c AS (SELECT fp, COUNT(*) AS cluster_n, MAX(quality) AS best_quality,
@@ -1286,6 +1284,6 @@ object LlmPipeline {
       })
 
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q67, q70, q72, q73, q74,
-      q75, q76, q77, q78, q79, q80, q84)
+      q75, q76, q77, q78, q79, q80, q84, q85)
   }
 }
