@@ -191,25 +191,108 @@ object LlmPipeline {
         FROM documents GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY first_doc"""
     })
 
+  /* Shared relational shingle frame: posexplode words, build each n-gram
+   * with window `lead`s, distinct — (doc_id, shingle) rows, one per
+   * distinct shingle. Fully codegen'd (the array-lambda formulation is
+   * interpreted and 5-10× slower); the window partitions by doc_id, so
+   * there is no global sort. */
+  private def shingleRows(s: org.apache.spark.sql.SparkSession, d: String,
+      n: Int = ShingleN): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(Sketches.words(col("text"))).as(Seq("pos", "w0")))
+    val withLeads = (1 until n).foldLeft(base)((df, i) =>
+      df.withColumn(s"w$i", lead(col("w0"), i).over(w)))
+    withLeads
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", (0 until n).map(i => col(s"w$i")): _*).as("s"))
+      .distinct()
+  }
+
+  /** Per-document funnel flag frame — the shared heart of q80 and the
+    * funnel→shards composition ([[trainingSurvivors]]): one row per
+    * non-eval document with `(doc_id, lang, split, text, canon, keep,
+    * dirty)`, each flag derived EXACTLY as its standalone operator
+    * derives it (L1 canonical keeper, L16 repetition/quality keep, L17
+    * 3-gram contamination, L14 deterministic split). The scan is shared,
+    * the flags are independent columns joined by doc id, and the only
+    * wide operations are the same bounded shuffles the standalone
+    * operators use (fp groupBy, per-doc window, broadcast eval set).
+    */
+  def funnelFlags(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    // L1: canonical = min doc_id of the content-fingerprint cluster
+    val canon = docs
+      .withColumn("fp", TextFunctions.md5Fingerprint(col("text")))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+    // L16: repetition/quality keep flag (q75's exact construction)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val withGram = docs
+      .select(col("doc_id"), posexplode(Sketches.words(col("text"))).as(Seq("pos", "w0")))
+      .withColumn("gram", concat(col("w0"), lit(" "), lead(col("w0"), 1).over(w)))
+    val gstats = withGram.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), countDistinct(col("gram")).as("dist2"))
+    val wstats = withGram.groupBy(col("doc_id"), col("w0")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("maxc"))
+    val quality = gstats.join(wstats, Seq("doc_id"))
+      .select(col("doc_id"),
+        (col("n_words") >= 10 &&
+          col("maxc").cast("double") / col("n_words").cast("double") <= 0.2 &&
+          when(col("n_words") >= 2,
+            lit(1.0) - col("dist2").cast("double") / (col("n_words") - 1).cast("double"))
+            .otherwise(lit(0.0)) <= 0.3).as("keep"))
+    // L17: contaminated = shares any 3-gram fingerprint with the eval set
+    val grams = shingleRows(s, d)
+      .select(col("doc_id"), TextFunctions.md5Fingerprint(col("s")).as("g"))
+    val dirty = grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(grams.filter(col("doc_id") % 97 === 0)
+        .select(col("g")).distinct()), Seq("g"))
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    // L14: deterministic split (eval docs excluded from the corpus)
+    val h = pmod(TextFunctions.md5Fingerprint(
+      concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextFunctions.md5Fingerprint(col("text")).as("fp"),
+        when(h < TrainPct, "train")
+          .when(h < TrainPct + ValPct, "val")
+          .otherwise("test").as("split"))
+      .join(canon, Seq("fp"))
+      .join(quality, Seq("doc_id"))
+      .join(dirty, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("split"), col("text"),
+        (col("doc_id") === col("keeper")).as("canon"),
+        col("keep"), coalesce(col("contaminated"), lit(false)).as("dirty"))
+  }
+
+  /** The corpus the funnel keeps: canonical, quality-passing,
+    * uncontaminated documents with their split assignment — q80's
+    * `n_clean` rows as data instead of counts.
+    */
+  def trainingSurvivors(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    funnelFlags(s, d)
+      .filter(col("canon") && col("keep") && !col("dirty"))
+      .select(col("doc_id"), col("lang"), col("split"), col("text"))
+
+  /** Flagship end-to-end pipeline: corpus in → funnel (dedup → quality →
+    * decontaminate → split) → deterministic training shards on disk, as
+    * ONE composition — `trainingSurvivors` through
+    * [[graft.sinks.ShardWriter]]. Shard membership is a pure salted hash
+    * of doc_id and within-shard order is the key sort, so a re-run over
+    * the same corpus reproduces the identical layout byte-for-byte at the
+    * row level (TrainingShardsSpec proves it); at 100 TB the whole thing
+    * is the funnel's bounded shuffles plus the writer's single exchange.
+    */
+  def writeTrainingShards(s: org.apache.spark.sql.SparkSession, d: String,
+      outDir: String, nShards: Int = 64, maxRecordsPerFile: Long = 1000000L): Unit =
+    graft.sinks.ShardWriter.write(
+      trainingSurvivors(s, d), "doc_id", nShards, outDir, maxRecordsPerFile)
+
   val all: Seq[GraftQuery] = {
-    /* Shared relational shingle frame: posexplode words, build each n-gram
-     * with window `lead`s, distinct — (doc_id, shingle) rows, one per
-     * distinct shingle. Fully codegen'd (the array-lambda formulation is
-     * interpreted and 5-10× slower); the window partitions by doc_id, so
-     * there is no global sort. */
-    def shingleRows(s: org.apache.spark.sql.SparkSession, d: String,
-        n: Int = ShingleN): org.apache.spark.sql.DataFrame = {
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(Sketches.words(col("text"))).as(Seq("pos", "w0")))
-      val withLeads = (1 until n).foldLeft(base)((df, i) =>
-        df.withColumn(s"w$i", lead(col("w0"), i).over(w)))
-      withLeads
-        .filter(col(s"w${n - 1}").isNotNull)
-        .select(col("doc_id"),
-          concat_ws(" ", (0 until n).map(i => col(s"w$i")): _*).as("s"))
-        .distinct()
-    }
 
     /* Shared MinHash signature frame over the shingle rows: md5 each
      * shingle ONCE through codegen'd scalar expressions, then take the 16
@@ -1140,50 +1223,7 @@ object LlmPipeline {
     val q80 = GraftQuery(
       "q80_corpus_funnel", "L1 L14 L16 L17",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        // L1: canonical = min doc_id of the content-fingerprint cluster
-        val canon = docs
-          .withColumn("fp", TextFunctions.md5Fingerprint(col("text")))
-          .groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
-        // L16: repetition/quality keep flag (q75's exact construction)
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val withGram = docs
-          .select(col("doc_id"), posexplode(Sketches.words(col("text"))).as(Seq("pos", "w0")))
-          .withColumn("gram", concat(col("w0"), lit(" "), lead(col("w0"), 1).over(w)))
-        val gstats = withGram.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_words"), countDistinct(col("gram")).as("dist2"))
-        val wstats = withGram.groupBy(col("doc_id"), col("w0")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id")).agg(max(col("c")).as("maxc"))
-        val quality = gstats.join(wstats, Seq("doc_id"))
-          .select(col("doc_id"),
-            (col("n_words") >= 10 &&
-              col("maxc").cast("double") / col("n_words").cast("double") <= 0.2 &&
-              when(col("n_words") >= 2,
-                lit(1.0) - col("dist2").cast("double") / (col("n_words") - 1).cast("double"))
-                .otherwise(lit(0.0)) <= 0.3).as("keep"))
-        // L17: contaminated = shares any 3-gram fingerprint with the eval set
-        val grams = shingleRows(s, d)
-          .select(col("doc_id"), TextFunctions.md5Fingerprint(col("s")).as("g"))
-        val dirty = grams.filter(col("doc_id") % 97 =!= 0)
-          .join(broadcast(grams.filter(col("doc_id") % 97 === 0)
-            .select(col("g")).distinct()), Seq("g"))
-          .select(col("doc_id")).distinct()
-          .withColumn("contaminated", lit(true))
-        // L14: deterministic split (eval docs excluded from the corpus)
-        val h = pmod(TextFunctions.md5Fingerprint(
-          concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
-        docs.filter(col("doc_id") % 97 =!= 0)
-          .select(col("doc_id"), col("lang"),
-            TextFunctions.md5Fingerprint(col("text")).as("fp"),
-            when(h < TrainPct, "train")
-              .when(h < TrainPct + ValPct, "val")
-              .otherwise("test").as("split"))
-          .join(canon, Seq("fp"))
-          .join(quality, Seq("doc_id"))
-          .join(dirty, Seq("doc_id"), "left")
-          .select(col("lang"), col("split"),
-            (col("doc_id") === col("keeper")).as("canon"),
-            col("keep"), coalesce(col("contaminated"), lit(false)).as("dirty"))
+        funnelFlags(s, d)
           .groupBy(col("lang"), col("split"))
           .agg(count(lit(1)).as("n_raw"),
             sum(when(col("canon"), 1L).otherwise(0L)).as("n_dedup"),
