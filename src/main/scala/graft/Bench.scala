@@ -168,6 +168,17 @@ object Bench {
     val steadyTotal = results.map(_.steady).sum
     val steadyFirstTotal = results.map(_.steady1).sum
     val bestTotal = results.map(_.best).sum
+    // self-adjudicating stall evidence: the largest UNEXPLAINED wall-clock
+    // gap between consecutive queries — time between two t_start values
+    // not accounted for by the intervening query's three measured passes.
+    // Near-zero = the suite ran back-to-back and the totals are honest;
+    // tens of seconds = the host froze between queries and the cold/steady
+    // totals carry environmental time. Rides in the compact line so the
+    // driver's artifact carries its own stall verdict (three rounds of
+    // bench disputes were re-litigated by hand from bench_full.json).
+    val maxTstartGap = results.toSeq.sliding(2).collect {
+      case Seq(a, b) => b.tStart - a.tStart - (a.cold + a.steady1 + a.steady2)
+    }.foldLeft(0.0)(math.max)
     val fullJson =
       s"""{"cold":${json(results.map(r => r.name -> r.cold), 6)},
          |"steady":${json(results.map(r => r.name -> r.steady), 6)},
@@ -181,6 +192,7 @@ object Bench {
          |"gc_steady_ms":${jsonL(results.map(r => r.name -> r.gcSteadyMs))},
          |"codecache_mb":${jsonL(results.map(r => r.name -> r.codeCacheMb))},
          |"cold_stall_suspects":$coldSuspects,
+         |"max_tstart_gap":${num(maxTstartGap, 3)},
          |"seed":$seed,
          |"total":$total,"steady_total":$steadyTotal,
          |"steady_first_total":$steadyFirstTotal,"best_total":$bestTotal,
@@ -217,7 +229,7 @@ object Bench {
     // visible even when only the driver's tail window survives — the full
     // evidence (counters + t_start gaps) is in bench_full.json
     val suspectExtra = if (coldSuspects == "[]") "" else s""","cold_stall_suspects":$coldSuspects"""
-    val totalsExtra = s""","cold_total":${num(total, 2)},"best_total":${num(bestTotal, 2)}"""
+    val totalsExtra = s""","cold_total":${num(total, 2)},"best_total":${num(bestTotal, 2)},"max_tstart_gap":${num(maxTstartGap, 2)}"""
     // short-key fallback: at 72 queries the full-name dp1 map alone is
     // ~1900 chars (measured 1902 on the first 72-query run — it no longer
     // fits), so before surrendering the per-query map entirely, emit it
@@ -243,7 +255,7 @@ object Bench {
         Seq(lineShort(s"""$totalsExtra,"seed":$seed$suspectExtra"""),
           lineShort(totalsExtra))
       else Seq.empty) ++ Seq(
-      s"""{"metric":"steady_total","value":${num(steadyTotal, 2)},"unit":"sec","cold_total":${num(total, 2)},"best_total":${num(bestTotal, 2)},"sf":$sfNum}""")
+      s"""{"metric":"steady_total","value":${num(steadyTotal, 2)},"unit":"sec","cold_total":${num(total, 2)},"best_total":${num(bestTotal, 2)},"max_tstart_gap":${num(maxTstartGap, 2)},"sf":$sfNum}""")
     // stop() before the final line so no shutdown logging can land after
     // it in the merged stream — but guarded: a throwing shutdown listener
     // must not cost the driver its one parseable output either
