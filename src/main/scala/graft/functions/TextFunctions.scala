@@ -71,14 +71,19 @@ object TextFunctions {
     }
   }
 
-  /** Column form: per-language stopword-hit fraction via array intersection
-    * (codegen'd, no UDF), argmax by (score, lang) with 'und' floor.
+  /** Column form: per-language stopword-hit fraction, argmax by
+    * (score, lang) with 'und' floor. The five per-language counts run as
+    * native `graft_stopword_count` loops (see [[qualityScoreColumn]] —
+    * the lambda form was CodegenFallback and de-optimized the host
+    * projection), so the whole language-ID pass stays in whole-stage
+    * codegen.
     */
   def langIdColumn(text: Column): Column = {
     val words = split(lower(trim(text)), "\\s+")
     val n = size(words)
     val scored = StopwordProfiles.map { case (lang, sw) =>
-      val hits = size(filter(words, w => w.isin(sw.toSeq.sorted: _*)))
+      val hits = call_function("graft_stopword_count", words,
+        lit(sw.toSeq.sorted.toArray))
       struct((hits.cast("double") / n).as("score"), lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)
@@ -91,6 +96,14 @@ object TextFunctions {
   /** Heuristic quality score in [0,1]: mixes length saturation, stopword
     * ratio, alpha ratio and mean word length (the standard pretraining
     * quality signals). Deterministic double math, same in SQL.
+    *
+    * The stopword count runs as the native loop expression
+    * `graft_stopword_count` (registry-installed, like `graft_dot`): the
+    * higher-order `filter(words, lambda)` form is CodegenFallback and
+    * de-optimized the ENTIRE quality projection out of whole-stage
+    * codegen — on the per-document scoring pass over the whole corpus,
+    * exactly the operator that must stay compiled at 100 TB. Same count,
+    * same hashes (lowercased membership, null elements excluded).
     */
   def qualityScoreColumn(text: Column): Column = {
     val t = trim(text)
@@ -99,7 +112,9 @@ object TextFunctions {
     val nWords = size(words).cast("double")
     val lenScore = least(nChars / 500.0, lit(1.0))
     val en = StopwordProfiles.toMap.apply("en")
-    val stopRatio = size(filter(words, w => lower(w).isin(en.toSeq.sorted: _*))).cast("double") / nWords
+    val stops = call_function("graft_stopword_count", words,
+      lit(en.toSeq.sorted.toArray))
+    val stopRatio = stops.cast("double") / nWords
     val meanWordLen = (nChars - (nWords - 1)) / nWords
     val wordLenScore = lit(1.0) - least(abs(meanWordLen - 5.0) / 5.0, lit(1.0))
     lenScore * 0.4 + least(stopRatio * 5.0, lit(1.0)) * 0.3 + wordLenScore * 0.3

@@ -63,6 +63,25 @@ object GraftExtensions {
         DotProductExpression(children(0), children(1),
           children(2).eval().asInstanceOf[Number].intValue())
       }),
+    ("graft_scalar_keys",
+      new ExpressionInfo(classOf[ScalarKeysExpression].getName, "graft_scalar_keys"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_scalar_keys expects (map), got ${children.length} args")
+        ScalarKeysExpression(children.head)
+      }),
+    ("graft_stopword_count",
+      new ExpressionInfo(classOf[StopwordCountExpression].getName, "graft_stopword_count"),
+      (children: Seq[Expression]) => {
+        // the stopword set rides as a foldable array literal
+        require(children.length == 2,
+          s"graft_stopword_count expects (words, stopwords), got ${children.length} args")
+        require(children(1).foldable, "graft_stopword_count stopwords must be literal")
+        val words = children(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        StopwordCountExpression(children(0),
+          words.toObjectArray(org.apache.spark.sql.types.StringType)
+            .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString))
+      }),
     ("graft_hll",
       new ExpressionInfo(classOf[HyperLogLogAgg].getName, "graft_hll"),
       (children: Seq[Expression]) => {

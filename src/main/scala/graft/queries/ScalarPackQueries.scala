@@ -148,11 +148,12 @@ object ScalarPackQueries {
           get_json_object(col("mtxt"), "$.quality") =!= "deleted", lit(true)))
         .select(col("event_id"),
           // scalar-only cleaning: nested values re-serialize starting with
-          // '{'; one map traversal total. Keys are emitted SORTED — map
-          // iteration order is not a stable contract (the encoder fence
-          // round-trips through a Scala Map)
-          concat_ws(",", array_sort(map_keys(map_filter(col("m"),
-            (_, v) => !v.startsWith("{"))))).as("kept_keys"),
+          // '{'; one map traversal total, as the native graft_scalar_keys
+          // loop (the map_filter HOF form was CodegenFallback and
+          // de-optimized this whole projection — see ScalarKeysExpression).
+          // Keys are emitted SORTED — map iteration order is not a stable
+          // contract
+          call_function("graft_scalar_keys", col("m")).as("kept_keys"),
           when(col("m")("callsign") === "UNKNOWN",
             coalesce(get_json_object(col("mtxt"), "$.flight"),
               get_json_object(col("mtxt"), "$.r")))
