@@ -255,7 +255,7 @@ object LlmPipeline {
     val h = pmod(TextFunctions.md5Fingerprint(
       concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
     docs.filter(col("doc_id") % 97 =!= 0)
-      .select(col("doc_id"), col("lang"), col("text"),
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
         TextFunctions.md5Fingerprint(col("text")).as("fp"),
         when(h < TrainPct, "train")
           .when(h < TrainPct + ValPct, "val")
@@ -263,9 +263,57 @@ object LlmPipeline {
       .join(canon, Seq("fp"))
       .join(quality, Seq("doc_id"))
       .join(dirty, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"), col("split"), col("text"),
+      .select(col("doc_id"), col("lang"), col("source"), col("split"), col("text"),
         (col("doc_id") === col("keeper")).as("canon"),
         col("keep"), coalesce(col("contaminated"), lit(false)).as("dirty"))
+  }
+
+  /** DuckDB twin of [[funnelFlags]] as a WITH-body ending in
+    * `base(doc_id, lang, source, text, split, canon, keep, dirty)` — the
+    * ONE source of truth for the funnel's oracle CTEs (q80 and q86 both
+    * interpolate it; the qualityScoreSql de-duplication rule).
+    */
+  private def funnelBaseCtesSql: String = {
+    val fp = TextFunctions.md5FingerprintSql("text")
+    val h = TextFunctions.md5FingerprintSql("'split:' || CAST(d.doc_id AS VARCHAR)")
+    val ws = Sketches.wordsSql("text")
+    val shed = Sketches.shinglesSql("text", ShingleN)
+    val gfp = TextFunctions.md5FingerprintSql("s")
+    s"""canon AS (SELECT $fp AS fp, MIN(doc_id) AS keeper
+          FROM documents GROUP BY 1),
+        a AS (SELECT doc_id, $ws AS ws FROM documents),
+        g AS (SELECT doc_id, len(ws) AS n_words,
+            len(list_distinct(list_transform(generate_series(1, len(ws) - 1),
+              i -> ws[i] || ' ' || ws[i + 1]))) AS dist2 FROM a),
+        wc AS (SELECT doc_id, word, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(ws) AS word FROM a) GROUP BY 1, 2),
+        mx AS (SELECT doc_id, MAX(c) AS maxc FROM wc GROUP BY 1),
+        quality AS (SELECT g.doc_id,
+            (n_words >= 10
+             AND CAST(maxc AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.2e0
+             AND (CASE WHEN n_words >= 2
+                  THEN 1.0e0 - CAST(dist2 AS DOUBLE) / CAST(n_words - 1 AS DOUBLE)
+                  ELSE 0.0e0 END) <= 0.3e0) AS keep
+          FROM g JOIN mx ON mx.doc_id = g.doc_id),
+        sh AS (SELECT doc_id, unnest(s) AS s FROM
+          (SELECT doc_id, $shed AS s FROM documents)),
+        hg AS (SELECT doc_id, $gfp AS g FROM sh),
+        dirty AS (SELECT DISTINCT tr.doc_id FROM hg tr
+          JOIN (SELECT DISTINCT g FROM hg WHERE doc_id % 97 = 0) ev
+            ON ev.g = tr.g
+          WHERE tr.doc_id % 97 <> 0),
+        base AS (SELECT d.doc_id, d.lang, d.source, d.text,
+            CASE WHEN $h % 100 < $TrainPct THEN 'train'
+                 WHEN $h % 100 < ${TrainPct + ValPct} THEN 'val'
+                 ELSE 'test' END AS split,
+            d.doc_id = canon.keeper AS canon,
+            quality.keep AS keep,
+            dirty.doc_id IS NOT NULL AS dirty
+          FROM documents d
+          JOIN canon ON canon.fp = $fp
+          JOIN quality ON quality.doc_id = d.doc_id
+          LEFT JOIN dirty ON dirty.doc_id = d.doc_id
+          WHERE d.doc_id % 97 <> 0)"""
   }
 
   /** The corpus the funnel keeps: canonical, quality-passing,
@@ -1233,52 +1281,64 @@ object LlmPipeline {
           .orderBy(col("lang"), col("split"))
       },
       Some {
-        val fp = TextFunctions.md5FingerprintSql("text")
-        val h = TextFunctions.md5FingerprintSql("'split:' || CAST(d.doc_id AS VARCHAR)")
-        val ws = Sketches.wordsSql("text")
-        val shed = Sketches.shinglesSql("text", ShingleN)
-        val gfp = TextFunctions.md5FingerprintSql("s")
-        s"""WITH canon AS (SELECT $fp AS fp, MIN(doc_id) AS keeper
-            FROM documents GROUP BY 1),
-          a AS (SELECT doc_id, $ws AS ws FROM documents),
-          g AS (SELECT doc_id, len(ws) AS n_words,
-              len(list_distinct(list_transform(generate_series(1, len(ws) - 1),
-                i -> ws[i] || ' ' || ws[i + 1]))) AS dist2 FROM a),
-          wc AS (SELECT doc_id, word, COUNT(*) AS c
-            FROM (SELECT doc_id, unnest(ws) AS word FROM a) GROUP BY 1, 2),
-          mx AS (SELECT doc_id, MAX(c) AS maxc FROM wc GROUP BY 1),
-          quality AS (SELECT g.doc_id,
-              (n_words >= 10
-               AND CAST(maxc AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.2e0
-               AND (CASE WHEN n_words >= 2
-                    THEN 1.0e0 - CAST(dist2 AS DOUBLE) / CAST(n_words - 1 AS DOUBLE)
-                    ELSE 0.0e0 END) <= 0.3e0) AS keep
-            FROM g JOIN mx ON mx.doc_id = g.doc_id),
-          sh AS (SELECT doc_id, unnest(s) AS s FROM
-            (SELECT doc_id, $shed AS s FROM documents)),
-          hg AS (SELECT doc_id, $gfp AS g FROM sh),
-          dirty AS (SELECT DISTINCT tr.doc_id FROM hg tr
-            JOIN (SELECT DISTINCT g FROM hg WHERE doc_id % 97 = 0) ev
-              ON ev.g = tr.g
-            WHERE tr.doc_id % 97 <> 0),
-          base AS (SELECT d.lang,
-              CASE WHEN $h % 100 < $TrainPct THEN 'train'
-                   WHEN $h % 100 < ${TrainPct + ValPct} THEN 'val'
-                   ELSE 'test' END AS split,
-              d.doc_id = canon.keeper AS canon,
-              quality.keep AS keep,
-              dirty.doc_id IS NOT NULL AS dirty
-            FROM documents d
-            JOIN canon ON canon.fp = $fp
-            JOIN quality ON quality.doc_id = d.doc_id
-            LEFT JOIN dirty ON dirty.doc_id = d.doc_id
-            WHERE d.doc_id % 97 <> 0)
+        s"""WITH $funnelBaseCtesSql
           SELECT lang, split, COUNT(*) AS n_raw,
             CAST(SUM(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
             CAST(SUM(CASE WHEN canon AND keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
             CAST(SUM(CASE WHEN canon AND keep AND NOT dirty THEN 1 ELSE 0 END)
               AS BIGINT) AS n_clean
           FROM base GROUP BY 1, 2 ORDER BY lang, split"""
+      })
+
+    /* Per-source curation profile — the mixture-weight input step of a
+     * production corpus build (the Dolma/RefinedWeb per-domain profiling
+     * pass): for every source, the funnel survival counts plus mean raw
+     * quality and the clean token budget. One pass over the shared funnel
+     * flag frame; the mean is a floor(q*1e6)-quantized LONG sum divided
+     * once (an IEEE double sum is addition-order-dependent and therefore
+     * not engine-portable; double→DECIMAL casts are ALSO not portable —
+     * Spark rounds the double's shortest-decimal rendering, DuckDB the
+     * exact binary value, and the sf0.1 corpus has quality scores near
+     * enough a 1e-6 quantum to round apart — whereas multiply and floor
+     * are single IEEE ops, bit-identical on any engine; the long sum is
+     * exact, and its double image is exact under 2^53, i.e. to ~9e9
+     * docs/source, the q01 lesson). At 100 TB: |sources|-row
+     * output, map-side-combined conditional sums, same bounded shuffles as
+     * q80. */
+    val q86 = GraftQuery(
+      "q86_source_profile", "L18 L9 L1 L16 L17",
+      (s, d) => {
+        funnelFlags(s, d)
+          .withColumn("q", TextFunctions.qualityScoreColumn(col("text")))
+          .withColumn("toks", TextFunctions.tokenCountBpeIsh(col("text")).cast("long"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("canon"), 1L).otherwise(0L)).as("n_canon"),
+            sum(when(col("canon") && col("keep"), 1L).otherwise(0L)).as("n_quality"),
+            sum(when(col("canon") && col("keep") && !col("dirty"), 1L).otherwise(0L))
+              .as("n_clean"),
+            (sum(floor(col("q") * lit(1e6))).cast("double") /
+              (count(lit(1)).cast("double") * lit(1e6))).as("mean_quality"),
+            sum(when(col("canon") && col("keep") && !col("dirty"), col("toks"))
+              .otherwise(0L)).as("clean_tokens"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val quality = TextFunctions.qualityScoreSql("text")
+        s"""WITH $funnelBaseCtesSql,
+          prof AS (SELECT source, canon, keep, dirty, $quality AS q,
+              len(regexp_extract_all(text, '${TextFunctions.BpeIshPattern}')) AS toks
+            FROM base)
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT) AS n_canon,
+            CAST(SUM(CASE WHEN canon AND keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+            CAST(SUM(CASE WHEN canon AND keep AND NOT dirty THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_clean,
+            CAST(SUM(CAST(floor(q * 1e6) AS BIGINT)) AS DOUBLE)
+              / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS mean_quality,
+            CAST(SUM(CASE WHEN canon AND keep AND NOT dirty THEN toks ELSE 0 END)
+              AS BIGINT) AS clean_tokens
+          FROM prof GROUP BY 1 ORDER BY source"""
       })
 
     /* L21: quality-aware survivor selection — the production refinement of
@@ -1324,6 +1384,6 @@ object LlmPipeline {
       })
 
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q67, q70, q72, q73, q74,
-      q75, q76, q77, q78, q79, q80, q84, q85)
+      q75, q76, q77, q78, q79, q80, q84, q85, q86)
   }
 }

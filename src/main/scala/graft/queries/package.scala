@@ -29,6 +29,18 @@ package object queries {
       * cast each element to DECIMAL(18,4) first (exact, associative), then
       * cast the final aggregate back to double — both engines produce
       * bit-identical float64.
+      *
+      * CAVEAT — double→DECIMAL casts are themselves engine-divergent for
+      * COMPUTED doubles: Spark rounds the double's shortest-decimal
+      * rendering (`BigDecimal.valueOf`), DuckDB rounds the exact binary
+      * value, so a full-mantissa ratio sitting near a quantum boundary
+      * rounds apart (observed: q86's quality mean under DECIMAL(20,6)
+      * matched at sf0.01, failed at sf0.1). `dec` is safe ONLY for
+      * columns already decimal-exact at the target scale (parquet money/
+      * quantity values). To aggregate a computed double portably,
+      * quantize with single IEEE ops instead — `floor(c * 1e6)` is
+      * bit-identical on any engine — sum the exact longs, divide once
+      * (see q86_source_profile).
       */
     def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
