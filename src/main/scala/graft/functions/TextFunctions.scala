@@ -140,6 +140,42 @@ object TextFunctions {
     s"$lenScore * 0.4 + least($stopRatio * 5.0, 1.0) * 0.3 + $wordLenScore * 0.3"
   }
 
+  // --- PII detection + redaction (L22) ---
+
+  /** PII patterns written in the Java-regex ∩ RE2 common subset (no
+    * lookaround, no backreferences, ASCII `\b` only) so the scrub behaves
+    * identically on Spark (java.util.regex) and RE2-family engines — the
+    * dialect parity is what q87's oracle actually gates (it plants
+    * deterministic PII into the corpus on BOTH engines and compares
+    * counts plus a fingerprint of the redacted text).
+    */
+  val PiiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhonePattern = "\\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{5,8}"
+  val PiiIpPattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Replace emails, then phones, then IPv4s with typed tokens. The order
+    * is load-bearing only in that the replacement tokens contain no `@`,
+    * no `+digit` run and no dotted quad, so each later pass cannot match
+    * inside an earlier pass's token — which also makes the scrub
+    * idempotent (PiiScrubSpec proves it). Three codegen'd
+    * `regexp_replace` calls; no UDF.
+    */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, lit(PiiEmailPattern), lit("<EMAIL>"))
+    val p = regexp_replace(e, lit(PiiPhonePattern), lit("<PHONE>"))
+    regexp_replace(p, lit(PiiIpPattern), lit("<IP>"))
+  }
+
+  /** DuckDB twin of [[redactPii]] — same patterns, same order; `'g'` is
+    * required because DuckDB's regexp_replace is first-match-only by
+    * default while Spark's replaces all.
+    */
+  def redactPiiSql(expr: String): String = {
+    val e = s"regexp_replace($expr, '$PiiEmailPattern', '<EMAIL>', 'g')"
+    val p = s"regexp_replace($e, '$PiiPhonePattern', '<PHONE>', 'g')"
+    s"regexp_replace($p, '$PiiIpPattern', '<IP>', 'g')"
+  }
+
   // --- Document fingerprinting ---
 
   /** 64-bit FNV-1a over the UTF-8 bytes — a rolling document fingerprint

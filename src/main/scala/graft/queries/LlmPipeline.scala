@@ -1341,6 +1341,96 @@ object LlmPipeline {
           FROM prof GROUP BY 1 ORDER BY source"""
       })
 
+    /* L22: PII scrubbing — the redaction stage every pretraining corpus
+     * runs (emails, phone numbers, IPv4s → typed tokens). The synthetic
+     * corpus contains no PII, so the query PLANTS deterministic PII
+     * derived from doc_id — independently on both engines — then scrubs
+     * and compares per-source match counts, a changed-docs count, an
+     * in-query residual proof (re-scanning the redacted text must find
+     * nothing), and the MIN fingerprint of the redacted text (pins
+     * content, not just counts). What the oracle is really gating is
+     * regex-dialect parity: the patterns live in the Java ∩ RE2 subset
+     * and a divergence in match semantics on either engine breaks the
+     * hash. At 100 TB: three codegen'd regexp_replace passes, map-side
+     * conditional sums, |sources|-row output — no joins, no window. */
+    val q87 = GraftQuery(
+      "q87_pii_scrub", "L22 L10",
+      (s, d) => {
+        val id = col("doc_id")
+        val sep = when(id % 2 === 0, lit(" ")).otherwise(lit("-"))
+        val email = concat(lit(" contact user"), id.cast("string"),
+          lit("@mail"), (id % 7).cast("string"), lit(".com"))
+        val email2 = concat(lit(" cc alt."), id.cast("string"),
+          lit("+tag@mail"), (id % 5).cast("string"), lit(".org"))
+        val phone = concat(lit(" call +"), (id % 89 + 1).cast("string"), sep,
+          (id % 80 + 20).cast("string"), sep,
+          (id % 9000000 + 1000000).cast("string"))
+        val ip = concat(lit(" host "), ((id * 7) % 223 + 1).cast("string"),
+          lit("."), ((id * 13) % 256).cast("string"),
+          lit("."), ((id * 17) % 256).cast("string"),
+          lit("."), ((id * 19) % 254 + 1).cast("string"))
+        Tables.documents(s, d)
+          .select(col("source"), concat(col("text"),
+            when(id % 3 === 0, email).otherwise(lit("")),
+            when(id % 9 === 0, email2).otherwise(lit("")),
+            when(id % 5 === 0, phone).otherwise(lit("")),
+            when(id % 7 === 0, ip).otherwise(lit(""))).as("t"))
+          .withColumn("red", TextFunctions.redactPii(col("t")))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(regexp_count(col("t"), lit(TextFunctions.PiiEmailPattern)))
+              .as("n_emails"),
+            sum(regexp_count(col("t"), lit(TextFunctions.PiiPhonePattern)))
+              .as("n_phones"),
+            sum(regexp_count(col("t"), lit(TextFunctions.PiiIpPattern)))
+              .as("n_ips"),
+            sum(when(col("t") =!= col("red"), 1L).otherwise(0L))
+              .as("docs_changed"),
+            sum(regexp_count(col("red"), lit(TextFunctions.PiiEmailPattern)) +
+              regexp_count(col("red"), lit(TextFunctions.PiiPhonePattern)) +
+              regexp_count(col("red"), lit(TextFunctions.PiiIpPattern)))
+              .as("residual"),
+            min(TextFunctions.md5Fingerprint(col("red"))).as("red_fp_min"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val e = s"'${TextFunctions.PiiEmailPattern}'"
+        val p = s"'${TextFunctions.PiiPhonePattern}'"
+        val i = s"'${TextFunctions.PiiIpPattern}'"
+        s"""WITH pl AS (SELECT source, text
+              || CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+                   CAST(doc_id AS VARCHAR) || '@mail' ||
+                   CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
+              || CASE WHEN doc_id % 9 = 0 THEN ' cc alt.' ||
+                   CAST(doc_id AS VARCHAR) || '+tag@mail' ||
+                   CAST(doc_id % 5 AS VARCHAR) || '.org' ELSE '' END
+              || CASE WHEN doc_id % 5 = 0 THEN ' call +' ||
+                   CAST((doc_id % 89) + 1 AS VARCHAR) ||
+                   (CASE WHEN doc_id % 2 = 0 THEN ' ' ELSE '-' END) ||
+                   CAST((doc_id % 80) + 20 AS VARCHAR) ||
+                   (CASE WHEN doc_id % 2 = 0 THEN ' ' ELSE '-' END) ||
+                   CAST((doc_id % 9000000) + 1000000 AS VARCHAR) ELSE '' END
+              || CASE WHEN doc_id % 7 = 0 THEN ' host ' ||
+                   CAST(((doc_id * 7) % 223) + 1 AS VARCHAR) || '.' ||
+                   CAST((doc_id * 13) % 256 AS VARCHAR) || '.' ||
+                   CAST((doc_id * 17) % 256 AS VARCHAR) || '.' ||
+                   CAST(((doc_id * 19) % 254) + 1 AS VARCHAR) ELSE '' END
+            AS t FROM documents),
+          r AS (SELECT source, t, ${TextFunctions.redactPiiSql("t")} AS red
+            FROM pl)
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(len(regexp_extract_all(t, $e))) AS BIGINT) AS n_emails,
+            CAST(SUM(len(regexp_extract_all(t, $p))) AS BIGINT) AS n_phones,
+            CAST(SUM(len(regexp_extract_all(t, $i))) AS BIGINT) AS n_ips,
+            CAST(SUM(CASE WHEN t <> red THEN 1 ELSE 0 END) AS BIGINT)
+              AS docs_changed,
+            CAST(SUM(len(regexp_extract_all(red, $e)) +
+              len(regexp_extract_all(red, $p)) +
+              len(regexp_extract_all(red, $i))) AS BIGINT) AS residual,
+            MIN(${TextFunctions.md5FingerprintSql("red")}) AS red_fp_min
+          FROM r GROUP BY 1 ORDER BY source"""
+      })
+
     /* L21: quality-aware survivor selection — the production refinement of
      * the min-id rule: within each canonical-form cluster (q34's
      * bag-of-words key — members share a word set but differ in order and
@@ -1384,6 +1474,6 @@ object LlmPipeline {
       })
 
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q67, q70, q72, q73, q74,
-      q75, q76, q77, q78, q79, q80, q84, q85, q86)
+      q75, q76, q77, q78, q79, q80, q84, q85, q86, q87)
   }
 }
