@@ -64,6 +64,9 @@ object LlmPipeline {
   private val ShingleN = 3
   private val JaccardThreshold = 0.8
   private val Dims = 64
+  // L23 vocab width — 20 of the synthetic corpus's 31 distinct words so the
+  // familiarity filter discriminates on the fixtures (production: 1e4-1e5)
+  private val TopVocab = 20
   private val TopK = 5
 
   /** IVF (q70): every CentroidStep-th vector seeds the codebook — K grows
@@ -1431,6 +1434,71 @@ object LlmPipeline {
           FROM r GROUP BY 1 ORDER BY source"""
       })
 
+    /* L23: corpus-LM familiarity filter — the CCNet-shaped stage: TRAIN a
+     * language model on the corpus itself, then SCORE every document
+     * against it and filter. The model here is the integer-rank form
+     * (top-1000 vocabulary by corpus frequency, (count DESC, word ASC)
+     * tie-break) rather than log-prob perplexity: transcendental log is
+     * the one operation whose libm implementations differ by 1 ulp
+     * across engines, so a portable oracle pins the integer-exact
+     * variant — familiarity = fraction of a doc's words inside the top
+     * vocabulary, keep at >= 0.6. The vocab width is the recall dial:
+     * production corpora run 1e4-1e5; the synthetic corpus has only 31
+     * distinct words, so the gated width is 20 (measured familiarity
+     * spread 0.38-1.0, 422/500 kept — the filter discriminates rather
+     * than trivially passing). All parity-relevant math is exact
+     * (int counts, ONE int/int IEEE division per doc, floor-quantized
+     * mean). At 100 TB this is the train-then-score pattern: the vocab
+     * aggregate is map-side combined, top-K is a tiny sort on the
+     * |vocab|-row frame, the model ships as a BROADCAST join (no
+     * driver collect), and scoring is one explode + per-doc re-agg —
+     * the same bounded shuffles however wide the corpus. */
+    val q88 = GraftQuery(
+      "q88_lm_familiarity", "L23 L8 L9",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(trim(col("text")), "\\s+")).as("w"))
+        val vocabTop = words.groupBy(col("w"))
+          .agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w")).limit(TopVocab)
+        val perDoc = words.groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_words"))
+        val fam = words.join(broadcast(vocabTop.select(col("w"))), Seq("w"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_familiar"))
+        perDoc.join(fam, Seq("doc_id"), "left")
+          .withColumn("fam",
+            coalesce(col("n_familiar"), lit(0L)).cast("double") /
+              col("n_words").cast("double"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("fam") >= 0.6, 1L).otherwise(0L)).as("n_keep"),
+            (sum(floor(col("fam") * lit(1e6))).cast("double") /
+              (count(lit(1)).cast("double") * lit(1e6)))
+              .as("mean_familiarity"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        s"""WITH w AS (SELECT doc_id, lang,
+              unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents),
+          v AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM w GROUP BY 1)
+            ORDER BY c DESC, w LIMIT $TopVocab),
+          pd AS (SELECT doc_id, lang, COUNT(*) AS n_words FROM w GROUP BY 1, 2),
+          f AS (SELECT w.doc_id, COUNT(*) AS n_familiar
+            FROM w JOIN v ON v.w = w.w GROUP BY 1),
+          sc AS (SELECT pd.lang,
+              CAST(COALESCE(f.n_familiar, 0) AS DOUBLE) /
+                CAST(pd.n_words AS DOUBLE) AS fam
+            FROM pd LEFT JOIN f ON f.doc_id = pd.doc_id)
+          SELECT lang, COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN fam >= 0.6e0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_keep,
+            CAST(SUM(CAST(floor(fam * 1e6) AS BIGINT)) AS DOUBLE)
+              / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS mean_familiarity
+          FROM sc GROUP BY 1 ORDER BY lang"""
+      })
+
     /* L21: quality-aware survivor selection — the production refinement of
      * the min-id rule: within each canonical-form cluster (q34's
      * bag-of-words key — members share a word set but differ in order and
@@ -1474,6 +1542,6 @@ object LlmPipeline {
       })
 
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q67, q70, q72, q73, q74,
-      q75, q76, q77, q78, q79, q80, q84, q85, q86, q87)
+      q75, q76, q77, q78, q79, q80, q84, q85, q86, q87, q88)
   }
 }
