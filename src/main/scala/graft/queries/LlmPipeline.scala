@@ -339,9 +339,17 @@ object LlmPipeline {
     * is the funnel's bounded shuffles plus the writer's single exchange.
     */
   def writeTrainingShards(s: org.apache.spark.sql.SparkSession, d: String,
-      outDir: String, nShards: Int = 64, maxRecordsPerFile: Long = 1000000L): Unit =
-    graft.sinks.ShardWriter.write(
-      trainingSurvivors(s, d), "doc_id", nShards, outDir, maxRecordsPerFile)
+      outDir: String, nShards: Int = 64, maxRecordsPerFile: Long = 1000000L,
+      redactPii: Boolean = true): Unit = {
+    // production default: shards ship scrubbed (L22) — a pure map-side
+    // projection on the already-filtered survivor rows, so it changes
+    // neither shard membership nor within-shard order
+    val rows = trainingSurvivors(s, d)
+    val out = if (redactPii) {
+      rows.withColumn("text", TextFunctions.redactPii(col("text")))
+    } else rows
+    graft.sinks.ShardWriter.write(out, "doc_id", nShards, outDir, maxRecordsPerFile)
+  }
 
   val all: Seq[GraftQuery] = {
 

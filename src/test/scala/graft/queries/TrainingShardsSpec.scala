@@ -79,4 +79,41 @@ class TrainingShardsSpec extends SparkSpec {
       assert(seq1(s) === seq1(s).sorted, s"shard $s must be key-sorted")
     }
   }
+
+  test("shards ship PII-scrubbed by default, without changing membership or order") {
+    import spark.implicits._
+    // fixture corpus with planted PII: 12 distinct words per doc passes the
+    // quality gate, no doc_id % 97 == 0 → empty eval set, nothing dirty
+    val fixture = Files.createTempDirectory("pii-corpus").toString
+    val docs = (1L to 20L).map { i =>
+      val words = (0 until 12).map(w => s"w${i}x$w").mkString(" ")
+      (i, s"$words contact user$i@mail${i % 3}.com and host 10.0.${i % 256}.7",
+        if (i % 2 == 0) "en" else "de", s"src${i % 4}", 0L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$fixture/documents.parquet")
+
+    val outScrub = Files.createTempDirectory("train-shards-pii").toString
+    val outRaw = Files.createTempDirectory("train-shards-raw").toString
+    graft.core.CacheScope.scoped {
+      LlmPipeline.writeTrainingShards(spark, fixture, outScrub, NShards)
+    }
+    graft.core.CacheScope.scoped {
+      LlmPipeline.writeTrainingShards(spark, fixture, outRaw, NShards, redactPii = false)
+    }
+
+    val scrubbed = spark.read.parquet(outScrub)
+    assert(scrubbed.count() === 20L, "all fixture docs survive the funnel")
+    val leaking = scrubbed.filter(
+      col("text").rlike(graft.functions.TextFunctions.PiiEmailPattern) ||
+      col("text").rlike(graft.functions.TextFunctions.PiiIpPattern)).count()
+    assert(leaking === 0L, "no email/IP survives the default scrub")
+    assert(scrubbed.filter(col("text").contains("<EMAIL>"))
+      .filter(col("text").contains("<IP>")).count() === 20L,
+      "redaction tokens present where PII was planted")
+
+    // the scrub is a pure projection: shard membership and within-shard
+    // order are identical to the unscrubbed run
+    assert(shardSequences(outScrub) === shardSequences(outRaw))
+  }
 }
