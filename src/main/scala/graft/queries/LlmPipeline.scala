@@ -1507,6 +1507,87 @@ object LlmPipeline {
           FROM sc GROUP BY 1 ORDER BY lang"""
       })
 
+    /* L24: domain blocklist filter — the URL-filtering stage of a web
+     * corpus build (RefinedWeb/C4 ban lists): extract URLs, reduce each
+     * host to its registrable domain (last two labels — the practical
+     * approximation without a public-suffix list), and match against a
+     * blocklist so subdomains of a banned domain are caught
+     * (ads3.bad.net → bad.net → blocked). The corpus has no URLs, so
+     * q89 plants them deterministically on both engines (the q87
+     * pattern); the blocklist is a literal table shipped as a BROADCAST
+     * join. At 100 TB: one regexp_extract_all + explode, broadcast
+     * blocklist probe, count_distinct only over the exploded URL rows
+     * (a corpus-fraction frame), |sources|-row output. */
+    val q89 = GraftQuery(
+      "q89_domain_blocklist", "L24",
+      (s, d) => {
+        import s.implicits._
+        val id = col("doc_id")
+        val urlPat = "https?://[A-Za-z0-9.-]+"
+        val planted = concat(col("text"),
+          when(id % 4 === 0, concat(lit(" see https://cdn"),
+            (id % 7).cast("string"), lit(".example.com/p"),
+            id.cast("string"))).otherwise(lit("")),
+          when(id % 6 === 0, concat(lit(" ref http://ads"),
+            (id % 5).cast("string"), lit(".bad.net/x"))).otherwise(lit("")),
+          when(id % 10 === 0, concat(lit(" img https://t"),
+            (id % 3).cast("string"), lit(".tracker.io"))).otherwise(lit("")))
+        val blocklist = Seq("bad.net", "tracker.io").toDF("blocked_domain")
+        val urls = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(regexp_extract_all(planted, lit(urlPat), lit(0))).as("url"))
+          .withColumn("host", regexp_replace(col("url"), "^https?://", ""))
+          .withColumn("labels", split(col("host"), "\\."))
+          .withColumn("domain",
+            when(size(col("labels")) >= 2,
+              concat_ws(".", element_at(col("labels"), -2),
+                element_at(col("labels"), -1)))
+              .otherwise(col("host")))
+          .join(broadcast(blocklist),
+            col("domain") === col("blocked_domain"), "left")
+        urls.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_urls"),
+            count_distinct(col("doc_id")).as("n_docs_with_url"),
+            sum(when(col("blocked_domain").isNotNull, 1L).otherwise(0L))
+              .as("n_blocked_urls"),
+            count_distinct(when(col("blocked_domain").isNotNull, col("doc_id")))
+              .as("n_docs_blocked"),
+            count_distinct(col("domain")).as("n_domains"))
+          .orderBy(col("source"))
+      },
+      Some {
+        s"""WITH pl AS (SELECT doc_id, source, text
+              || CASE WHEN doc_id % 4 = 0 THEN ' see https://cdn' ||
+                   CAST(doc_id % 7 AS VARCHAR) || '.example.com/p' ||
+                   CAST(doc_id AS VARCHAR) ELSE '' END
+              || CASE WHEN doc_id % 6 = 0 THEN ' ref http://ads' ||
+                   CAST(doc_id % 5 AS VARCHAR) || '.bad.net/x' ELSE '' END
+              || CASE WHEN doc_id % 10 = 0 THEN ' img https://t' ||
+                   CAST(doc_id % 3 AS VARCHAR) || '.tracker.io' ELSE '' END
+            AS t FROM documents),
+          u AS (SELECT doc_id, source,
+              regexp_replace(unnest(regexp_extract_all(t, 'https?://[A-Za-z0-9.-]+')),
+                '^https?://', '') AS host
+            FROM pl),
+          dom AS (SELECT doc_id, source,
+              CASE WHEN len(string_split(host, '.')) >= 2
+                THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+                ELSE host END AS domain
+            FROM u),
+          bl AS (SELECT * FROM (VALUES ('bad.net'), ('tracker.io'))
+            AS b(blocked_domain)),
+          j AS (SELECT dom.doc_id, dom.source, dom.domain, bl.blocked_domain
+            FROM dom LEFT JOIN bl ON bl.blocked_domain = dom.domain)
+          SELECT source, COUNT(*) AS n_urls,
+            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_with_url,
+            CAST(SUM(CASE WHEN blocked_domain IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_blocked_urls,
+            CAST(COUNT(DISTINCT CASE WHEN blocked_domain IS NOT NULL
+              THEN doc_id END) AS BIGINT) AS n_docs_blocked,
+            CAST(COUNT(DISTINCT domain) AS BIGINT) AS n_domains
+          FROM j GROUP BY 1 ORDER BY source"""
+      })
+
     /* L21: quality-aware survivor selection — the production refinement of
      * the min-id rule: within each canonical-form cluster (q34's
      * bag-of-words key — members share a word set but differ in order and
@@ -1550,6 +1631,6 @@ object LlmPipeline {
       })
 
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q67, q70, q72, q73, q74,
-      q75, q76, q77, q78, q79, q80, q84, q85, q86, q87, q88)
+      q75, q76, q77, q78, q79, q80, q84, q85, q86, q87, q88, q89)
   }
 }

@@ -91,6 +91,40 @@ class TrainingPipelinePlanSpec extends SparkSpec {
     }
   }
 
+  test("q87 scrubbing is map-side: no joins, no windows, one aggregate") {
+    graft.core.CacheScope.scoped {
+      val plan = graft.SparkEntry.queries("q87_pii_scrub")(spark, sfDir)
+        .queryExecution.optimizedPlan
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Join => LJoin}
+      assert(plan.collect { case j: LJoin => j }.isEmpty,
+        "q87 must not join — plant, scrub and count are per-row projections")
+      assert(plan.collect { case w: Window => w }.isEmpty,
+        "q87 must not window")
+      assert(plan.collect { case a: LAgg => a }.size <= 2,
+        "q87 rolls up with a single (partial+final) hash aggregate")
+    }
+  }
+
+  test("q88 trains top-K as a limit (no rank window) and ships it broadcast") {
+    graft.core.CacheScope.scoped {
+      val df = graft.SparkEntry.queries("q88_lm_familiarity")(spark, sfDir)
+      val optimized = df.queryExecution.optimizedPlan
+      import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit => LLimit}
+      assert(optimized.collect { case w: Window => w }.isEmpty,
+        "q88's top-K vocabulary must be a Limit (TakeOrdered), never a rank " +
+          "window — a window would sort the whole vocab in one task")
+      assert(optimized.collect { case l: LLimit => l }.nonEmpty,
+        "q88 must bound the vocabulary with a Limit")
+      df.collect()
+      val nodes = flattenExecuted(df.queryExecution.executedPlan)
+      val bhj = nodes.collect { case j: BroadcastHashJoinExec => j }
+      // the doc-keyed familiarity re-join may legitimately shuffle at
+      // scale; the invariant is that the bounded MODEL ships broadcast
+      assert(bhj.nonEmpty,
+        "q88's vocabulary model join must be a BroadcastHashJoin")
+    }
+  }
+
   test("q76 joins the corpus to the eval set by broadcast, never sort-merge") {
     graft.core.CacheScope.scoped {
       val df = graft.SparkEntry.queries("q76_decontaminate")(spark, sfDir)
