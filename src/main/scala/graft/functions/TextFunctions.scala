@@ -156,9 +156,15 @@ object TextFunctions {
   /** Replace emails, then phones, then IPv4s with typed tokens. The order
     * is load-bearing only in that the replacement tokens contain no `@`,
     * no `+digit` run and no dotted quad, so each later pass cannot match
-    * inside an earlier pass's token — which also makes the scrub
-    * idempotent (PiiScrubSpec proves it). Three codegen'd
-    * `regexp_replace` calls; no UDF.
+    * inside an earlier pass's token — which makes the scrub idempotent
+    * (PropertySpec proves it over generated corpora; even the token's
+    * `>` can't start an email local part). Boundary, documented not
+    * hidden: UNDELIMITED email adjacency like `a@b.comx@y.com` scrubs to
+    * `<EMAIL>@y.com` — the greedy first match eats the second local
+    * part, so the second domain survives as a stable fragment (a
+    * detection gap on pathological input, not an idempotence gap). Both
+    * engines behave identically there, so oracle parity is unaffected.
+    * Three codegen'd `regexp_replace` calls; no UDF.
     */
   def redactPii(text: Column): Column = {
     val e = regexp_replace(text, lit(PiiEmailPattern), lit("<EMAIL>"))
@@ -175,6 +181,18 @@ object TextFunctions {
     val p = s"regexp_replace($e, '$PiiPhonePattern', '<PHONE>', 'g')"
     s"regexp_replace($p, '$PiiIpPattern', '<IP>', 'g')"
   }
+
+  /** Pure-JVM form of [[redactPii]]. Spark's `regexp_replace` IS
+    * `java.util.regex` under the hood, so this is semantically the same
+    * function (PiiScrubSpec asserts the two agree on the hostile
+    * fixtures); it exists so ScalaCheck can property-test the scrub
+    * (idempotence, no-residual) over arbitrary generated strings without
+    * a Spark job per sample.
+    */
+  def redactPiiString(s: String): String =
+    s.replaceAll(PiiEmailPattern, "<EMAIL>")
+      .replaceAll(PiiPhonePattern, "<PHONE>")
+      .replaceAll(PiiIpPattern, "<IP>")
 
   // --- Document fingerprinting ---
 

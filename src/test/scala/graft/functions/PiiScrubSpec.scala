@@ -48,4 +48,16 @@ class PiiScrubSpec extends SparkSpec {
     val once = scrub("u@ex.com +64 21 5550199 10.0.0.1 and u2@ex.org")
     assert(scrub(once) === once)
   }
+
+  test("Column form and pure-JVM form agree (the PropertySpec bridge)") {
+    val fixtures = Seq(
+      "mail jane.doe+work@sub.example.co.nz today",
+      "a@b.io,c_d%e@f-g.com", "call +64 21 5550199 now",
+      "or +1-800-5550123", "host 10.0.0.1.", "v 1.2.3 stays",
+      "a@b and + and x1.2.3y", "u@ex.com +64 21 5550199 10.0.0.1")
+    fixtures.foreach { s =>
+      assert(scrub(s) === TextFunctions.redactPiiString(s),
+        s"Spark regexp_replace and String.replaceAll must agree on: $s")
+    }
+  }
 }
