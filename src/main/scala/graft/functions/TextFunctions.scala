@@ -35,6 +35,13 @@ object TextFunctions {
     regexp_count(text, lit(BpeIshPattern))
   }
 
+  /** DuckDB twin of [[tokenCountBpeIsh]] — the ONE source of truth for the
+    * token-count SQL (interpolated by every oracle that counts tokens, the
+    * qualityScoreSql rule).
+    */
+  def tokenCountBpeIshSql(e: String): String =
+    s"len(regexp_extract_all($e, '$BpeIshPattern'))"
+
   /** Distinct word n-gram shingles as an array Column (dedup pre-step). */
   def wordShingles(text: Column, n: Int): Column = {
     val words = split(trim(text), "\\s+")

@@ -702,7 +702,7 @@ object LlmPipeline {
         s"""SELECT doc_id,
             CASE WHEN len(trim(text)) = 0 THEN 0
                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok_ws,
-            len(regexp_extract_all(text, '${TextFunctions.BpeIshPattern}')) AS tok_bpe,
+            ${TextFunctions.tokenCountBpeIshSql("text")} AS tok_bpe,
             ${TextFunctions.qualityScoreSql("text")} AS quality
           FROM documents ORDER BY doc_id"""
       })
@@ -957,7 +957,7 @@ object LlmPipeline {
       Some {
         val h = TextFunctions.md5FingerprintSql("'shard:' || CAST(doc_id AS VARCHAR)")
         s"""WITH t AS (SELECT doc_id, $h % $PackShards AS shard,
-            len(regexp_extract_all(text, '${TextFunctions.BpeIshPattern}')) AS tokens
+            ${TextFunctions.tokenCountBpeIshSql("text")} AS tokens
           FROM documents),
           c AS (SELECT *, CAST(SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
@@ -1338,7 +1338,7 @@ object LlmPipeline {
         val quality = TextFunctions.qualityScoreSql("text")
         s"""WITH $funnelBaseCtesSql,
           prof AS (SELECT source, canon, keep, dirty, $quality AS q,
-              len(regexp_extract_all(text, '${TextFunctions.BpeIshPattern}')) AS toks
+              ${TextFunctions.tokenCountBpeIshSql("text")} AS toks
             FROM base)
           SELECT source, COUNT(*) AS n_docs,
             CAST(SUM(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT) AS n_canon,
@@ -1466,7 +1466,7 @@ object LlmPipeline {
       (s, d) => {
         val words = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"),
-            explode(split(trim(col("text")), "\\s+")).as("w"))
+            explode(Sketches.words(col("text"))).as("w"))
         val vocabTop = words.groupBy(col("w"))
           .agg(count(lit(1)).as("c"))
           .orderBy(col("c").desc, col("w")).limit(TopVocab)
@@ -1488,7 +1488,7 @@ object LlmPipeline {
       },
       Some {
         s"""WITH w AS (SELECT doc_id, lang,
-              unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+              unnest(${Sketches.wordsSql("text")}) AS w
             FROM documents),
           v AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM w GROUP BY 1)
             ORDER BY c DESC, w LIMIT $TopVocab),
