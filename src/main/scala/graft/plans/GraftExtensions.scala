@@ -29,6 +29,13 @@ object GraftExtensions {
     ("graft_normalize_key",
       new ExpressionInfo(classOf[NormalizeKeyExpression].getName, "graft_normalize_key"),
       (children: Seq[Expression]) => NormalizeKeyExpression(children.head)),
+    ("graft_nfc",
+      new ExpressionInfo(classOf[NfcNormalizeExpression].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_nfc expects (text), got ${children.length} args")
+        NfcNormalizeExpression(children.head)
+      }),
     ("graft_point_in_polygon",
       new ExpressionInfo(classOf[PointInPolygonExpression].getName, "graft_point_in_polygon"),
       (children: Seq[Expression]) => {

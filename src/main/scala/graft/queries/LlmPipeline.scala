@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{CacheScope, Tables}
 import graft.functions.{Sketches, Skew, TextFunctions}
+import graft.plans.NfcNormalizeExpression
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
   * (builder brief: first-class alongside SURVEY §2; inventory §2.11a).
@@ -1588,6 +1589,60 @@ object LlmPipeline {
           FROM j GROUP BY 1 ORDER BY source"""
       })
 
+    /* L25: encoding cleanup — the ftfy-style Unicode canonicalization
+     * pass: NFC-normalize every document so decomposed diacritics
+     * (e + U+0301) and their precomposed forms (é) collapse to ONE byte
+     * sequence before dedup fingerprints and tokenizers see the text.
+     * NFC is UAX#15 — spec-defined and idempotent — so the JVM
+     * Normalizer and DuckDB's nfc_normalize agree exactly, making the
+     * stage oracle-checkable: the corpus is ASCII, so q90 plants
+     * decomposed/precomposed sequences from doc_id on both engines and
+     * gates changed-doc counts, the composed-character delta, an
+     * in-query idempotence proof, and the normalized-content
+     * fingerprint. Runs as the native `graft_nfc` expression
+     * (whole-stage codegen, no UDF encoder boundary). At 100 TB: one
+     * map-side projection, |sources|-row output. */
+    val q90 = GraftQuery(
+      "q90_encoding_cleanup", "L25 C10",
+      (s, d) => {
+        val id = col("doc_id")
+        val planted = concat(col("text"),
+          // explicit escapes, not glyphs: %3==0 plants the DECOMPOSED form
+          // (e + U+0301 combining acute), %3==1 the precomposed NFC form
+          // (U+00E9), %5==0 a decomposed o + U+0308 mid-word
+          when(id % 3 === 0, lit(" cafe\u0301")).otherwise(lit("")),
+          when(id % 3 === 1, lit(" caf\u00e9")).otherwise(lit("")),
+          when(id % 5 === 0, lit(" zuo\u0308rich")).otherwise(lit("")))
+        Tables.documents(s, d)
+          .select(col("source"), planted.as("t"))
+          .withColumn("norm", NfcNormalizeExpression.nfcNormalize(col("t")))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("t") =!= col("norm"), 1L).otherwise(0L)).as("n_changed"),
+            sum((length(col("t")) - length(col("norm"))).cast("long"))
+              .as("chars_composed"),
+            sum(when(NfcNormalizeExpression.nfcNormalize(col("norm")) =!= col("norm"), 1L)
+              .otherwise(0L)).as("non_idempotent"),
+            min(TextFunctions.md5Fingerprint(col("norm"))).as("norm_fp_min"))
+          .orderBy(col("source"))
+      },
+      Some {
+        s"""WITH pl AS (SELECT source, text
+              || CASE WHEN doc_id % 3 = 0 THEN ' caf' || 'e' || chr(769) ELSE '' END
+              || CASE WHEN doc_id % 3 = 1 THEN ' caf' || chr(233) ELSE '' END
+              || CASE WHEN doc_id % 5 = 0 THEN ' zu' || 'o' || chr(776) || 'rich'
+                ELSE '' END
+            AS t FROM documents),
+          n AS (SELECT source, t, nfc_normalize(t) AS norm FROM pl)
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN t <> norm THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+            CAST(SUM(length(t) - length(norm)) AS BIGINT) AS chars_composed,
+            CAST(SUM(CASE WHEN nfc_normalize(norm) <> norm THEN 1 ELSE 0 END)
+              AS BIGINT) AS non_idempotent,
+            MIN(${TextFunctions.md5FingerprintSql("norm")}) AS norm_fp_min
+          FROM n GROUP BY 1 ORDER BY source"""
+      })
+
     /* L21: quality-aware survivor selection — the production refinement of
      * the min-id rule: within each canonical-form cluster (q34's
      * bag-of-words key — members share a word set but differ in order and
@@ -1631,6 +1686,6 @@ object LlmPipeline {
       })
 
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q67, q70, q72, q73, q74,
-      q75, q76, q77, q78, q79, q80, q84, q85, q86, q87, q88, q89)
+      q75, q76, q77, q78, q79, q80, q84, q85, q86, q87, q88, q89, q90)
   }
 }
