@@ -558,4 +558,37 @@ class StreamingSpec extends SparkSpec {
     assert(last.shipType === Some(70) && last.destination === Some("NELSON"))
     assert(last.lat === Some(-41.3))
   }
+
+  test("L22/L25 text cleaning streams as-is: scrub + NFC in a streaming projection") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.GraftExtensions.register(spark)
+
+    // stateless column transforms need no stream-specific form — the SAME
+    // expressions run under readStream; stream output == batch output
+    val docs = Seq(
+      "mail u@ex.com from 10.0.0.1",
+      "caf\u00e9 already clean",
+      "cafe\u0301 needs composing, call +64 21 5550199")
+    val clean = (c: org.apache.spark.sql.Column) =>
+      graft.plans.NfcNormalizeExpression.nfcNormalize(
+        graft.functions.TextFunctions.redactPii(c))
+
+    val stream = MemoryStream[String]
+    val q = stream.toDS().toDF("text").select(clean(col("text")).as("clean"))
+      .writeStream.format("memory").queryName("clean_docs").outputMode("append")
+      .start()
+    try {
+      docs.foreach(stream.addData(_))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("clean_docs").as[String].collect().sorted.toSeq
+    val want = docs.toDF("text").select(clean(col("text")).as("clean"))
+      .as[String].collect().sorted.toSeq
+    assert(got === want, "stream must equal batch for the stateless cleaners")
+    assert(want.exists(_.contains("<EMAIL>")) && want.exists(_.contains("<PHONE>")))
+    assert(want.count(_.contains("caf\u00e9")) === 2, "NFC composed both forms")
+  }
 }
