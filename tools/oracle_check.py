@@ -35,9 +35,23 @@ def main(sf_dir: str, out_dir: str) -> int:
         try:
             want = con.sql(sql).fetchdf()
         except Exception as e:
-            print(f"FAIL {name}: oracle sql error: {e}")
-            failures += 1
-            continue
+            if "Out of Memory" in str(e):
+                # documented transient: DuckDB can fail tiny allocations right
+                # after the Spark JVM exits; a fresh connection succeeds
+                con = duckdb.connect()
+                for t in tables:
+                    con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                            f"read_parquet('{sf_dir}/{t}.parquet')")
+                try:
+                    want = con.sql(sql).fetchdf()
+                except Exception as e2:
+                    print(f"FAIL {name}: oracle sql error (after OOM retry): {e2}")
+                    failures += 1
+                    continue
+            else:
+                print(f"FAIL {name}: oracle sql error: {e}")
+                failures += 1
+                continue
         gcols, wcols = sorted(got.columns), sorted(want.columns)
         if gcols != wcols:
             print(f"FAIL {name}: columns differ: spark={gcols} oracle={wcols}")
