@@ -68,6 +68,10 @@ object LlmPipeline {
   // L23 vocab width — 20 of the synthetic corpus's 31 distinct words so the
   // familiarity filter discriminates on the fixtures (production: 1e4-1e5)
   private val TopVocab = 20
+  // L26 boilerplate document-frequency threshold: a shingle present in more
+  // than this many docs is template text (fixtures: 151 of 16k 3-grams at
+  // sf0.01, max df 7 — the dial discriminates; production runs df >> this)
+  private val BoilerDf = 4
   private val TopK = 5
 
   /** IVF (q70): every CentroidStep-th vector seeds the codebook — K grows
@@ -1643,6 +1647,63 @@ object LlmPipeline {
           FROM n GROUP BY 1 ORDER BY source"""
       })
 
+    /* L26: boilerplate passage detection — the intra-corpus analog of
+     * C4's repeated-line removal: a passage (word shingle) occurring in
+     * more than BoilerDf distinct documents is template text (headers,
+     * footers, navigation), reported per source with affected-doc
+     * counts. Unlike L17 decontamination there is NO external eval set —
+     * the lexicon is induced from the corpus itself, so this is the
+     * second train-then-score operator (q88's shape over passages
+     * instead of words). All joins ride on 8-byte md5-prefix
+     * fingerprints, never shingle strings. At 100 TB: one shingle
+     * explode, a map-side-combined df aggregate, and a re-join against
+     * the induced lexicon — which is df-thresholded and therefore the
+     * small side (AQE broadcasts it); the left join back to per-source
+     * totals keeps zero-hit sources in the report. */
+    val q91 = GraftQuery(
+      "q91_boilerplate_passages", "L26 L4 L17",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(Sketches.shingles(col("text"), ShingleN)).as("g"))
+          .select(col("doc_id"), col("source"), Sketches.h64(col("g")).as("h"))
+        val boiler = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > BoilerDf).select(col("h"))
+        val hits = sh.join(boiler, Seq("h"))
+          .groupBy(col("source"))
+          .agg(count_distinct(col("doc_id")).as("docs_affected"),
+            count(lit(1)).as("boiler_hits"),
+            count_distinct(col("h")).as("n_passages"))
+        Tables.documents(s, d).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .join(hits, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("docs_affected"), lit(0L)).as("docs_affected"),
+            coalesce(col("boiler_hits"), lit(0L)).as("boiler_hits"),
+            coalesce(col("n_passages"), lit(0L)).as("n_passages"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val shed = Sketches.shinglesSql("text", ShingleN)
+        s"""WITH sh AS (SELECT doc_id, source, ${Sketches.h64Sql("g")} AS h FROM
+              (SELECT doc_id, source, unnest(s) AS g FROM
+                (SELECT doc_id, source, $shed AS s FROM documents))),
+          boiler AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM sh GROUP BY 1)
+            WHERE df > $BoilerDf),
+          hits AS (SELECT source,
+              CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_affected,
+              CAST(COUNT(*) AS BIGINT) AS boiler_hits,
+              CAST(COUNT(DISTINCT h) AS BIGINT) AS n_passages
+            FROM sh JOIN boiler USING (h) GROUP BY 1),
+          base AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+          SELECT base.source, base.n_docs,
+            COALESCE(docs_affected, 0) AS docs_affected,
+            COALESCE(boiler_hits, 0) AS boiler_hits,
+            COALESCE(n_passages, 0) AS n_passages
+          FROM base LEFT JOIN hits ON hits.source = base.source
+          ORDER BY base.source"""
+      })
+
     /* L21: quality-aware survivor selection — the production refinement of
      * the min-id rule: within each canonical-form cluster (q34's
      * bag-of-words key — members share a word set but differ in order and
@@ -1686,6 +1747,6 @@ object LlmPipeline {
       })
 
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q67, q70, q72, q73, q74,
-      q75, q76, q77, q78, q79, q80, q84, q85, q86, q87, q88, q89, q90)
+      q75, q76, q77, q78, q79, q80, q84, q85, q86, q87, q88, q89, q90, q91)
   }
 }
