@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -15,10 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * serialization, null-safe for free via UnaryExpression.
   */
 case class NormalizeKeyExpression(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
+  // declared input type → a non-string argument gets the standard implicit
+  // cast (or a readable analysis error), never a runtime ClassCastException
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override protected def nullSafeEval(input: Any): Any =
     UTF8String.fromString(

@@ -51,4 +51,13 @@ class NfcNormalizeExpressionSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [graft_nfc"),
       s"expected the expression inside a codegen stage: $plan")
   }
+
+  test("non-string input implicitly casts instead of crashing at runtime") {
+    GraftExtensions.register(spark)
+    // ImplicitCastInputTypes: a bigint argument gets a standard cast to
+    // string under the hood -- never a runtime ClassCastException
+    val got = spark.range(1, 2)
+      .select(NfcNormalizeExpression.nfcNormalize(col("id"))).as[String].head()
+    assert(got === "1")
+  }
 }
