@@ -72,6 +72,10 @@ object LlmPipeline {
   // than this many docs is template text (fixtures: 151 of 16k 3-grams at
   // sf0.01, max df 7 — the dial discriminates; production runs df >> this)
   private val BoilerDf = 4
+  // L24 second-level public suffixes (compact stand-in for the full PSL):
+  // last-two-labels is not a registrable domain under these — take three
+  private val SecondLevelSuffixes =
+    Seq("co.nz", "org.nz", "net.nz", "ac.nz", "govt.nz", "co.uk", "com.au")
   private val TopK = 5
 
   /** IVF (q70): every CentroidStep-th vector seeds the codebook — K grows
@@ -1514,15 +1518,20 @@ object LlmPipeline {
 
     /* L24: domain blocklist filter — the URL-filtering stage of a web
      * corpus build (RefinedWeb/C4 ban lists): extract URLs, reduce each
-     * host to its registrable domain (last two labels — the practical
-     * approximation without a public-suffix list), and match against a
-     * blocklist so subdomains of a banned domain are caught
-     * (ads3.bad.net → bad.net → blocked). The corpus has no URLs, so
-     * q89 plants them deterministically on both engines (the q87
-     * pattern); the blocklist is a literal table shipped as a BROADCAST
-     * join. At 100 TB: one regexp_extract_all + explode, broadcast
-     * blocklist probe, count_distinct only over the exploded URL rows
-     * (a corpus-fraction frame), |sources|-row output. */
+     * host to its registrable domain, and match against a blocklist so
+     * subdomains of a banned domain are caught (ads3.bad.net → bad.net
+     * → blocked). Registrable = last two labels, except when those two
+     * are a known second-level public suffix (co.nz, co.uk, com.au, …
+     * — the compact stand-in for the full public-suffix list), where
+     * the last THREE labels are the registrable domain: spam.co.nz
+     * sites must block on site.co.nz, not on all of co.nz. The corpus
+     * has no URLs, so q89 plants them deterministically on both
+     * engines (the q87 pattern), including a www.-prefixed banned
+     * co.nz domain exercising the three-label path; the blocklist is a
+     * literal table shipped as a BROADCAST join. At 100 TB: one
+     * regexp_extract_all + explode, broadcast blocklist probe,
+     * count_distinct only over the exploded URL rows (a
+     * corpus-fraction frame), |sources|-row output. */
     val q89 = GraftQuery(
       "q89_domain_blocklist", "L24",
       (s, d) => {
@@ -1536,18 +1545,23 @@ object LlmPipeline {
           when(id % 6 === 0, concat(lit(" ref http://ads"),
             (id % 5).cast("string"), lit(".bad.net/x"))).otherwise(lit("")),
           when(id % 10 === 0, concat(lit(" img https://t"),
-            (id % 3).cast("string"), lit(".tracker.io"))).otherwise(lit("")))
-        val blocklist = Seq("bad.net", "tracker.io").toDF("blocked_domain")
+            (id % 3).cast("string"), lit(".tracker.io"))).otherwise(lit("")),
+          when(id % 9 === 0, concat(lit(" nz https://www.kiwi"),
+            (id % 4).cast("string"), lit(".co.nz/home"))).otherwise(lit("")))
+        val blocklist = Seq("bad.net", "tracker.io", "kiwi1.co.nz")
+          .toDF("blocked_domain")
+        val labels = split(col("host"), "\\.")
+        val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+        val last3 = concat_ws(".", element_at(labels, -3),
+          element_at(labels, -2), element_at(labels, -1))
         val urls = Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
             explode(regexp_extract_all(planted, lit(urlPat), lit(0))).as("url"))
           .withColumn("host", regexp_replace(col("url"), "^https?://", ""))
-          .withColumn("labels", split(col("host"), "\\."))
           .withColumn("domain",
-            when(size(col("labels")) >= 2,
-              concat_ws(".", element_at(col("labels"), -2),
-                element_at(col("labels"), -1)))
-              .otherwise(col("host")))
+            when(size(labels) < 2, col("host"))
+              .when(size(labels) >= 3 && last2.isin(SecondLevelSuffixes: _*), last3)
+              .otherwise(last2))
           .join(broadcast(blocklist),
             col("domain") === col("blocked_domain"), "left")
         urls.groupBy(col("source"))
@@ -1561,6 +1575,7 @@ object LlmPipeline {
           .orderBy(col("source"))
       },
       Some {
+        val slsSqlList = SecondLevelSuffixes.map(x => s"'$x'").mkString(", ")
         s"""WITH pl AS (SELECT doc_id, source, text
               || CASE WHEN doc_id % 4 = 0 THEN ' see https://cdn' ||
                    CAST(doc_id % 7 AS VARCHAR) || '.example.com/p' ||
@@ -1569,18 +1584,22 @@ object LlmPipeline {
                    CAST(doc_id % 5 AS VARCHAR) || '.bad.net/x' ELSE '' END
               || CASE WHEN doc_id % 10 = 0 THEN ' img https://t' ||
                    CAST(doc_id % 3 AS VARCHAR) || '.tracker.io' ELSE '' END
+              || CASE WHEN doc_id % 9 = 0 THEN ' nz https://www.kiwi' ||
+                   CAST(doc_id % 4 AS VARCHAR) || '.co.nz/home' ELSE '' END
             AS t FROM documents),
           u AS (SELECT doc_id, source,
               regexp_replace(unnest(regexp_extract_all(t, 'https?://[A-Za-z0-9.-]+')),
                 '^https?://', '') AS host
             FROM pl),
           dom AS (SELECT doc_id, source,
-              CASE WHEN len(string_split(host, '.')) >= 2
-                THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
-                ELSE host END AS domain
-            FROM u),
-          bl AS (SELECT * FROM (VALUES ('bad.net'), ('tracker.io'))
-            AS b(blocked_domain)),
+              CASE WHEN len(ls) < 2 THEN host
+                WHEN len(ls) >= 3 AND ls[-2] || '.' || ls[-1] IN ($slsSqlList)
+                  THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+                ELSE ls[-2] || '.' || ls[-1] END AS domain
+            FROM (SELECT doc_id, source, host, string_split(host, '.') AS ls
+              FROM u)),
+          bl AS (SELECT * FROM (VALUES ('bad.net'), ('tracker.io'),
+            ('kiwi1.co.nz')) AS b(blocked_domain)),
           j AS (SELECT dom.doc_id, dom.source, dom.domain, bl.blocked_domain
             FROM dom LEFT JOIN bl ON bl.blocked_domain = dom.domain)
           SELECT source, COUNT(*) AS n_urls,
