@@ -209,16 +209,16 @@ object LlmPipeline {
    * interpreted and 5-10× slower); the window partitions by doc_id, so
    * there is no global sort. */
   private def shingleRows(s: org.apache.spark.sql.SparkSession, d: String,
-      n: Int = ShingleN): org.apache.spark.sql.DataFrame = {
+      n: Int = ShingleN, carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val keep = col("doc_id") +: carry.map(col)
     val base = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(Sketches.words(col("text"))).as(Seq("pos", "w0")))
+      .select(keep :+ posexplode(Sketches.words(col("text"))).as(Seq("pos", "w0")): _*)
     val withLeads = (1 until n).foldLeft(base)((df, i) =>
       df.withColumn(s"w$i", lead(col("w0"), i).over(w)))
     withLeads
       .filter(col(s"w${n - 1}").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", (0 until n).map(i => col(s"w$i")): _*).as("s"))
+      .select(keep :+ concat_ws(" ", (0 until n).map(i => col(s"w$i")): _*).as("s"): _*)
       .distinct()
   }
 
@@ -1682,10 +1682,10 @@ object LlmPipeline {
     val q91 = GraftQuery(
       "q91_boilerplate_passages", "L26 L4 L17",
       (s, d) => {
-        val sh = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            explode(Sketches.shingles(col("text"), ShingleN)).as("g"))
-          .select(col("doc_id"), col("source"), Sketches.h64(col("g")).as("h"))
+        // the shared codegen'd shingle frame (posexplode + lead), carrying
+        // source through — the array-lambda form is interpreted on the scan
+        val sh = shingleRows(s, d, ShingleN, carry = Seq("source"))
+          .select(col("doc_id"), col("source"), Sketches.h64(col("s")).as("h"))
         val boiler = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") > BoilerDf).select(col("h"))
         val hits = sh.join(boiler, Seq("h"))
