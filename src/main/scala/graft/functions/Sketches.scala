@@ -70,8 +70,13 @@ object Sketches {
   def shingles(text: Column, n: Int): Column = TextFunctions.wordShingles(text, n)
   def shinglesSql(e: String, n: Int): String = {
     val ws = wordsSql(e)
-    s"list_distinct(list_transform(range(1, greatest(len($ws) - $n, 0) + 2), " +
-      s"i -> array_to_string(($ws)[i:i+${n - 1}], ' ')))"
+    // guard documents shorter than n words: the Scala mirror
+    // (wordShingles) emits an EMPTY array there, so the twin must too —
+    // the unguarded range() form emitted one phantom sub-n shingle
+    s"CASE WHEN len($ws) >= $n THEN " +
+      s"list_distinct(list_transform(range(1, len($ws) - $n + 2), " +
+      s"i -> array_to_string(($ws)[i:i+${n - 1}], ' '))) " +
+      s"ELSE CAST([] AS VARCHAR[]) END"
   }
 
   // --- MinHash ---

@@ -28,7 +28,11 @@ object GraftExtensions {
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_normalize_key",
       new ExpressionInfo(classOf[NormalizeKeyExpression].getName, "graft_normalize_key"),
-      (children: Seq[Expression]) => NormalizeKeyExpression(children.head)),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_normalize_key expects (text), got ${children.length} args")
+        NormalizeKeyExpression(children.head)
+      }),
     ("graft_nfc",
       new ExpressionInfo(classOf[NfcNormalizeExpression].getName, "graft_nfc"),
       (children: Seq[Expression]) => {

@@ -16,42 +16,47 @@ import duckdb
 
 
 def main(sf_dir: str, out_dir: str) -> int:
-    con = duckdb.connect()
     tables = ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"]
-    for t in tables:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    def fresh_con():
+        c = duckdb.connect()
+        for t in tables:
+            c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        return c
+
+    state = {"con": fresh_con()}
+
+    def duck(query: str):
+        """Run a query; on DuckDB's documented transient OOM (tiny
+        allocations failing right after the Spark JVM exits) reconnect
+        once and retry. A second failure propagates to the caller's
+        per-query FAIL handler, so one bad query never kills the sweep.
+        """
+        try:
+            return state["con"].sql(query).fetchdf()
+        except Exception as e:
+            if "Out of Memory" not in str(e):
+                raise
+            state["con"] = fresh_con()
+            return state["con"].sql(query).fetchdf()
+
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     failures = 0
     for name, sql in sorted(oracles.items()):
         try:
-            got = con.sql(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+            got = duck(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             failures += 1
             continue
         try:
-            want = con.sql(sql).fetchdf()
+            want = duck(sql)
         except Exception as e:
-            if "Out of Memory" in str(e):
-                # documented transient: DuckDB can fail tiny allocations right
-                # after the Spark JVM exits; a fresh connection succeeds
-                con = duckdb.connect()
-                for t in tables:
-                    con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
-                            f"read_parquet('{sf_dir}/{t}.parquet')")
-                try:
-                    want = con.sql(sql).fetchdf()
-                except Exception as e2:
-                    print(f"FAIL {name}: oracle sql error (after OOM retry): {e2}")
-                    failures += 1
-                    continue
-            else:
-                print(f"FAIL {name}: oracle sql error: {e}")
-                failures += 1
-                continue
+            print(f"FAIL {name}: oracle sql error: {e}")
+            failures += 1
+            continue
         gcols, wcols = sorted(got.columns), sorted(want.columns)
         if gcols != wcols:
             print(f"FAIL {name}: columns differ: spark={gcols} oracle={wcols}")
