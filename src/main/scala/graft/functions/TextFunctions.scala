@@ -42,16 +42,16 @@ object TextFunctions {
   def tokenCountBpeIshSql(e: String): String =
     s"len(regexp_extract_all($e, '$BpeIshPattern'))"
 
-  /** Distinct word n-gram shingles as an array Column (dedup pre-step). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val words = split(trim(text), "\\s+")
-    val count = size(words)
-    val idx = sequence(lit(0), greatest(count - n, lit(0)))
-    array_distinct(
-      when(count >= n,
-        transform(idx, i => array_join(slice(words, i + 1, lit(n)), " ")))
-        .otherwise(array().cast("array<string>")))
-  }
+  /** Distinct word n-gram shingles as an array Column (dedup pre-step).
+    * Runs as the native `graft_shingles` loop expression (registry must be
+    * installed — the table loader does this; see
+    * [[graft.plans.WordShinglesExpression]]): the lambda formulation was
+    * CodegenFallback and de-optimized the host projection. NULL text
+    * keeps the historical contract of an EMPTY array.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    coalesce(call_function("graft_shingles", text, lit(n)),
+      array().cast("array<string>"))
 
   // --- Language ID (n-gram/stopword heuristic) ---
 

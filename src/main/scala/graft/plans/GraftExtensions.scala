@@ -33,6 +33,16 @@ object GraftExtensions {
           s"graft_normalize_key expects (text), got ${children.length} args")
         NormalizeKeyExpression(children.head)
       }),
+    ("graft_shingles",
+      new ExpressionInfo(classOf[WordShinglesExpression].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        // n rides as a foldable int literal
+        require(children.length == 2,
+          s"graft_shingles expects (text, n), got ${children.length} args")
+        require(children(1).foldable, "graft_shingles n must be literal")
+        WordShinglesExpression(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      }),
     ("graft_nfc",
       new ExpressionInfo(classOf[NfcNormalizeExpression].getName, "graft_nfc"),
       (children: Seq[Expression]) => {

@@ -1,0 +1,75 @@
+package graft.plans
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-gram shingles as a native loop expression — the
+  * construction under every shingle consumer (dedup fingerprints,
+  * decontamination, boilerplate lexicons).
+  *
+  * The Column form (`sequence` + `transform(slice, array_join)` +
+  * `array_distinct`) uses a higher-order lambda, which is CodegenFallback:
+  * one in a projection de-optimizes the WHOLE host Project to interpreted
+  * — the round-8 q91 lesson, worth 3× on a corpus scan. The registered
+  * pipelines route shingles through the relational posexplode+lead frame;
+  * this expression gives the LIBRARY surface (`Sketches.shingles`) the
+  * same codegen residency for ad-hoc composition.
+  *
+  * Semantics are pinned to the lambda form bit-for-bit (spec-compared):
+  * trim → split on `\s+` (limit -1, Spark's split), empty result when the
+  * doc has fewer than n words, n-grams joined by one space, distinct in
+  * first-occurrence order.
+  */
+case class WordShinglesExpression(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(n >= 1, s"graft_shingles width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShinglesExpression.shingles(input.asInstanceOf[UTF8String].toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.WordShinglesExpression.shingles($c.toString(), $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_shingles"
+}
+
+object WordShinglesExpression {
+  private val Ws = Pattern.compile("\\s+")
+
+  /** Static kernel the generated code calls. */
+  def shingles(s: String, n: Int): ArrayData = {
+    val words = Ws.split(s.trim, -1)
+    if (words.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new java.util.LinkedHashSet[UTF8String]
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= words.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        out.add(UTF8String.fromString(sb.toString))
+        i += 1
+      }
+      new GenericArrayData(out.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])
+    }
+  }
+}
