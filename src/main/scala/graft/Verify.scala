@@ -15,10 +15,31 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Observed-metric audit trail: guarded plans (Skew.dropHotBuckets
+    // observeAs) report dropped_buckets/dropped_rows through
+    // CollectMetrics. The guards gate against UNCAPPED oracles, so a
+    // binding cap at some future SF would show up only as a bare hash
+    // mismatch — this print is the signal that points at the guard.
+    @volatile var currentQuery = ""
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          val m = qe.observedMetrics
+          if (m.nonEmpty) m.foreach { case (metric, row) =>
+            System.err.println(s"[verify][observed] $currentQuery $metric=$row")
+          }
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
     SparkEntry.queries.foreach { case (name, fn) =>
       // CacheScope releases builder-persisted projections on scope exit;
       // the clearCache is a defensive reset in case a future query leaks
       spark.sharedState.cacheManager.clearCache()
+      currentQuery = name
       try graft.core.CacheScope.scoped {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -27,6 +48,8 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // let async listener events drain before the session stops
+    Thread.sleep(500)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

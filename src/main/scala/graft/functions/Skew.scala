@@ -54,15 +54,36 @@ object Skew {
     * oversized keys broadcast into a LEFT ANTI join — the big frame never
     * reshuffles on anything except the aggregate's own exchange, and the
     * pair join that follows is bounded by cap·n instead of n².
+    *
+    * `observeAs` attaches a `CollectMetrics` observation (`observe`) to
+    * the hot-key frame: the EXECUTED plan then reports
+    * `dropped_buckets` / `dropped_rows` through
+    * `queryExecution.observedMetrics` after any action. The guarded
+    * queries gate against UNCAPPED oracles (the cap is proven
+    * non-binding at fixture SFs by the hashes) — if a gated SF ever
+    * crosses the cap, this metric is the signal that points at the
+    * guard instead of a bare hash mismatch. Verify prints every
+    * observed metric per query for exactly that diagnosis. Metric names
+    * must be unique per query plan; identical guarded subtrees (the
+    * pair join's self-join reuses one frame) are fine — Spark admits
+    * same-name observations over equal sub-plans and exchange reuse
+    * executes the hot side once. When the cap does NOT bind, the hot
+    * side is an empty relation and AQE's empty-relation propagation may
+    * eliminate the guard join (and its CollectMetrics child) wholesale:
+    * an ABSENT metric reads as zero drops.
     */
-  def dropHotBuckets(df: DataFrame, keyCols: Seq[String], cap: Long): DataFrame = {
+  def dropHotBuckets(df: DataFrame, keyCols: Seq[String], cap: Long,
+      observeAs: Option[String] = None): DataFrame = {
     // null-SAFE key equality: the degenerate mega-cluster is often exactly
     // the NULL key (empty/unparseable documents hashing to nothing), and a
     // plain equi-anti-join would count it hot yet never drop it
-    val hot = df.groupBy(keyCols.map(col): _*)
+    val hotAgg = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__bucket_n"))
       .filter(col("__bucket_n") > cap)
-      .select(keyCols.map(k => col(k).as(s"__hot_$k")): _*)
+    val hotObserved = observeAs.fold(hotAgg)(name => hotAgg.observe(name,
+      count(lit(1)).as("dropped_buckets"),
+      coalesce(sum(col("__bucket_n")), lit(0L)).as("dropped_rows")))
+    val hot = hotObserved.select(keyCols.map(k => col(k).as(s"__hot_$k")): _*)
     df.join(broadcast(hot),
         keyCols.map(k => col(k) <=> col(s"__hot_$k")).reduce(_ && _),
         "left_anti")

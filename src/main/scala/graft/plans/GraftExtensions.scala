@@ -101,7 +101,8 @@ object GraftExtensions {
         val words = children(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         StopwordCountExpression(children(0),
           words.toObjectArray(org.apache.spark.sql.types.StringType)
-            .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString))
+            .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+            .toSeq)
       }),
     ("graft_hll",
       new ExpressionInfo(classOf[HyperLogLogAgg].getName, "graft_hll"),

@@ -22,7 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * counted when it is in the stopword set; null elements count as false
   * exactly like a null lambda predicate under `filter`.
   */
-case class StopwordCountExpression(child: Expression, stopwords: Array[String])
+/* `stopwords` is a Seq, NOT an Array: case-class equality over an Array
+ * parameter is reference equality, which makes structurally identical
+ * expressions compare unequal — defeating Catalyst canonicalization and
+ * common-subexpression elimination (langIdColumn builds five of these
+ * per projection). Seq equality is structural. */
+case class StopwordCountExpression(child: Expression, stopwords: Seq[String])
     extends UnaryExpression {
 
   require(stopwords.nonEmpty, "graft_stopword_count needs a non-empty stopword set")
@@ -42,7 +47,7 @@ case class StopwordCountExpression(child: Expression, stopwords: Array[String])
     * per-element String conversion).
     */
   lazy val stopSet: java.util.HashSet[UTF8String] = {
-    val s = new java.util.HashSet[UTF8String](stopwords.length * 2)
+    val s = new java.util.HashSet[UTF8String](stopwords.size * 2)
     stopwords.foreach(w => s.add(UTF8String.fromString(w.toLowerCase)))
     s
   }

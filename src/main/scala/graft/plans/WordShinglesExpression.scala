@@ -23,7 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics are pinned to the lambda form bit-for-bit (spec-compared):
   * trim → split on `\s+` (limit -1, Spark's split), empty result when the
   * doc has fewer than n words, n-grams joined by one space, distinct in
-  * first-occurrence order.
+  * first-occurrence order. The trim is SPACE-ONLY (U+0020, what Spark's
+  * `trim` and DuckDB's `trim` strip) — Java `String.trim` strips all
+  * control chars <= U+0020, so a tab/newline-edged document would lose
+  * the empty edge words the reference form keeps.
   */
 case class WordShinglesExpression(child: Expression, n: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -35,11 +38,11 @@ case class WordShinglesExpression(child: Expression, n: Int)
   override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override protected def nullSafeEval(input: Any): Any =
-    WordShinglesExpression.shingles(input.asInstanceOf[UTF8String].toString, n)
+    WordShinglesExpression.shingles(input.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.plans.WordShinglesExpression.shingles($c.toString(), $n)")
+      s"graft.plans.WordShinglesExpression.shingles($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShinglesExpression =
     copy(child = newChild)
@@ -50,9 +53,12 @@ case class WordShinglesExpression(child: Expression, n: Int)
 object WordShinglesExpression {
   private val Ws = Pattern.compile("\\s+")
 
-  /** Static kernel the generated code calls. */
-  def shingles(s: String, n: Int): ArrayData = {
-    val words = Ws.split(s.trim, -1)
+  /** Static kernel the generated code calls. `UTF8String.trim` strips
+    * spaces (U+0020) only — parity with `trim(text)` in the lambda
+    * reference form and the DuckDB twin, NOT Java's `String.trim`.
+    */
+  def shingles(s: UTF8String, n: Int): ArrayData = {
+    val words = Ws.split(s.trim.toString, -1)
     if (words.length < n) new GenericArrayData(Array.empty[Any])
     else {
       val out = new java.util.LinkedHashSet[UTF8String]

@@ -408,7 +408,8 @@ object LlmPipeline {
               (0 until Sketches.Bands).map(b =>
                 struct(lit(b).as("band"), Sketches.bandHash(b).as("bh"))): _*)).as("e"))
             .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh")),
-          Seq("band", "bh"), HotBucketCap)
+          Seq("band", "bh"), HotBucketCap,
+          observeAs = Some("lsh_hot_buckets"))
         val cand = bands.as("x")
           .join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -601,7 +602,8 @@ object LlmPipeline {
           sigs.select(col("vec_id"),
             posexplode(array(col("sig").bitwiseAND(lit(255L)),
               shiftright(col("sig"), 8).bitwiseAND(lit(255L)))).as(Seq("bi", "bv"))),
-          Seq("bi", "bv"), HotBucketCap)
+          Seq("bi", "bv"), HotBucketCap,
+          observeAs = Some("hyperplane_hot_buckets"))
         val cand = bands
           .join(bands.select(col("vec_id").as("b_id"), col("bi"), col("bv")),
             Seq("bi", "bv"))
@@ -840,7 +842,8 @@ object LlmPipeline {
         sigs.select(col("vec_id"),
           posexplode(array(col("sig").bitwiseAND(lit(255L)),
             shiftright(col("sig"), 8).bitwiseAND(lit(255L)))).as(Seq("bi", "bv"))),
-        Seq("bi", "bv"), HotBucketCap)
+        Seq("bi", "bv"), HotBucketCap,
+        observeAs = Some("embed_hot_buckets"))
       val cand = bands
         .join(bands.select(col("vec_id").as("b_id"), col("bi"), col("bv")),
           Seq("bi", "bv"))

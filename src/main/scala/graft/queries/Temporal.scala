@@ -403,8 +403,12 @@ object Temporal {
     */
   def burstPairs(events: org.apache.spark.sql.DataFrame, windowUs: Long,
       cap: Long): org.apache.spark.sql.DataFrame = {
+    // the observation makes a binding cap diagnosable: q83's oracle is the
+    // UNCAPPED native range join, so a storm bucket crossing the cap would
+    // otherwise surface only as a bare hash mismatch
     val err = graft.functions.Skew.dropHotBuckets(
-      events.withColumn("bkt", expr(s"tsu div $windowUs")), Seq("bkt"), cap)
+      events.withColumn("bkt", expr(s"tsu div $windowUs")), Seq("bkt"), cap,
+      observeAs = Some("burst_hot_buckets"))
     val cand = err.select(col("event_id").as("a_id"), col("tsu").as("a_tsu"),
         explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("cb"))
     cand

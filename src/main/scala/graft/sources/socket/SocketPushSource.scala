@@ -128,7 +128,7 @@ class SocketPushTable(schema: StructType, props: Map[String, String])
             opts.getOrElse("pingintervalms", "0").toLong,
             opts.getOrElse("maxreconnectattempts", "0").toInt,
             opts.get("truststore"),
-            opts.getOrElse("truststorepassword", ""))
+            opts.get("truststorepassword"))
       }
     }
   }
@@ -149,7 +149,7 @@ class SocketPushMicroBatchStream(host: String, port: Int,
     pingIntervalMs: Long = 0,
     maxReconnectAttempts: Int = 0,
     truststore: Option[String] = None,
-    truststorePassword: String = "") extends MicroBatchStream
+    truststorePassword: Option[String] = None) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
 
@@ -190,7 +190,12 @@ class SocketPushMicroBatchStream(host: String, port: Int,
     case Some(path) =>
       val ks = java.security.KeyStore.getInstance(java.security.KeyStore.getDefaultType)
       val in = new java.io.FileInputStream(path)
-      try ks.load(in, truststorePassword.toCharArray) finally in.close()
+      // null password = load WITHOUT the keystore integrity check (the
+      // standard client behavior); an empty char[] would FORCE the check
+      // and fail on any password-protected truststore when the option is
+      // simply omitted
+      try ks.load(in, truststorePassword.map(_.toCharArray).orNull)
+      finally in.close()
       val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
         javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
       tmf.init(ks)

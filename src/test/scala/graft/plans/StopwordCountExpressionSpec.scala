@@ -40,6 +40,22 @@ class StopwordCountExpressionSpec extends SparkSpec {
     assert(out(1).isNullAt(0))
   }
 
+  test("structurally identical instances are equal — canonicalization/CSE must see them") {
+    // the stopword set rides as a Seq, not an Array: Array's case-class
+    // equality is by reference, which made five structurally identical
+    // langIdColumn counts compare unequal and defeated common-
+    // subexpression elimination (round-8 ADVICE)
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val child = BoundReference(0, ArrayType(StringType), nullable = true)
+    val a = StopwordCountExpression(child, Seq("the", "of").toArray[String])
+    val b = StopwordCountExpression(child, List("the", "of"))
+    assert(a === b, "same child + same stopwords must be equal")
+    assert(a.semanticEquals(b), "canonicalized forms must match")
+    assert(a.hashCode === b.hashCode)
+    assert(Literal(1) !== a)
+  }
+
   test("interpreted eval matches codegen; q41's quality projection has no interpreted island") {
     // direct interpreted eval
     val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(

@@ -30,6 +30,11 @@ class WordShinglesExpressionSpec extends SparkSpec {
     Some("a b c"), // exactly n
     Some("x y x y x y x y"), // duplicate shingles → distinct, first-seen
     Some("  spaced   out\ttabs  "), // whitespace runs + trim
+    // tab/newline EDGES: Spark's trim strips spaces only, so the split
+    // keeps empty edge words — Java String.trim would eat them (the
+    // round-8 ADVICE divergence; the kernel must use UTF8String.trim)
+    Some("\tfoo bar\n"),
+    Some("\n\t a b c \t\n"),
     Some("solo"),
     Some(""),
     None)

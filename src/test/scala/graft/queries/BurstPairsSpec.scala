@@ -41,11 +41,41 @@ class BurstPairsSpec extends SparkSpec {
     // guarded (cap below the storm): the storm bucket leaves the pairing
     // entirely; the quiet pairs — cross-bucket and exact-boundary
     // included — are untouched
-    val guarded = Temporal.burstPairs(events, w, cap = 10L)
+    // the metrics live on the execution that actually RAN, so collect
+    // through the same Dataset the assertion reads
+    val guardedDs = Temporal.burstPairs(events, w, cap = 10L)
       .orderBy(col("a_id"), col("b_id"))
-      .as[(Long, Long, Long)].collect()
+      .as[(Long, Long, Long)]
+    val guarded = guardedDs.collect()
     assert(guarded.toSeq ===
       Seq((900L, 901L, 10L), (900L, 902L, 1000L), (901L, 902L, 990L)),
       "guarded: only the quiet bucket's in-window pairs survive")
+
+    // a BINDING cap must be diagnosable, not a bare oracle mismatch
+    // (round-8 ADVICE): the executed plan reports what it dropped
+    val metrics = guardedDs.queryExecution.observedMetrics
+    assert(metrics.contains("burst_hot_buckets"),
+      s"guarded plan must observe its drops, got ${metrics.keySet}")
+    val row = metrics("burst_hot_buckets")
+    assert(row.getAs[Long]("dropped_buckets") === 1L,
+      "exactly the storm bucket crosses cap=10")
+    assert(row.getAs[Long]("dropped_rows") === 40L,
+      "all 40 storm events leave the pairing")
+  }
+
+  test("a non-binding cap observes zero drops (or none: AQE prunes the empty hot side)") {
+    import spark.implicits._
+    val events = Seq((1L, 100L), (2L, 150L), (3L, 5000L)).toDF("event_id", "tsu")
+    val df = Temporal.burstPairs(events, 1000L, cap = 10L)
+    df.collect()
+    // when no bucket crosses the cap the hot side is an empty relation;
+    // AQE's empty-relation propagation may eliminate the guard join —
+    // and its CollectMetrics child — entirely. Absent key == zero drops;
+    // the diagnosable (non-zero) signal is what must survive, and the
+    // mega-burst test pins that it does.
+    df.queryExecution.observedMetrics.get("burst_hot_buckets").foreach { row =>
+      assert(row.getAs[Long]("dropped_buckets") === 0L)
+      assert(row.getAs[Long]("dropped_rows") === 0L)
+    }
   }
 }

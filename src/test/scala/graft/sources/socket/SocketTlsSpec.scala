@@ -124,7 +124,7 @@ class SocketTlsSpec extends graft.SparkSpec {
       val stream = new SocketPushMicroBatchStream("localhost", server.getLocalPort,
         reconnectMs = 20, maxReconnectMs = 100, protocol = "wss", wsPath = "/feed",
         subscribe = Some(sub), truststore = Some(truststorePath),
-        truststorePassword = storePass)
+        truststorePassword = Some(storePass))
       try {
         val c1 = accepted.poll(30, TimeUnit.SECONDS)
         assert(c1 != null, "pump never completed a TLS dial")
@@ -151,6 +151,42 @@ class SocketTlsSpec extends graft.SparkSpec {
           .flatMap(_.asInstanceOf[SocketRowsPartition].rows)
         assert(rows.map(_._1).toSeq === Seq("alpha", "bravo", "charlie"))
         c2.close()
+      } finally stream.stop()
+    }
+  }
+
+  test("omitted truststorePassword still authenticates against a password-protected JKS truststore") {
+    // KeyStore.load(in, null) reads JKS certificate entries WITHOUT the
+    // keystore integrity check — the standard client behavior. The old
+    // default of "" passed an empty char[], which FORCES the check and
+    // failed any password-protected truststore whenever the option was
+    // simply omitted (round-8 ADVICE). JKS specifically: its trusted-cert
+    // entries are stored in the clear (only the MAC uses the password),
+    // so null-load yields usable trust anchors; PKCS12 cert bags are
+    // password-encrypted, so a protected PKCS12 still needs the option.
+    val dir = Files.createTempDirectory("graft-tls-jks")
+    val cert = dir.resolve("server.der").toString
+    val jks = dir.resolve("trust.jks").toString
+    def run(cmd: String*): Unit = {
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes())
+      assert(p.waitFor() == 0, s"${cmd.mkString(" ")} failed:\n$out")
+    }
+    run("keytool", "-exportcert", "-alias", "spec", "-keystore", keystorePath,
+      "-storepass", storePass, "-file", cert)
+    run("keytool", "-importcert", "-alias", "spec", "-file", cert, "-keystore", jks,
+      "-storetype", "JKS", "-storepass", "sekrit-unknown-to-client", "-noprompt")
+    withTlsServer { (server, accepted) =>
+      val stream = new SocketPushMicroBatchStream("localhost", server.getLocalPort,
+        reconnectMs = 20, maxReconnectMs = 100, protocol = "wss", wsPath = "/feed",
+        truststore = Some(jks)) // truststorePassword deliberately omitted
+      try {
+        val c1 = accepted.poll(30, TimeUnit.SECONDS)
+        assert(c1 != null, "pump never completed a TLS dial with the password omitted")
+        wsAccept(c1)
+        pushWsText(c1, "delta")
+        awaitBuffered(stream, 1, "frame did not arrive over the password-less truststore dial")
+        c1.close()
       } finally stream.stop()
     }
   }
