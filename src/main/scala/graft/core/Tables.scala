@@ -46,8 +46,25 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
-  /** events with `ts` = epoch nanos (Long) and `ts_us` = TimestampType. */
-  def events(s: SparkSession, d: String): DataFrame =
-    apply(s, d, "events")
-      .withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+  /** events with `ts` = epoch nanos (Long) and `ts_us` = TimestampType.
+    *
+    * The driver has generated `events.ts` as both parquet TIMESTAMP(NANOS)
+    * (read as epoch-nanos Long under `nanosAsLong`) and TIMESTAMP(MICROS)
+    * (read as TimestampNTZ). Normalize both to the engine contract —
+    * `ts`: epoch-nanos Long, `ts_us`: TimestampType — so every downstream
+    * query and the DuckDB oracle (`epoch_us(ts)`, type-generic) agree
+    * regardless of the writer's physical precision.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+      case _ => // TIMESTAMP_NTZ (µs): NTZ wall-clock == UTC instant here
+        // (session tz is UTC everywhere; DuckDB's epoch_us makes the same
+        // naive-is-UTC reading on its side)
+        raw.withColumn("ts_us", col("ts").cast("timestamp"))
+          .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+  }
 }
