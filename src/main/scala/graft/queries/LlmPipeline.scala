@@ -1768,7 +1768,184 @@ object LlmPipeline {
           ORDER BY c.first_doc"""
       })
 
+    /* L27: semantic dedup (SemDeDup) — embedding-space near-dup removal
+     * with CLUSTERING-based candidate generation: every vector is assigned
+     * to its nearest coarse centroid (q70's broadcast-codebook argmax —
+     * the IVF cell), candidate pairs are generated only WITHIN a cell,
+     * verified by exact cosine >= tau, and the min-id survivor rule marks
+     * each duplicate's keeper. Complements q72, which generates candidates
+     * by hyperplane-LSH bands: cells are data-adaptive (the SemDeDup
+     * paper's k-means shape) where bands are data-oblivious, and the two
+     * recall profiles differ — cells catch near-dups whose sign bits
+     * straddle a hyperplane, bands catch pairs split across a cell
+     * boundary. At 100 TB: the codebook is a BROADCAST (the quantizer is
+     * an input, trained offline); candidates are ids-only rows keyed by
+     * cell id, so pair count is sum over cells of |cell|² — bounded by
+     * the quantizer's balance, exactly the knob a production codebook
+     * controls (k scales with corpus size to hold |cell| constant);
+     * embeddings re-join BY ID for the verify; no window, no all-pairs. */
+    val q92 = GraftQuery(
+      "q92_semdedup_cells", "L27 L11 L13",
+      (s, d) => {
+        val e = CacheScope.tracked(Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            Sketches.norm(col("embedding"), Dims).as("nrm")))
+        val c = e.filter(col("vec_id") % CentroidStep === 0)
+          .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+            col("nrm").as("cn"))
+        val centroidCos = Sketches.cosineFromParts(
+          Sketches.dot(col("embedding"), col("ce"), Dims), col("nrm"), col("cn"))
+        val asn = e.crossJoin(broadcast(c))
+          .select(col("vec_id"), col("c_id"), centroidCos.as("ccos"))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("c_id"), struct(col("ccos"), -col("c_id"))).as("cell"))
+        // ids-only candidate pairs within a cell (a_id < b_id)
+        val cand = asn.select(col("cell"), col("vec_id").as("a_id"))
+          .join(asn.select(col("cell"), col("vec_id").as("b_id")), Seq("cell"))
+          .filter(col("a_id") < col("b_id"))
+        // exact-cosine verify: embeddings re-join by id
+        val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+          col("nrm").as("an"))
+        val eb = e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+          col("nrm").as("bn"))
+        val verified = cand.join(ea, Seq("a_id")).join(eb, Seq("b_id"))
+          .filter(Sketches.cosineFromParts(
+            Sketches.dot(col("ae"), col("be"), Dims),
+            col("an"), col("bn")) >= NearDupTau)
+        val dup = verified.groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
+        asn.join(dup, col("vec_id") === col("b_id"), "left")
+          .select(col("vec_id"), col("cell"), col("dup_of"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val ccos = Sketches.cosineSql(
+          Sketches.dotSql("e.embedding", "c.embedding", Dims),
+          Sketches.normSql("e.embedding", Dims),
+          Sketches.normSql("c.embedding", Dims))
+        val vcos = Sketches.cosineSql(
+          Sketches.dotSql("ea.embedding", "eb.embedding", Dims),
+          Sketches.normSql("ea.embedding", Dims),
+          Sketches.normSql("eb.embedding", Dims))
+        s"""WITH c AS (SELECT vec_id AS c_id, embedding FROM embeddings
+              WHERE vec_id % $CentroidStep = 0),
+          asn AS (SELECT vec_id, c_id AS cell FROM (
+            SELECT e.vec_id, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY $ccos DESC, c.c_id) AS rn
+            FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+          cand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+          ver AS (SELECT cand.a_id, cand.b_id FROM cand
+            JOIN embeddings ea ON ea.vec_id = cand.a_id
+            JOIN embeddings eb ON eb.vec_id = cand.b_id
+            WHERE $vcos >= $NearDupTau),
+          dup AS (SELECT b_id AS vec_id, MIN(a_id) AS dup_of FROM ver GROUP BY 1)
+          SELECT asn.vec_id, asn.cell, dup.dup_of
+          FROM asn LEFT JOIN dup ON dup.vec_id = asn.vec_id
+          ORDER BY asn.vec_id"""
+      })
+
+    /* L28: TF-IDF distinctive-term profiling — per source, the terms that
+     * most distinguish it from the rest of the corpus, the standard
+     * corpus-exploration report a data curator runs before mixing
+     * sources. The idf is the exact rational form (tf·1e6·N)/df under
+     * integer division rather than the transcendental tf·ln(N/df): libm
+     * log differs by 1 ulp across engines (the q88 lesson), and for
+     * RANKING terms within a source the log damping is monotone-
+     * irrelevant when tf dominates — the integer form is deterministic on
+     * any engine at any scale. At 100 TB: tf and df are both map-side-
+     * combined aggregates (df over the distinct (doc, term) frame); the
+     * df side collapses to |vocab| rows and joins the tf frame on the
+     * term; N attaches as a broadcast one-row scalar; the top-k window
+     * runs over the |sources|·|vocab| AGGREGATED frame, never the corpus. */
+    val q93 = GraftQuery(
+      "q93_tfidf_terms", "L28 L8 A3 O2",
+      (s, d) => {
+        val w = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            explode(Sketches.words(col("text"))).as("w"))
+        val tf = w.groupBy(col("source"), col("w")).agg(count(lit(1)).as("tf"))
+        val df = w.select(col("doc_id"), col("w")).distinct()
+          .groupBy(col("w")).agg(count(lit(1)).as("df"))
+        val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        tf.join(df, Seq("w")).crossJoin(broadcast(n))
+          .withColumn("score_ppm", expr("tf * 1000000 * n_docs div df"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("score_ppm").desc, col("w"))))
+          .filter(col("rank") <= 5)
+          .select(col("source"), col("rank"), col("w").as("term"),
+            col("tf"), col("df"), col("score_ppm"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some {
+        val ws = Sketches.wordsSql("text")
+        s"""WITH w AS (SELECT source, doc_id, unnest($ws) AS w FROM documents),
+          tf AS (SELECT source, w, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+          df AS (SELECT w, COUNT(*) AS df FROM
+            (SELECT DISTINCT doc_id, w FROM w) GROUP BY 1),
+          n AS (SELECT COUNT(*) AS n_docs FROM documents),
+          sc AS (SELECT source, w, tf, df,
+              tf * 1000000 * n_docs // df AS score_ppm
+            FROM tf JOIN df USING (w) CROSS JOIN n),
+          rk AS (SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY score_ppm DESC, w) AS rank FROM sc)
+          SELECT source, rank, w AS term, tf, df, score_ppm
+          FROM rk WHERE rank <= 5 ORDER BY source, rank"""
+      })
+
+    /* L29: cross-source overlap matrix — for every pair of sources, how
+     * much content they share: distinct shingle fingerprints per source,
+     * pairwise shared counts, and the Jaccard overlap (exact integer ppm).
+     * This is the corpus-contamination profile a curator reads before
+     * deduplicating across sources or holding one source out as eval —
+     * the pairwise generalization of L17's corpus-vs-evalset check. At
+     * 100 TB: the corpus collapses to the distinct (source, fingerprint)
+     * frame first (one map-side-combined distinct — fingerprints are
+     * 8-byte md5 prefixes, never shingle strings); the self-join fans out
+     * per fingerprint by AT MOST |sources| rows, so pair cardinality is
+     * bounded by |fps|·|sources|, never |docs|²; the output is the
+     * |sources|² matrix; per-source totals attach as broadcast joins. */
+    val q94 = GraftQuery(
+      "q94_source_overlap", "L29 L17 J9",
+      (s, d) => {
+        val fps = shingleRows(s, d, ShingleN, carry = Seq("source"))
+          .select(col("source"), Sketches.h64(col("s")).as("g")).distinct()
+        val tot = fps.groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
+        val pairs = fps.select(col("source").as("src_a"), col("g"))
+          .join(fps.select(col("source").as("src_b"), col("g")), Seq("g"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("shared"))
+        pairs
+          .join(broadcast(tot.select(col("source").as("src_a"),
+            col("n_fp").as("n_a"))), Seq("src_a"))
+          .join(broadcast(tot.select(col("source").as("src_b"),
+            col("n_fp").as("n_b"))), Seq("src_b"))
+          .withColumn("jaccard_ppm",
+            expr("shared * 1000000 div (n_a + n_b - shared)"))
+          .select(col("src_a"), col("src_b"), col("shared"), col("n_a"),
+            col("n_b"), col("jaccard_ppm"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some {
+        val shed = Sketches.shinglesSql("text", ShingleN)
+        s"""WITH sh AS (SELECT DISTINCT source, ${Sketches.h64Sql("g")} AS g
+              FROM (SELECT source, unnest(s) AS g FROM
+                (SELECT source, $shed AS s FROM documents))),
+          tot AS (SELECT source, COUNT(*) AS n_fp FROM sh GROUP BY 1),
+          p AS (SELECT a.source AS src_a, b.source AS src_b,
+              COUNT(*) AS shared
+            FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2)
+          SELECT src_a, src_b, shared, ta.n_fp AS n_a, tb.n_fp AS n_b,
+            shared * 1000000 // (ta.n_fp + tb.n_fp - shared) AS jaccard_ppm
+          FROM p JOIN tot ta ON ta.source = p.src_a
+            JOIN tot tb ON tb.source = p.src_b
+          ORDER BY src_a, src_b"""
+      })
+
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q67, q70, q72, q73, q74,
-      q75, q76, q77, q78, q79, q80, q84, q85, q86, q87, q88, q89, q90, q91)
+      q75, q76, q77, q78, q79, q80, q84, q85, q86, q87, q88, q89, q90, q91,
+      q92, q93, q94)
   }
 }
