@@ -6,8 +6,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Timing honesty: each query is fully executed via a `noop`-format write
   * (every row is produced and serialized — `count()` would let Catalyst
-  * prune projections and eliminate final sorts). A failing query aborts the
-  * whole run with a nonzero exit code instead of reporting a fake time.
+  * prune projections and eliminate final sorts). A failing query is never
+  * given a fake time: it is measured around — named in the `failed` list
+  * of the compact line and bench_full.json, with the exit code nonzero —
+  * so one broken query costs its own number, not the whole artifact's.
   */
 object Bench {
 
@@ -50,26 +52,33 @@ object Bench {
     // untimed warmup: pay session/codegen/parquet-footer costs once so the
     // first measured query reflects steady-state execution, not JVM startup;
     // stage the source-scan fixtures (they are inputs, not operators — a
-    // cluster job reads files already on storage)
-    graft.core.Tables.events(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
+    // cluster job reads files already on storage). Each step is non-fatal:
+    // a broken loader makes the AFFECTED queries fail (and be named in the
+    // artifact) — it must not kill the suite before a single measurement
+    // (round 9's schema change died right here and zeroed the artifact).
+    def warm(step: => Unit): Unit =
+      try step catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warmup step failed (continuing): ${e.getMessage}")
+      }
+    warm(graft.core.Tables.events(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
     // ...and the sort/shuffle codepaths (range sampling + exchange + sort
     // JIT), which every registered query's deterministic trailing orderBy
     // exercises
-    graft.core.Tables.events(spark, sfDir).select("event_id")
-      .orderBy("event_id").write.format("noop").mode("overwrite").save()
+    warm(graft.core.Tables.events(spark, sfDir).select("event_id")
+      .orderBy("event_id").write.format("noop").mode("overwrite").save())
     // ...and the hash-aggregate exchange path + the other parquet footers
     // (the first measured query otherwise pays both: q01 ran ~1.5 s over
     // its steady state before this)
-    graft.core.Tables.lineitem(spark, sfDir)
+    warm(graft.core.Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag").count()
-      .write.format("noop").mode("overwrite").save()
+      .write.format("noop").mode("overwrite").save())
     Seq("orders", "customer", "documents", "embeddings").foreach { t =>
-      graft.core.Tables(spark, sfDir, t).limit(1)
-        .write.format("noop").mode("overwrite").save()
+      warm(graft.core.Tables(spark, sfDir, t).limit(1)
+        .write.format("noop").mode("overwrite").save())
     }
-    graft.queries.SourceQueries.stageAll(spark, sfDir)
-    graft.queries.IngestQueries.stageAll(spark, sfDir)
+    warm(graft.queries.SourceQueries.stageAll(spark, sfDir))
+    warm(graft.queries.IngestQueries.stageAll(spark, sfDir))
     // each query runs THREE times, full pipeline every time (fresh
     // DataFrame → analysis → optimization → execution → noop write). Run 1
     // is COLD: it includes the plan's one-time Janino + JIT compile. Runs
@@ -93,19 +102,22 @@ object Bench {
       def steady: Double = math.min(steady1, steady2)
       def best: Double = math.min(cold, steady)
     }
+    // A failing query must not cost the artifact every OTHER query's
+    // numbers (round 9: a test-data schema change broke the events loader,
+    // the old abort-on-first-failure policy died in warmup, and the round's
+    // bench artifact carried a stack trace instead of 40 queries' worth of
+    // valid timings). Failures are recorded by name, the suite continues,
+    // the compact line names them, and the exit code is still nonzero — no
+    // fake times, no silent passes, but every measurable query measured.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       // scoped = the library's cache-lifetime contract (CacheScope):
       // builder-persisted projections are unpersisted on scope exit, so
       // the clearCache above is a belt-and-braces reset, not load-bearing
-      try graft.core.CacheScope.scoped {
+      graft.core.CacheScope.scoped {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        spark.stop()
-        sys.exit(1)
       }
       (System.nanoTime() - t0) / 1e9
     }
@@ -121,20 +133,26 @@ object Bench {
     val order = new scala.util.Random(seed).shuffle(qfns.keys.toSeq.sorted)
     System.err.println(s"[bench] query order seed=$seed")
     val suiteT0 = System.nanoTime()
-    val results = order.map { name =>
+    val results = order.flatMap { name =>
       val fn = qfns(name)
       // wall-clock offset from suite start: a host freeze is visible in the
       // artifact alone as a gap between consecutive t_start values that
       // exceeds the sum of the intervening query's three passes
       val tStart = (System.nanoTime() - suiteT0) / 1e9
       val (jit0, gc0) = (Jvm.jitMs, Jvm.gcMs)
-      val cold = once(name, fn)
-      val (jit1, gc1) = (Jvm.jitMs - jit0, Jvm.gcMs - gc0)
-      val steady1 = once(name, fn)
-      val (jit2, gc2) = (Jvm.jitMs - jit0 - jit1, Jvm.gcMs - gc0 - gc1)
-      val steady2 = once(name, fn)
-      System.err.println(f"[bench] $name%-28s cold=${cold}%6.2fs steady=${math.min(steady1, steady2)}%6.2fs ($steady1%.2f/$steady2%.2f)  jit+${jit1}%5dms  gc+${gc1}%5dms  codecache=${Jvm.codeCacheMb}%4dMB")
-      QueryRun(name, tStart, cold, steady1, steady2, jit1, gc1, jit2, gc2, Jvm.codeCacheMb)
+      try {
+        val cold = once(name, fn)
+        val (jit1, gc1) = (Jvm.jitMs - jit0, Jvm.gcMs - gc0)
+        val steady1 = once(name, fn)
+        val (jit2, gc2) = (Jvm.jitMs - jit0 - jit1, Jvm.gcMs - gc0 - gc1)
+        val steady2 = once(name, fn)
+        System.err.println(f"[bench] $name%-28s cold=${cold}%6.2fs steady=${math.min(steady1, steady2)}%6.2fs ($steady1%.2f/$steady2%.2f)  jit+${jit1}%5dms  gc+${gc1}%5dms  codecache=${Jvm.codeCacheMb}%4dMB")
+        Some(QueryRun(name, tStart, cold, steady1, steady2, jit1, gc1, jit2, gc2, Jvm.codeCacheMb))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        None
+      }
     }
     // The driver captures only the last ~2000 chars of MERGED output and
     // parses the JSON line it finds there; sbt appends a ~73-char
@@ -168,6 +186,16 @@ object Bench {
     val steadyTotal = results.map(_.steady).sum
     val steadyFirstTotal = results.map(_.steady1).sum
     val bestTotal = results.map(_.best).sum
+    // the compact line's failed list is capped (12 names + failed_n) so a
+    // mass failure can't blow the capture-window budget and truncate the
+    // line; bench_full.json carries every name with its message
+    val failedJson = failed.keys.take(12)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedFullJson = failed
+      .map { case (k, v) =>
+        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replaceAll("[\\n\\r\\t]", " ").take(200) + "\""
+      }.mkString("{", ",", "}")
     // self-adjudicating stall evidence: the largest UNEXPLAINED wall-clock
     // gap between consecutive queries — time between two t_start values
     // not accounted for by the intervening query's three measured passes.
@@ -192,6 +220,7 @@ object Bench {
          |"gc_steady_ms":${jsonL(results.map(r => r.name -> r.gcSteadyMs))},
          |"codecache_mb":${jsonL(results.map(r => r.name -> r.codeCacheMb))},
          |"cold_stall_suspects":$coldSuspects,
+         |"failed":$failedFullJson,
          |"max_tstart_gap":${num(maxTstartGap, 3)},
          |"seed":$seed,
          |"total":$total,"steady_total":$steadyTotal,
@@ -229,7 +258,13 @@ object Bench {
     // visible even when only the driver's tail window survives — the full
     // evidence (counters + t_start gaps) is in bench_full.json
     val suspectExtra = if (coldSuspects == "[]") "" else s""","cold_stall_suspects":$coldSuspects"""
-    val totalsExtra = s""","cold_total":${num(total, 2)},"best_total":${num(bestTotal, 2)},"max_tstart_gap":${num(maxTstartGap, 2)}"""
+    // a failure list outranks everything: it rides EVERY ladder rung (like
+    // the totals), or a truncated artifact could pass a partial run off as
+    // complete
+    val failedExtra =
+      if (failed.isEmpty) ""
+      else s""","failed_n":${failed.size},"failed":$failedJson"""
+    val totalsExtra = s""","cold_total":${num(total, 2)},"best_total":${num(bestTotal, 2)},"max_tstart_gap":${num(maxTstartGap, 2)}$failedExtra"""
     // short-key fallback: at 72 queries the full-name dp1 map alone is
     // ~1900 chars (measured 1902 on the first 72-query run — it no longer
     // fits), so before surrendering the per-query map entirely, emit it
@@ -250,12 +285,12 @@ object Bench {
       line(1, s"""$totalsExtra,"seed":$seed$suspectExtra"""),
       line(2, totalsExtra),
       line(1, totalsExtra),
-      line(1, "")) ++
+      line(1, failedExtra)) ++
       (if (shortKeysUnique)
         Seq(lineShort(s"""$totalsExtra,"seed":$seed$suspectExtra"""),
           lineShort(totalsExtra))
       else Seq.empty) ++ Seq(
-      s"""{"metric":"steady_total","value":${num(steadyTotal, 2)},"unit":"sec","cold_total":${num(total, 2)},"best_total":${num(bestTotal, 2)},"max_tstart_gap":${num(maxTstartGap, 2)},"sf":$sfNum}""")
+      s"""{"metric":"steady_total","value":${num(steadyTotal, 2)},"unit":"sec","cold_total":${num(total, 2)},"best_total":${num(bestTotal, 2)},"max_tstart_gap":${num(maxTstartGap, 2)}$failedExtra,"sf":$sfNum}""")
     // stop() before the final line so no shutdown logging can land after
     // it in the merged stream — but guarded: a throwing shutdown listener
     // must not cost the driver its one parseable output either
@@ -264,5 +299,9 @@ object Bench {
     }
     // LAST stdout write of the process
     println(candidates.find(_.length <= 1900).getOrElse(candidates.last))
+    // failures were measured around, not ignored: named in the line above
+    // and in bench_full.json, and the exit code still reports the run as
+    // failed so a partial artifact can't masquerade as a clean one
+    if (failed.nonEmpty) sys.exit(1)
   }
 }
