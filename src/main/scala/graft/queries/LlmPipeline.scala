@@ -1944,8 +1944,58 @@ object LlmPipeline {
           ORDER BY src_a, src_b"""
       })
 
+    /* L30: length-distribution profile — per source, the quartiles, mean,
+     * and extremes of document token counts: the histogram a curator reads
+     * to set truncation budgets and spot sources of degenerate shorts or
+     * pathological longs before mixing. Quantiles are EXACT at dyadic
+     * probabilities (0.25/0.5/0.75) over integer token counts: the
+     * interpolation index (n-1)·p and fraction are dyadic rationals,
+     * products and sums of integers with quarters are exactly
+     * representable doubles, so ANY correct interpolation algebra — Spark's
+     * `percentile` and DuckDB's `quantile_cont` differ in expression
+     * order — produces bit-identical results; no transcendental, no
+     * quantization. The mean is the one-division exact form (bigint
+     * sum / count). At 100 TB: token counting is map-side column math;
+     * `percentile` aggregates a count-map keyed by distinct count values
+     * (bounded domain — document lengths, not documents) with map-side
+     * partial merge; output is |sources| rows. */
+    val q95 = GraftQuery(
+      "q95_length_profile", "L30 L9 A2",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("source"),
+            TextFunctions.tokenCountWs(col("text")).cast("long").as("tok"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tok")).as("total_tokens"),
+            min(col("tok")).as("min_tok"),
+            expr("percentile(tok, 0.25)").as("p25"),
+            expr("percentile(tok, 0.5)").as("p50"),
+            expr("percentile(tok, 0.75)").as("p75"),
+            max(col("tok")).as("max_tok"),
+            (sum(col("tok")).cast("double") / count(lit(1)).cast("double"))
+              .as("mean_tok"))
+          .orderBy(col("source"))
+      },
+      Some {
+        s"""WITH t AS (SELECT source,
+              CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                AS BIGINT) AS tok
+            FROM documents)
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(tok) AS BIGINT) AS total_tokens,
+            MIN(tok) AS min_tok,
+            quantile_cont(tok, 0.25e0) AS p25,
+            quantile_cont(tok, 0.5e0) AS p50,
+            quantile_cont(tok, 0.75e0) AS p75,
+            MAX(tok) AS max_tok,
+            CAST(SUM(tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tok
+          FROM t GROUP BY 1 ORDER BY source"""
+      })
+
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q67, q70, q72, q73, q74,
       q75, q76, q77, q78, q79, q80, q84, q85, q86, q87, q88, q89, q90, q91,
-      q92, q93, q94)
+      q92, q93, q94, q95)
   }
 }
