@@ -1994,8 +1994,80 @@ object LlmPipeline {
           FROM t GROUP BY 1 ORDER BY source"""
       })
 
+    /* L31: incremental (batch-vs-corpus) dedup — the nightly-ingest shape:
+     * an arriving batch is checked against the existing corpus WITHOUT
+     * re-deduplicating the corpus. Exact layer: content fingerprints.
+     * Near-dup layer: canonical bag-of-words keys (L2's family). The scale
+     * asymmetry is the whole operator: the batch is small by definition
+     * (one day's crawl vs years of corpus), so BOTH probe joins broadcast
+     * the BATCH side and stream the corpus map-side — zero corpus shuffle,
+     * zero corpus re-fingerprinting beyond the scan projection. Verdicts
+     * per batch doc: 'exact_dup' (content fp already in corpus),
+     * 'near_dup' (canonical key present, content differs), 'new'. The
+     * fixture splits documents by id — doc_id % 10 = 0 is the batch, the
+     * rest the corpus — and additionally REPLAYS corpus docs with
+     * doc_id % 97 = 1 into the batch verbatim under new ids (the q87/q89
+     * planted pattern, both engines identically): the synthetic corpus has
+     * no exact-dup pair straddling any id split at sf0.01, and a
+     * re-crawled unchanged page is precisely the event the exact layer
+     * exists to catch — planting makes that branch fire at every SF
+     * instead of only where fixture luck provides a collision. */
+    val q96 = GraftQuery(
+      "q96_incremental_dedup", "L31 L1 L2 J6",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextFunctions.md5Fingerprint(col("text")).as("fp"),
+            Sketches.h64(array_join(sort_array(array_distinct(
+              Sketches.words(col("text")))), " ")).as("ck"))
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        val batch = docs.filter(col("doc_id") % 10 === 0)
+          .unionAll(corpus.filter(col("doc_id") % 97 === 1)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("fp"), col("ck")))
+        // batch side is broadcast; the corpus streams through both probes
+        // map-side. The aggregates collapse to at most |batch| rows before
+        // the final (broadcast) classification joins.
+        val exactHit = corpus.join(broadcast(batch.select(col("fp")).distinct()),
+            Seq("fp"))
+          .groupBy(col("fp")).agg(min(col("doc_id")).as("first_exact"))
+        val nearHit = corpus.join(broadcast(batch.select(col("ck")).distinct()),
+            Seq("ck"))
+          .groupBy(col("ck")).agg(min(col("doc_id")).as("first_near"))
+        batch
+          .join(broadcast(exactHit), Seq("fp"), "left")
+          .join(broadcast(nearHit), Seq("ck"), "left")
+          .select(col("doc_id"),
+            when(col("first_exact").isNotNull, "exact_dup")
+              .when(col("first_near").isNotNull, "near_dup")
+              .otherwise("new").as("verdict"),
+            coalesce(col("first_exact"), col("first_near")).as("matched_doc"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val fp = TextFunctions.md5FingerprintSql("text")
+        val ck = Sketches.h64Sql(
+          s"array_to_string(list_sort(list_distinct(${Sketches.wordsSql("text")})), ' ')")
+        s"""WITH docs AS (SELECT doc_id, $fp AS fp, $ck AS ck FROM documents),
+          corpus AS (SELECT * FROM docs WHERE doc_id % 10 <> 0),
+          batch AS (SELECT * FROM docs WHERE doc_id % 10 = 0
+            UNION ALL SELECT doc_id + 1000000, fp, ck FROM corpus
+            WHERE doc_id % 97 = 1),
+          ex AS (SELECT c.fp, MIN(c.doc_id) AS first_exact FROM corpus c
+            JOIN (SELECT DISTINCT fp FROM batch) b ON b.fp = c.fp GROUP BY 1),
+          nr AS (SELECT c.ck, MIN(c.doc_id) AS first_near FROM corpus c
+            JOIN (SELECT DISTINCT ck FROM batch) b ON b.ck = c.ck GROUP BY 1)
+          SELECT batch.doc_id,
+            CASE WHEN ex.first_exact IS NOT NULL THEN 'exact_dup'
+                 WHEN nr.first_near IS NOT NULL THEN 'near_dup'
+                 ELSE 'new' END AS verdict,
+            COALESCE(ex.first_exact, nr.first_near) AS matched_doc
+          FROM batch LEFT JOIN ex ON ex.fp = batch.fp
+            LEFT JOIN nr ON nr.ck = batch.ck
+          ORDER BY batch.doc_id"""
+      })
+
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q67, q70, q72, q73, q74,
       q75, q76, q77, q78, q79, q80, q84, q85, q86, q87, q88, q89, q90, q91,
-      q92, q93, q94, q95)
+      q92, q93, q94, q95, q96)
   }
 }
