@@ -106,4 +106,26 @@ class AnnRecallSpec extends SparkSpec {
     assert(ivfRecall1 >= 0.7,
       f"IVF recall@1 regressed: $ivfRecall1%.2f (dial: NProbe)")
   }
+
+  test("q92 SemDeDup pair recall on planted twins (cell-based candidates)") {
+    // the dedup analog of ANN recall: a planted twin at cos ~0.995 is a
+    // CONFIDENT near-dup (τ = 0.3), so each twin (q+3) must be assigned a
+    // dup_of — missed only when the pair straddles a cell boundary, which
+    // is exactly the recall the cell-candidate method trades for its
+    // bounded pair count. Measured and floored so a codebook or assignment
+    // regression (wrong argmax tie-break, probe removal) is caught.
+    val out = rows("q92_semdedup_cells") // (vec_id, cell, dup_of)
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    val twins = (0L until 500L by 50L).map(q => q -> (q + 3))
+    val found = twins.count { case (_, b) => out(b).isDefined }
+    val exactOf = twins.count { case (a, b) => out(b).contains(a) }
+    val recall = found.toDouble / twins.size
+    info(f"q92 SemDeDup twin recall = $recall%.2f " +
+      f"($exactOf/${twins.size} assigned the twin itself)")
+    println(f"[ann-recall] q92_twin_recall=$recall%.2f n=${twins.size}%d")
+    assert(recall >= 0.7,
+      f"SemDeDup twin recall regressed: $recall%.2f — cell assignment or " +
+        "verify threshold changed")
+  }
 }
