@@ -1848,16 +1848,24 @@ object LlmPipeline {
     /* L28: TF-IDF distinctive-term profiling — per source, the terms that
      * most distinguish it from the rest of the corpus, the standard
      * corpus-exploration report a data curator runs before mixing
-     * sources. The idf is the exact rational form (tf·1e6·N)/df under
-     * integer division rather than the transcendental tf·ln(N/df): libm
-     * log differs by 1 ulp across engines (the q88 lesson), and for
-     * RANKING terms within a source the log damping is monotone-
-     * irrelevant when tf dominates — the integer form is deterministic on
-     * any engine at any scale. At 100 TB: tf and df are both map-side-
-     * combined aggregates (df over the distinct (doc, term) frame); the
-     * df side collapses to |vocab| rows and joins the tf frame on the
-     * term; N attaches as a broadcast one-row scalar; the top-k window
-     * runs over the |sources|·|vocab| AGGREGATED frame, never the corpus. */
+     * sources. The rarity weight is the exact rational form
+     * (tf·1e6) div df under integer division rather than the
+     * transcendental tf·ln(N/df): libm log differs by 1 ulp across
+     * engines (the q88 lesson), and for RANKING terms within a source
+     * both the log damping and the corpus-size factor N are monotone-
+     * irrelevant (N is a constant across every term), so both are
+     * dropped — which also bounds every intermediate at tf·1e6,
+     * overflow-free below ~9.2e12 occurrences of one term in one source
+     * (int64 wraps silently on Spark but ERRORS on DuckDB, so an
+     * unbounded product is an engine-divergence hazard, not just a wrong
+     * number; beyond that domain, lift tf to DECIMAL(38,0) on both
+     * engines). n_docs still rides along as a reported column — attached
+     * as a broadcast one-row scalar, the reader applies any cross-corpus
+     * normalization. At 100 TB: tf and df are both map-side-combined
+     * aggregates (df over the distinct (doc, term) frame); the df side
+     * collapses to |vocab| rows and joins the tf frame on the term; the
+     * top-k window runs over the |sources|·|vocab| AGGREGATED frame,
+     * never the corpus. */
     val q93 = GraftQuery(
       "q93_tfidf_terms", "L28 L8 A3 O2",
       (s, d) => {
@@ -1869,13 +1877,13 @@ object LlmPipeline {
           .groupBy(col("w")).agg(count(lit(1)).as("df"))
         val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
         tf.join(df, Seq("w")).crossJoin(broadcast(n))
-          .withColumn("score_ppm", expr("tf * 1000000 * n_docs div df"))
+          .withColumn("score_ppm", expr("tf * 1000000 div df"))
           .withColumn("rank", row_number().over(
             Window.partitionBy(col("source"))
               .orderBy(col("score_ppm").desc, col("w"))))
           .filter(col("rank") <= 5)
           .select(col("source"), col("rank"), col("w").as("term"),
-            col("tf"), col("df"), col("score_ppm"))
+            col("tf"), col("df"), col("n_docs"), col("score_ppm"))
           .orderBy(col("source"), col("rank"))
       },
       Some {
@@ -1885,12 +1893,12 @@ object LlmPipeline {
           df AS (SELECT w, COUNT(*) AS df FROM
             (SELECT DISTINCT doc_id, w FROM w) GROUP BY 1),
           n AS (SELECT COUNT(*) AS n_docs FROM documents),
-          sc AS (SELECT source, w, tf, df,
-              tf * 1000000 * n_docs // df AS score_ppm
+          sc AS (SELECT source, w, tf, df, n_docs,
+              tf * 1000000 // df AS score_ppm
             FROM tf JOIN df USING (w) CROSS JOIN n),
           rk AS (SELECT *, row_number() OVER (PARTITION BY source
               ORDER BY score_ppm DESC, w) AS rank FROM sc)
-          SELECT source, rank, w AS term, tf, df, score_ppm
+          SELECT source, rank, w AS term, tf, df, n_docs, score_ppm
           FROM rk WHERE rank <= 5 ORDER BY source, rank"""
       })
 
