@@ -1913,7 +1913,11 @@ object LlmPipeline {
      * 8-byte md5 prefixes, never shingle strings); the self-join fans out
      * per fingerprint by AT MOST |sources| rows, so pair cardinality is
      * bounded by |fps|·|sources|, never |docs|²; the output is the
-     * |sources|² matrix; per-source totals attach as broadcast joins. */
+     * |sources|² matrix; per-source totals attach as broadcast joins.
+     * Overflow domain (the q93 rule): shared·1e6 stays inside int64 up to
+     * ~9.2e12 shared fingerprints per source pair — ≈40 TB of unique text
+     * in a single source; beyond that, lift the ppm product to
+     * DECIMAL(38,0) on both engines. */
     val q94 = GraftQuery(
       "q94_source_overlap", "L29 L17 J9",
       (s, d) => {
