@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-level invariants the driver contract and the bench artifact
+  * depend on, asserted at test time instead of discovered at gate time.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  private lazy val reg = SparkEntry.registry
+
+  test("query names are unique and well-formed") {
+    val names = reg.map(_.name)
+    assert(names.distinct.size === names.size, "duplicate query name")
+    names.foreach(n => assert(n.matches("^q\\d+_[a-z0-9_]+$"),
+      s"query name '$n' breaks the qNN_snake_case convention"))
+  }
+
+  test("qNN prefixes are unique (the bench short-key rung depends on it)") {
+    // Bench's capture-window degradation ladder re-keys the per-query map
+    // by the qNN prefix when full names outgrow the driver's 2000-char
+    // tail — at 96 queries that rung IS the active one, so a prefix
+    // collision would silently drop every per-query value from the
+    // artifact (Bench guards at runtime; this catches it in sbt test)
+    val prefixes = reg.map(_.name.takeWhile(_ != '_'))
+    assert(prefixes.distinct.size === prefixes.size,
+      s"colliding qNN prefixes: ${prefixes.diff(prefixes.distinct).distinct}")
+  }
+
+  test("every oracle belongs to a registered query and none is blank") {
+    val names = reg.map(_.name).toSet
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(names.contains(k), s"oracle for unknown query $k")
+      assert(sql.trim.nonEmpty, s"blank oracle for $k")
+    }
+  }
+
+  test("every query carries survey coverage tags") {
+    reg.foreach(q => assert(q.survey.trim.nonEmpty,
+      s"${q.name} has no SURVEY.md operator tag — coverage ledger breaks"))
+  }
+}
