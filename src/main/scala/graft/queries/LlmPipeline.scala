@@ -2078,8 +2078,48 @@ object LlmPipeline {
           ORDER BY batch.doc_id"""
       })
 
+    /* L32: split-leakage audit — do near-duplicate clusters span
+     * train/val/test? The id-hash split (L14) is deliberately independent
+     * of content, so duplicate documents CAN land in different splits;
+     * this is the audit that quantifies that leakage and justifies
+     * dedup-before-split ordering in the funnel. Clusters are the
+     * canonical bag-of-words family (L2 — the corpus has no exact-dup
+     * pair at sf0.01, but 21 bow clusters), the split assignment is
+     * EXACTLY the L14 hash over the eval-filtered corpus, and the report
+     * groups multi-doc clusters by how many distinct splits they touch
+     * (1 = clean, ≥2 = leaking) with doc counts. At 100 TB: one hash
+     * aggregate per cluster key over the shared funnel scan, then a
+     * |clusters|-row re-aggregate — no window, no join wider than the
+     * funnel's own. */
+    val q97 = GraftQuery(
+      "q97_split_leakage", "L32 L14 L2",
+      (s, d) => {
+        val flags = funnelFlags(s, d)
+          .select(col("doc_id"), col("split"),
+            Sketches.h64(array_join(sort_array(array_distinct(
+              Sketches.words(col("text")))), " ")).as("ck"))
+        flags.groupBy(col("ck"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("split")).as("n_splits"))
+          .filter(col("n") >= 2)
+          .groupBy(col("n_splits"))
+          .agg(count(lit(1)).as("n_clusters"), sum(col("n")).as("n_docs"))
+          .orderBy(col("n_splits"))
+      },
+      Some {
+        val ck = Sketches.h64Sql(
+          s"array_to_string(list_sort(list_distinct(${Sketches.wordsSql("text")})), ' ')")
+        s"""WITH $funnelBaseCtesSql,
+          cl AS (SELECT $ck AS ck, COUNT(*) AS n,
+              COUNT(DISTINCT split) AS n_splits
+            FROM base GROUP BY 1 HAVING COUNT(*) >= 2)
+          SELECT n_splits, COUNT(*) AS n_clusters,
+            CAST(SUM(n) AS BIGINT) AS n_docs
+          FROM cl GROUP BY 1 ORDER BY n_splits"""
+      })
+
     Seq(q33, q34, q35, q36, q37, q38, q39, q40, q41, q67, q70, q72, q73, q74,
       q75, q76, q77, q78, q79, q80, q84, q85, q86, q87, q88, q89, q90, q91,
-      q92, q93, q94, q95, q96)
+      q92, q93, q94, q95, q96, q97)
   }
 }
