@@ -30,9 +30,29 @@ object Bench {
     private val gcs = ManagementFactory.getGarbageCollectorMXBeans.asScala
     private val codeHeaps = ManagementFactory.getMemoryPoolMXBeans.asScala
       .filter(_.getName.startsWith("CodeHeap"))
+    // whole-process CPU time (all threads, ns) — the HotSpot extension
+    // bean; -1 sentinel if the platform bean doesn't expose it
+    private val os = ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
     def jitMs: Long = comp.map(_.getTotalCompilationTime).getOrElse(0L)
     def gcMs: Long = gcs.map(_.getCollectionTime).sum
+    def cpuMs: Long = os.map(_.getProcessCpuTime / 1000000L).getOrElse(-1L)
     def codeCacheMb: Long = codeHeaps.map(_.getUsage.getUsed).sum >> 20
+  }
+
+  /** One measured execution of one query: wall seconds plus the process-CPU
+    * and GC milliseconds the JVM itself accrued inside the timed region.
+    * This is the within-pass stall evidence `max_tstart_gap` can't see: a
+    * host freeze INSIDE a pass advances wall while cpu+gc stand still, so a
+    * pass whose whole 32-thread process averaged under half of one core
+    * (`lowCpu`) carries its own interference verdict — no judge re-run
+    * needed to adjudicate a slow number that the JVM never worked for.
+    */
+  final case class Pass(wall: Double, cpuMs: Long, gcMs: Long) {
+    def lowCpu: Boolean =
+      wall > 1.0 && cpuMs >= 0 && (cpuMs + gcMs) < wall * 500.0
   }
 
   def main(args: Array[String]): Unit = {
@@ -95,12 +115,19 @@ object Bench {
     // that persist a shared projection re-materialize it inside EVERY
     // timed region (steady passes measure warm-JIT pipelines, not warm
     // caches) and (b) cached relations don't accumulate across the suite.
-    case class QueryRun(name: String, tStart: Double, cold: Double,
-        steady1: Double, steady2: Double,
-        jitColdMs: Long, gcColdMs: Long, jitSteadyMs: Long, gcSteadyMs: Long,
-        codeCacheMb: Long) {
-      def steady: Double = math.min(steady1, steady2)
-      def best: Double = math.min(cold, steady)
+    case class QueryRun(name: String, tStart: Double, cold: Pass,
+        steady1: Pass, steady2: Pass,
+        jitColdMs: Long, jitSteadyMs: Long, codeCacheMb: Long) {
+      def steady: Double = math.min(steady1.wall, steady2.wall)
+      def best: Double = math.min(cold.wall, steady)
+      def wallSum: Double = cold.wall + steady1.wall + steady2.wall
+      def passes: Seq[(String, Pass)] =
+        Seq("cold" -> cold, "s1" -> steady1, "s2" -> steady2)
+      // best-of-2 steady (compile already paid) slower than the same
+      // plan's own cold pass is physically impossible without external
+      // interference inside a steady pass — flag it so the artifact
+      // adjudicates itself (r10's q41/q78/q49 dispute shape)
+      def inverted: Boolean = steady > cold.wall * 1.1 + 0.1
     }
     // A failing query must not cost the artifact every OTHER query's
     // numbers (round 9: a test-data schema change broke the events loader,
@@ -110,8 +137,9 @@ object Bench {
     // the compact line names them, and the exit code is still nonzero — no
     // fake times, no silent passes, but every measurable query measured.
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Pass = {
       spark.sharedState.cacheManager.clearCache()
+      val (cpu0, gc0) = (Jvm.cpuMs, Jvm.gcMs)
       val t0 = System.nanoTime()
       // scoped = the library's cache-lifetime contract (CacheScope):
       // builder-persisted projections are unpersisted on scope exit, so
@@ -119,7 +147,10 @@ object Bench {
       graft.core.CacheScope.scoped {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu1 = Jvm.cpuMs
+      val cpuD = if (cpu0 < 0 || cpu1 < 0) -1L else cpu1 - cpu0
+      Pass(wall, cpuD, Jvm.gcMs - gc0)
     }
     val qfns = SparkEntry.queries
     // seeded-random execution order: on the shared driver host, stalls
@@ -139,15 +170,15 @@ object Bench {
       // artifact alone as a gap between consecutive t_start values that
       // exceeds the sum of the intervening query's three passes
       val tStart = (System.nanoTime() - suiteT0) / 1e9
-      val (jit0, gc0) = (Jvm.jitMs, Jvm.gcMs)
+      val jit0 = Jvm.jitMs
       try {
         val cold = once(name, fn)
-        val (jit1, gc1) = (Jvm.jitMs - jit0, Jvm.gcMs - gc0)
+        val jit1 = Jvm.jitMs - jit0
         val steady1 = once(name, fn)
-        val (jit2, gc2) = (Jvm.jitMs - jit0 - jit1, Jvm.gcMs - gc0 - gc1)
+        val jit2 = Jvm.jitMs - jit0 - jit1
         val steady2 = once(name, fn)
-        System.err.println(f"[bench] $name%-28s cold=${cold}%6.2fs steady=${math.min(steady1, steady2)}%6.2fs ($steady1%.2f/$steady2%.2f)  jit+${jit1}%5dms  gc+${gc1}%5dms  codecache=${Jvm.codeCacheMb}%4dMB")
-        Some(QueryRun(name, tStart, cold, steady1, steady2, jit1, gc1, jit2, gc2, Jvm.codeCacheMb))
+        System.err.println(f"[bench] $name%-28s cold=${cold.wall}%6.2fs steady=${math.min(steady1.wall, steady2.wall)}%6.2fs (${steady1.wall}%.2f/${steady2.wall}%.2f)  cpu=${cold.cpuMs}%d/${steady1.cpuMs}%d/${steady2.cpuMs}%dms  jit+${jit1}%5dms  gc+${cold.gcMs}%5dms  codecache=${Jvm.codeCacheMb}%4dMB")
+        Some(QueryRun(name, tStart, cold, steady1, steady2, jit1, jit2, Jvm.codeCacheMb))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -180,21 +211,37 @@ object Bench {
     // cold passes that stalled: wall ≫ the same plan's warm re-run. Cold
     // cannot be honestly re-measured in-process (the compile is already
     // paid), so these are flagged, not replaced.
-    val coldSuspects = results.filter(r => r.cold > r.steady * 3 + 2)
+    val coldSuspects = results.filter(r => r.cold.wall > r.steady * 3 + 2)
       .map("\"" + _.name + "\"").mkString("[", ",", "]")
-    val total = results.map(_.cold).sum
+    val total = results.map(_.cold.wall).sum
     val steadyTotal = results.map(_.steady).sum
-    val steadyFirstTotal = results.map(_.steady1).sum
+    val steadyFirstTotal = results.map(_.steady1.wall).sum
     val bestTotal = results.map(_.best).sum
+    // WITHIN-pass stall adjudication (r10 verdict item #1): every pass
+    // carries its own process-CPU+GC evidence, so a wall number the JVM
+    // never worked for is provable from the artifact alone. Two flags:
+    //  - lowCpu: the whole process averaged <0.5 cores over a >1 s pass —
+    //    the JVM was descheduled, the wall time is the host's, not ours
+    //  - inverted: best-of-2 steady slower than the same plan's own cold
+    //    pass (compile included) — impossible without interference
+    val lowCpuPasses = results.flatMap(r => r.passes.collect {
+      case (tag, p) if p.lowCpu => s"${r.name}.$tag"
+    })
+    val invertedQueries = results.filter(_.inverted).map(_.name)
+    val suiteCpuS = results.flatMap(_.passes).map(_._2.cpuMs).filter(_ >= 0).sum / 1000.0
+    val suiteGcS = results.flatMap(_.passes).map(_._2.gcMs).sum / 1000.0
     // the compact line's failed list is capped (12 names + failed_n) so a
     // mass failure can't blow the capture-window budget and truncate the
     // line; bench_full.json carries every name with its message
     val failedJson = failed.keys.take(12)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // truncate the RAW message before escaping — a take() after escaping
+    // can split a two-char escape (\\ or \") and leave a lone trailing
+    // backslash that swallows the closing quote, corrupting the JSON
     val failedFullJson = failed
       .map { case (k, v) =>
-        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
-          .replaceAll("[\\n\\r\\t]", " ").take(200) + "\""
+        "\"" + k + "\":\"" + v.take(200).replace("\\", "\\\\")
+          .replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ") + "\""
       }.mkString("{", ",", "}")
     // self-adjudicating stall evidence: the largest UNEXPLAINED wall-clock
     // gap between consecutive queries — time between two t_start values
@@ -205,21 +252,30 @@ object Bench {
     // driver's artifact carries its own stall verdict (three rounds of
     // bench disputes were re-litigated by hand from bench_full.json).
     val maxTstartGap = results.toSeq.sliding(2).collect {
-      case Seq(a, b) => b.tStart - a.tStart - (a.cold + a.steady1 + a.steady2)
+      case Seq(a, b) => b.tStart - a.tStart - a.wallSum
     }.foldLeft(0.0)(math.max)
+    def jsonS(items: Seq[String]): String =
+      items.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"cold":${json(results.map(r => r.name -> r.cold), 6)},
+      s"""{"cold":${json(results.map(r => r.name -> r.cold.wall), 6)},
          |"steady":${json(results.map(r => r.name -> r.steady), 6)},
-         |"steady1":${json(results.map(r => r.name -> r.steady1), 6)},
-         |"steady2":${json(results.map(r => r.name -> r.steady2), 6)},
+         |"steady1":${json(results.map(r => r.name -> r.steady1.wall), 6)},
+         |"steady2":${json(results.map(r => r.name -> r.steady2.wall), 6)},
          |"best":${json(results.map(r => r.name -> r.best), 6)},
          |"t_start":${json(results.map(r => r.name -> r.tStart), 3)},
+         |"cpu_cold_ms":${jsonL(results.map(r => r.name -> r.cold.cpuMs))},
+         |"cpu_s1_ms":${jsonL(results.map(r => r.name -> r.steady1.cpuMs))},
+         |"cpu_s2_ms":${jsonL(results.map(r => r.name -> r.steady2.cpuMs))},
+         |"gc_cold_ms":${jsonL(results.map(r => r.name -> r.cold.gcMs))},
+         |"gc_s1_ms":${jsonL(results.map(r => r.name -> r.steady1.gcMs))},
+         |"gc_s2_ms":${jsonL(results.map(r => r.name -> r.steady2.gcMs))},
          |"jit_cold_ms":${jsonL(results.map(r => r.name -> r.jitColdMs))},
-         |"gc_cold_ms":${jsonL(results.map(r => r.name -> r.gcColdMs))},
          |"jit_steady_ms":${jsonL(results.map(r => r.name -> r.jitSteadyMs))},
-         |"gc_steady_ms":${jsonL(results.map(r => r.name -> r.gcSteadyMs))},
          |"codecache_mb":${jsonL(results.map(r => r.name -> r.codeCacheMb))},
          |"cold_stall_suspects":$coldSuspects,
+         |"low_cpu_passes":${jsonS(lowCpuPasses)},
+         |"steady_over_cold":${jsonS(invertedQueries)},
+         |"suite_cpu_s":${num(suiteCpuS, 1)},"suite_gc_s":${num(suiteGcS, 1)},
          |"failed":$failedFullJson,
          |"max_tstart_gap":${num(maxTstartGap, 3)},
          |"seed":$seed,
@@ -264,7 +320,19 @@ object Bench {
     val failedExtra =
       if (failed.isEmpty) ""
       else s""","failed_n":${failed.size},"failed":$failedJson"""
-    val totalsExtra = s""","cold_total":${num(total, 2)},"best_total":${num(bestTotal, 2)},"max_tstart_gap":${num(maxTstartGap, 2)}$failedExtra"""
+    // the within-pass stall verdict rides every totals-bearing rung: the
+    // counts are always present (0/0 = the artifact exonerates itself; a
+    // clean run proves it ran clean), the name lists are capped so a
+    // storm of stalled passes can't blow the capture-window budget
+    val stallExtra = {
+      val lists =
+        (if (lowCpuPasses.isEmpty) ""
+         else s""","low_cpu":${jsonS(lowCpuPasses.take(8))}""") +
+        (if (invertedQueries.isEmpty) ""
+         else s""","steady_over_cold":${jsonS(invertedQueries.take(8))}""")
+      s""","low_cpu_n":${lowCpuPasses.size},"inv_n":${invertedQueries.size},"suite_cpu_s":${num(suiteCpuS, 1)},"suite_gc_s":${num(suiteGcS, 1)}$lists"""
+    }
+    val totalsExtra = s""","cold_total":${num(total, 2)},"best_total":${num(bestTotal, 2)},"max_tstart_gap":${num(maxTstartGap, 2)}$stallExtra$failedExtra"""
     // short-key fallback: at 72 queries the full-name dp1 map alone is
     // ~1900 chars (measured 1902 on the first 72-query run — it no longer
     // fits), so before surrendering the per-query map entirely, emit it
@@ -290,7 +358,7 @@ object Bench {
         Seq(lineShort(s"""$totalsExtra,"seed":$seed$suspectExtra"""),
           lineShort(totalsExtra))
       else Seq.empty) ++ Seq(
-      s"""{"metric":"steady_total","value":${num(steadyTotal, 2)},"unit":"sec","cold_total":${num(total, 2)},"best_total":${num(bestTotal, 2)},"max_tstart_gap":${num(maxTstartGap, 2)}$failedExtra,"sf":$sfNum}""")
+      s"""{"metric":"steady_total","value":${num(steadyTotal, 2)},"unit":"sec","cold_total":${num(total, 2)},"best_total":${num(bestTotal, 2)},"max_tstart_gap":${num(maxTstartGap, 2)},"low_cpu_n":${lowCpuPasses.size},"inv_n":${invertedQueries.size}$failedExtra,"sf":$sfNum}""")
     // stop() before the final line so no shutdown logging can land after
     // it in the merged stream — but guarded: a throwing shutdown listener
     // must not cost the driver its one parseable output either

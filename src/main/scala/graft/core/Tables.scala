@@ -60,9 +60,17 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
-      case _ => // TIMESTAMP_NTZ (µs): NTZ wall-clock == UTC instant here
-        // (session tz is UTC everywhere; DuckDB's epoch_us makes the same
-        // naive-is-UTC reading on its side)
+      case _ => // TIMESTAMP_NTZ (µs): the engine contract reads NTZ
+        // wall-clock as a UTC instant (DuckDB's epoch_us makes the same
+        // naive-is-UTC reading on its side). The NTZ→TimestampType cast
+        // interprets the wall-clock in the SESSION timezone, so a non-UTC
+        // session would silently shift every instant — fail loudly instead
+        // (this is a library loader; in-repo entry points all set UTC).
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"Tables.events reads TIMESTAMP_NTZ `ts` as UTC instants and " +
+            s"requires spark.sql.session.timeZone=UTC (session has '$tz'); " +
+            "set the session timezone to UTC before loading events")
         raw.withColumn("ts_us", col("ts").cast("timestamp"))
           .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
     }

@@ -1848,13 +1848,17 @@ object LlmPipeline {
     /* L28: TF-IDF distinctive-term profiling — per source, the terms that
      * most distinguish it from the rest of the corpus, the standard
      * corpus-exploration report a data curator runs before mixing
-     * sources. The rarity weight is the exact rational form
-     * (tf·1e6) div df under integer division rather than the
-     * transcendental tf·ln(N/df): libm log differs by 1 ulp across
-     * engines (the q88 lesson), and for RANKING terms within a source
-     * both the log damping and the corpus-size factor N are monotone-
-     * irrelevant (N is a constant across every term), so both are
-     * dropped — which also bounds every intermediate at tf·1e6,
+     * sources. The weight is a deliberate RARITY-RATIO score — the exact
+     * rational (tf·1e6) div df under integer division — not classical
+     * tf·ln(N/df): libm log differs by 1 ulp across engines (the q88
+     * lesson), so the transcendental form is an oracle-divergence hazard.
+     * The two DO rank differently when tf and df vary together (log
+     * damps the df axis, the ratio doesn't — tf/df is rank-equivalent to
+     * TF-IDF only at fixed tf); the ratio is chosen as the defined score
+     * of this operator, trading TF-IDF's df damping for cross-engine
+     * exactness. The corpus-size factor N genuinely IS rank-irrelevant
+     * within a source (constant across terms) and is dropped from the
+     * score — which also bounds every intermediate at tf·1e6,
      * overflow-free below ~9.2e12 occurrences of one term in one source
      * (int64 wraps silently on Spark but ERRORS on DuckDB, so an
      * unbounded product is an engine-divergence hazard, not just a wrong

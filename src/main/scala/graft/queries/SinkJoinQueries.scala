@@ -82,13 +82,15 @@ object SinkJoinQueries {
       // 1-based mid vertex: Spark double division + int truncation matches
       // the oracle's integer `n // 2 + 1` for the n ≥ 2 domain here
       val midIdx = (col("n") / 2 + 1).cast("int") - 1
-      // Lazy-persist the aggregate output before the trailing orderBy (the
-      // q62 remedy): the range exchange's sampling pass otherwise
-      // re-executes the whole explode + 9-accumulator aggregate a second
-      // time — measured at 6× the oracle in round 6, the last plan-reason
-      // per-query gap. The persisted frame is one narrow row per feature;
-      // CacheScope unpersists it when the caller's scope exits.
-      val agg = graft.core.CacheScope.tracked(
+      // No persist before the trailing orderBy: under AQE the aggregate's
+      // exchange materializes as its own query stage, so the range
+      // exchange's sampling pass re-executes only the narrow final-agg
+      // stage over shuffled partials — measured 0.82 s vs 1.28 s WITH the
+      // old lazy persist at sf0.1 (the columnar-cache serde cost more
+      // than the recompute it saved; round 6's 6× double-execution that
+      // motivated the persist predates AQE-on). Nothing here is
+      // corpus-proportional driver or executor-memory state.
+      val agg = (
         pts.groupBy(col("event_id"))
           .agg(
             max(when(col("i") === 0, col("px"))).as("start_lon"),
