@@ -360,6 +360,106 @@ object LlmPipeline {
     graft.sinks.ShardWriter.write(out, "doc_id", nShards, outDir, maxRecordsPerFile)
   }
 
+  /** L11 with its recall dials exposed: the EXACT pipeline q70 registers
+    * (broadcast-codebook argmax assignment, probes broadcast so the corpus
+    * is never shuffled on cell), parameterized on `nprobe` (cells probed
+    * per query) and `centroidStep` (codebook stride — K ≈ n/centroidStep).
+    * The registered q70 is `ivfTopK(s, d)` at the defaults; AnnRecallSpec
+    * sweeps nprobe over the planted-twin corpus to measure the
+    * recall-vs-dial curve the defaults are chosen from.
+    */
+  def ivfTopK(s: org.apache.spark.sql.SparkSession, d: String,
+      nprobe: Int = NProbe, centroidStep: Int = CentroidStep)
+      : org.apache.spark.sql.DataFrame = {
+    val e = CacheScope.tracked(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        Sketches.norm(col("embedding"), Dims).as("nrm")))
+    val c = e.filter(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+    def centroidCos = Sketches.cosineFromParts(
+      Sketches.dot(col("embedding"), col("ce"), Dims), col("nrm"), col("cn"))
+    // one cell per vector: argmax cosine over the broadcast codebook,
+    // ties to the lowest centroid id (struct max on (cos, -c_id))
+    val asn = e.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("c_id"), centroidCos.as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(col("ccos"), -col("c_id"))).as("cell"))
+    // the query workload is the small side by definition — ranking its
+    // nprobe probes with a window is per-query work, not corpus work
+    val probes = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"), col("nrm"))
+      .crossJoin(broadcast(c))
+      .select(col("q_id"), col("c_id"), centroidCos.as("ccos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("c_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("c_id").as("cell"))
+    // probes is |queries|·nprobe rows — broadcast it so the corpus-
+    // sized assignment table is NEVER shuffled on cell (map-side hash
+    // join against the cells each query probes), and broadcast the
+    // query-side embeddings the same way q38 broadcasts its query set
+    val cand = asn.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("cell"))
+    val qemb = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val scored = cand
+      .join(broadcast(qemb), Seq("q_id"))
+      .join(e, Seq("vec_id"))
+      .withColumn("cos", Sketches.cosineFromParts(
+        Sketches.dot(col("qe"), col("embedding"), Dims), col("qn"), col("nrm")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cell"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** L27 with its dials exposed: the EXACT pipeline q92 registers
+    * (cell-based candidates, exact-cosine verify, min-id survivor),
+    * parameterized on `centroidStep` (codebook stride — cell size vs
+    * boundary-miss trade) and `tau` (verify threshold). The registered
+    * q92 is `semDedupCells(s, d)` at the defaults; AnnRecallSpec sweeps
+    * centroidStep to measure twin recall and candidate-pair count —
+    * the quantizer-balance trade the dial controls.
+    */
+  def semDedupCells(s: org.apache.spark.sql.SparkSession, d: String,
+      centroidStep: Int = CentroidStep, tau: Double = NearDupTau)
+      : org.apache.spark.sql.DataFrame = {
+    val e = CacheScope.tracked(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        Sketches.norm(col("embedding"), Dims).as("nrm")))
+    val c = e.filter(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+    val centroidCos = Sketches.cosineFromParts(
+      Sketches.dot(col("embedding"), col("ce"), Dims), col("nrm"), col("cn"))
+    val asn = e.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("c_id"), centroidCos.as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(col("ccos"), -col("c_id"))).as("cell"))
+    // ids-only candidate pairs within a cell (a_id < b_id)
+    val cand = asn.select(col("cell"), col("vec_id").as("a_id"))
+      .join(asn.select(col("cell"), col("vec_id").as("b_id")), Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+    // exact-cosine verify: embeddings re-join by id
+    val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+      col("nrm").as("an"))
+    val eb = e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+      col("nrm").as("bn"))
+    val verified = cand.join(ea, Seq("a_id")).join(eb, Seq("b_id"))
+      .filter(Sketches.cosineFromParts(
+        Sketches.dot(col("ae"), col("be"), Dims),
+        col("an"), col("bn")) >= tau)
+    val dup = verified.groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
+    asn.join(dup, col("vec_id") === col("b_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[GraftQuery] = {
 
     /* Shared MinHash signature frame over the shingle rows: md5 each
@@ -734,53 +834,10 @@ object LlmPipeline {
      * loses at the cell boundary. */
     val q70 = GraftQuery(
       "q70_ann_ivf_coarse", "L11 L7",
-      (s, d) => {
-        val e = CacheScope.tracked(Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"),
-            Sketches.norm(col("embedding"), Dims).as("nrm")))
-        val c = e.filter(col("vec_id") % CentroidStep === 0)
-          .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
-            col("nrm").as("cn"))
-        def centroidCos = Sketches.cosineFromParts(
-          Sketches.dot(col("embedding"), col("ce"), Dims), col("nrm"), col("cn"))
-        // one cell per vector: argmax cosine over the broadcast codebook,
-        // ties to the lowest centroid id (struct max on (cos, -c_id))
-        val asn = e.crossJoin(broadcast(c))
-          .select(col("vec_id"), col("c_id"), centroidCos.as("ccos"))
-          .groupBy(col("vec_id"))
-          .agg(max_by(col("c_id"), struct(col("ccos"), -col("c_id"))).as("cell"))
-        // the query workload is the small side by definition — ranking its
-        // NProbe probes with a window is per-query work, not corpus work
-        val probes = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding"), col("nrm"))
-          .crossJoin(broadcast(c))
-          .select(col("q_id"), col("c_id"), centroidCos.as("ccos"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("c_id"))))
-          .filter(col("rn") <= NProbe)
-          .select(col("q_id"), col("c_id").as("cell"))
-        // probes is |queries|·NProbe rows — broadcast it so the corpus-
-        // sized assignment table is NEVER shuffled on cell (map-side hash
-        // join against the cells each query probes), and broadcast the
-        // query-side embeddings the same way q38 broadcasts its query set
-        val cand = asn.join(broadcast(probes), Seq("cell"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id"), col("cell"))
-        val qemb = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-            col("nrm").as("qn"))
-        val scored = cand
-          .join(broadcast(qemb), Seq("q_id"))
-          .join(e, Seq("vec_id"))
-          .withColumn("cos", Sketches.cosineFromParts(
-            Sketches.dot(col("qe"), col("embedding"), Dims), col("qn"), col("nrm")))
-        scored
-          .withColumn("rank", row_number().over(
-            Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
-          .filter(col("rank") <= TopK)
-          .select(col("q_id"), col("rank"), col("vec_id"), col("cell"), col("cos"))
-          .orderBy(col("q_id"), col("rank"))
-      },
+      // the object-level `ivfTopK` builder at the default dials (NProbe,
+      // CentroidStep) — AnnRecallSpec sweeps the same builder's nprobe
+      // to measure the recall curve the defaults are chosen from
+      (s, d) => ivfTopK(s, d),
       Some {
         val ccos = Sketches.cosineSql(
           Sketches.dotSql("e.embedding", "c.embedding", Dims),
@@ -1786,37 +1843,10 @@ object LlmPipeline {
      * embeddings re-join BY ID for the verify; no window, no all-pairs. */
     val q92 = GraftQuery(
       "q92_semdedup_cells", "L27 L11 L13",
-      (s, d) => {
-        val e = CacheScope.tracked(Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"),
-            Sketches.norm(col("embedding"), Dims).as("nrm")))
-        val c = e.filter(col("vec_id") % CentroidStep === 0)
-          .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
-            col("nrm").as("cn"))
-        val centroidCos = Sketches.cosineFromParts(
-          Sketches.dot(col("embedding"), col("ce"), Dims), col("nrm"), col("cn"))
-        val asn = e.crossJoin(broadcast(c))
-          .select(col("vec_id"), col("c_id"), centroidCos.as("ccos"))
-          .groupBy(col("vec_id"))
-          .agg(max_by(col("c_id"), struct(col("ccos"), -col("c_id"))).as("cell"))
-        // ids-only candidate pairs within a cell (a_id < b_id)
-        val cand = asn.select(col("cell"), col("vec_id").as("a_id"))
-          .join(asn.select(col("cell"), col("vec_id").as("b_id")), Seq("cell"))
-          .filter(col("a_id") < col("b_id"))
-        // exact-cosine verify: embeddings re-join by id
-        val ea = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
-          col("nrm").as("an"))
-        val eb = e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
-          col("nrm").as("bn"))
-        val verified = cand.join(ea, Seq("a_id")).join(eb, Seq("b_id"))
-          .filter(Sketches.cosineFromParts(
-            Sketches.dot(col("ae"), col("be"), Dims),
-            col("an"), col("bn")) >= NearDupTau)
-        val dup = verified.groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
-        asn.join(dup, col("vec_id") === col("b_id"), "left")
-          .select(col("vec_id"), col("cell"), col("dup_of"))
-          .orderBy(col("vec_id"))
-      },
+      // the object-level `semDedupCells` builder at the default dials
+      // (CentroidStep, NearDupTau) — AnnRecallSpec sweeps the same
+      // builder's centroidStep to measure the recall/pair-count trade
+      (s, d) => semDedupCells(s, d),
       Some {
         val ccos = Sketches.cosineSql(
           Sketches.dotSql("e.embedding", "c.embedding", Dims),
