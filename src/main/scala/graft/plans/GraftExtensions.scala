@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Engine extension wiring (`spark.sql.extensions=graft.plans.GraftExtensions`):
   * registers the engine's native expressions with the session's function
@@ -83,6 +84,23 @@ object GraftExtensions {
         require(children(2).foldable, "graft_dot dims must be literal")
         DotProductExpression(children(0), children(1),
           children(2).eval().asInstanceOf[Number].intValue())
+      }),
+    ("graft_any_contains",
+      new ExpressionInfo(classOf[AnyContainsExpression].getName, "graft_any_contains"),
+      (children: Seq[Expression]) => {
+        // needle rides as a foldable string literal
+        require(children.length == 2,
+          s"graft_any_contains expects (arr, needle), got ${children.length} args")
+        require(children(1).foldable, "graft_any_contains needle must be literal")
+        AnyContainsExpression(children.head,
+          children(1).eval().asInstanceOf[UTF8String].toString)
+      }),
+    ("graft_barrier",
+      new ExpressionInfo(classOf[BarrierExpression].getName, "graft_barrier"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_barrier expects (expr), got ${children.length} args")
+        BarrierExpression(children.head)
       }),
     ("graft_scalar_keys",
       new ExpressionInfo(classOf[ScalarKeysExpression].getName, "graft_scalar_keys"),

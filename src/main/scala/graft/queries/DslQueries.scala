@@ -32,17 +32,19 @@ object DslQueries {
   private def fencedEvents(s: org.apache.spark.sql.SparkSession, d: String,
       extra: Column*) =
     // sort-first: both consumers (q31/q32) emit rows ordered by event_id,
-    // so the narrow scan is sorted BEFORE the from_json projection + fence
-    // — the range exchange samples only the raw scan, the parse runs once
-    // above the Sort, and fence/project preserve the order (see q26)
-    Synthetic.fence(Tables.events(s, d)
+    // so the narrow scan is sorted BEFORE the from_json projection — the
+    // range exchange samples only the raw scan, the parse runs once above
+    // the Sort behind the codegen-resident barrier (Catalyst cannot inline
+    // a non-deterministic expression into the DSL's many map lookups), and
+    // the projection preserves the order (see q26)
+    Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("value"), col("ts"),
         col("props"))
       .orderBy(col("event_id"))
       .select(Seq(col("event_id"), col("event_type"), col("value"), col("ts"),
-        from_json(col("props"), org.apache.spark.sql.types.MapType(
+        Synthetic.barrier(from_json(col("props"), org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType,
-          org.apache.spark.sql.types.StringType)).as("props_map")) ++ extra: _*))
+          org.apache.spark.sql.types.StringType))).as("props_map")) ++ extra: _*)
 
   /** Plan-time types: `value` is a real numeric column (strict equality),
     * `types` an array column (membership `$contains`).

@@ -20,10 +20,12 @@ object ScalarPackQueries {
     "q60_nullsafe_locale_sanitize", "F5 C7 C13",
     (s, d) => {
       // parse-once: k drives the null-start branch referenced by the filter,
-      // the aggregate, and the projection
-      val e = Synthetic.fence(Tables.events(s, d)
-          .select(col("event_id"), col("event_type"), col("ts_us"),
-            expr("ts div 1000000000").as("sec"), Synthetic.k.as("k")))
+      // the aggregate, and the projection — produced once behind the
+      // codegen-resident barrier (no row-encoder island)
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("ts_us"),
+          expr("ts div 1000000000").as("sec"),
+          Synthetic.barrier(Synthetic.k).as("k"))
         // TBA-style null starts (C3's output shape feeding F5)
         .withColumn("start_sec",
           when(col("k") % 10 === 0, lit(null).cast("long")).otherwise(col("sec")))
@@ -190,14 +192,15 @@ object ScalarPackQueries {
         col("lat").as("nlat"), col("region").as("nregion"))
       // sort-first (see q26/q62): the trailing orderBy's range exchange
       // samples its child, so sorting the narrow scan up front keeps the
-      // k-parse + fence + icon strings + both broadcast joins out of the
-      // sampling pass; fence/project/broadcast-join stream sides preserve
+      // k-parse + icon strings + both broadcast joins out of the
+      // sampling pass; project/broadcast-join stream sides preserve
       // the sorted order
-      // parse-once: k fans out into locality/icon/marker branches (~8 refs)
-      val e = Synthetic.fence(Tables.events(s, d)
-          .select(col("event_id"), col("props"))
-          .orderBy(col("event_id"))
-          .select(col("event_id"), Synthetic.k.as("k")))
+      // parse-once: k fans out into locality/icon/marker branches (~8
+      // refs) — produced once behind the codegen-resident barrier
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("props"))
+        .orderBy(col("event_id"))
+        .select(col("event_id"), Synthetic.barrier(Synthetic.k).as("k"))
         .withColumn("locality", element_at(
           array(lit("Taupō"), lit("Ōtaki"), lit("taupo"), lit("OTAKI"), lit("Nowhere")),
           (col("k") % 5 + 1).cast("int")))

@@ -52,4 +52,16 @@ object Synthetic {
     */
   def fence(df: DataFrame): DataFrame =
     df.mapPartitions(it => it)(org.apache.spark.sql.Encoders.row(df.schema))
+
+  /** Codegen-resident fence ([[graft.plans.BarrierExpression]]): wrap the
+    * expensive expression at its ONE production site; Catalyst never
+    * duplicates a non-deterministic expression, so CollapseProject cannot
+    * inline it into downstream references and filters cannot push below
+    * the projection that produces it. Unlike [[fence]] this keeps the
+    * whole pipeline inside whole-stage codegen (no row-encoder round
+    * trip, no DeserializeToObject island) — prefer it for parse-once /
+    * branch-freely plans; keep [[fence]] where a true execution-graph
+    * barrier is required.
+    */
+  def barrier(c: Column): Column = call_function("graft_barrier", c)
 }

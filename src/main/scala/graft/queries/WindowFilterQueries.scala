@@ -43,15 +43,17 @@ object WindowFilterQueries {
     "q58_tile_ancestor_math", "C24 F16",
     (s, d) => {
       val maxZoom = 7
-      // parse-once: k crosses the encoder fence as a plain int, so the ~10
-      // downstream references cost integer math, not repeated JSON parses;
+      // parse-once: k is produced behind the codegen-resident barrier
+      // (Synthetic.barrier), so the ~10 downstream references cost integer
+      // math, not repeated JSON parses — and the whole pipeline stays in
+      // one whole-stage-codegen span (the old row-encoder fence left a
+      // DeserializeToObject interpreted island here);
       // 2^z is an exact long shift (z ≤ 13), not double pow per reference
-      // sort-first: the narrow scan is sorted before the k parse + fence,
-      // so the sampling pass never runs the JSON path (see q26)
-      val e = Synthetic.fence(
-          Tables.events(s, d).select(col("event_id"), col("props"))
-            .orderBy(col("event_id"))
-            .select(col("event_id"), Synthetic.k.as("k")))
+      // sort-first: the narrow scan is sorted before the k parse, so the
+      // sampling pass never runs the JSON path (see q26)
+      val e = Tables.events(s, d).select(col("event_id"), col("props"))
+        .orderBy(col("event_id"))
+        .select(col("event_id"), Synthetic.barrier(Synthetic.k).as("k"))
         .withColumn("z", (col("k") % 6 + 8).cast("int")) // 8..13
         .withColumn("p2z", expr("shiftleft(CAST(1 AS BIGINT), z)"))
         .withColumn("x", ((col("event_id") * 131) % col("p2z")).cast("long"))
@@ -90,13 +92,15 @@ object WindowFilterQueries {
   val q59 = GraftQuery(
     "q59_filter_pack", "F4 F6 F11 F15",
     (s, d) => {
-      // parse-once: k is referenced by three predicate branches + the output.
-      // sort-first: the narrow scan is sorted before the parse + fence, so
-      // the sampling pass never runs the JSON path or the filters (see q26)
-      val e = Synthetic.fence(Tables.events(s, d)
-          .select(col("event_id"), col("event_type"), col("props"))
-          .orderBy(col("event_id"))
-          .select(col("event_id"), col("event_type"), Synthetic.k.as("k")))
+      // parse-once: k is referenced by three predicate branches + the
+      // output — produced once behind the codegen-resident barrier.
+      // sort-first: the narrow scan is sorted before the parse, so the
+      // sampling pass never runs the JSON path or the filters (see q26)
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("props"))
+        .orderBy(col("event_id"))
+        .select(col("event_id"), col("event_type"),
+          Synthetic.barrier(Synthetic.k).as("k"))
         .withColumn("valid",
           when(col("k") % 7 === 0, lit(false))
             .when(col("k") % 5 === 0, lit(null).cast("boolean"))
@@ -104,7 +108,10 @@ object WindowFilterQueries {
         .withColumn("areas", array(col("event_type"),
           concat(upper(col("event_type")), lit(" DISTRICT"))))
       e.filter(col("valid").isNull || col("valid")) // F4: drop only explicit false
-        .filter(exists(col("areas"), a => lower(a).contains("ic"))) // F6 substring-any-area
+        // F6 substring-any-area as the native codegen'd loop — the
+        // exists() lambda form is CodegenFallback and dropped the whole
+        // corpus-wide Filter out of whole-stage codegen
+        .filter(call_function("graft_any_contains", col("areas"), lit("ic")))
         .filter(col("k") >= 10) // F6 minCustomers
         .filter(col("event_type").startsWith("cl") || col("event_type").startsWith("v")) // F11
         .select(col("event_id"), col("event_type"), col("k"), col("valid"))
