@@ -209,10 +209,17 @@ object LlmPipeline {
    * interpreted and 5-10× slower); the window partitions by doc_id, so
    * there is no global sort. */
   private def shingleRows(s: org.apache.spark.sql.SparkSession, d: String,
+      n: Int = ShingleN, carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
+    shingleRowsOf(Tables.documents(s, d), n, carry)
+
+  /** [[shingleRows]] over an arbitrary documents frame (the incremental
+    * funnel shingles its arriving batch with the same construction).
+    */
+  private[queries] def shingleRowsOf(docs: org.apache.spark.sql.DataFrame,
       n: Int = ShingleN, carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val keep = col("doc_id") +: carry.map(col)
-    val base = Tables.documents(s, d)
+    val base = docs
       .select(keep :+ posexplode(Sketches.words(col("text"))).as(Seq("pos", "w0")): _*)
     val withLeads = (1 until n).foldLeft(base)((df, i) =>
       df.withColumn(s"w$i", lead(col("w0"), i).over(w)))
@@ -221,6 +228,23 @@ object LlmPipeline {
       .select(keep :+ concat_ws(" ", (0 until n).map(i => col(s"w$i")): _*).as("s"): _*)
       .distinct()
   }
+
+  /** The funnel's L17 eval-contamination model: distinct 3-gram
+    * fingerprints of the EVAL documents (`doc_id % 97 == 0` — the same
+    * held-out rule the split stage uses). Exposed so the incremental
+    * funnel can FREEZE this model at corpus-build time: nightly appends
+    * must not let an arriving eval document retroactively contaminate
+    * (and thus retract) already-shipped training rows — in production the
+    * decontamination set is a pinned input, not something each increment
+    * re-derives (the q85 shape).
+    */
+  def evalGramFingerprints(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    // filter-then-shingle: shingles are per-document (the window partitions
+    // by doc_id), so restricting to eval docs first computes ~1% of the
+    // corpus's shingle work with identical results
+    shingleRowsOf(docs.filter(col("doc_id") % 97 === 0))
+      .select(TextFunctions.md5Fingerprint(col("s")).as("g")).distinct()
 
   /** Per-document funnel flag frame — the shared heart of q80 and the
     * funnel→shards composition ([[trainingSurvivors]]): one row per
@@ -235,6 +259,23 @@ object LlmPipeline {
   def funnelFlags(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d)
+    // self-eval semantics: the contamination model is the same corpus's
+    // eval docs (the incremental funnel instead FREEZES a prebuilt model
+    // — see evalGramFingerprints / IncrementalFunnel)
+    funnelFlagsOver(docs, evalGramFingerprints(docs))
+  }
+
+  /** [[funnelFlags]] over an arbitrary documents frame and an EXPLICIT
+    * contamination model (`evalGrams`: one distinct `g` fingerprint
+    * column). The registered funnel passes the corpus's own eval grams;
+    * the incremental funnel passes the model frozen at corpus build.
+    * Flag semantics are unchanged: L1 canonical keeper (min doc id per
+    * content fingerprint WITHIN `docs`), L16 repetition/quality keep,
+    * L17 contamination vs `evalGrams`, L14 deterministic split; eval
+    * documents (`doc_id % 97 == 0`) are excluded from the output rows.
+    */
+  def funnelFlagsOver(docs: org.apache.spark.sql.DataFrame,
+      evalGrams: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // L1: canonical = min doc_id of the content-fingerprint cluster
     val canon = docs
       .withColumn("fp", TextFunctions.md5Fingerprint(col("text")))
@@ -256,11 +297,10 @@ object LlmPipeline {
             lit(1.0) - col("dist2").cast("double") / (col("n_words") - 1).cast("double"))
             .otherwise(lit(0.0)) <= 0.3).as("keep"))
     // L17: contaminated = shares any 3-gram fingerprint with the eval set
-    val grams = shingleRows(s, d)
+    val grams = shingleRowsOf(docs)
       .select(col("doc_id"), TextFunctions.md5Fingerprint(col("s")).as("g"))
     val dirty = grams.filter(col("doc_id") % 97 =!= 0)
-      .join(broadcast(grams.filter(col("doc_id") % 97 === 0)
-        .select(col("g")).distinct()), Seq("g"))
+      .join(broadcast(evalGrams), Seq("g"))
       .select(col("doc_id")).distinct()
       .withColumn("contaminated", lit(true))
     // L14: deterministic split (eval docs excluded from the corpus)
@@ -338,6 +378,17 @@ object LlmPipeline {
       .filter(col("canon") && col("keep") && !col("dirty"))
       .select(col("doc_id"), col("lang"), col("split"), col("text"))
 
+  /** [[trainingSurvivors]] over an arbitrary documents frame and an
+    * explicit contamination model — the from-scratch-rebuild comparator
+    * the incremental funnel is proven against (TrainingShardsSpec /
+    * IncrementalFunnelSpec).
+    */
+  def trainingSurvivorsOver(docs: org.apache.spark.sql.DataFrame,
+      evalGrams: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    funnelFlagsOver(docs, evalGrams)
+      .filter(col("canon") && col("keep") && !col("dirty"))
+      .select(col("doc_id"), col("lang"), col("split"), col("text"))
+
   /** Flagship end-to-end pipeline: corpus in → funnel (dedup → quality →
     * decontaminate → split) → deterministic training shards on disk, as
     * ONE composition — `trainingSurvivors` through
@@ -354,6 +405,22 @@ object LlmPipeline {
     // projection on the already-filtered survivor rows, so it changes
     // neither shard membership nor within-shard order
     val rows = trainingSurvivors(s, d)
+    val out = if (redactPii) {
+      rows.withColumn("text", TextFunctions.redactPii(col("text")))
+    } else rows
+    graft.sinks.ShardWriter.write(out, "doc_id", nShards, outDir, maxRecordsPerFile)
+  }
+
+  /** [[writeTrainingShards]] over an arbitrary documents frame and an
+    * explicit contamination model — the from-scratch rebuild the
+    * incremental funnel ([[IncrementalFunnel.updateTrainingShards]]) is
+    * proven row-equal to.
+    */
+  def writeTrainingShardsOver(docs: org.apache.spark.sql.DataFrame,
+      evalGrams: org.apache.spark.sql.DataFrame, outDir: String,
+      nShards: Int = 64, maxRecordsPerFile: Long = 1000000L,
+      redactPii: Boolean = true): Unit = {
+    val rows = trainingSurvivorsOver(docs, evalGrams)
     val out = if (redactPii) {
       rows.withColumn("text", TextFunctions.redactPii(col("text")))
     } else rows

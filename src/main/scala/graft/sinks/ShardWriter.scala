@@ -39,14 +39,34 @@ object ShardWriter {
     * `maxRecordsPerFile` rows.
     */
   def write(df: DataFrame, key: String, nShards: Int, outDir: String,
-      maxRecordsPerFile: Long = 1000000L): Unit = {
+      maxRecordsPerFile: Long = 1000000L): Unit =
+    writeMode(df, key, nShards, outDir, maxRecordsPerFile, "overwrite")
+
+  /** Append `df`'s rows into an EXISTING shard layout (the nightly
+    * incremental-update path). Shard membership is the same pure salted
+    * key hash, so new rows land in their deterministic shard directories
+    * as NEW part files — pre-existing files are never rewritten, which is
+    * what keeps already-shipped (shard, file, offset) positions
+    * byte-stable across increments. Each appended file is itself
+    * key-sorted (the loader's within-file offset contract); whole-shard
+    * order becomes per-file order under appends, which is what a
+    * resumable loader consumes anyway (files are its work units).
+    * `nShards` MUST match the layout being appended to — membership is
+    * `hash(key) mod nShards`.
+    */
+  def append(df: DataFrame, key: String, nShards: Int, outDir: String,
+      maxRecordsPerFile: Long = 1000000L): Unit =
+    writeMode(df, key, nShards, outDir, maxRecordsPerFile, "append")
+
+  private def writeMode(df: DataFrame, key: String, nShards: Int,
+      outDir: String, maxRecordsPerFile: Long, mode: String): Unit = {
     df.withColumn("shard", shardId(col(key), nShards))
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col(key))
       .write
       .partitionBy("shard")
       .option("maxRecordsPerFile", maxRecordsPerFile)
-      .mode("overwrite")
+      .mode(mode)
       .parquet(outDir)
   }
 }
