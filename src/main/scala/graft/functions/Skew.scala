@@ -56,9 +56,14 @@ object Skew {
     * pair join that follows is bounded by cap·n instead of n².
     *
     * `observeAs` attaches a `CollectMetrics` observation (`observe`) to
-    * the hot-key frame: the EXECUTED plan then reports
-    * `dropped_buckets` / `dropped_rows` through
-    * `queryExecution.observedMetrics` after any action. The guarded
+    * the hot-key frame: each action reports `dropped_buckets` /
+    * `dropped_rows` through `queryExecution.observedMetrics` — which
+    * MUST be read at execution-completion time (a
+    * `QueryExecutionListener.onSuccess`, as Verify does, or an
+    * `Observation`): Spark resets the CollectMetrics accumulators after
+    * the completion event, so a post-hoc read returns zeros
+    * (ScaleStormSpec pins the listener-time protocol on a
+    * cap-crossing storm). The guarded
     * queries gate against UNCAPPED oracles (the cap is proven
     * non-binding at fixture SFs by the hashes) — if a gated SF ever
     * crosses the cap, this metric is the signal that points at the

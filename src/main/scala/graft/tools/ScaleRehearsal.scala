@@ -1,0 +1,186 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale rehearsal of the dedup/clustering hot paths (VERDICT r10 #2).
+  *
+  * `runMain graft.tools.ScaleRehearsal gen [factor]` — derive a seeded
+  * `factor`× events/documents/embeddings set under `target/scale10` from
+  * sf0.1 (other tables copied as-is so every registered query still
+  * analyzes). The derivation preserves each table's SCALING structure
+  * rather than replicating rows verbatim:
+  *
+  *  - events: replicas shift ids AND timestamps by the original time
+  *    span, so per-time-bucket density (the q83 pair driver) stays
+  *    constant and the timeline grows — the way a longer ingest actually
+  *    looks;
+  *  - documents: replicas deterministically shuffle each document's
+  *    words, so exact fingerprints, 3-gram shingles and MinHash bands
+  *    all differ across replicas (no artificial mega-clusters, bucket
+  *    populations grow linearly) while length/vocabulary distributions
+  *    — the quality-gate inputs — are untouched;
+  *  - embeddings: replicas draw fresh seeded Gaussians (isotropy and
+  *    hyperplane/cell balance preserved; no planted twins).
+  *
+  * `runMain graft.tools.ScaleRehearsal run` — run the hot-path queries
+  * (q36 banded LSH, q78 transitive clustering, q80 funnel, q83 burst
+  * pairs, q85 n=8 decontamination, q91 boilerplate) plus the
+  * funnel→shards composition at 1× (sf0.1) and 10×, best-of-2 warm
+  * walls, and print the ratio table for ROUND_NOTES. Near-linear = the
+  * 10× wall stays within ~1.5× of linear growth; sublinear ratios mean
+  * fixed overheads still dominate at this absolute size.
+  */
+object ScaleRehearsal {
+
+  private val Base = "/root/testdata/sf0.1"
+  private val Out = "target/scale10"
+  private val Seed = 20260814L
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def gen(spark: SparkSession, factor: Int): Unit = {
+    import spark.implicits._
+    Files.createDirectories(Paths.get(Out))
+
+    // events: id/user shift + timeline extension by whole spans
+    val ev = spark.read.parquet(s"$Base/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val (minUs, maxUs) = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .as[(Long, Long)].head()
+    val spanUs = maxUs - minUs + 3600L * 1000000L
+    val reps = spark.range(factor).select(col("id").cast("int").as("rep"))
+    ev.crossJoin(broadcast(reps))
+      .select(
+        (col("event_id") + col("rep") * lit(1000000L)).as("event_id"),
+        timestamp_micros(unix_micros(col("ts")) + col("rep") * lit(spanUs)).as("ts"),
+        (col("user_id") + col("rep") * lit(1000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$Out/events.parquet")
+
+    // documents: deterministic per-replica word shuffle (replica 0 = original)
+    val docs = spark.read.parquet(s"$Base/documents.parquet")
+      .as[(Long, String, String, String, Long)]
+    docs.crossJoin(broadcast(reps)).as[(Long, String, String, String, Long, Int)]
+      .map { case (id, text, lang, source, nChars, rep) =>
+        val newText = if (rep == 0) text else {
+          val words = text.split("\\s+").toSeq
+          val rnd = new scala.util.Random(Seed ^ (rep.toLong << 32) ^ id)
+          rnd.shuffle(words).mkString(" ")
+        }
+        (id + rep.toLong * 1000000L, newText, lang, source, nChars)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$Out/documents.parquet")
+
+    // embeddings: fresh seeded gaussians per replica (replica 0 = original)
+    val emb = spark.read.parquet(s"$Base/embeddings.parquet")
+      .as[(Long, Array[Float], Long)]
+    emb.crossJoin(broadcast(reps)).as[(Long, Array[Float], Long, Int)]
+      .map { case (id, vec, label, rep) =>
+        val v = if (rep == 0) vec else {
+          val rnd = new scala.util.Random(Seed ^ (rep.toLong << 33) ^ id)
+          Array.fill(vec.length)(rnd.nextGaussian().toFloat)
+        }
+        (id + rep.toLong * 1000000L, v, label)
+      }
+      .toDF("vec_id", "embedding", "label")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$Out/embeddings.parquet")
+
+    // remaining tables copied 1:1 so every registered query still runs
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach { t =>
+        val src = Paths.get(s"$Base/$t.parquet")
+        val dst = Paths.get(s"$Out/$t.parquet")
+        if (Files.isDirectory(src)) {
+          Files.walk(src).forEach { p =>
+            val q = dst.resolve(src.relativize(p))
+            if (Files.isDirectory(p)) Files.createDirectories(q)
+            else Files.copy(p, q, StandardCopyOption.REPLACE_EXISTING)
+          }
+        } else Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+      }
+    Seq("events", "documents", "embeddings").foreach { t =>
+      val n = spark.read.parquet(s"$Out/$t.parquet").count()
+      println(s"[scale-gen] $t: $n rows")
+    }
+  }
+
+  private def timeQuery(spark: SparkSession, name: String, dir: String): Double = {
+    def once(): Double = {
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      graft.core.CacheScope.scoped {
+        graft.SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // cold: pays codegen once
+    math.min(once(), once())
+  }
+
+  private def timeShards(spark: SparkSession, dir: String): Double = {
+    def once(): Double = {
+      val out = Files.createTempDirectory("scale-shards").toString
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      graft.core.CacheScope.scoped {
+        graft.queries.LlmPipeline.writeTrainingShards(spark, dir, out, 32)
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    once()
+    math.min(once(), once())
+  }
+
+  def run(spark: SparkSession): Unit = {
+    val queries = Seq("q36_lsh_neardup_pairs", "q78_neardup_components",
+      "q80_corpus_funnel", "q83_burst_pairs", "q85_decontaminate_n8",
+      "q91_boilerplate_passages")
+    println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
+    val rows = queries.map { q =>
+      val w1 = timeQuery(spark, q, Base)
+      val w10 = timeQuery(spark, q, Out)
+      println(f"$q%-28s $w1%8.2f $w10%8.2f ${w10 / w1}%6.1f")
+      (q, w1, w10)
+    } :+ {
+      val w1 = timeShards(spark, Base)
+      val w10 = timeShards(spark, Out)
+      println(f"${"writeTrainingShards"}%-28s $w1%8.2f $w10%8.2f ${w10 / w1}%6.1f")
+      ("writeTrainingShards", w1, w10)
+    }
+    // one machine-readable line for ROUND_NOTES
+    println("[scale-run] " + rows.map { case (q, w1, w10) =>
+      f"$q=${w1}%.2f/${w10}%.2f/${w10 / w1}%.1f" }.mkString(" "))
+    val worst = rows.maxBy { case (_, w1, w10) => w10 / w1 }
+    println(f"[scale-run] worst ratio: ${worst._1} ${worst._3 / worst._2}%.1fx (near-linear bar: 15x)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = if (args.nonEmpty) args(0) else "all"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val spark = session()
+    mode match {
+      case "gen" => gen(spark, factor)
+      case "run" => run(spark)
+      case _ => gen(spark, factor); run(spark)
+    }
+    spark.stop()
+  }
+}
