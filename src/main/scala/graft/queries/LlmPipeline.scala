@@ -62,8 +62,8 @@ import graft.plans.NfcNormalizeExpression
   */
 object LlmPipeline {
 
-  private val ShingleN = 3
-  private val JaccardThreshold = 0.8
+  private[queries] val ShingleN = 3
+  private[queries] val JaccardThreshold = 0.8
   private val Dims = 64
   // L23 vocab width — 20 of the synthetic corpus's 31 distinct words so the
   // familiarity filter discriminates on the fixtures (production: 1e4-1e5)
@@ -97,7 +97,7 @@ object LlmPipeline {
     * magnitude above the test fixtures' largest bucket, so the oracle hash
     * proves the guard non-binding; a 100 TB run tunes it down (10²–10³).
     */
-  private val HotBucketCap = 10000L
+  private[queries] val HotBucketCap = 10000L
 
   /** q73: deterministic hash-split fractions (train/val/test = 80/10/10)
     * and the salt that decorrelates the split hash from the content
@@ -148,8 +148,8 @@ object LlmPipeline {
     * words (the fixture-scale token proxy; a production run swaps in the
     * tokenizer's counts). Overlap = ChunkSize - ChunkStride.
     */
-  private val ChunkSize = 48
-  private val ChunkStride = 32
+  private[queries] val ChunkSize = 48
+  private[queries] val ChunkStride = 32
 
   /** Cosine threshold for q72's embedding near-dup verify. The fixtures
     * are uniformly random unit-ish vectors (pairwise cosine ~N(0, 1/√64),
@@ -208,7 +208,7 @@ object LlmPipeline {
    * distinct shingle. Fully codegen'd (the array-lambda formulation is
    * interpreted and 5-10× slower); the window partitions by doc_id, so
    * there is no global sort. */
-  private def shingleRows(s: org.apache.spark.sql.SparkSession, d: String,
+  private[queries] def shingleRows(s: org.apache.spark.sql.SparkSession, d: String,
       n: Int = ShingleN, carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
     shingleRowsOf(Tables.documents(s, d), n, carry)
 
@@ -527,33 +527,132 @@ object LlmPipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** Shared MinHash signature frame over the shingle rows: md5 each
+    * shingle ONCE through codegen'd scalar expressions, then take the 16
+    * family minima as plain hash aggregates with map-side partial combine
+    * — the 100 TB-safe shape. Shared by q35/q36 and the calibration
+    * operator (q103).
+    */
+  private[queries] def signaturesOf(ex: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ex.withColumn("h", Sketches.h64(col("s")))
+      .groupBy(col("doc_id"))
+      .agg(Sketches.minhashAgg(0, col("h")).as("s0"),
+        (1 until Sketches.NumHashes).map(i =>
+          Sketches.minhashAgg(i, col("h")).as(s"s$i")): _*)
+
+  /** LSH band rows `(doc_id, band, bh)` from a signature frame, with the
+    * hot-bucket skew guard IN the plan (observable via `observeName`).
+    * Shared by q36 and q103 — one construction, one guard contract.
+    */
+  private[queries] def lshBands(sig: org.apache.spark.sql.DataFrame,
+      observeName: String): org.apache.spark.sql.DataFrame =
+    Skew.dropHotBuckets(
+      sig.select(col("doc_id"), explode(array(
+          (0 until Sketches.Bands).map(b =>
+            struct(lit(b).as("band"), Sketches.bandHash(b).as("bh"))): _*)).as("e"))
+        .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh")),
+      Seq("band", "bh"), HotBucketCap,
+      observeAs = Some(observeName))
+
+  /** Distinct candidate pairs `(a, b)`, a < b, from an LSH band frame —
+    * the one quadratic term of the near-dup path, bounded per-bucket by
+    * the skew guard upstream.
+    */
+  private[queries] def lshCandidates(bands: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+
+  /** DuckDB twin of the shingle→hash→signature chain as WITH-body CTEs
+    * ending in `sig(doc_id, s0..s15)` (plus `sh(doc_id, sh)` holding each
+    * document's distinct-shingle array) — the ONE source of truth for the
+    * MinHash oracle SQL (q35, q36 and q103 all interpolate it; the
+    * qualityScoreSql de-duplication rule).
+    */
+  private[queries] def sigCtesSql: String = {
+    val shed = Sketches.shinglesSql("text", ShingleN)
+    val sigs = (0 until Sketches.NumHashes)
+      .map(i => s"${Sketches.minhashSql("hs", i)} AS s$i").mkString(", ")
+    s"""sh AS (SELECT doc_id, s AS sh FROM
+          (SELECT doc_id, $shed AS s FROM documents) WHERE len(s) > 0),
+        hh AS (SELECT doc_id, ${Sketches.shingleHashesSql("sh")} AS hs FROM sh),
+        sig AS (SELECT doc_id, $sigs FROM hh)"""
+  }
+
+  /** DuckDB twin of [[lshBands]] (guard non-binding on the fixtures, as
+    * the q36 oracle proves) + [[lshCandidates]] as CTEs `bands`, `cand` —
+    * appended after [[sigCtesSql]].
+    */
+  private[queries] def bandCandCtesSql: String = {
+    val bandSelects = (0 until Sketches.Bands).map(b =>
+      s"SELECT doc_id, $b AS band, ${Sketches.bandHashSql(b)} AS bh FROM sig")
+      .mkString(" UNION ALL ")
+    s"""bands AS ($bandSelects),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)"""
+  }
+
+  /** The L20 chunk frame `(doc_id, chunk_id, start_word, n_chunk_words,
+    * chunk_fp)` over an arbitrary documents frame — q79's exact
+    * construction, shared with the chunk-level dedup operator (q98).
+    */
+  private[queries] def chunkFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val words = Sketches.words(col("text"))
+    val n = size(words)
+    val nc = when(n <= ChunkSize, lit(1L)).otherwise(
+      ceil((n - ChunkSize).cast("double") / ChunkStride.toDouble) + 1L)
+    docs
+      .select(col("doc_id"), words.as("ws"), nc.as("nc"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L), col("nc") - 1L)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * ChunkStride).as("start_word"),
+        least(size(col("ws")) - col("chunk_id") * ChunkStride, lit(ChunkSize))
+          .as("n_chunk_words"),
+        TextFunctions.md5Fingerprint(array_join(
+          slice(col("ws"), (col("chunk_id") * ChunkStride + 1).cast("int"),
+            lit(ChunkSize)), " ")).as("chunk_fp"))
+  }
+
+  /** DuckDB twin of [[chunkFrame]] over a `documents`-shaped relation
+    * named by `src`, as CTEs ending in `chunks(doc_id, chunk_id,
+    * start_word, n_chunk_words, chunk_fp)`.
+    */
+  private[queries] def chunkCtesSql(src: String = "documents"): String = {
+    val ws = Sketches.wordsSql("text")
+    val fp = TextFunctions.md5FingerprintSql(
+      s"array_to_string(ws[CAST(chunk_id * $ChunkStride + 1 AS BIGINT):" +
+        s"CAST(chunk_id * $ChunkStride + $ChunkSize AS BIGINT)], ' ')")
+    s"""ca AS (SELECT doc_id, $ws AS ws FROM $src),
+        cn AS (SELECT doc_id, ws, CASE WHEN len(ws) <= $ChunkSize THEN 1
+            ELSE CAST(CEIL(CAST(len(ws) - $ChunkSize AS DOUBLE) / $ChunkStride.0)
+              AS BIGINT) + 1 END AS nc FROM ca),
+        cc AS (SELECT doc_id, ws, unnest(generate_series(0, nc - 1)) AS chunk_id
+          FROM cn),
+        chunks AS (SELECT doc_id, chunk_id, chunk_id * $ChunkStride AS start_word,
+            LEAST(len(ws) - chunk_id * $ChunkStride, $ChunkSize) AS n_chunk_words,
+            $fp AS chunk_fp
+          FROM cc)"""
+  }
+
   val all: Seq[GraftQuery] = {
 
-    /* Shared MinHash signature frame over the shingle rows: md5 each
-     * shingle ONCE through codegen'd scalar expressions, then take the 16
-     * family minima as plain hash aggregates with map-side partial combine
-     * — the 100 TB-safe shape. */
     def signatures(ex: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      ex.withColumn("h", Sketches.h64(col("s")))
-        .groupBy(col("doc_id"))
-        .agg(Sketches.minhashAgg(0, col("h")).as("s0"),
-          (1 until Sketches.NumHashes).map(i =>
-            Sketches.minhashAgg(i, col("h")).as(s"s$i")): _*)
+      signaturesOf(ex)
 
     /* L3: MinHash signatures — 16 portable hash-family minima over distinct
      * 3-gram shingles. */
     val q35 = GraftQuery(
       "q35_minhash_signatures", "L3",
       (s, d) => signatures(shingleRows(s, d)).orderBy(col("doc_id")),
-      Some {
-        val shed = Sketches.shinglesSql("text", ShingleN)
-        val sigs = (0 until Sketches.NumHashes)
-          .map(i => s"${Sketches.minhashSql("hs", i)} AS s$i").mkString(", ")
-        s"""WITH sh AS (SELECT doc_id, s AS sh FROM
-            (SELECT doc_id, $shed AS s FROM documents) WHERE len(s) > 0),
-          h AS (SELECT doc_id, ${Sketches.shingleHashesSql("sh")} AS hs FROM sh)
-          SELECT doc_id, $sigs FROM h ORDER BY doc_id"""
-      })
+      Some(s"""WITH $sigCtesSql SELECT * FROM sig ORDER BY doc_id"""))
 
     /* L4: banded LSH near-dup pairs, Jaccard-verified. The oracle replicates
      * the banding (not brute force) so candidate semantics are checked.
@@ -570,19 +669,7 @@ object LlmPipeline {
       (s, d) => {
         val ex = shingleRows(s, d)
         val sig = signatures(ex)
-        val bands = Skew.dropHotBuckets(
-          sig.select(col("doc_id"), explode(array(
-              (0 until Sketches.Bands).map(b =>
-                struct(lit(b).as("band"), Sketches.bandHash(b).as("bh"))): _*)).as("e"))
-            .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh")),
-          Seq("band", "bh"), HotBucketCap,
-          observeAs = Some("lsh_hot_buckets"))
-        val cand = bands.as("x")
-          .join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-          .distinct()
+        val cand = lshCandidates(lshBands(sig, "lsh_hot_buckets"))
         // |A ∩ B| for candidate pairs by counting shingle matches — a
         // relational (codegen) equivalent of array_intersect, joined on the
         // shingle value, so only candidate pairs pay anything.
@@ -602,20 +689,8 @@ object LlmPipeline {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some {
-        val shed = Sketches.shinglesSql("text", ShingleN)
-        val sigs = (0 until Sketches.NumHashes)
-          .map(i => s"${Sketches.minhashSql("hs", i)} AS s$i").mkString(", ")
-        val bandSelects = (0 until Sketches.Bands).map(b =>
-          s"SELECT doc_id, $b AS band, ${Sketches.bandHashSql(b)} AS bh FROM sig")
-          .mkString(" UNION ALL ")
-        s"""WITH sh AS (SELECT doc_id, s AS sh FROM
-            (SELECT doc_id, $shed AS s FROM documents) WHERE len(s) > 0),
-          hh AS (SELECT doc_id, ${Sketches.shingleHashesSql("sh")} AS hs FROM sh),
-          sig AS (SELECT doc_id, $sigs FROM hh),
-          bands AS ($bandSelects),
-          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-            FROM bands x JOIN bands y
-              ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+        s"""WITH $sigCtesSql,
+          $bandCandCtesSql
           SELECT c.a AS doc_a, c.b AS doc_b,
             ${Sketches.jaccardSql("sa.sh", "sb.sh")} AS jaccard
           FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
@@ -1367,40 +1442,10 @@ object LlmPipeline {
      * composes directly with L1). */
     val q79 = GraftQuery(
       "q79_window_chunking", "L20 L12",
-      (s, d) => {
-        val words = Sketches.words(col("text"))
-        val n = size(words)
-        val nc = when(n <= ChunkSize, lit(1L)).otherwise(
-          ceil((n - ChunkSize).cast("double") / ChunkStride.toDouble) + 1L)
-        Tables.documents(s, d)
-          .select(col("doc_id"), words.as("ws"), nc.as("nc"))
-          .select(col("doc_id"), col("ws"),
-            explode(sequence(lit(0L), col("nc") - 1L)).as("chunk_id"))
-          .select(col("doc_id"), col("chunk_id"),
-            (col("chunk_id") * ChunkStride).as("start_word"),
-            least(size(col("ws")) - col("chunk_id") * ChunkStride, lit(ChunkSize))
-              .as("n_chunk_words"),
-            TextFunctions.md5Fingerprint(array_join(
-              slice(col("ws"), (col("chunk_id") * ChunkStride + 1).cast("int"),
-                lit(ChunkSize)), " ")).as("chunk_fp"))
-          .orderBy(col("doc_id"), col("chunk_id"))
-      },
-      Some {
-        val ws = Sketches.wordsSql("text")
-        val fp = TextFunctions.md5FingerprintSql(
-          s"array_to_string(ws[CAST(chunk_id * $ChunkStride + 1 AS BIGINT):" +
-            s"CAST(chunk_id * $ChunkStride + $ChunkSize AS BIGINT)], ' ')")
-        s"""WITH a AS (SELECT doc_id, $ws AS ws FROM documents),
-          n AS (SELECT doc_id, ws, CASE WHEN len(ws) <= $ChunkSize THEN 1
-              ELSE CAST(CEIL(CAST(len(ws) - $ChunkSize AS DOUBLE) / $ChunkStride.0)
-                AS BIGINT) + 1 END AS nc FROM a),
-          c AS (SELECT doc_id, ws, unnest(generate_series(0, nc - 1)) AS chunk_id
-            FROM n)
-          SELECT doc_id, chunk_id, chunk_id * $ChunkStride AS start_word,
-            LEAST(len(ws) - chunk_id * $ChunkStride, $ChunkSize) AS n_chunk_words,
-            $fp AS chunk_fp
-          FROM c ORDER BY doc_id, chunk_id"""
-      })
+      (s, d) => chunkFrame(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some(s"""WITH ${chunkCtesSql()}
+          SELECT * FROM chunks ORDER BY doc_id, chunk_id"""))
 
     /* Corpus-assembly funnel — the verbs COMPOSE: one plan that runs exact
      * dedup (L1 canonical flag), repetition-quality filtering (L16 keep),
