@@ -46,7 +46,8 @@ object SparkEntry {
   /** The full registry, grouped by theme. */
   def registry: Seq[GraftQuery] =
     Relational.all ++ Temporal.all ++ GeoQueries.all ++ Scalar.all ++
-      DslQueries.all ++ LlmPipeline.all ++ IngestQueries.all ++ RasterQueries.all ++
+      DslQueries.all ++ LlmPipeline.all ++ LlmCuration.all ++
+      IngestQueries.all ++ RasterQueries.all ++
       SinkJoinQueries.all ++ SourceQueries.all ++ WindowFilterQueries.all ++
       ScalarPackQueries.all
 

@@ -1,0 +1,367 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{Sketches, TextFunctions}
+
+/** Corpus-curation operators layered on the LLM-pipeline primitives
+  * (SURVEY §2.11a, L33–L38) — the measurement/reporting half of a
+  * production training-data build:
+  *
+  *  - L33 chunk-level exact dedup (cross-doc passage dedup)   → q98
+  *  - L34 per-benchmark contamination report                  → q99
+  *  - L35 adaptive per-language quality thresholds            → q100
+  *  - L36 dedup-impact profile per source                     → q101
+  *  - L37 shingle-novelty scoring                             → q102
+  *  - L38 MinHash-vs-exact Jaccard calibration curve          → q103
+  *
+  * Every operator reuses the pipeline's shared builders
+  * ([[LlmPipeline.chunkFrame]], [[LlmPipeline.signaturesOf]],
+  * [[LlmPipeline.lshBands]], [[LlmPipeline.shingleRows]]) so the
+  * constructions — and their DuckDB oracle twins — have exactly one
+  * source of truth each.
+  */
+object LlmCuration {
+
+  /** Deterministic duplicate planting (the q96/q87 pattern): replay the
+    * `doc_id % 97 == 1` slice under shifted ids so the duplicate branch of
+    * a dedup operator fires at every scale factor instead of only where
+    * fixture luck provides a collision. Applied identically in the oracle.
+    */
+  private def withReplays(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.unionByName(docs.filter(col("doc_id") % 97 === 1)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+
+  private def replaySrcSql(cols: String): String =
+    s"(SELECT $cols FROM documents UNION ALL " +
+      s"SELECT ${cols.replace("doc_id", "doc_id + 1000000 AS doc_id")} " +
+      s"FROM documents WHERE doc_id % 97 = 1)"
+
+  val all: Seq[GraftQuery] = {
+
+    /* L33: chunk-level exact dedup — the passage-granularity analog of L1
+     * (Lee et al.'s "Deduplicating Training Data Makes Language Models
+     * Better" operates at substring level; the tractable distributed form
+     * is fixed-window chunks). L20's chunk frame keyed by chunk
+     * fingerprint: the canonical copy of a repeated passage is the min
+     * (doc_id, chunk_id) occurrence, every other occurrence is a dup.
+     * Per-doc report: how much of each document is made of passages seen
+     * elsewhere. At 100 TB: the chunk frame is map-side 1→N expansion,
+     * clusters are one hash-groupBy on 8-byte fingerprints, and the
+     * cluster re-join keys on the same fingerprint — no window, nothing
+     * quadratic. The (doc, chunk) pair packs into one BIGINT so the
+     * canonical choice is a plain MIN (no struct ordering divergence
+     * between engines). */
+    val q98 = GraftQuery(
+      "q98_chunk_dedup", "L33 L20 L1",
+      (s, d) => {
+        val docs = withReplays(
+          Tables.documents(s, d).select(col("doc_id"), col("text")))
+        val ch = LlmPipeline.chunkFrame(docs)
+          .select(col("doc_id"), col("chunk_fp"),
+            (col("doc_id") * 1048576L + col("chunk_id")).as("k"))
+        val cl = ch.groupBy(col("chunk_fp"))
+          .agg(count(lit(1)).as("n"), min(col("k")).as("keeper"))
+        ch.join(cl, Seq("chunk_fp"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_shared_chunks"),
+            sum(when(col("n") > 1 && col("k") =!= col("keeper"), 1L)
+              .otherwise(0L)).as("n_dup_chunks"))
+          .withColumn("dup_ppm", expr("n_dup_chunks * 1000000 div n_chunks"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        s"""WITH ${LlmPipeline.chunkCtesSql(replaySrcSql("doc_id, text"))},
+          ck AS (SELECT doc_id, chunk_fp,
+              doc_id * 1048576 + chunk_id AS k FROM chunks),
+          cl AS (SELECT chunk_fp, COUNT(*) AS n, MIN(k) AS keeper
+            FROM ck GROUP BY 1)
+          SELECT ck.doc_id, COUNT(*) AS n_chunks,
+            CAST(SUM(CASE WHEN cl.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_shared_chunks,
+            CAST(SUM(CASE WHEN cl.n > 1 AND ck.k <> cl.keeper THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup_chunks,
+            CAST(SUM(CASE WHEN cl.n > 1 AND ck.k <> cl.keeper THEN 1 ELSE 0 END)
+              AS BIGINT) * 1000000 // COUNT(*) AS dup_ppm
+          FROM ck JOIN cl ON cl.chunk_fp = ck.chunk_fp
+          GROUP BY 1 ORDER BY doc_id"""
+      })
+
+    /* L34: per-benchmark contamination report — the INVERSE read of L17.
+     * q76/q85 flag which CORPUS docs are contaminated; an eval owner needs
+     * the view per BENCHMARK (here: the eval docs' source): how many of
+     * its eval documents and distinct n-grams exist, and how many corpus
+     * documents share at least one n-gram with it — the number that
+     * decides whether a benchmark is still trustworthy against a corpus.
+     * At 100 TB: eval grams are benchmark-sized (broadcast), the corpus
+     * gram stream joins map-side, the distinct collapses to
+     * (benchmark, doc) pairs bounded by corpus hits, and the output is
+     * |benchmarks| rows. */
+    val q99 = GraftQuery(
+      "q99_benchmark_contamination", "L34 L17",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ev = docs.filter(col("doc_id") % 97 === 0)
+        val evGrams = LlmPipeline.shingleRowsOf(ev, carry = Seq("source"))
+          .select(col("source").as("benchmark"),
+            TextFunctions.md5Fingerprint(col("s")).as("g"))
+          .distinct()
+        val evDocs = ev.groupBy(col("source").as("benchmark"))
+          .agg(count(lit(1)).as("n_eval_docs"))
+        val evGramCounts = evGrams.groupBy(col("benchmark"))
+          .agg(count(lit(1)).as("n_eval_grams"))
+        val corpusGrams = LlmPipeline
+          .shingleRowsOf(docs.filter(col("doc_id") % 97 =!= 0))
+          .select(col("doc_id"), TextFunctions.md5Fingerprint(col("s")).as("g"))
+        val hits = corpusGrams.join(broadcast(evGrams), Seq("g"))
+          .select(col("benchmark"), col("doc_id")).distinct()
+          .groupBy(col("benchmark")).agg(count(lit(1)).as("n_dirty_docs"))
+        val tot = docs.filter(col("doc_id") % 97 =!= 0)
+          .agg(count(lit(1)).as("n_corpus"))
+        evDocs
+          .join(evGramCounts, Seq("benchmark"))
+          .join(hits, Seq("benchmark"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("benchmark"), col("n_eval_docs"), col("n_eval_grams"),
+            coalesce(col("n_dirty_docs"), lit(0L)).as("n_dirty_docs"),
+            expr("coalesce(n_dirty_docs, 0) * 1000000 div n_corpus")
+              .as("dirty_ppm"))
+          .orderBy(col("benchmark"))
+      },
+      Some {
+        val shed = Sketches.shinglesSql("text", LlmPipeline.ShingleN)
+        val gfp = TextFunctions.md5FingerprintSql("s")
+        s"""WITH ev AS (SELECT source, doc_id, unnest($shed) AS s
+            FROM documents WHERE doc_id % 97 = 0),
+          evg AS (SELECT DISTINCT source AS benchmark, $gfp AS g FROM ev),
+          evd AS (SELECT source AS benchmark, COUNT(*) AS n_eval_docs
+            FROM documents WHERE doc_id % 97 = 0 GROUP BY 1),
+          evgc AS (SELECT benchmark, COUNT(*) AS n_eval_grams
+            FROM evg GROUP BY 1),
+          cg AS (SELECT doc_id, $gfp AS g FROM
+            (SELECT doc_id, unnest($shed) AS s FROM documents
+             WHERE doc_id % 97 <> 0)),
+          hits AS (SELECT benchmark, COUNT(*) AS n_dirty_docs FROM
+            (SELECT DISTINCT evg.benchmark, cg.doc_id
+             FROM cg JOIN evg ON evg.g = cg.g) GROUP BY 1),
+          tot AS (SELECT COUNT(*) AS n_corpus FROM documents
+            WHERE doc_id % 97 <> 0)
+          SELECT evd.benchmark, evd.n_eval_docs, evgc.n_eval_grams,
+            COALESCE(hits.n_dirty_docs, 0) AS n_dirty_docs,
+            COALESCE(hits.n_dirty_docs, 0) * 1000000 // tot.n_corpus
+              AS dirty_ppm
+          FROM evd JOIN evgc USING (benchmark)
+            LEFT JOIN hits USING (benchmark), tot
+          ORDER BY benchmark"""
+      })
+
+    /* L35: adaptive per-language quality thresholds — a fixed global
+     * quality floor (L16's shape) over-filters low-resource languages
+     * whose score distribution sits lower (fewer English stopwords, other
+     * length profiles); the production fix (Gopher/Dolma style) is a
+     * per-language floor at a distribution quantile. Threshold = P25 of
+     * the floor(q*1e6)-quantized integer score per language (dyadic-exact
+     * quantile over integers — the q95 portability argument), report =
+     * threshold + how many docs survive it. At 100 TB: the quantile
+     * aggregates a count-map over the bounded quantized domain with
+     * map-side partial merge; thresholds are a |langs|-row broadcast back
+     * onto the scoring pass; output |langs| rows. */
+    val q100 = GraftQuery(
+      "q100_adaptive_quality", "L35 L9 A2",
+      (s, d) => {
+        val t = Tables.documents(s, d).select(col("lang"),
+          floor(TextFunctions.qualityScoreColumn(col("text")) * lit(1e6))
+            .cast("long").as("qi"))
+        val thr = t.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), expr("percentile(qi, 0.25)").as("q25"))
+        val kept = t.join(broadcast(thr.select(col("lang"), col("q25"))), Seq("lang"))
+          .groupBy(col("lang"))
+          .agg(sum(when(col("qi") >= col("q25"), 1L).otherwise(0L)).as("n_keep"))
+        thr.join(kept, Seq("lang"))
+          .withColumn("keep_ppm", expr("n_keep * 1000000 div n_docs"))
+          .select(col("lang"), col("n_docs"), col("q25"), col("n_keep"),
+            col("keep_ppm"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val q = TextFunctions.qualityScoreSql("text")
+        s"""WITH t AS (SELECT lang, CAST(floor(($q) * 1e6) AS BIGINT) AS qi
+            FROM documents),
+          thr AS (SELECT lang, COUNT(*) AS n_docs,
+              quantile_cont(qi, 0.25e0) AS q25
+            FROM t GROUP BY 1),
+          kept AS (SELECT t.lang,
+              CAST(SUM(CASE WHEN t.qi >= thr.q25 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_keep
+            FROM t JOIN thr ON thr.lang = t.lang GROUP BY 1)
+          SELECT thr.lang, thr.n_docs, thr.q25, kept.n_keep,
+            kept.n_keep * 1000000 // thr.n_docs AS keep_ppm
+          FROM thr JOIN kept ON kept.lang = thr.lang ORDER BY thr.lang"""
+      })
+
+    /* L36: dedup-impact profile — per source, what dedup would actually
+     * save: docs and tokens in non-canonical copies of L2's canonical-form
+     * clusters. This is the report that decides whether a source is worth
+     * crawling (a mirror-heavy source shows dup_ppm near 1e6) and sizes
+     * the post-dedup corpus before committing to the build. Replays
+     * planted (q96 pattern) so the dup branch fires at every SF. At
+     * 100 TB: one 8-byte-key groupBy for the clusters, one fingerprint
+     * re-join, |sources|-row output — the same bounded shape as L1/L2. */
+    val q101 = GraftQuery(
+      "q101_dedup_impact", "L36 L2 L9",
+      (s, d) => {
+        val docs = withReplays(Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text")))
+        val dk = docs.select(col("doc_id"), col("source"),
+          Sketches.h64(array_join(sort_array(array_distinct(
+            Sketches.words(col("text")))), " ")).as("ck"),
+          TextFunctions.tokenCountWs(col("text")).cast("long").as("tok"))
+        val cl = dk.groupBy(col("ck")).agg(min(col("doc_id")).as("keeper"))
+        dk.join(cl, Seq("ck"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("ck")).as("n_clusters"),
+            sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
+              .as("n_dup_docs"),
+            sum(col("tok")).as("total_tokens"),
+            sum(when(col("doc_id") =!= col("keeper"), col("tok")).otherwise(0L))
+              .as("dup_tokens"))
+          .withColumn("dup_ppm", expr("n_dup_docs * 1000000 div n_docs"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val ck = Sketches.h64Sql(
+          s"array_to_string(list_sort(list_distinct(${Sketches.wordsSql("text")})), ' ')")
+        val tok = s"CASE WHEN len(trim(text)) = 0 THEN 0 " +
+          s"ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+        s"""WITH pl AS (SELECT doc_id, source, text FROM documents
+            UNION ALL SELECT doc_id + 1000000, source, text FROM documents
+            WHERE doc_id % 97 = 1),
+          dk AS (SELECT doc_id, source, $ck AS ck,
+              CAST($tok AS BIGINT) AS tok FROM pl),
+          cl AS (SELECT ck, MIN(doc_id) AS keeper FROM dk GROUP BY 1)
+          SELECT source, COUNT(*) AS n_docs,
+            COUNT(DISTINCT dk.ck) AS n_clusters,
+            CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dup_docs,
+            CAST(SUM(tok) AS BIGINT) AS total_tokens,
+            CAST(SUM(CASE WHEN doc_id <> keeper THEN tok ELSE 0 END) AS BIGINT)
+              AS dup_tokens,
+            CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+              * 1000000 // COUNT(*) AS dup_ppm
+          FROM dk JOIN cl ON cl.ck = dk.ck GROUP BY 1 ORDER BY source"""
+      })
+
+    /* L37: shingle-novelty scoring — the complement of L26's boilerplate
+     * lexicon: per document, the fraction of its distinct 3-gram shingles
+     * that occur NOWHERE else in the corpus (df = 1). Low novelty means
+     * the document is assembled from text that already exists — the soft
+     * signal that catches near-template docs L1/L2's exact keys miss and
+     * that upweights genuinely novel text in mixture design. At 100 TB:
+     * the shared shingle frame feeds one fingerprint-keyed df aggregate
+     * (map-side combined) and one fingerprint re-join; output is one row
+     * per document with ≥1 shingle (sub-n-word docs have no 3-grams and
+     * are out of scope by construction). */
+    val q102 = GraftQuery(
+      "q102_novelty_score", "L37 L26 L10",
+      (s, d) => {
+        val gr = LlmPipeline.shingleRows(s, d)
+          .select(col("doc_id"), TextFunctions.md5Fingerprint(col("s")).as("g"))
+        val dfq = gr.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        gr.join(dfq, Seq("g"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+          .withColumn("novelty_ppm", expr("n_unique * 1000000 div n_shingles"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val shed = Sketches.shinglesSql("text", LlmPipeline.ShingleN)
+        val gfp = TextFunctions.md5FingerprintSql("s")
+        s"""WITH sr AS (SELECT doc_id, unnest($shed) AS s FROM documents),
+          gr AS (SELECT doc_id, $gfp AS g FROM sr),
+          dfq AS (SELECT g, COUNT(*) AS df FROM gr GROUP BY 1)
+          SELECT gr.doc_id, COUNT(*) AS n_shingles,
+            CAST(SUM(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_unique,
+            CAST(SUM(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              * 1000000 // COUNT(*) AS novelty_ppm
+          FROM gr JOIN dfq ON dfq.g = gr.g GROUP BY 1 ORDER BY doc_id"""
+      })
+
+    /* L38: MinHash-vs-exact Jaccard calibration — "measure, don't guess"
+     * applied to the dedup sketch itself: for every LSH candidate pair,
+     * the signature-agreement estimate (matching positions / 16) next to
+     * the exact shingle Jaccard, bucketed by match count. The curve tells
+     * an operator what estimated similarity a given agreement level
+     * actually implies on THIS corpus — the evidence behind choosing the
+     * band/row dials and the verify threshold, exactly as AnnRecallSpec
+     * backs the ANN dials. At 100 TB: runs over candidate pairs only
+     * (banding + the executed hot-bucket guard bound them), signatures
+     * re-join by doc id, the exact Jaccard is the same relational
+     * intersect-count q36 uses, and the output is ≤ 17 rows. */
+    val q103 = GraftQuery(
+      "q103_minhash_calibration", "L38 L3 L4",
+      (s, d) => {
+        val ex = LlmPipeline.shingleRows(s, d)
+        val sig = LlmPipeline.signaturesOf(ex)
+        val cand = LlmPipeline.lshCandidates(
+          LlmPipeline.lshBands(sig, "calib_hot_buckets"))
+        val sigA = sig.select(col("doc_id").as("a") +:
+          (0 until Sketches.NumHashes).map(i => col(s"s$i").as(s"a$i")): _*)
+        val sigB = sig.select(col("doc_id").as("b") +:
+          (0 until Sketches.NumHashes).map(i => col(s"s$i").as(s"b$i")): _*)
+        val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val inter = cand
+          .join(ex.as("ea"), col("a") === col("ea.doc_id"))
+          .join(ex.as("eb"), col("b") === col("eb.doc_id") && col("ea.s") === col("eb.s"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("inter"))
+        val pairs = cand
+          .join(inter, Seq("a", "b"), "left")
+          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+          .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+          .join(sigA, "a").join(sigB, "b")
+          .withColumn("exact_j", coalesce(col("inter"), lit(0L)).cast("double") /
+            (col("sza") + col("szb") - coalesce(col("inter"), lit(0L))))
+          .withColumn("n_match", (0 until Sketches.NumHashes)
+            .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+            .reduce(_ + _))
+        pairs.groupBy(col("n_match"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(floor(col("exact_j") * lit(1e6)).cast("long")).as("sum_exact_u"),
+            min(col("exact_j")).as("min_exact"),
+            max(col("exact_j")).as("max_exact"))
+          .withColumn("est_ppm", expr("n_match * 1000000 div 16"))
+          .withColumn("mean_exact",
+            (col("sum_exact_u").cast("double") / col("n_pairs").cast("double"))
+              / lit(1e6))
+          .select(col("n_match"), col("est_ppm"), col("n_pairs"),
+            col("mean_exact"), col("min_exact"), col("max_exact"))
+          .orderBy(col("n_match"))
+      },
+      Some {
+        val matchTerms = (0 until Sketches.NumHashes)
+          .map(i => s"(CASE WHEN ga.s$i = gb.s$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH ${LlmPipeline.sigCtesSql},
+          ${LlmPipeline.bandCandCtesSql},
+          pa AS (SELECT c.a, c.b,
+              ${Sketches.jaccardSql("sa.sh", "sb.sh")} AS exact_j,
+              CAST(($matchTerms) AS BIGINT) AS n_match
+            FROM cand c
+              JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+              JOIN sig ga ON ga.doc_id = c.a JOIN sig gb ON gb.doc_id = c.b)
+          SELECT n_match, n_match * 1000000 // 16 AS est_ppm,
+            COUNT(*) AS n_pairs,
+            (CAST(SUM(CAST(floor(exact_j * 1e6) AS BIGINT)) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE)) / 1e6 AS mean_exact,
+            MIN(exact_j) AS min_exact, MAX(exact_j) AS max_exact
+          FROM pa GROUP BY 1 ORDER BY n_match"""
+      })
+
+    Seq(q98, q99, q100, q101, q102, q103)
+  }
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Semantic invariants of the curation operators (L33–L38, q98–q103) on
+  * planted corpora — the branch-level proofs the SQL-oracle hash can't
+  * isolate (the oracle gates whole-result parity; these pin WHICH rows
+  * carry which verdicts on fixtures built to exercise every branch).
+  */
+class LlmCurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def queryByName(name: String) =
+    graft.SparkEntry.queries(name)
+
+  /** Write a documents.parquet corpus into a temp dir and return the dir. */
+  private def corpus(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = Files.createTempDirectory("curation-corpus").toString
+    rows.map { case (id, text, lang, source) => (id, text, lang, source, 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q98: a replica document's chunks are all dups; the original keeps them") {
+    // 60 words → 2 chunks each (48-word window, 32 stride); ids avoid the
+    // query's own %97==1 replay slice so the planted pair is the only dup
+    val sixty = (0 until 60).map(i => s"w$i").mkString(" ")
+    val unique = (0 until 60).map(i => s"u$i").mkString(" ")
+    val dir = corpus(Seq(
+      (2L, sixty, "en", "s"), (3L, sixty, "en", "s"), (4L, unique, "en", "s")))
+    val out = queryByName("q98_chunk_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // original: both chunks shared, none counted as dup (it is the keeper)
+    assert(out(2L) === ((2L, 2L, 0L, 0L)))
+    // replica: every chunk is a dup of doc 2's — dup_ppm saturates
+    assert(out(3L) === ((2L, 2L, 2L, 1000000L)))
+    // unique doc: untouched
+    assert(out(4L) === ((2L, 0L, 0L, 0L)))
+  }
+
+  test("q99: contamination attributes corpus hits to the right benchmark") {
+    // eval doc (id 97, benchmark "bench1") shares its only 3-gram with
+    // corpus doc 2 but not doc 3; eval doc 194 ("bench2") hits nothing
+    val dir = corpus(Seq(
+      (97L, "alpha beta gamma", "en", "bench1"),
+      (194L, "delta epsilon zeta", "en", "bench2"),
+      (2L, "alpha beta gamma extra words here", "en", "web"),
+      (3L, "totally different content words here", "en", "web")))
+    val out = queryByName("q99_benchmark_contamination")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // bench1: 1 eval doc, 1 distinct 3-gram, 1 of 2 corpus docs dirty
+    assert(out("bench1") === ((1L, 1L, 1L, 500000L)))
+    // bench2: present with zero hits (the LEFT-join keeps clean benchmarks)
+    assert(out("bench2") === ((1L, 1L, 0L, 0L)))
+  }
+
+  test("q100: the P25 threshold keeps three of four docs per language") {
+    // four docs with strictly increasing quality (longer text → higher
+    // length-saturation term): P25 interpolates between the 1st and 2nd
+    // scores, so exactly 3 of 4 clear it
+    val texts = Seq(20, 60, 120, 240).map(n =>
+      (0 until n).map(i => s"the w$i of").mkString(" "))
+    val dir = corpus(texts.zipWithIndex.map { case (t, i) =>
+      ((i + 2).toLong, t, "en", "s")
+    })
+    val row = queryByName("q100_adaptive_quality")(spark, dir).collect()
+    assert(row.length === 1)
+    val r = row.head
+    assert(r.getLong(1) === 4L)     // n_docs
+    assert(r.getLong(3) === 3L)     // n_keep
+    assert(r.getLong(4) === 750000L) // keep_ppm
+  }
+
+  test("q101: canonical-form dups (re-ordered words) are counted and token-weighted") {
+    // docs 2 and 3 share a bag-of-words (different order) → one cluster,
+    // doc 3 is the dup; doc 4 is its own cluster
+    val dir = corpus(Seq(
+      (2L, "aa bb cc dd ee", "en", "s1"),
+      (3L, "ee dd cc bb aa", "en", "s1"),
+      (4L, "ff gg hh", "en", "s1")))
+    val r = queryByName("q101_dedup_impact")(spark, dir).collect().head
+    assert(r.getString(0) === "s1")
+    assert(r.getLong(1) === 3L)      // n_docs
+    assert(r.getLong(2) === 2L)      // n_clusters
+    assert(r.getLong(3) === 1L)      // n_dup_docs (doc 3)
+    assert(r.getLong(4) === 13L)     // total_tokens 5+5+3
+    assert(r.getLong(5) === 5L)      // dup_tokens (doc 3's)
+    assert(r.getLong(6) === 333333L) // dup_ppm = 1e6 div 3
+  }
+
+  test("q102: duplicated text scores zero novelty, unique text scores full") {
+    val shared = "one two three four five six"
+    val dir = corpus(Seq(
+      (2L, shared, "en", "s"), (3L, shared, "en", "s"),
+      (4L, "seven eight nine ten eleven", "en", "s")))
+    val out = queryByName("q102_novelty_score")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(2L) === ((4L, 0L, 0L)))       // every shingle df=2
+    assert(out(3L) === ((4L, 0L, 0L)))
+    assert(out(4L) === ((3L, 3L, 1000000L))) // every shingle unique
+  }
+
+  test("q103: an identical pair lands in the n_match=16 bucket at exact Jaccard 1.0") {
+    val same = (0 until 30).map(i => s"x$i").mkString(" ")
+    val dir = corpus(
+      Seq((2L, same, "en", "s"), (3L, same, "en", "s")) ++
+        (10L to 29L).map(i =>
+          (i, (0 until 12).map(w => s"d${i}w$w").mkString(" "), "en", "s")))
+    val rows = queryByName("q103_minhash_calibration")(spark, dir).collect()
+    val full = rows.find(_.getLong(0) == 16L)
+    assert(full.isDefined, "identical pair must agree on all 16 positions")
+    assert(full.get.getLong(1) === 1000000L) // est_ppm
+    assert(full.get.getDouble(4) === 1.0)    // min_exact: identical shingle sets
+    // est_ppm is monotone in n_match, and the bucket stats are ordered
+    val byMatch = rows.sortBy(_.getLong(0))
+    assert(byMatch.map(_.getLong(1)).sliding(2).forall(p => p.head <= p.last))
+    rows.foreach { r =>
+      assert(r.getDouble(4) <= r.getDouble(3) + 1e-6 &&
+        r.getDouble(3) <= r.getDouble(5) + 1e-6,
+        s"min <= mean <= max violated in bucket ${r.getLong(0)}")
+    }
+  }
+}
