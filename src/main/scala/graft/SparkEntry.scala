@@ -31,7 +31,9 @@ import graft.queries._
   *  - K4 idempotent resume + K5 JSON write → ResumableSinkSpec; the JDBC
   *    MBTiles form (unique-index resume, duplicate classification) →
   *    MbtilesSinkSpec; K7 training-shard writer (hash-sharded, key-sorted,
-  *    size-capped parquet layout) → ShardWriterSpec
+  *    size-capped parquet layout) → ShardWriterSpec; K8 bucketed
+  *    corpus-store layout (zero-shuffle co-located joins/aggs on the
+  *    bucket key, proven on executed plans) → BucketedLayoutSpec
   *  - L7 native signature kernel → HyperplaneSignatureSpec; skew/bucket
   *    guards incl. the LSH hot-bucket cap → SkewBucketSpec; HyperLogLog
   *    sketch aggregate (accuracy, merge determinism, partial-agg plan)
