@@ -14,6 +14,7 @@ import graft.functions.{Sketches, TextFunctions}
   *  - L36 dedup-impact profile per source                     → q101
   *  - L37 shingle-novelty scoring                             → q102
   *  - L38 MinHash-vs-exact Jaccard calibration curve          → q103
+  *  - L39 cluster-balanced resampling (topic balance)         → q104
   *
   * Every operator reuses the pipeline's shared builders
   * ([[LlmPipeline.chunkFrame]], [[LlmPipeline.signaturesOf]],
@@ -362,6 +363,56 @@ object LlmCuration {
           FROM pa GROUP BY 1 ORDER BY n_match"""
       })
 
-    Seq(q98, q99, q100, q101, q102, q103)
+    /* L39: cluster-balanced resampling — the embedding-space complement of
+     * L18's metadata mixture: assign every vector to its quantizer cell
+     * (the q92 broadcast-codebook argmax — cells are data-adaptive topics)
+     * and downsample each cell to the SMALLEST cell's size, so no topic
+     * cluster dominates the training mix (the SemDeDup/SSL-curation
+     * balance step; metadata strata can't see that two sources are the
+     * same topic, cells can). Membership is the q73/q77 salted id-hash —
+     * a vector's fate is a function of its id and the observed cell
+     * counts alone, reproducible across re-runs and engines. The
+     * threshold is pure integer math (n_min·1e6 div n), no float
+     * acceptance boundary to diverge on. At 100 TB: the corpus is never
+     * shuffled — cell assignment is a broadcast NLJ + map-side max_by,
+     * acceptance is a map-side filter against a broadcast |cells|-row
+     * threshold table; only |cells|-row aggregates shuffle. */
+    val q104 = GraftQuery(
+      "q104_cluster_balance", "L39 L27 L18",
+      (s, d) => {
+        val e = LlmPipeline.embeddingFrame(s, d)
+        val asn = LlmPipeline.cellAssignOf(e)
+        val counts = asn.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        val nmin = counts.agg(min(col("n")).as("n_min"))
+        val thr = counts.crossJoin(broadcast(nmin))
+          .withColumn("thresh_ppm", expr("n_min * 1000000 div n"))
+        val sampled = asn
+          .join(broadcast(thr.select(col("cell"), col("thresh_ppm"))), Seq("cell"))
+          .filter(pmod(TextFunctions.md5Fingerprint(
+            concat(lit("cbal:"), col("vec_id").cast("string"))),
+            lit(1000000L)) < col("thresh_ppm"))
+          .groupBy(col("cell")).agg(count(lit(1)).as("n_sampled"))
+        thr.join(sampled, Seq("cell"), "left")
+          .select(col("cell"), col("n").as("n_docs"), col("thresh_ppm"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+          .orderBy(col("cell"))
+      },
+      Some {
+        val fp = TextFunctions.md5FingerprintSql(
+          "'cbal:' || CAST(vec_id AS VARCHAR)")
+        s"""WITH ${LlmPipeline.cellAsnCtesSql()},
+          cnt AS (SELECT cell, COUNT(*) AS n FROM asn GROUP BY 1),
+          nm AS (SELECT MIN(n) AS n_min FROM cnt),
+          thr AS (SELECT cell, n, n_min * 1000000 // n AS thresh_ppm
+            FROM cnt, nm),
+          acc AS (SELECT asn.cell, COUNT(*) AS n_sampled
+            FROM asn JOIN thr USING (cell)
+            WHERE $fp % 1000000 < thresh_ppm GROUP BY 1)
+          SELECT thr.cell, thr.n AS n_docs, thr.thresh_ppm,
+            COALESCE(acc.n_sampled, CAST(0 AS BIGINT)) AS n_sampled
+          FROM thr LEFT JOIN acc USING (cell) ORDER BY thr.cell"""
+      })
+
+    Seq(q98, q99, q100, q101, q102, q103, q104)
   }
 }

@@ -485,6 +485,54 @@ object LlmPipeline {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Cached narrow embedding frame (id, vector, precomputed norm) — the
+    * shared input of every embedding-space operator (q70/q72/q92/q104).
+    */
+  private[queries] def embeddingFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    CacheScope.tracked(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        Sketches.norm(col("embedding"), Dims).as("nrm")))
+
+  /** Broadcast-codebook cell assignment (the IVF/SemDeDup quantizer step,
+    * shared by q92 and q104): every CentroidStep-th vector seeds the
+    * codebook, each vector joins the BROADCAST codebook and takes the
+    * argmax-cosine centroid (ties to the lowest centroid id via struct
+    * max on (cos, -c_id)). The corpus is never shuffled — one broadcast
+    * NLJ plus a map-side-combined max_by aggregate per vector.
+    */
+  private[queries] def cellAssignOf(e: org.apache.spark.sql.DataFrame,
+      centroidStep: Int = CentroidStep): org.apache.spark.sql.DataFrame = {
+    val c = e.filter(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+    val centroidCos = Sketches.cosineFromParts(
+      Sketches.dot(col("embedding"), col("ce"), Dims), col("nrm"), col("cn"))
+    e.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("c_id"), centroidCos.as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(col("ccos"), -col("c_id"))).as("cell"))
+  }
+
+  /** DuckDB twin of [[cellAssignOf]] as CTEs `c`, `asn(vec_id, cell)` —
+    * shared by the q92 and q104 oracles so the quantizer has exactly one
+    * SQL source of truth.
+    */
+  private[queries] def cellAsnCtesSql(
+      centroidStep: Int = CentroidStep): String = {
+    val ccos = Sketches.cosineSql(
+      Sketches.dotSql("e.embedding", "c.embedding", Dims),
+      Sketches.normSql("e.embedding", Dims),
+      Sketches.normSql("c.embedding", Dims))
+    s"""c AS (SELECT vec_id AS c_id, embedding FROM embeddings
+              WHERE vec_id % $centroidStep = 0),
+          asn AS (SELECT vec_id, c_id AS cell FROM (
+            SELECT e.vec_id, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY $ccos DESC, c.c_id) AS rn
+            FROM embeddings e CROSS JOIN c) WHERE rn = 1)"""
+  }
+
   /** L27 with its dials exposed: the EXACT pipeline q92 registers
     * (cell-based candidates, exact-cosine verify, min-id survivor),
     * parameterized on `centroidStep` (codebook stride — cell size vs
@@ -496,18 +544,8 @@ object LlmPipeline {
   def semDedupCells(s: org.apache.spark.sql.SparkSession, d: String,
       centroidStep: Int = CentroidStep, tau: Double = NearDupTau)
       : org.apache.spark.sql.DataFrame = {
-    val e = CacheScope.tracked(Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        Sketches.norm(col("embedding"), Dims).as("nrm")))
-    val c = e.filter(col("vec_id") % centroidStep === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
-        col("nrm").as("cn"))
-    val centroidCos = Sketches.cosineFromParts(
-      Sketches.dot(col("embedding"), col("ce"), Dims), col("nrm"), col("cn"))
-    val asn = e.crossJoin(broadcast(c))
-      .select(col("vec_id"), col("c_id"), centroidCos.as("ccos"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("c_id"), struct(col("ccos"), -col("c_id"))).as("cell"))
+    val e = embeddingFrame(s, d)
+    val asn = cellAssignOf(e, centroidStep)
     // ids-only candidate pairs within a cell (a_id < b_id)
     val cand = asn.select(col("cell"), col("vec_id").as("a_id"))
       .join(asn.select(col("cell"), col("vec_id").as("b_id")), Seq("cell"))
@@ -1960,21 +1998,11 @@ object LlmPipeline {
       // builder's centroidStep to measure the recall/pair-count trade
       (s, d) => semDedupCells(s, d),
       Some {
-        val ccos = Sketches.cosineSql(
-          Sketches.dotSql("e.embedding", "c.embedding", Dims),
-          Sketches.normSql("e.embedding", Dims),
-          Sketches.normSql("c.embedding", Dims))
         val vcos = Sketches.cosineSql(
           Sketches.dotSql("ea.embedding", "eb.embedding", Dims),
           Sketches.normSql("ea.embedding", Dims),
           Sketches.normSql("eb.embedding", Dims))
-        s"""WITH c AS (SELECT vec_id AS c_id, embedding FROM embeddings
-              WHERE vec_id % $CentroidStep = 0),
-          asn AS (SELECT vec_id, c_id AS cell FROM (
-            SELECT e.vec_id, c.c_id,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY $ccos DESC, c.c_id) AS rn
-            FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+        s"""WITH ${cellAsnCtesSql()},
           cand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
             FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id),
           ver AS (SELECT cand.a_id, cand.b_id FROM cand

@@ -126,4 +126,31 @@ class LlmCurationSpec extends SparkSpec {
         s"min <= mean <= max violated in bucket ${r.getLong(0)}")
     }
   }
+
+  test("q104: the small topic cluster keeps everything, the big one thins to match") {
+    // two orthogonal topic directions; ids 0..79 so the codebook seeds are
+    // ids 0 (cluster A) and 63 (cluster B): A = 60 vectors, B = 20
+    def vec(axis: Int): Array[Float] = {
+      val a = Array.fill(64)(0f); a(axis) = 1f; a
+    }
+    val dir = Files.createTempDirectory("cbal-corpus").toString
+    (0L to 79L).map { id =>
+      (id, vec(if (id < 60L) 0 else 1), 0)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+
+    val out = queryByName("q104_cluster_balance")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.length === 2, s"expected two cells, got $out")
+    val Seq((nBig, tBig, sBig), (nSmall, tSmall, sSmall)) =
+      out.sortBy(-_._1).toSeq
+    assert(nBig === 60L && nSmall === 20L)
+    // the binding (smallest) cell keeps every member at threshold 1e6
+    assert(tSmall === 1000000L && sSmall === 20L)
+    // the big cell thins toward the small cell's size: 20e6 div 60
+    assert(tBig === 333333L)
+    assert(sBig < nBig && sBig > 0L,
+      s"big cell must genuinely downsample, kept $sBig of $nBig")
+  }
 }
