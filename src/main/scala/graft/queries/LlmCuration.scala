@@ -15,6 +15,9 @@ import graft.functions.{Sketches, TextFunctions}
   *  - L37 shingle-novelty scoring                             → q102
   *  - L38 MinHash-vs-exact Jaccard calibration curve          → q103
   *  - L39 cluster-balanced resampling (topic balance)         → q104
+  *  - L40 quantizer refinement (one Lloyd/k-means step)       → q105
+  *  - L41 hashing-trick linear classifier scoring             → q106
+  *  - L42 temperature-resampled mixture allocation            → q107
   *
   * Every operator reuses the pipeline's shared builders
   * ([[LlmPipeline.chunkFrame]], [[LlmPipeline.signaturesOf]],
@@ -413,6 +416,150 @@ object LlmCuration {
           FROM thr LEFT JOIN acc USING (cell) ORDER BY thr.cell"""
       })
 
-    Seq(q98, q99, q100, q101, q102, q103, q104)
+    /* L40: quantizer refinement — one Lloyd/k-means iteration over the
+     * shared cell assignment (the training half of the L27/L39 quantizer:
+     * the stride-sampled codebook is the INIT, this is the step that turns
+     * it into a real k-means codebook; at 100 TB the refined codebook is an
+     * input artifact produced by exactly this job). New centroid = per-cell
+     * mean of member vectors, component-wise. Engine-portability: raw
+     * float sums are order-dependent, so each component quantizes to
+     * floor(v·1e6) LONG first (exact, associative), sums exactly, and
+     * divides once at the end — the q86 rule applied per dimension. At
+     * 100 TB: the corpus is never re-joined or shuffled — the assignment
+     * CARRIES the vector through the argmax aggregate
+     * ([[LlmPipeline.cellAssignCarryingVec]]), the 1→Dims expansion is
+     * map-side, and the (cell, pos) aggregate map-side-combines down to
+     * |cells|·Dims rows before the only shuffle. */
+    val q105 = GraftQuery(
+      "q105_quantizer_refine", "L40 L27 L11",
+      (s, d) => {
+        val e = LlmPipeline.embeddingFrame(s, d)
+        val asn = LlmPipeline.cellAssignCarryingVec(e)
+        asn.select(col("cell"), posexplode(col("embedding")))
+          .select(col("cell"), (col("pos") + 1).cast("long").as("pos"),
+            floor(col("col").cast("double") * lit(1e6)).cast("long").as("vq"))
+          .groupBy(col("cell"), col("pos"))
+          .agg(count(lit(1)).as("n"), sum(col("vq")).as("sum_vq"))
+          .withColumn("centroid",
+            (col("sum_vq").cast("double") / col("n").cast("double")) / lit(1e6))
+          .select(col("cell"), col("pos"), col("n"), col("centroid"))
+          .orderBy(col("cell"), col("pos"))
+      },
+      Some {
+        s"""WITH ${LlmPipeline.cellAsnCtesSql()},
+          comp AS (SELECT asn.cell, i AS pos,
+              CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS vq
+            FROM embeddings e JOIN asn USING (vec_id),
+              generate_series(1, ${LlmPipeline.Dims}) t(i))
+          SELECT cell, pos, COUNT(*) AS n,
+            (CAST(SUM(vq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1e6
+              AS centroid
+          FROM comp GROUP BY 1, 2 ORDER BY cell, pos"""
+      })
+
+    /* L41: hashing-trick linear classifier scoring — the fastText-shaped
+     * quality/topic filter every production curation stack runs (CCNet,
+     * LLaMA, RefinedWeb): tokenize, hash each token into a fixed feature
+     * space (the hashing trick — no vocabulary table to build, ship, or
+     * join), score = Σ weight[bucket(token)], threshold → keep/drop. The
+     * operator under test is the SCORING infrastructure; the weight vector
+     * is a model input in production, so here it derives deterministically
+     * from the bucket id (integer LCG-style mix → [-500, 500]) to stay
+     * oracle-checkable — same stance as q88's data-derived vocab model.
+     * All-integer score: no float threshold to diverge on. At 100 TB:
+     * token explode and bucket/weight math are map-side, the per-doc sum
+     * map-side-combines, one shuffle on doc_id; weights need no broadcast
+     * at all (arithmetic, not a table — a real model rides a |buckets|-row
+     * broadcast join instead, same plan shape). */
+    val q106 = GraftQuery(
+      "q106_hash_classifier", "L41 L9 F13",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        docs.select(col("doc_id"),
+            explode(Sketches.words(lower(col("text")))).as("w"))
+          .filter(length(col("w")) > 0)
+          .withColumn("bucket",
+            TextFunctions.md5Fingerprint(col("w")) % lit(1024L))
+          .withColumn("weight",
+            (col("bucket") * lit(2654435761L)) % lit(1001L) - lit(500L))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("weight")).as("score"))
+          .withColumn("label",
+            when(col("score") >= 0, lit("keep")).otherwise(lit("drop")))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val fp = TextFunctions.md5FingerprintSql("w")
+        s"""WITH toks AS (SELECT doc_id, w FROM (
+              SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+              FROM documents) WHERE length(w) > 0),
+          feats AS (SELECT doc_id,
+              ($fp % 1024) * 2654435761 % 1001 - 500 AS weight FROM toks)
+          SELECT doc_id, COUNT(*) AS n_tokens, SUM(weight) AS score,
+            CASE WHEN SUM(weight) >= 0 THEN 'keep' ELSE 'drop' END AS label
+          FROM feats GROUP BY 1 ORDER BY doc_id"""
+      })
+
+    /* L42: temperature-resampled mixture allocation — the multilingual/
+     * multi-source mixing arithmetic (mC4, XLM-R, PaLM): target share per
+     * source ∝ n_tokens^(1/τ) with τ=2, so low-resource sources are
+     * upsampled relative to their raw share without letting any source
+     * dominate. From per-source token counts and a token budget, emit each
+     * source's share, target tokens, sampling rate, and epoch count
+     * (epochs > 1 ⇒ the source repeats to hit its target — the
+     * over-sampling signal that caps τ in practice). Portability: n^(1/2)
+     * is IEEE-exact (sqrt is correctly rounded), quantized to
+     * floor(·1e6) LONG before the cross-source sum (double sums are
+     * order-dependent; longs are exact), then pure integer div — bound:
+     * budget·sq < 2^63 holds through corpus ~1e14 tokens at this budget;
+     * bigger corpora drop the quantization to 1e3. At 100 TB: per-source
+     * counts are one map-side-combined aggregate to |sources| rows;
+     * everything after is |sources|-row arithmetic against a broadcast
+     * one-row total. */
+    val q107 = GraftQuery(
+      "q107_temperature_mixture", "L42 L18 L9",
+      (s, d) => {
+        val budget = 1000000L
+        val n = Tables.documents(s, d)
+          .select(col("source"),
+            TextFunctions.tokenCountBpeIsh(col("text")).cast("long").as("tok"))
+          .groupBy(col("source")).agg(sum(col("tok")).as("n_tok"))
+          .withColumn("sq",
+            floor(sqrt(col("n_tok").cast("double")) * lit(1e6)).cast("long"))
+        val total = n.agg(sum(col("sq")).as("total_sq"))
+        n.crossJoin(broadcast(total))
+          .withColumn("share_ppm", expr("sq * 1000000 div total_sq"))
+          .withColumn("target_tok", expr(s"$budget * sq div total_sq"))
+          .withColumn("rate_ppm", expr(
+            "case when n_tok = 0 then 0 " +
+              "else least(1000000, target_tok * 1000000 div n_tok) end"))
+          .withColumn("epochs", expr(
+            "case when n_tok = 0 then 0 " +
+              "else (target_tok + n_tok - 1) div n_tok end"))
+          .select(col("source"), col("n_tok"), col("share_ppm"),
+            col("target_tok"), col("rate_ppm"), col("epochs"))
+          .orderBy(col("source"))
+      },
+      Some {
+        s"""WITH n AS (SELECT source,
+              CAST(SUM(${TextFunctions.tokenCountBpeIshSql("text")}) AS BIGINT)
+                AS n_tok
+            FROM documents GROUP BY 1),
+          sq AS (SELECT source, n_tok,
+              CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * 1e6) AS BIGINT) AS sq
+            FROM n),
+          tot AS (SELECT SUM(sq) AS total_sq FROM sq)
+          SELECT source, n_tok, sq * 1000000 // total_sq AS share_ppm,
+            1000000 * sq // total_sq AS target_tok,
+            CASE WHEN n_tok = 0 THEN 0 ELSE least(1000000,
+              (1000000 * sq // total_sq) * 1000000 // n_tok) END AS rate_ppm,
+            CASE WHEN n_tok = 0 THEN 0
+              ELSE ((1000000 * sq // total_sq) + n_tok - 1) // n_tok END
+              AS epochs
+          FROM sq, tot ORDER BY source"""
+      })
+
+    Seq(q98, q99, q100, q101, q102, q103, q104, q105, q106, q107)
   }
 }

@@ -64,7 +64,7 @@ object LlmPipeline {
 
   private[queries] val ShingleN = 3
   private[queries] val JaccardThreshold = 0.8
-  private val Dims = 64
+  private[queries] val Dims = 64
   // L23 vocab width — 20 of the synthetic corpus's 31 distinct words so the
   // familiarity filter discriminates on the fixtures (production: 1e4-1e5)
   private val TopVocab = 20
@@ -502,21 +502,49 @@ object LlmPipeline {
     * NLJ plus a map-side-combined max_by aggregate per vector.
     */
   private[queries] def cellAssignOf(e: org.apache.spark.sql.DataFrame,
-      centroidStep: Int = CentroidStep): org.apache.spark.sql.DataFrame = {
+      centroidStep: Int = CentroidStep): org.apache.spark.sql.DataFrame =
+    cellAgg(e, centroidStep, carryVec = false)
+
+  /** [[cellAssignOf]] carrying the vector THROUGH the argmax aggregate
+    * (`first(embedding)` is well-defined: the vector is functionally
+    * dependent on `vec_id`, every row of the group holds the same value),
+    * so downstream per-cell vector math needs no corpus-sized re-join on
+    * `vec_id` — the quantizer-refinement shape (q105).
+    */
+  private[queries] def cellAssignCarryingVec(e: org.apache.spark.sql.DataFrame,
+      centroidStep: Int = CentroidStep): org.apache.spark.sql.DataFrame =
+    cellAgg(e, centroidStep, carryVec = true)
+
+  private def cellAgg(e: org.apache.spark.sql.DataFrame, centroidStep: Int,
+      carryVec: Boolean): org.apache.spark.sql.DataFrame = {
     val c = e.filter(col("vec_id") % centroidStep === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
         col("nrm").as("cn"))
     val centroidCos = Sketches.cosineFromParts(
       Sketches.dot(col("embedding"), col("ce"), Dims), col("nrm"), col("cn"))
-    e.crossJoin(broadcast(c))
-      .select(col("vec_id"), col("c_id"), centroidCos.as("ccos"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("c_id"), struct(col("ccos"), -col("c_id"))).as("cell"))
+    val scored = e.crossJoin(broadcast(c))
+      .select(col("vec_id") +: col("c_id") +: centroidCos.as("ccos") +:
+        (if (carryVec) Seq(col("embedding")) else Nil): _*)
+    val cellOf = max_by(col("c_id"), struct(col("ccos"), -col("c_id"))).as("cell")
+    if (carryVec)
+      scored.groupBy(col("vec_id"))
+        .agg(cellOf, first(col("embedding")).as("embedding"))
+    else scored.groupBy(col("vec_id")).agg(cellOf)
   }
 
   /** DuckDB twin of [[cellAssignOf]] as CTEs `c`, `asn(vec_id, cell)` —
-    * shared by the q92 and q104 oracles so the quantizer has exactly one
+    * shared by the q92/q104/q105 oracles so the quantizer has exactly one
     * SQL source of truth.
+    *
+    * `asn` is declared MATERIALIZED: DuckDB inlines plain CTEs, and a
+    * consumer that references `asn` twice (q92's candidate self-join)
+    * re-executes the 64-wide unrolled-cosine window per reference —
+    * measured to fragment the oracle process into >30k mmap regions at
+    * sf0.001, enough for two adjacent embedding oracles to hit
+    * vm.max_map_count (65530) and fail ALL later allocations in the
+    * sweep ("bad allocation" at 2 KB with 120 GB free). Materializing
+    * the |corpus|-row (vec_id, cell) table keeps the whole sweep ~1k
+    * maps. Oracle-side only; the Spark plan is unaffected.
     */
   private[queries] def cellAsnCtesSql(
       centroidStep: Int = CentroidStep): String = {
@@ -526,7 +554,7 @@ object LlmPipeline {
       Sketches.normSql("c.embedding", Dims))
     s"""c AS (SELECT vec_id AS c_id, embedding FROM embeddings
               WHERE vec_id % $centroidStep = 0),
-          asn AS (SELECT vec_id, c_id AS cell FROM (
+          asn AS MATERIALIZED (SELECT vec_id, c_id AS cell FROM (
             SELECT e.vec_id, c.c_id,
               row_number() OVER (PARTITION BY e.vec_id
                 ORDER BY $ccos DESC, c.c_id) AS rn
@@ -1029,12 +1057,12 @@ object LlmPipeline {
           Sketches.normSql("e.embedding", Dims))
         s"""WITH c AS (SELECT vec_id AS c_id, embedding FROM embeddings
               WHERE vec_id % $CentroidStep = 0),
-          asn AS (SELECT vec_id, c_id AS cell FROM (
+          asn AS MATERIALIZED (SELECT vec_id, c_id AS cell FROM (
             SELECT e.vec_id, c.c_id,
               row_number() OVER (PARTITION BY e.vec_id
                 ORDER BY $ccos DESC, c.c_id) AS rn
             FROM embeddings e CROSS JOIN c) WHERE rn = 1),
-          pr AS (SELECT q_id, c_id AS cell FROM (
+          pr AS MATERIALIZED (SELECT q_id, c_id AS cell FROM (
             SELECT e.vec_id AS q_id, c.c_id,
               row_number() OVER (PARTITION BY e.vec_id
                 ORDER BY $ccos DESC, c.c_id) AS rn

@@ -153,4 +153,96 @@ class LlmCurationSpec extends SparkSpec {
     assert(sBig < nBig && sBig > 0L,
       s"big cell must genuinely downsample, kept $sBig of $nBig")
   }
+
+  test("q105: refined centroids are the exact per-cell component means") {
+    // cluster A (ids 0-59): axis-0 unit vectors; cluster B (ids 60-79):
+    // axis-1 units, HALF of them with an extra 0.5 on axis 2 — the
+    // refined cell-B centroid must land on the exact mean (0, 1, 0.25, …)
+    val dir = Files.createTempDirectory("lloyd-corpus").toString
+    (0L to 79L).map { id =>
+      val a = Array.fill(64)(0f)
+      if (id < 60L) a(0) = 1f
+      else { a(1) = 1f; if (id < 70L) a(2) = 0.5f }
+      (id, a, 0)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+
+    val out = queryByName("q105_quantizer_refine")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.size === 2 * 64, "two cells x 64 dims")
+    val cells = out.keys.map(_._1).toSet
+    assert(cells === Set(0L, 63L), s"codebook seeds are ids 0 and 63: $cells")
+    // cell 0: 60 identical axis-0 units -> centroid exactly (1, 0, 0, ...)
+    assert(out((0L, 1L)) === ((60L, 1.0)))
+    assert(out((0L, 2L)) === ((60L, 0.0)))
+    // cell 63: mean of 20 members, 10 carrying 0.5 on axis 2 -> exactly 0.25
+    assert(out((63L, 2L)) === ((20L, 1.0)))
+    assert(out((63L, 3L)) === ((20L, 0.25)))
+    assert(out((63L, 4L)) === ((20L, 0.0)))
+  }
+
+  test("q106: hashed scoring is linear in token count and labels by sign") {
+    // same word repeated n times must score exactly n x the single-word
+    // score (one bucket, one weight), case-folded by the lowercase pass
+    val dir = corpus(Seq(
+      (2L, "Alpha alpha ALPHA", "en", "s"),
+      (3L, "alpha", "en", "s"),
+      (4L, "alpha beta", "en", "s")))
+    val out = queryByName("q106_hash_classifier")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    val (n2, s2, l2) = out(2L)
+    val (n3, s3, l3) = out(3L)
+    val (n4, s4, _) = out(4L)
+    assert(n2 === 3L && n3 === 1L && n4 === 2L)
+    assert(s2 === 3 * s3, "case-folded repeats hit one bucket: score = n x w")
+    // score is additive over tokens: beta's weight = doc4 - doc3
+    val betaW = s4 - s3
+    assert(betaW >= -500L && betaW <= 500L, s"weights live in [-500,500]: $betaW")
+    assert(l2 === (if (s2 >= 0) "keep" else "drop"))
+    assert(l3 === (if (s3 >= 0) "keep" else "drop"))
+  }
+
+  test("q107: temperature sharing upsamples the small source, epochs = ceil") {
+    // source a: 60 BPE-ish tokens (30 words, each a letter-run + digit-run),
+    // source b: 960 — raw share 1:16, sqrt share 1:4, so a's allocation
+    // must EXCEED its raw share (the point of temperature resampling)
+    val words = (n: Int, p: String) => (0 until n).map(i => s"$p$i").mkString(" ")
+    val dir = corpus(Seq(
+      (2L, words(30, "a"), "en", "small"),
+      (3L, words(240, "b"), "en", "big"),
+      (4L, words(240, "c"), "en", "big")))
+    val out = queryByName("q107_temperature_mixture")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val (nA, shareA, targetA, rateA, epochsA) = out("small")
+    val (nB, shareB, targetB, rateB, epochsB) = out("big")
+    assert(nA === 60L && nB === 960L)
+    // integer-exact mirror of the operator's formula
+    def sq(n: Long) = math.floor(math.sqrt(n.toDouble) * 1e6).toLong
+    val total = sq(nA) + sq(nB)
+    assert(shareA === sq(nA) * 1000000L / total)
+    assert(targetA === 1000000L * sq(nA) / total)
+    assert(rateA === math.min(1000000L, targetA * 1000000L / nA))
+    assert(epochsA === (targetA + nA - 1) / nA)
+    assert(epochsB === (targetB + nB - 1) / nB)
+    // temperature property: small source's share beats its raw token share
+    assert(shareA * (nA + nB) > 1000000L * nA,
+      s"sqrt-temperature must upsample the small source: $shareA")
+    assert(shareA + shareB <= 1000000L && shareA + shareB >= 999998L,
+      "shares are a partition of the budget up to integer-div truncation")
+    // the 1e6-token budget dwarfs this 1020-token fixture, so BOTH sources
+    // repeat (rate caps at 1e6) — the temperature signal is the small
+    // source repeating disproportionately more than its raw share implies
+    assert(epochsA > 1L && rateA === 1000000L && rateB === 1000000L)
+    // epochs ratio ~= raw-ratio / sqrt-ratio = 16/4 = 4 (minus int truncation)
+    assert(epochsA > 3L * epochsB && epochsA < 5L * epochsB,
+      s"sqrt-temperature repeats the small source ~4x the big one's rate " +
+        s"(raw 1:16, sqrt 1:4): $epochsA vs $epochsB")
+  }
 }

@@ -44,7 +44,16 @@ def main(sf_dir: str, out_dir: str) -> int:
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     failures = 0
-    for name, sql in sorted(oracles.items()):
+    for qi, (name, sql) in enumerate(sorted(oracles.items())):
+        # Recycle the connection periodically: DuckDB's allocator can
+        # accumulate tens of thousands of mmap regions across embedding-
+        # heavy queries (unrolled 64-dim cosine plans); once the process
+        # crosses vm.max_map_count every later allocation fails ("bad
+        # allocation" at 2 KB with free RAM). A fresh connection releases
+        # the maps. Root cause also fixed SQL-side (MATERIALIZED asn CTE).
+        if qi % 10 == 9:
+            state["con"].close()
+            state["con"] = fresh_con()
         try:
             got = duck(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
         except Exception as e:
