@@ -516,20 +516,87 @@ object LlmPipeline {
     cellAgg(e, centroidStep, carryVec = true)
 
   private def cellAgg(e: org.apache.spark.sql.DataFrame, centroidStep: Int,
-      carryVec: Boolean): org.apache.spark.sql.DataFrame = {
-    val c = e.filter(col("vec_id") % centroidStep === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
-        col("nrm").as("cn"))
+      carryVec: Boolean): org.apache.spark.sql.DataFrame =
+    cellAggWith(e,
+      e.filter(col("vec_id") % centroidStep === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+          col("nrm").as("cn")),
+      carryVec, carryCos = false)
+
+  /** Assignment against an EXPLICIT codebook `(c_id, ce, cn)` — the
+    * [[cellAgg]] kernel with the stride sampling factored out, so
+    * [[refineCodebook]] can iterate it against a trained codebook.
+    * `carryCos` additionally carries each vector's best cosine through
+    * the aggregate (`best_cos`) for inertia tracking.
+    */
+  private def cellAggWith(e: org.apache.spark.sql.DataFrame,
+      c: org.apache.spark.sql.DataFrame, carryVec: Boolean,
+      carryCos: Boolean): org.apache.spark.sql.DataFrame = {
     val centroidCos = Sketches.cosineFromParts(
       Sketches.dot(col("embedding"), col("ce"), Dims), col("nrm"), col("cn"))
     val scored = e.crossJoin(broadcast(c))
       .select(col("vec_id") +: col("c_id") +: centroidCos.as("ccos") +:
         (if (carryVec) Seq(col("embedding")) else Nil): _*)
     val cellOf = max_by(col("c_id"), struct(col("ccos"), -col("c_id"))).as("cell")
-    if (carryVec)
-      scored.groupBy(col("vec_id"))
-        .agg(cellOf, first(col("embedding")).as("embedding"))
-    else scored.groupBy(col("vec_id")).agg(cellOf)
+    val extras =
+      (if (carryVec) Seq(first(col("embedding")).as("embedding")) else Nil) ++
+        (if (carryCos) Seq(max(col("ccos")).as("best_cos")) else Nil)
+    scored.groupBy(col("vec_id")).agg(cellOf, extras: _*)
+  }
+
+  /** Iterated Lloyd/k-means training of the quantizer codebook — the job
+    * that PRODUCES the codebook the IVF/SemDeDup/balance operators
+    * (q70/q92/q104) consume as an input at production scale (their
+    * in-query stride sampling is the init/fixture stand-in; see the q70
+    * scaladoc). q105 registers one oracle-gated step of exactly this loop.
+    *
+    * Per iteration: broadcast the current codebook, assign each vector
+    * map-side (one broadcast NLJ + map-side-combined argmax — the corpus
+    * is never shuffled), reduce members to |cells|·Dims quantized
+    * component sums (the q105 aggregate), and collect ONLY the
+    * |cells|·Dims-row new codebook to the driver — the codebook is
+    * broadcast state by definition (kilobytes at production K), so this
+    * is orchestration, not a driver funnel. Cells that lose all members
+    * drop out (standard Lloyd; K can only shrink).
+    *
+    * Returns the final codebook and the per-iteration mean inertia
+    * (1 − best cosine, measured BEFORE that iteration's recentering) —
+    * non-increasing across iterations up to quantization noise.
+    */
+  def refineCodebook(s: org.apache.spark.sql.SparkSession, d: String,
+      iterations: Int = 2, centroidStep: Int = CentroidStep)
+      : (Seq[(Long, Array[Float])], Seq[Double]) = {
+    require(iterations >= 1, "at least one Lloyd iteration")
+    val e = embeddingFrame(s, d)
+    var code: Seq[(Long, Array[Float])] =
+      e.filter(col("vec_id") % centroidStep === 0)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val inertias = Seq.newBuilder[Double]
+    for (_ <- 1 to iterations) {
+      import s.implicits._
+      val cdf = code.toDF("c_id", "ce")
+        .withColumn("cn", Sketches.norm(col("ce"), Dims))
+      val asn = cellAggWith(e, cdf, carryVec = true, carryCos = true)
+      inertias += asn.agg(avg(lit(1.0) - col("best_cos")))
+        .as[Double].head()
+      val comps = asn
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(floor(col("col").cast("double") * lit(1e6)).cast("long"))
+          .as("sq"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      code = comps.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, rows) =>
+        val vec = new Array[Float](Dims)
+        rows.foreach { case (_, pos, sq, n) =>
+          vec(pos) = ((sq.toDouble / n.toDouble) / 1e6).toFloat
+        }
+        (cid, vec)
+      }
+    }
+    (code, inertias.result())
   }
 
   /** DuckDB twin of [[cellAssignOf]] as CTEs `c`, `asn(vec_id, cell)` —

@@ -152,7 +152,13 @@ object ScaleRehearsal {
   def run(spark: SparkSession): Unit = {
     val queries = Seq("q36_lsh_neardup_pairs", "q78_neardup_components",
       "q80_corpus_funnel", "q83_burst_pairs", "q85_decontaminate_n8",
-      "q91_boilerplate_passages")
+      "q91_boilerplate_passages",
+      // embedding family: broadcast-codebook quantizer paths — K grows
+      // with n (stride codebook), so 10x embeddings means ~10x cells AND
+      // ~10x vectors: the assignment NLJ is the quadratic-looking term
+      // (n x K dot products) that must stay map-side and sublinear-per-row
+      "q70_ann_ivf_coarse", "q92_semdedup_cells", "q104_cluster_balance",
+      "q105_quantizer_refine")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)
