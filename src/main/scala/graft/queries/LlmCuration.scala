@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{Sketches, TextFunctions}
@@ -18,6 +19,7 @@ import graft.functions.{Sketches, TextFunctions}
   *  - L40 quantizer refinement (one Lloyd/k-means step)       → q105
   *  - L41 hashing-trick linear classifier scoring             → q106
   *  - L42 temperature-resampled mixture allocation            → q107
+  *  - L43 deterministic stratified inspection sample          → q108
   *
   * Every operator reuses the pipeline's shared builders
   * ([[LlmPipeline.chunkFrame]], [[LlmPipeline.signaturesOf]],
@@ -560,6 +562,59 @@ object LlmCuration {
           FROM sq, tot ORDER BY source"""
       })
 
-    Seq(q98, q99, q100, q101, q102, q103, q104, q105, q106, q107)
+    /* L43: deterministic stratified inspection sample — every curation
+     * decision above (thresholds, classifier dials, dedup caps) ends with
+     * a human reading sampled documents; the production need is "K docs
+     * per source, reproducibly, without sorting the corpus". This is the
+     * scalable two-phase top-K-per-group pattern: a broadcast |sources|-row
+     * threshold (K·C·1e6 div n ppm, oversample C=8) prefilters map-side to
+     * ~K·C rows per stratum, and only those survivors reach the rank
+     * window — the global sort a naive row_number() would shuffle never
+     * happens. The PREFILTER IS PART OF THE SEMANTICS (a Bernoulli-
+     * threshold sample capped at K, the TABLESAMPLE-style contract), so
+     * engine and oracle agree exactly at every SF by construction; the
+     * salted hash ("samp:" ‖ doc_id) decorrelates membership from the
+     * split/shard/dedup hashes, and (h, doc_id) ordering makes ranks
+     * tie-free. Strata smaller than K·C pass the threshold wholesale and
+     * rank completely. */
+    val q108 = GraftQuery(
+      "q108_stratified_sample", "L43 L14 O2",
+      (s, d) => {
+        val k = 5L
+        val over = 8L
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+          .withColumn("thr_ppm",
+            least(lit(1000000L), expr(s"${k * over} * 1000000 div n")))
+        val pre = docs
+          .withColumn("h", TextFunctions.md5Fingerprint(
+            concat(lit("samp:"), col("doc_id").cast("string"))) % lit(1000000L))
+          .join(broadcast(counts), Seq("source"))
+          .filter(col("h") < col("thr_ppm"))
+        pre.withColumn("rank", row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("h"), col("doc_id"))))
+          .filter(col("rank") <= k)
+          .select(col("source"), col("rank").cast("long").as("rank"),
+            col("doc_id"), col("h"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some {
+        val fp = TextFunctions.md5FingerprintSql(
+          "'samp:' || CAST(doc_id AS VARCHAR)")
+        s"""WITH n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+          h AS (SELECT source, doc_id, $fp % 1000000 AS h FROM documents),
+          pre AS (SELECT h.source, h.doc_id, h.h
+            FROM h JOIN n USING (source)
+            WHERE h.h < least(1000000, 40 * 1000000 // n.n)),
+          ranked AS (SELECT source, doc_id, h,
+              row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                AS rank
+            FROM pre)
+          SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, h
+          FROM ranked WHERE rank <= 5 ORDER BY source, rank"""
+      })
+
+    Seq(q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108)
   }
 }

@@ -563,6 +563,53 @@ object LlmPipeline {
     * (1 − best cosine, measured BEFORE that iteration's recentering) —
     * non-increasing across iterations up to quantization noise.
     */
+  /** Shared verified near-dup pair kernel (q72 single-pass assignment,
+    * q78 transitive clustering): banded hyperplane-signature candidates →
+    * exact cosine >= NearDupTau — one (a_id, b_id, pcos) row per verified
+    * pair, a_id < b_id. Ids-only ride the band and pair shuffles;
+    * embeddings re-join by id for the verify; the hot-bucket guard runs
+    * in the executed plan (`embed_hot_buckets`).
+    *
+    * `bandBits` is the occupancy dial: 2 bands of `bandBits` bits each,
+    * so expected bucket population is n / 2^bandBits — the production
+    * setting scales bandBits with log2(n) to hold per-bucket occupancy
+    * (and the quadratic candidate term) CONSTANT as the corpus grows.
+    * Registered queries (q72/q78) use the default 8; ScaleRehearsal
+    * measures the dial at 10× data.
+    */
+  private[graft] def embedNearDupPairs(s: org.apache.spark.sql.SparkSession,
+      d: String, bandBits: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(bandBits >= 1 && bandBits <= 31, "bandBits in [1, 31]")
+    val mask = (1L << bandBits) - 1L
+    val emb = CacheScope.tracked(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        Sketches.norm(col("embedding"), Dims).as("nrm")))
+    val sigs = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        Sketches.hyperplaneSigN(col("embedding"), Dims, 2 * bandBits).as("sig"))
+    val bands = Skew.dropHotBuckets(
+      sigs.select(col("vec_id"),
+        posexplode(array(col("sig").bitwiseAND(lit(mask)),
+          shiftright(col("sig"), bandBits).bitwiseAND(lit(mask))))
+          .as(Seq("bi", "bv"))),
+      Seq("bi", "bv"), HotBucketCap,
+      observeAs = Some("embed_hot_buckets"))
+    val cand = bands
+      .join(bands.select(col("vec_id").as("b_id"), col("bi"), col("bv")),
+        Seq("bi", "bv"))
+      .filter(col("vec_id") < col("b_id"))
+      .select(col("vec_id").as("a_id"), col("b_id")).distinct()
+    cand
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+        col("nrm").as("an")), Seq("a_id"))
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+        col("nrm").as("bn")), Seq("b_id"))
+      .withColumn("cos", Sketches.cosineFromParts(
+        Sketches.dot(col("ae"), col("be"), Dims), col("an"), col("bn")))
+      .filter(col("cos") >= NearDupTau)
+      .select(col("a_id"), col("b_id"), col("cos").as("pcos"))
+  }
+
   def refineCodebook(s: org.apache.spark.sql.SparkSession, d: String,
       iterations: Int = 2, centroidStep: Int = CentroidStep)
       : (Seq[(Long, Array[Float])], Seq[Double]) = {
@@ -1162,35 +1209,8 @@ object LlmPipeline {
      * exact cosine >= NearDupTau — one (a_id, b_id) row per verified pair,
      * a_id < b_id. Ids-only ride the band and pair shuffles; embeddings
      * re-join by id for the verify. */
-    def embedNearDupPairs(s: org.apache.spark.sql.SparkSession, d: String)
-        : org.apache.spark.sql.DataFrame = {
-      val emb = CacheScope.tracked(Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          Sketches.norm(col("embedding"), Dims).as("nrm")))
-      val sigs = Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          Sketches.hyperplaneSigN(col("embedding"), Dims, 16).as("sig"))
-      val bands = Skew.dropHotBuckets(
-        sigs.select(col("vec_id"),
-          posexplode(array(col("sig").bitwiseAND(lit(255L)),
-            shiftright(col("sig"), 8).bitwiseAND(lit(255L)))).as(Seq("bi", "bv"))),
-        Seq("bi", "bv"), HotBucketCap,
-        observeAs = Some("embed_hot_buckets"))
-      val cand = bands
-        .join(bands.select(col("vec_id").as("b_id"), col("bi"), col("bv")),
-          Seq("bi", "bv"))
-        .filter(col("vec_id") < col("b_id"))
-        .select(col("vec_id").as("a_id"), col("b_id")).distinct()
-      cand
-        .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
-          col("nrm").as("an")), Seq("a_id"))
-        .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("be"),
-          col("nrm").as("bn")), Seq("b_id"))
-        .withColumn("cos", Sketches.cosineFromParts(
-          Sketches.dot(col("ae"), col("be"), Dims), col("an"), col("bn")))
-        .filter(col("cos") >= NearDupTau)
-        .select(col("a_id"), col("b_id"), col("cos").as("pcos"))
-    }
+    // (embedNearDupPairs moved to object scope — the band-width dial is
+    //  exercised by ScaleRehearsal; registered queries use the default)
 
     /* SQL twin of embedNearDupPairs, as CTEs ending in `pr(a_id, b_id)`. */
     def embedPairsCtes: String = {

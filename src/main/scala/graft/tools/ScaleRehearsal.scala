@@ -178,6 +178,36 @@ object ScaleRehearsal {
     println(f"[scale-run] worst ratio: ${worst._1} ${worst._3 / worst._2}%.1fx (near-linear bar: 15x)")
   }
 
+  /** Band-width dial measurement: the near-dup banding's per-bucket
+    * occupancy is n / 2^bandBits, so the production dial scales bandBits
+    * with log2(n). At 10× data, +log2(10) ≈ 3–4 bits holds the candidate
+    * volume (the quadratic term) at its 1× level — this prints the
+    * evidence: wall + verified-pair count for 1×@8 bits, 10×@8 bits
+    * (occupancy 10×) and 10×@11 bits (occupancy back to ~1.2×).
+    */
+  def dial(spark: SparkSession): Unit = {
+    println(f"${"embed near-dup banding"}%-28s ${"wall_s"}%8s ${"pairs"}%10s")
+    val rows = Seq((Base, "1x @ 8 bits", 8), (Out, "10x @ 8 bits", 8),
+      (Out, "10x @ 11 bits", 11)).map { case (dir, label, bits) =>
+      def once(): (Double, Long) = {
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        val n = graft.core.CacheScope.scoped {
+          graft.queries.LlmPipeline.embedNearDupPairs(spark, dir, bits).count()
+        }
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      once()
+      val (w1, n1) = once(); val (w2, n2) = once()
+      require(n1 == n2, "deterministic pair count")
+      val w = math.min(w1, w2)
+      println(f"$label%-28s $w%8.2f $n1%10d")
+      (label, w, n1)
+    }
+    println("[scale-dial] " + rows.map { case (l, w, n) =>
+      f"${l.replace(" ", "")}=$w%.2f/$n" }.mkString(" "))
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = if (args.nonEmpty) args(0) else "all"
     val factor = if (args.length > 1) args(1).toInt else 10
@@ -185,7 +215,8 @@ object ScaleRehearsal {
     mode match {
       case "gen" => gen(spark, factor)
       case "run" => run(spark)
-      case _ => gen(spark, factor); run(spark)
+      case "dial" => dial(spark)
+      case _ => gen(spark, factor); run(spark); dial(spark)
     }
     spark.stop()
   }

@@ -245,4 +245,29 @@ class LlmCurationSpec extends SparkSpec {
       s"sqrt-temperature repeats the small source ~4x the big one's rate " +
         s"(raw 1:16, sqrt 1:4): $epochsA vs $epochsB")
   }
+
+  test("q108: per-source sample is capped, rank-ordered, and reproducible") {
+    // "big": 500 docs (>> K*C=40, the prefilter binds); "tiny": 3 docs
+    // (< K=5, threshold opens to 1e6 and the whole stratum ranks)
+    val rows = (0 until 500).map(i => (i.toLong, s"doc $i", "en", "big")) ++
+      Seq(900L, 901L, 902L).map(id => (id, s"tiny $id", "en", "tiny"))
+    val dir = corpus(rows)
+    val run1 = queryByName("q108_stratified_sample")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val run2 = queryByName("q108_stratified_sample")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(run1.toSeq === run2.toSeq, "sample is a pure function of the data")
+
+    val bySource = run1.groupBy(_._1)
+    // big stratum: exactly K rows, ranks 1..5, h ascending
+    val big = bySource("big").sortBy(_._2)
+    assert(big.map(_._2).toSeq === (1L to 5L))
+    assert(big.map(_._4).toSeq === big.map(_._4).sorted.toSeq, "h ascends")
+    // every sampled big-doc cleared the prefilter threshold (40e6/500 ppm)
+    assert(big.forall(_._4 < 80000L), s"threshold binds: ${big.map(_._4).toSeq}")
+    // tiny stratum: all 3 docs present, ranked completely
+    val tiny = bySource("tiny").sortBy(_._2)
+    assert(tiny.map(_._2).toSeq === (1L to 3L))
+    assert(tiny.map(_._3).toSet === Set(900L, 901L, 902L))
+  }
 }
