@@ -48,7 +48,7 @@ object SparkEntry {
   /** The full registry, grouped by theme. */
   def registry: Seq[GraftQuery] =
     Relational.all ++ Temporal.all ++ GeoQueries.all ++ Scalar.all ++
-      DslQueries.all ++ LlmPipeline.all ++ LlmCuration.all ++
+      DslQueries.all ++ LlmPipeline.all ++ LlmCuration.all ++ CorpusOps.all ++
       IngestQueries.all ++ RasterQueries.all ++
       SinkJoinQueries.all ++ SourceQueries.all ++ WindowFilterQueries.all ++
       ScalarPackQueries.all

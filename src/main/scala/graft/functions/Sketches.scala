@@ -183,6 +183,17 @@ object Sketches {
     (1 to dims).map(i =>
       s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
 
+  /** Subspace dot: left-associated sum over `dims` elements starting at
+    * 0-based `off` — the product-quantization window (L44). Same native
+    * loop node, so the parity contract of [[dot]] carries over unchanged.
+    */
+  def dotOff(a: Column, b: Column, dims: Int, off: Int): Column =
+    call_function("graft_dot", a, b, lit(dims), lit(off))
+  def dotSqlOff(a: String, b: String, dims: Int, off: Int): String =
+    (1 to dims).map(i =>
+      s"CAST($a[${off + i}] AS DOUBLE) * CAST($b[${off + i}] AS DOUBLE)")
+      .mkString(" + ")
+
   def norm(a: Column, dims: Int): Column = sqrt(dot(a, a, dims))
   def normSql(a: String, dims: Int): String = s"sqrt(${dotSql(a, a, dims)})"
 

@@ -30,10 +30,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * fires in practice, but the contract is pinned so the expression can
   * never diverge from the oracle on degenerate input).
   */
-case class DotProductExpression(left: Expression, right: Expression, dims: Int)
+case class DotProductExpression(left: Expression, right: Expression, dims: Int,
+    offset: Int = 0)
     extends BinaryExpression {
 
   require(dims >= 1, s"dims must be positive, got $dims")
+  require(offset >= 0, s"offset must be non-negative, got $offset")
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -52,14 +54,15 @@ case class DotProductExpression(left: Expression, right: Expression, dims: Int)
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     DotProductExpression.dot(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], dims, leftFloat, rightFloat)
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], dims, offset,
+      leftFloat, rightFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val boxed = ctx.freshName("dotResult")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
          |java.lang.Double $boxed = graft.plans.DotProductExpression.dot(
-         |  $a, $b, $dims, $leftFloat, $rightFloat);
+         |  $a, $b, $dims, $offset, $leftFloat, $rightFloat);
          |if ($boxed == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -78,21 +81,24 @@ case class DotProductExpression(left: Expression, right: Expression, dims: Int)
 
 object DotProductExpression {
   /** Static kernel the generated code calls: left-associated
-    * sum(a[i] * b[i]) over the first `dims` elements, float inputs widened
-    * to double per element. Boxed so NULL (null element / short array)
+    * sum(a[offset+i] * b[offset+i]) over `dims` elements starting at
+    * `offset` (0 = whole-vector dot; a non-zero offset is the
+    * product-quantization subspace window), float inputs widened to
+    * double per element. Boxed so NULL (null element / short array)
     * survives the codegen boundary.
     */
-  def dot(a: ArrayData, b: ArrayData, dims: Int,
+  def dot(a: ArrayData, b: ArrayData, dims: Int, offset: Int,
       aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
-    if (a.numElements() < dims || b.numElements() < dims) return null
-    var j = 0
-    while (j < dims) {
+    val end = offset + dims
+    if (a.numElements() < end || b.numElements() < end) return null
+    var j = offset
+    while (j < end) {
       if (a.isNullAt(j) || b.isNullAt(j)) return null
       j += 1
     }
-    var acc = elem(a, 0, aFloat) * elem(b, 0, bFloat)
-    j = 1
-    while (j < dims) {
+    var acc = elem(a, offset, aFloat) * elem(b, offset, bFloat)
+    j = offset + 1
+    while (j < end) {
       acc += elem(a, j, aFloat) * elem(b, j, bFloat)
       j += 1
     }

@@ -78,12 +78,17 @@ object GraftExtensions {
     ("graft_dot",
       new ExpressionInfo(classOf[DotProductExpression].getName, "graft_dot"),
       (children: Seq[Expression]) => {
-        // dims rides as a foldable int literal
-        require(children.length == 3,
-          s"graft_dot expects (a, b, dims), got ${children.length} args")
-        require(children(2).foldable, "graft_dot dims must be literal")
+        // dims (and the optional subspace offset) ride as foldable int
+        // literals
+        require(children.length == 3 || children.length == 4,
+          s"graft_dot expects (a, b, dims[, offset]), got ${children.length} args")
+        require(children.drop(2).forall(_.foldable),
+          "graft_dot dims/offset must be literal")
         DotProductExpression(children(0), children(1),
-          children(2).eval().asInstanceOf[Number].intValue())
+          children(2).eval().asInstanceOf[Number].intValue(),
+          if (children.length == 4)
+            children(3).eval().asInstanceOf[Number].intValue()
+          else 0)
       }),
     ("graft_any_contains",
       new ExpressionInfo(classOf[AnyContainsExpression].getName, "graft_any_contains"),

@@ -1,0 +1,426 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{Sketches, TextFunctions}
+
+/** Corpus-engineering operators, batch three (SURVEY §2.11a, L44–L49):
+  * the compression / semantic-safety / serving-efficiency tier of a
+  * production training-data stack.
+  *
+  *  - L44 product quantization (PQ codes + distortion)         → q109
+  *  - L45 semantic decontamination (embedding-space eval)      → q110
+  *  - L46 prototypicality/outlier profile (SemDeDup/D4 read)   → q111
+  *  - L47 length-bucketed batching efficiency                  → q112
+  *  - L48 bigram LM familiarity (context-sensitive fluency)    → q113
+  *  - L49 mixture materialization (epoch-replicated resample)  → q114
+  *
+  * All six reuse the pipeline's shared kernels
+  * ([[LlmPipeline.embeddingFrame]], [[LlmPipeline.cellAssignWithCos]],
+  * [[LlmPipeline.shingleRowsOf]], [[Sketches.dotOff]]) so constructions
+  * and their DuckDB oracle twins keep one source of truth each.
+  */
+object CorpusOps {
+
+  import LlmPipeline.{CentroidStep, Dims, NearDupTau}
+
+  /** PQ geometry: M subspaces of Sub dims each. */
+  private[queries] val PqM = 4
+  private[queries] val PqSub = Dims / PqM
+
+  /** PQ codebook size cap — K is FIXED in product quantization (a real
+    * system trains K=256 per subspace once and ships it); the stride
+    * sampling below is the in-query init/fixture stand-in (the q70/q92
+    * stance), capped so K does not grow with the corpus.
+    */
+  private[queries] val PqMaxCodes = 64
+  private val PqIdCap = CentroidStep.toLong * PqMaxCodes
+
+  /** Prototype/outlier dials over the quantized affinity
+    * qcos = floor((1 + best_cos)·1e6) ∈ [0, 2e6] (shifted so the
+    * integer-div mean stays in the non-negative domain both engines
+    * truncate identically).
+    */
+  private[queries] val ProtoHiQ = 1250000L
+  private[queries] val OutlierLoQ = 1050000L
+
+  /** Bigram model size (top-K corpus bigrams) and keep threshold. */
+  private[queries] val BigramVocab = 256
+  private[queries] val BigramKeepPpm = 300000L
+
+  val all: Seq[GraftQuery] = {
+
+    /* L44: product quantization — the memory story of embedding-scale
+     * ANN (Jégou et al., "Product Quantization for Nearest Neighbor
+     * Search"): split each vector into M subspaces, quantize each
+     * subspace against its own small codebook, store M code bytes
+     * instead of Dims floats (here 64 floats = 256 B → 4 codes; a real
+     * index also keeps the codebooks for asymmetric-distance scoring).
+     * Per vector: the M argmin-L2 codes plus the total quantization
+     * distortion — the number that sizes K and M for a recall target.
+     * Portability: every subspace distance is computed as
+     * d = dot(v,v) − 2·dot(v,c) + dot(c,c) with all three dots
+     * left-associated over the subspace window ([[Sketches.dotOff]] —
+     * the same native-loop node and IEEE order as the oracle's term
+     * list), so argmin comparisons see bit-identical doubles; ties
+     * break to the lowest code id. At 100 TB: the codebook is
+     * broadcast (M·K subspace rows — kilobytes), encoding is one
+     * broadcast NLJ + a map-side-combined argmin aggregate per vector;
+     * the corpus is never shuffled. */
+    val q109 = GraftQuery(
+      "q109_pq_encode", "L44 L11 L27",
+      (s, d) => {
+        val e = LlmPipeline.embeddingFrame(s, d)
+        val cb = e.filter(col("vec_id") % CentroidStep === 0 &&
+            col("vec_id") < PqIdCap)
+          .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        def dsub(a: Column, b: Column, m: Int): Column =
+          Sketches.dotOff(a, b, PqSub, m * PqSub)
+        val scored = e.crossJoin(broadcast(cb))
+          .select(col("vec_id") +: col("c_id") +:
+            (0 until PqM).map { m =>
+              (dsub(col("embedding"), col("embedding"), m)
+                - lit(2.0) * dsub(col("embedding"), col("ce"), m)
+                + dsub(col("ce"), col("ce"), m)).as(s"d$m")
+            }: _*)
+        val agg = scored.groupBy(col("vec_id"))
+          .agg(
+            min_by(col("c_id"), struct(col("d0"), col("c_id"))).as("code0"),
+            min_by(col("c_id"), struct(col("d1"), col("c_id"))).as("code1"),
+            min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("code2"),
+            min_by(col("c_id"), struct(col("d3"), col("c_id"))).as("code3"),
+            min(col("d0")).as("m0"), min(col("d1")).as("m1"),
+            min(col("d2")).as("m2"), min(col("d3")).as("m3"))
+        agg.select(col("vec_id"), col("code0"), col("code1"), col("code2"),
+            col("code3"),
+            (col("m0") + col("m1") + col("m2") + col("m3")).as("distortion"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        def dsubSql(a: String, b: String, m: Int): String =
+          Sketches.dotSqlOff(a, b, PqSub, m * PqSub)
+        val dists = (0 until PqM).map { m =>
+          s"(${dsubSql("e.embedding", "e.embedding", m)}) - 2 * " +
+            s"(${dsubSql("e.embedding", "cb.ce", m)}) + " +
+            s"(${dsubSql("cb.ce", "cb.ce", m)}) AS d$m"
+        }.mkString(",\n              ")
+        val unions = (0 until PqM).map(m =>
+          s"SELECT vec_id, c_id, $m AS m, d$m AS d FROM p")
+          .mkString(" UNION ALL ")
+        val codes = (0 until PqM).map(m =>
+          s"MAX(CASE WHEN m = $m THEN c_id END) AS code$m")
+          .mkString(", ")
+        val dmins = (0 until PqM).map(m =>
+          s"MAX(CASE WHEN m = $m THEN d END)").mkString(" + ")
+        s"""WITH cb AS (SELECT vec_id AS c_id, embedding AS ce
+              FROM embeddings
+              WHERE vec_id % $CentroidStep = 0 AND vec_id < $PqIdCap),
+          p AS MATERIALIZED (SELECT e.vec_id, cb.c_id,
+              $dists
+            FROM embeddings e CROSS JOIN cb),
+          u AS ($unions),
+          r AS (SELECT vec_id, m, c_id, d,
+              row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c_id)
+                AS rn
+            FROM u),
+          b AS (SELECT vec_id, m, c_id, d FROM r WHERE rn = 1)
+          SELECT vec_id, $codes, $dmins AS distortion
+          FROM b GROUP BY 1 ORDER BY vec_id"""
+      })
+
+    /* L45: semantic decontamination — the embedding-space analog of
+     * L17's n-gram decontamination: a paraphrased eval item shares no
+     * 8-gram with its source, but its embedding still sits within
+     * cosine τ of the eval embedding. Corpus vector contaminated ⇔
+     * cosine ≥ τ against ANY held-out eval vector (vec_id % 97 = 0 —
+     * the same held-out rule as L17/L14); report per stratum (the
+     * embeddings' label column): vectors, contaminated count, total
+     * hits, contamination ppm. At 100 TB: the eval set is
+     * benchmark-sized by definition → BROADCAST; the corpus streams
+     * through one NLJ filter map-side and collapses to per-vector hit
+     * counts before the |labels|-row aggregate — no corpus shuffle
+     * wider than the count aggregate. */
+    val q110 = GraftQuery(
+      "q110_semantic_decontamination", "L45 L17 L27",
+      (s, d) => {
+        val e = LlmPipeline.embeddingFrame(s, d)
+        val ev = e.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("e_id"), col("embedding").as("ee"),
+            col("nrm").as("en"))
+        val corpus = e.filter(col("vec_id") % 97 =!= 0)
+        val hits = corpus.crossJoin(broadcast(ev))
+          .filter(Sketches.cosineFromParts(
+            Sketches.dot(col("embedding"), col("ee"), Dims),
+            col("nrm"), col("en")) >= NearDupTau)
+          .groupBy(col("vec_id")).agg(count(lit(1)).as("n_hits"))
+        Tables.embeddings(s, d).filter(col("vec_id") % 97 =!= 0)
+          .select(col("vec_id"), col("label"))
+          .join(hits, Seq("vec_id"), "left")
+          .withColumn("h", coalesce(col("n_hits"), lit(0L)))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("h") > 0, 1L).otherwise(0L)).as("n_contaminated"),
+            sum(col("h")).as("n_hits_total"))
+          .withColumn("contaminated_ppm",
+            expr("n_contaminated * 1000000 div n_vecs"))
+          .orderBy(col("label"))
+      },
+      Some {
+        val cos = Sketches.cosineSql(
+          Sketches.dotSql("c.embedding", "ev.ee", Dims),
+          Sketches.normSql("c.embedding", Dims),
+          Sketches.normSql("ev.ee", Dims))
+        s"""WITH ev AS (SELECT vec_id AS e_id, embedding AS ee
+              FROM embeddings WHERE vec_id % 97 = 0),
+          hits AS (SELECT c.vec_id, COUNT(*) AS n_hits
+            FROM embeddings c CROSS JOIN ev
+            WHERE c.vec_id % 97 <> 0 AND ($cos) >= $NearDupTau
+            GROUP BY 1),
+          base AS (SELECT vec_id, label FROM embeddings
+            WHERE vec_id % 97 <> 0)
+          SELECT label, COUNT(*) AS n_vecs,
+            CAST(SUM(CASE WHEN COALESCE(n_hits, 0) > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_contaminated,
+            CAST(SUM(COALESCE(n_hits, 0)) AS BIGINT) AS n_hits_total,
+            CAST(SUM(CASE WHEN COALESCE(n_hits, 0) > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) * 1000000 // COUNT(*) AS contaminated_ppm
+          FROM base LEFT JOIN hits USING (vec_id)
+          GROUP BY 1 ORDER BY label"""
+      })
+
+    /* L46: prototypicality/outlier profile — the curation read SemDeDup
+     * and D4 act on: within each quantizer cell, vectors very close to
+     * their centroid are prototypes (semantically redundant — the
+     * mass a balance/dedup pass thins), vectors far from every centroid
+     * are outliers (noise/off-distribution — candidates for removal or
+     * upweighting, per curation goal). Per cell: member count, mean
+     * quantized affinity, prototype and outlier counts under the dials.
+     * Affinity = floor((1 + best_cos)·1e6) — shifted into [0, 2e6] so
+     * the integer-div mean needs no negative-division semantics, exact
+     * on both engines. At 100 TB: one broadcast-codebook argmax
+     * (corpus never shuffled) + a |cells|-row aggregate. */
+    val q111 = GraftQuery(
+      "q111_prototypicality", "L46 L27 L39",
+      (s, d) => {
+        val e = LlmPipeline.embeddingFrame(s, d)
+        val asn = LlmPipeline.cellAssignWithCos(e)
+        val q = asn.withColumn("qcos",
+          floor((lit(1.0) + col("best_cos")) * lit(1e6)).cast("long"))
+        q.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(col("qcos")).as("sq"),
+            sum(when(col("qcos") >= ProtoHiQ, 1L).otherwise(0L))
+              .as("n_prototype"),
+            sum(when(col("qcos") < OutlierLoQ, 1L).otherwise(0L))
+              .as("n_outlier"))
+          .withColumn("mean_qcos", expr("sq div n_members"))
+          .select(col("cell"), col("n_members"), col("mean_qcos"),
+            col("n_prototype"), col("n_outlier"))
+          .orderBy(col("cell"))
+      },
+      Some {
+        s"""WITH ${LlmPipeline.cellAsnCtesSql()},
+          q AS (SELECT cell,
+              CAST(floor((1e0 + ccos) * 1e6) AS BIGINT) AS qcos FROM asn)
+          SELECT cell, COUNT(*) AS n_members,
+            CAST(SUM(qcos) AS BIGINT) // COUNT(*) AS mean_qcos,
+            CAST(SUM(CASE WHEN qcos >= $ProtoHiQ THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_prototype,
+            CAST(SUM(CASE WHEN qcos < $OutlierLoQ THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_outlier
+          FROM q GROUP BY 1 ORDER BY cell"""
+      })
+
+    /* L47: length-bucketed batching efficiency — inference/training
+     * serving pads every sequence in a batch to the batch max, so
+     * batching by length bucket (powers of two) versus one global
+     * max-length batch is a first-order throughput lever. Per bucket:
+     * docs, real tokens, padded slots, waste ppm — next to the
+     * single-global-batch waste ppm the bucketing avoids. The bucket
+     * ladder is a CASE chain over the bounded token-count domain (no
+     * log2 — transcendentals are engine-divergent, the L23 rule). At
+     * 100 TB: token counting is map-side column math, the aggregate is
+     * |buckets| rows, the global row attaches as a broadcast scalar. */
+    val q112 = GraftQuery(
+      "q112_length_buckets", "L47 L9 L30",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextFunctions.tokenCountBpeIsh(col("text")).cast("long")
+              .as("tok"))
+        val bucketed = t.withColumn("bucket",
+          Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+            .foldRight(lit(8192L): Column)((b, acc) =>
+              when(col("tok") <= b, b).otherwise(acc)))
+        val per = bucketed.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"))
+        val g = t.agg(max(col("tok")).as("gmax"), count(lit(1)).as("gn"),
+          sum(col("tok")).as("gsum"))
+        per.crossJoin(broadcast(g))
+          .withColumn("pad_slots",
+            col("bucket") * col("n_docs") - col("sum_tok"))
+          .withColumn("waste_ppm",
+            expr("pad_slots * 1000000 div (bucket * n_docs)"))
+          .withColumn("global_waste_ppm",
+            expr("(gmax * gn - gsum) * 1000000 div (gmax * gn)"))
+          .select(col("bucket"), col("n_docs"), col("sum_tok"),
+            col("pad_slots"), col("waste_ppm"), col("global_waste_ppm"))
+          .orderBy(col("bucket"))
+      },
+      Some {
+        val ladder = Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+          .map(b => s"WHEN tok <= $b THEN $b").mkString(" ")
+        s"""WITH t AS (SELECT doc_id,
+              CAST(${TextFunctions.tokenCountBpeIshSql("text")} AS BIGINT)
+                AS tok
+            FROM documents),
+          b AS (SELECT tok,
+              CAST(CASE $ladder ELSE 8192 END AS BIGINT) AS bucket FROM t),
+          per AS (SELECT bucket, COUNT(*) AS n_docs,
+              CAST(SUM(tok) AS BIGINT) AS sum_tok
+            FROM b GROUP BY 1),
+          g AS (SELECT MAX(tok) AS gmax, COUNT(*) AS gn,
+              CAST(SUM(tok) AS BIGINT) AS gsum FROM t)
+          SELECT bucket, n_docs, sum_tok,
+            bucket * n_docs - sum_tok AS pad_slots,
+            (bucket * n_docs - sum_tok) * 1000000 // (bucket * n_docs)
+              AS waste_ppm,
+            (gmax * gn - gsum) * 1000000 // (gmax * gn) AS global_waste_ppm
+          FROM per, g ORDER BY bucket"""
+      })
+
+    /* L48: bigram LM familiarity — the context-sensitive upgrade of
+     * L23's unigram vocabulary filter (the CCNet train-then-score
+     * shape one n up): induce the corpus's top-K bigram model
+     * (deterministic (df DESC, fingerprint) tie-break), then score
+     * each document by the fraction of its distinct bigrams the model
+     * knows. Word-salad that passes a unigram check fails here —
+     * bigrams carry adjacency. Integer ppm + threshold keep flag; no
+     * log-probability (libm divergence, the L23 lesson). At 100 TB:
+     * the bigram frame is the shared posexplode+lead construction
+     * (no global sort), the model induction is one map-side-combined
+     * df aggregate + a top-K sort on the |vocab|-row frame, and the
+     * model ships as a BROADCAST join. */
+    val q113 = GraftQuery(
+      "q113_bigram_familiarity", "L48 L23 L26",
+      (s, d) => {
+        val grams = LlmPipeline.shingleRowsOf(
+            Tables.documents(s, d), n = 2)
+          .select(col("doc_id"), TextFunctions.md5Fingerprint(col("s"))
+            .as("g"))
+        val model = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("g")).limit(BigramVocab)
+        val perDoc = grams.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"))
+        val known = grams.join(broadcast(model.select(col("g"))), Seq("g"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_known"))
+        perDoc.join(known, Seq("doc_id"), "left")
+          .withColumn("n_known", coalesce(col("n_known"), lit(0L)))
+          .withColumn("fam_ppm", expr("n_known * 1000000 div n_bigrams"))
+          .withColumn("keep", col("fam_ppm") >= BigramKeepPpm)
+          .select(col("doc_id"), col("n_bigrams"), col("n_known"),
+            col("fam_ppm"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val fp = TextFunctions.md5FingerprintSql("s")
+        s"""WITH sh AS (SELECT doc_id,
+              unnest(${Sketches.shinglesSql("text", 2)}) AS s
+            FROM documents),
+          g AS (SELECT doc_id, $fp AS g FROM sh),
+          model AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM g
+              GROUP BY 1) ORDER BY df DESC, g LIMIT $BigramVocab),
+          pd AS (SELECT doc_id, COUNT(*) AS n_bigrams FROM g GROUP BY 1),
+          kn AS (SELECT g.doc_id, COUNT(*) AS n_known
+            FROM g JOIN model USING (g) GROUP BY 1)
+          SELECT pd.doc_id, pd.n_bigrams,
+            COALESCE(kn.n_known, 0) AS n_known,
+            COALESCE(kn.n_known, 0) * 1000000 // pd.n_bigrams AS fam_ppm,
+            COALESCE(kn.n_known, 0) * 1000000 // pd.n_bigrams
+              >= $BigramKeepPpm AS keep
+          FROM pd LEFT JOIN kn ON kn.doc_id = pd.doc_id
+          ORDER BY pd.doc_id"""
+      })
+
+    /* L49: mixture materialization — L42 computes the temperature
+     * allocation; this EMITS it: each document is replicated
+     * copies = rate div 1e6 (whole epochs) + one more when its salted
+     * hash clears the fractional remainder — so a source with
+     * rate 2.3e6 ppm repeats every doc twice and a reproducible 30%
+     * of docs a third time (upsampling; rates below 1e6 downsample the
+     * single copy). Membership is reproducible from doc_id + the
+     * observed counts alone (the L14/L18 contract); the "mix:" salt
+     * decorrelates from the split/shard/sample hashes. Output: docs
+     * per (source, copy index) — the full replication structure, row
+     * counts per epoch. At 100 TB: rates are |sources|-row broadcast
+     * arithmetic, replication is a map-side explode over
+     * sequence(1, copies), and only the |sources|·|epochs|-row report
+     * aggregate shuffles. */
+    val q114 = GraftQuery(
+      "q114_mixture_materialization", "L49 L42 L18",
+      (s, d) => {
+        val budget = 1000000L
+        val n = Tables.documents(s, d)
+          .select(col("source"),
+            TextFunctions.tokenCountBpeIsh(col("text")).cast("long")
+              .as("tok"))
+          .groupBy(col("source")).agg(sum(col("tok")).as("n_tok"))
+          .withColumn("sq",
+            floor(sqrt(col("n_tok").cast("double")) * lit(1e6))
+              .cast("long"))
+        val total = n.agg(sum(col("sq")).as("total_sq"))
+        val rates = n.crossJoin(broadcast(total))
+          .withColumn("target_tok", expr(s"$budget * sq div total_sq"))
+          .withColumn("rate_ppm", expr(
+            "case when n_tok = 0 then 0 " +
+              "else target_tok * 1000000 div n_tok end"))
+          .select(col("source"), col("rate_ppm"))
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"))
+          .join(broadcast(rates), Seq("source"))
+          .withColumn("h", TextFunctions.md5Fingerprint(
+            concat(lit("mix:"), col("doc_id").cast("string")))
+            % lit(1000000L))
+          .withColumn("copies", expr("rate_ppm div 1000000") +
+            when(col("h") < expr("rate_ppm % 1000000"), 1L).otherwise(0L))
+        docs.filter(col("copies") > 0)
+          .select(col("source"), col("doc_id"),
+            explode(sequence(lit(1L), col("copies"))).as("copy_idx"))
+          .groupBy(col("source"), col("copy_idx"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("source"), col("copy_idx"))
+      },
+      Some {
+        val fp = TextFunctions.md5FingerprintSql(
+          "'mix:' || CAST(doc_id AS VARCHAR)")
+        s"""WITH n AS (SELECT source,
+              CAST(SUM(${TextFunctions.tokenCountBpeIshSql("text")})
+                AS BIGINT) AS n_tok
+            FROM documents GROUP BY 1),
+          sq AS (SELECT source, n_tok,
+              CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * 1e6) AS BIGINT)
+                AS sq
+            FROM n),
+          tot AS (SELECT SUM(sq) AS total_sq FROM sq),
+          rates AS (SELECT source,
+              CASE WHEN n_tok = 0 THEN 0
+                ELSE (1000000 * sq // total_sq) * 1000000 // n_tok END
+                AS rate_ppm
+            FROM sq, tot),
+          c AS (SELECT d.source, d.doc_id,
+              CAST(rate_ppm // 1000000 +
+                (CASE WHEN $fp % 1000000 < rate_ppm % 1000000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS copies
+            FROM documents d JOIN rates USING (source)),
+          reps AS (SELECT source, doc_id,
+              unnest(generate_series(1, copies)) AS copy_idx
+            FROM c WHERE copies > 0)
+          SELECT source, CAST(copy_idx AS BIGINT) AS copy_idx,
+            COUNT(*) AS n_docs
+          FROM reps GROUP BY 1, 2 ORDER BY source, copy_idx"""
+      })
+
+    Seq(q109, q110, q111, q112, q113, q114)
+  }
+}

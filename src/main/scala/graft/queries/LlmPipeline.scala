@@ -87,7 +87,7 @@ object LlmPipeline {
     * K=17/NProbe=2). Real embedding corpora cluster, which is the entire
     * premise of IVF — production tuning is K ~ sqrt(n), NProbe ~ K/16.
     */
-  private val CentroidStep = 63
+  private[queries] val CentroidStep = 63
   private val NProbe = 4
 
   /** Max members per LSH bucket before [[graft.functions.Skew.dropHotBuckets]]
@@ -157,7 +157,7 @@ object LlmPipeline {
     * point is the operator's semantics and shape; a real embedding corpus
     * runs this at 0.9+.
     */
-  private val NearDupTau = 0.3
+  private[queries] val NearDupTau = 0.3
 
   /** L1: exact-duplicate clustering by content fingerprint. Every row keeps
     * its cluster size and whether it is the canonical (min-id) survivor —
@@ -515,6 +515,20 @@ object LlmPipeline {
       centroidStep: Int = CentroidStep): org.apache.spark.sql.DataFrame =
     cellAgg(e, centroidStep, carryVec = true)
 
+  /** [[cellAssignOf]] carrying each vector's best (assigned-centroid)
+    * cosine through the argmax aggregate as `best_cos` — the
+    * prototypicality/outlier signal (q111): distance-to-assigned-centroid
+    * is exactly 1 − best_cos. Same plan shape (broadcast NLJ + map-side
+    * argmax), one extra `max` running alongside the `max_by`.
+    */
+  private[queries] def cellAssignWithCos(e: org.apache.spark.sql.DataFrame,
+      centroidStep: Int = CentroidStep): org.apache.spark.sql.DataFrame =
+    cellAggWith(e,
+      e.filter(col("vec_id") % centroidStep === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+          col("nrm").as("cn")),
+      carryVec = false, carryCos = true)
+
   private def cellAgg(e: org.apache.spark.sql.DataFrame, centroidStep: Int,
       carryVec: Boolean): org.apache.spark.sql.DataFrame =
     cellAggWith(e,
@@ -646,9 +660,11 @@ object LlmPipeline {
     (code, inertias.result())
   }
 
-  /** DuckDB twin of [[cellAssignOf]] as CTEs `c`, `asn(vec_id, cell)` —
-    * shared by the q92/q104/q105 oracles so the quantizer has exactly one
-    * SQL source of truth.
+  /** DuckDB twin of [[cellAssignOf]] as CTEs `c`,
+    * `asn(vec_id, cell, ccos)` — shared by the q92/q104/q105/q111 oracles
+    * so the quantizer has exactly one SQL source of truth (`ccos` is the
+    * assigned-centroid cosine, [[cellAssignWithCos]]'s `best_cos`;
+    * consumers that don't need it ignore the column).
     *
     * `asn` is declared MATERIALIZED: DuckDB inlines plain CTEs, and a
     * consumer that references `asn` twice (q92's candidate self-join)
@@ -668,8 +684,8 @@ object LlmPipeline {
       Sketches.normSql("c.embedding", Dims))
     s"""c AS (SELECT vec_id AS c_id, embedding FROM embeddings
               WHERE vec_id % $centroidStep = 0),
-          asn AS MATERIALIZED (SELECT vec_id, c_id AS cell FROM (
-            SELECT e.vec_id, c.c_id,
+          asn AS MATERIALIZED (SELECT vec_id, c_id AS cell, ccos FROM (
+            SELECT e.vec_id, c.c_id, $ccos AS ccos,
               row_number() OVER (PARTITION BY e.vec_id
                 ORDER BY $ccos DESC, c.c_id) AS rn
             FROM embeddings e CROSS JOIN c) WHERE rn = 1)"""

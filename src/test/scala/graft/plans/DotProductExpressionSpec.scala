@@ -65,6 +65,27 @@ class DotProductExpressionSpec extends SparkSpec {
     assert(expr.eval(null) === refDot(a.toIndexedSeq, b.toIndexedSeq, 8))
   }
 
+  test("subspace offset windows tile the full dot and see short arrays as NULL") {
+    import spark.implicits._
+    val a = (0 until 8).map(j => (math.sin(j * 7) * 3).toFloat)
+    val b = (0 until 8).map(j => (math.cos(j * 5) * 2).toFloat)
+    val df = Seq((a, b)).toDF("a", "b")
+    val parts = df.select(
+      (0 until 4).map(m =>
+        Sketches.dotOff(col("a"), col("b"), 2, m * 2).as(s"p$m")): _*)
+      .collect()(0)
+    // each window equals the left fold over exactly its 2 elements
+    (0 until 4).foreach { m =>
+      val exp = refDot(
+        a.map(_.toDouble).slice(m * 2, m * 2 + 2),
+        b.map(_.toDouble).slice(m * 2, m * 2 + 2), 2)
+      assert(parts.getDouble(m) === exp, s"subspace $m")
+    }
+    // an offset window past the end is NULL, same as a short array
+    assert(df.select(Sketches.dotOff(col("a"), col("b"), 2, 7))
+      .collect()(0).isNullAt(0))
+  }
+
   test("q72/q78 pair kernel: every whole-stage span compiles (no 64 KB fallback)") {
     val dir = "/root/testdata/sf0.001"
     for (q <- Seq("q72_embed_neardup", "q78_neardup_components", "q38_ann_brute_topk")) {
