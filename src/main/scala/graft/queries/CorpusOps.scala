@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{Sketches, TextFunctions}
@@ -15,6 +16,7 @@ import graft.functions.{Sketches, TextFunctions}
   *  - L47 length-bucketed batching efficiency                  → q112
   *  - L48 bigram LM familiarity (context-sensitive fluency)    → q113
   *  - L49 mixture materialization (epoch-replicated resample)  → q114
+  *  - L54 PQ asymmetric-distance (ADC) top-k search            → q119
   *
   * All six reuse the pipeline's shared kernels
   * ([[LlmPipeline.embeddingFrame]], [[LlmPipeline.cellAssignWithCos]],
@@ -49,6 +51,75 @@ object CorpusOps {
   private[queries] val BigramVocab = 256
   private[queries] val BigramKeepPpm = 300000L
 
+  /** ADC search protocol: queries (the q70 %50 rule) and result depth. */
+  private[queries] val AdcTopK = 5
+
+  // --- shared PQ kernel (q109 encode, q119 ADC search) ---
+
+  /** The fixed-size PQ codebook: stride-sampled, id-capped (K constant —
+    * see [[PqMaxCodes]]).
+    */
+  private def pqCbOf(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    e.filter(col("vec_id") % CentroidStep === 0 && col("vec_id") < PqIdCap)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+
+  /** Subspace-m squared L2 distance, in the exact parity-safe form
+    * d = dot(a,a) − 2·dot(a,b) + dot(c,c) over the subspace window.
+    */
+  private def pqDist(a: Column, b: Column, m: Int): Column =
+    (Sketches.dotOff(a, a, PqSub, m * PqSub)
+      - lit(2.0) * Sketches.dotOff(a, b, PqSub, m * PqSub)
+      + Sketches.dotOff(b, b, PqSub, m * PqSub))
+
+  private def pqDistSql(a: String, b: String, m: Int): String = {
+    def dsub(x: String, y: String): String =
+      Sketches.dotSqlOff(x, y, PqSub, m * PqSub)
+    s"(${dsub(a, a)}) - 2 * (${dsub(a, b)}) + (${dsub(b, b)})"
+  }
+
+  /** Per-vector PQ code assignment (the q109 argmin without the
+    * distortion columns) — shared with the ADC search (q119).
+    */
+  private[queries] def pqCodesOf(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    e.crossJoin(broadcast(pqCbOf(e)))
+      .select(col("vec_id") +: col("c_id") +:
+        (0 until PqM).map(m =>
+          pqDist(col("embedding"), col("ce"), m).as(s"d$m")): _*)
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("c_id"), struct(col("d0"), col("c_id"))).as("code0"),
+        min_by(col("c_id"), struct(col("d1"), col("c_id"))).as("code1"),
+        min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("code2"),
+        min_by(col("c_id"), struct(col("d3"), col("c_id"))).as("code3"))
+
+  /** DuckDB twin of the PQ assignment as CTEs `cb`, `p`, `u`, `r`, `b`
+    * — `b(vec_id, m, c_id, d)` holds each vector's per-subspace argmin
+    * codeword and its distance. Shared by the q109/q119 oracles so the
+    * quantizer construction has one SQL source of truth. `p` is
+    * MATERIALIZED (the q92 mmap-fragmentation lesson).
+    */
+  private[queries] def pqAsnCtesSql: String = {
+    val dists = (0 until PqM).map { m =>
+      s"${pqDistSql("e.embedding", "cb.ce", m)} AS d$m"
+    }.mkString(",\n              ")
+    val unions = (0 until PqM).map(m =>
+      s"SELECT vec_id, c_id, $m AS m, d$m AS d FROM p")
+      .mkString(" UNION ALL ")
+    s"""cb AS (SELECT vec_id AS c_id, embedding AS ce
+              FROM embeddings
+              WHERE vec_id % $CentroidStep = 0 AND vec_id < $PqIdCap),
+          p AS MATERIALIZED (SELECT e.vec_id, cb.c_id,
+              $dists
+            FROM embeddings e CROSS JOIN cb),
+          u AS ($unions),
+          r AS (SELECT vec_id, m, c_id, d,
+              row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c_id)
+                AS rn
+            FROM u),
+          b AS (SELECT vec_id, m, c_id, d FROM r WHERE rn = 1)"""
+  }
+
   val all: Seq[GraftQuery] = {
 
     /* L44: product quantization — the memory story of embedding-scale
@@ -72,18 +143,10 @@ object CorpusOps {
       "q109_pq_encode", "L44 L11 L27",
       (s, d) => {
         val e = LlmPipeline.embeddingFrame(s, d)
-        val cb = e.filter(col("vec_id") % CentroidStep === 0 &&
-            col("vec_id") < PqIdCap)
-          .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-        def dsub(a: Column, b: Column, m: Int): Column =
-          Sketches.dotOff(a, b, PqSub, m * PqSub)
-        val scored = e.crossJoin(broadcast(cb))
+        val scored = e.crossJoin(broadcast(pqCbOf(e)))
           .select(col("vec_id") +: col("c_id") +:
-            (0 until PqM).map { m =>
-              (dsub(col("embedding"), col("embedding"), m)
-                - lit(2.0) * dsub(col("embedding"), col("ce"), m)
-                + dsub(col("ce"), col("ce"), m)).as(s"d$m")
-            }: _*)
+            (0 until PqM).map(m =>
+              pqDist(col("embedding"), col("ce"), m).as(s"d$m")): _*)
         val agg = scored.groupBy(col("vec_id"))
           .agg(
             min_by(col("c_id"), struct(col("d0"), col("c_id"))).as("code0"),
@@ -98,33 +161,12 @@ object CorpusOps {
           .orderBy(col("vec_id"))
       },
       Some {
-        def dsubSql(a: String, b: String, m: Int): String =
-          Sketches.dotSqlOff(a, b, PqSub, m * PqSub)
-        val dists = (0 until PqM).map { m =>
-          s"(${dsubSql("e.embedding", "e.embedding", m)}) - 2 * " +
-            s"(${dsubSql("e.embedding", "cb.ce", m)}) + " +
-            s"(${dsubSql("cb.ce", "cb.ce", m)}) AS d$m"
-        }.mkString(",\n              ")
-        val unions = (0 until PqM).map(m =>
-          s"SELECT vec_id, c_id, $m AS m, d$m AS d FROM p")
-          .mkString(" UNION ALL ")
         val codes = (0 until PqM).map(m =>
           s"MAX(CASE WHEN m = $m THEN c_id END) AS code$m")
           .mkString(", ")
         val dmins = (0 until PqM).map(m =>
           s"MAX(CASE WHEN m = $m THEN d END)").mkString(" + ")
-        s"""WITH cb AS (SELECT vec_id AS c_id, embedding AS ce
-              FROM embeddings
-              WHERE vec_id % $CentroidStep = 0 AND vec_id < $PqIdCap),
-          p AS MATERIALIZED (SELECT e.vec_id, cb.c_id,
-              $dists
-            FROM embeddings e CROSS JOIN cb),
-          u AS ($unions),
-          r AS (SELECT vec_id, m, c_id, d,
-              row_number() OVER (PARTITION BY vec_id, m ORDER BY d, c_id)
-                AS rn
-            FROM u),
-          b AS (SELECT vec_id, m, c_id, d FROM r WHERE rn = 1)
+        s"""WITH $pqAsnCtesSql
           SELECT vec_id, $codes, $dmins AS distortion
           FROM b GROUP BY 1 ORDER BY vec_id"""
       })
@@ -421,6 +463,78 @@ object CorpusOps {
           FROM reps GROUP BY 1, 2 ORDER BY source, copy_idx"""
       })
 
-    Seq(q109, q110, q111, q112, q113, q114)
+    /* L54: PQ asymmetric-distance (ADC) top-k search — the serving half
+     * of L44 (Jégou et al. §IV): the corpus is stored ONLY as M code
+     * ids per vector; at query time the query computes its exact
+     * distance to every codeword once (an M·K lookup table, kilobytes),
+     * and each corpus vector's approximate distance is the sum of M
+     * table lookups — no corpus floats touched, the compressed-domain
+     * scan that makes billion-vector ANN fit in RAM. Results rank by
+     * (adc, vec_id); ties impossible to diverge since every adc double
+     * is built from the same left-associated parts on both engines. At
+     * 100 TB: codes ride the shared L44 assignment, the lookup tables
+     * are |queries|·K rows BROADCAST (4 map-side joins), and only the
+     * per-query rank window shuffles — on (q_id, adc) pairs, never
+     * embeddings. */
+    val q119 = GraftQuery(
+      "q119_pq_adc_topk", "L54 L44 L6",
+      (s, d) => {
+        val e = LlmPipeline.embeddingFrame(s, d)
+        val codes = pqCodesOf(e)
+        val qs = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val table = qs.crossJoin(broadcast(pqCbOf(e)))
+          .select(col("q_id") +: col("c_id") +:
+            (0 until PqM).map(m =>
+              pqDist(col("qe"), col("ce"), m).as(s"dq$m")): _*)
+        val joined = (0 until PqM).foldLeft(codes) { (df, m) =>
+          val tm = table.select(col("q_id"), col("c_id").as(s"code$m"),
+            col(s"dq$m"))
+          if (m == 0) df.join(broadcast(tm), Seq(s"code$m"))
+          else df.join(broadcast(tm), Seq("q_id", s"code$m"))
+        }
+        joined.filter(col("vec_id") =!= col("q_id"))
+          .withColumn("adc",
+            col("dq0") + col("dq1") + col("dq2") + col("dq3"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("adc"), col("vec_id"))))
+          .filter(col("rank") <= AdcTopK)
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("adc"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        val codes = (0 until PqM).map(m =>
+          s"MAX(CASE WHEN m = $m THEN c_id END) AS code$m")
+          .mkString(", ")
+        val dqs = (0 until PqM).map(m =>
+          s"${pqDistSql("q.qe", "cb.ce", m)} AS dq$m")
+          .mkString(",\n              ")
+        val joins = (1 until PqM).map(m =>
+          s"JOIN t t$m ON t$m.q_id = t0.q_id AND t$m.c_id = codes.code$m")
+          .mkString("\n            ")
+        s"""WITH $pqAsnCtesSql,
+          codes AS (SELECT vec_id, $codes FROM b GROUP BY 1),
+          q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+            WHERE vec_id % 50 = 0),
+          t AS MATERIALIZED (SELECT q.q_id, cb.c_id,
+              $dqs
+            FROM q CROSS JOIN cb),
+          adc AS (SELECT codes.vec_id, t0.q_id,
+              t0.dq0 + t1.dq1 + t2.dq2 + t3.dq3 AS adc
+            FROM codes
+            JOIN t t0 ON t0.c_id = codes.code0
+            $joins
+            WHERE codes.vec_id <> t0.q_id),
+          rk AS (SELECT q_id, vec_id, adc,
+              row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id)
+                AS rn
+            FROM adc)
+          SELECT q_id, CAST(rn AS BIGINT) AS rank, vec_id, adc
+          FROM rk WHERE rn <= $AdcTopK ORDER BY q_id, rank"""
+      })
+
+    Seq(q109, q110, q111, q112, q113, q114, q119)
   }
 }

@@ -1,0 +1,387 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{Sketches, Skew, TextFunctions}
+
+/** Text-corpus engineering operators, batch four (SURVEY §2.11a,
+  * L50–L53 + L55): tokenizer economics, distributional drift, and the
+  * fingerprinting family beyond fixed windows.
+  *
+  *  - L50 tokenizer fertility profile                          → q115
+  *  - L51 term-distribution divergence (total variation)       → q116
+  *  - L52 winnowing fingerprint selection (MOSS)               → q117
+  *  - L53 content-defined chunking dedup (CDC)                 → q118
+  *  - L55 chunk-containment detection (sub/superstring pairs)  → q120
+  *
+  * (L54, the PQ asymmetric-distance search, lives with its encode twin
+  * in [[CorpusOps]] — q119.)
+  */
+object TextCorpusOps {
+
+  import LlmPipeline.HotBucketCap
+
+  /** Winnowing window: each run of `WinnowW` consecutive shingle hashes
+    * contributes its minimum — guarantees any shared run of
+    * WinnowW + ShingleN − 1 words is detected (Schleimer et al.).
+    */
+  private[queries] val WinnowW = 4
+
+  /** CDC boundary divisor: a word position ends a chunk when the 3-gram
+    * hash starting there ≡ 0 (mod this) — expected chunk length 16 words.
+    */
+  private[queries] val CdcMod = 16L
+
+  /** Containment report floor (ppm of the contained doc's chunks). */
+  private[queries] val ContainPpm = 600000L
+
+  val all: Seq[GraftQuery] = {
+
+    /* L50: tokenizer fertility profile — the multilingual tokenizer-
+     * budget report (how many chars/words one BPE-ish token spans, per
+     * source): fertility decides per-language compute cost and flags
+     * sources a tokenizer serves badly (high chars-per-token = byte
+     * fallback territory). Pure map-side column math + one
+     * |sources|-row aggregate; integer ppm ratios (the L28 rule). */
+    val q115 = GraftQuery(
+      "q115_tokenizer_fertility", "L50 L9 L30",
+      (s, d) => {
+        Tables.documents(s, d)
+          .select(col("source"),
+            length(col("text")).cast("long").as("nc"),
+            TextFunctions.tokenCountWs(col("text")).cast("long").as("nw"),
+            TextFunctions.tokenCountBpeIsh(col("text")).cast("long")
+              .as("nb"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+            sum(col("nw")).as("ws_tokens"), sum(col("nb")).as("bpe_tokens"))
+          .withColumn("chars_per_tok_ppm", expr(
+            "case when bpe_tokens = 0 then 0 " +
+              "else n_chars * 1000000 div bpe_tokens end"))
+          .withColumn("tok_per_word_ppm", expr(
+            "case when ws_tokens = 0 then 0 " +
+              "else bpe_tokens * 1000000 div ws_tokens end"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val ws = Sketches.wordsSql("text")
+        s"""WITH t AS (SELECT source,
+              CAST(length(text) AS BIGINT) AS nc,
+              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len($ws) END AS BIGINT) AS nw,
+              CAST(${TextFunctions.tokenCountBpeIshSql("text")} AS BIGINT)
+                AS nb
+            FROM documents)
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(nc) AS BIGINT) AS n_chars,
+            CAST(SUM(nw) AS BIGINT) AS ws_tokens,
+            CAST(SUM(nb) AS BIGINT) AS bpe_tokens,
+            CASE WHEN CAST(SUM(nb) AS BIGINT) = 0 THEN 0
+              ELSE CAST(SUM(nc) AS BIGINT) * 1000000
+                // CAST(SUM(nb) AS BIGINT) END AS chars_per_tok_ppm,
+            CASE WHEN CAST(SUM(nw) AS BIGINT) = 0 THEN 0
+              ELSE CAST(SUM(nb) AS BIGINT) * 1000000
+                // CAST(SUM(nw) AS BIGINT) END AS tok_per_word_ppm
+          FROM t GROUP BY 1 ORDER BY source"""
+      })
+
+    /* L51: term-distribution divergence — per source, the total-
+     * variation distance between its unigram distribution and the
+     * corpus's, over the corpus top-K vocabulary: the drift report that
+     * flags off-distribution sources before mixture design (and after
+     * an ingest regression). TV = Σ|p_s − p_corpus| / 2 with both
+     * probabilities quantized to integer ppm BEFORE the difference —
+     * no float subtraction anywhere (KL/JS need log: engine-divergent,
+     * the L23 rule; TV is the portable member of the family). At
+     * 100 TB: word counts are map-side-combined aggregates; the top-K
+     * model is a tiny sort on the |vocab|-row frame and ships
+     * BROADCAST; the (source × K) frame is |sources|·K rows. */
+    val q116 = GraftQuery(
+      "q116_term_divergence", "L51 L23 L28",
+      (s, d) => {
+        val k = 64
+        val words = Tables.documents(s, d)
+          .select(col("source"),
+            explode(Sketches.words(col("text"))).as("w"))
+        val perSource = words.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_tokens"))
+        val global = words.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+        val top = global.orderBy(col("cw").desc, col("w")).limit(k)
+        val total = perSource.agg(sum(col("n_tokens")).as("n_total"))
+        val sw = words.join(broadcast(top.select(col("w"))), Seq("w"))
+          .groupBy(col("source"), col("w")).agg(count(lit(1)).as("csw"))
+        val grid = perSource.crossJoin(broadcast(top))
+          .join(sw, Seq("source", "w"), "left")
+          .withColumn("csw", coalesce(col("csw"), lit(0L)))
+          .crossJoin(broadcast(total))
+          .withColumn("ps", expr("csw * 1000000 div n_tokens"))
+          .withColumn("pc", expr("cw * 1000000 div n_total"))
+        grid.groupBy(col("source"))
+          .agg(first(col("n_tokens")).as("n_tokens"),
+            sum(abs(col("ps") - col("pc"))).as("sabs"))
+          .withColumn("tv_ppm", expr("sabs div 2"))
+          .select(col("source"), col("n_tokens"), col("tv_ppm"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val ws = Sketches.wordsSql("text")
+        s"""WITH w AS (SELECT source, unnest($ws) AS w FROM documents),
+          ps AS (SELECT source, COUNT(*) AS n_tokens FROM w GROUP BY 1),
+          top AS (SELECT w, cw FROM (SELECT w, COUNT(*) AS cw FROM w
+              GROUP BY 1) ORDER BY cw DESC, w LIMIT 64),
+          tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS n_total FROM ps),
+          sw AS (SELECT source, w, COUNT(*) AS csw FROM w
+            WHERE w IN (SELECT w FROM top) GROUP BY 1, 2),
+          grid AS (SELECT ps.source, ps.n_tokens,
+              COALESCE(sw.csw, 0) * 1000000 // ps.n_tokens AS p_s,
+              top.cw * 1000000 // tot.n_total AS p_c
+            FROM ps CROSS JOIN top CROSS JOIN tot
+            LEFT JOIN sw ON sw.source = ps.source AND sw.w = top.w)
+          SELECT source, n_tokens,
+            CAST(SUM(abs(p_s - p_c)) // 2 AS BIGINT) AS tv_ppm
+          FROM grid GROUP BY 1, 2 ORDER BY source"""
+      })
+
+    /* L52: winnowing fingerprint selection — the MOSS algorithm
+     * (Schleimer, Wilkerson, Aiken 2003): instead of keeping every
+     * shingle hash (L10) or hoping a MinHash band collides (L3/L4),
+     * keep the MINIMUM hash of every sliding window of WinnowW
+     * consecutive shingle hashes. Guarantee: any shared run of
+     * WinnowW + 2 words produces at least one shared fingerprint, at
+     * an expected density of 2/(WinnowW+1) — the storage/recall dial
+     * the sketch family's other members lack. Ties inside a window
+     * break to the LEFTMOST position by packing (hash, pos) into one
+     * BIGINT (hash %2^40 · 2^20 + pos) and taking a plain integer MIN
+     * — no struct-ordering divergence between engines. Per doc:
+     * shingles, full windows, selected fingerprints, density ppm. At
+     * 100 TB: everything is per-doc windows over the posexplode+lead
+     * frame (no global sort), then one doc-keyed aggregate. */
+    val q117 = GraftQuery(
+      "q117_winnowing", "L52 L10 L3",
+      (s, d) => {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(Sketches.words(col("text"))).as(Seq("pos", "w0")))
+          .withColumn("w1", lead(col("w0"), 1).over(w))
+          .withColumn("w2", lead(col("w0"), 2).over(w))
+          .filter(col("w2").isNotNull)
+          .withColumn("pack",
+            (Sketches.h64(concat_ws(" ", col("w0"), col("w1"), col("w2")))
+              % lit(1099511627776L)) * lit(1048576L) + col("pos"))
+        val stats = sh.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"))
+        val wins = sh
+          .withColumn("winmin",
+            min(col("pack")).over(w.rowsBetween(0, WinnowW - 1)))
+          .withColumn("full", lead(col("pack"), WinnowW - 1).over(w)
+            .isNotNull)
+          .filter(col("full"))
+        val sel = wins.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_windows"),
+            countDistinct(col("winmin")).as("n_selected"))
+        stats.join(sel, Seq("doc_id"), "left")
+          .withColumn("n_windows", coalesce(col("n_windows"), lit(0L)))
+          .withColumn("n_selected", coalesce(col("n_selected"), lit(0L)))
+          .withColumn("density_ppm",
+            expr("n_selected * 1000000 div n_shingles"))
+          .select(col("doc_id"), col("n_shingles"), col("n_windows"),
+            col("n_selected"), col("density_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val ws = Sketches.wordsSql("text")
+        val h = Sketches.h64Sql("s")
+        s"""WITH wp AS (SELECT doc_id,
+              unnest(generate_series(1, len($ws))) AS pos1,
+              $ws AS warr
+            FROM documents),
+          tg AS (SELECT doc_id, pos1 - 1 AS pos,
+              array_to_string(warr[pos1:pos1+2], ' ') AS s
+            FROM wp WHERE pos1 + 2 <= len(warr)),
+          pk AS (SELECT doc_id, pos,
+              ($h % 1099511627776) * 1048576 + pos AS pack
+            FROM tg),
+          st AS (SELECT doc_id, COUNT(*) AS n_shingles FROM pk GROUP BY 1),
+          wn AS (SELECT doc_id,
+              min(pack) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING)
+                AS winmin,
+              lead(pack, ${WinnowW - 1}) OVER (PARTITION BY doc_id
+                ORDER BY pos) IS NOT NULL AS fullw
+            FROM pk),
+          sel AS (SELECT doc_id, COUNT(*) AS n_windows,
+              COUNT(DISTINCT winmin) AS n_selected
+            FROM wn WHERE fullw GROUP BY 1)
+          SELECT st.doc_id, st.n_shingles,
+            COALESCE(sel.n_windows, 0) AS n_windows,
+            COALESCE(sel.n_selected, 0) AS n_selected,
+            COALESCE(sel.n_selected, 0) * 1000000 // st.n_shingles
+              AS density_ppm
+          FROM st LEFT JOIN sel ON sel.doc_id = st.doc_id
+          ORDER BY st.doc_id"""
+      })
+
+    /* L53: content-defined chunking dedup — L33's fixed 48-word windows
+     * break on a single inserted word (every downstream window shifts);
+     * CDC (the LBFS/borg/restic boundary trick) cuts chunks where the
+     * CONTENT says so: a chunk ends at word p when the 3-gram hash
+     * starting at p ≡ 0 (mod 16). An insertion only perturbs chunks
+     * that overlap it — the rest re-align and still dedup, which the
+     * registered query proves by replaying the %97==1 slice with one
+     * word PREPENDED (the case that defeats q98 entirely). Chunk
+     * fingerprints are position-weighted integer hash sums (h%2^32 ·
+     * relpos) — order-sensitive yet commutative to aggregate, exact in
+     * int64 through ~32k-word documents (the engine's document bound,
+     * 3 orders above the fixtures). Per doc: chunks, chunks seen
+     * elsewhere, non-canonical dups, dup ppm (the q98 report over CDC
+     * chunks). At 100 TB: per-doc windows + two hash aggregates on
+     * 8-byte keys — same bounded shapes as L33. */
+    val q118 = GraftQuery(
+      "q118_cdc_chunk_dedup", "L53 L33 L20",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val planted = docs.unionByName(
+          docs.filter(col("doc_id") % 97 === 1)
+            .withColumn("doc_id", col("doc_id") + 2000000L)
+            .withColumn("text", concat(lit("ins "), col("text"))))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val base = planted
+          .select(col("doc_id"),
+            posexplode(Sketches.words(col("text"))).as(Seq("pos", "w0")))
+          .withColumn("w1", lead(col("w0"), 1).over(w))
+          .withColumn("w2", lead(col("w0"), 2).over(w))
+          .withColumn("boundary",
+            col("w2").isNotNull &&
+              Sketches.h64(concat_ws(" ", col("w0"), col("w1"), col("w2")))
+                % CdcMod === 0)
+          .withColumn("chunk_id", coalesce(
+            sum(when(col("boundary"), 1L).otherwise(0L))
+              .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        val wc = Window.partitionBy(col("doc_id"), col("chunk_id"))
+        val chunks = base
+          .withColumn("mp", min(col("pos")).over(wc))
+          .withColumn("term",
+            (Sketches.h64(col("w0")) % lit(4294967296L)) *
+              (col("pos") - col("mp") + 1L))
+          .groupBy(col("doc_id"), col("chunk_id"))
+          .agg(sum(col("term")).as("cfp"), count(lit(1)).as("n_w"),
+            min(col("doc_id") * 1048576L + col("chunk_id")).as("k"))
+        val cl = chunks.groupBy(col("cfp"))
+          .agg(count(lit(1)).as("n"), min(col("k")).as("keeper"))
+        chunks.join(cl, Seq("cfp"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_shared_chunks"),
+            sum(when(col("n") > 1 && col("k") =!= col("keeper"), 1L)
+              .otherwise(0L)).as("n_dup_chunks"))
+          .withColumn("dup_ppm", expr("n_dup_chunks * 1000000 div n_chunks"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val ws = Sketches.wordsSql("text")
+        val h3 = Sketches.h64Sql("array_to_string(warr[pos1:pos1+2], ' ')")
+        val hw = Sketches.h64Sql("warr[pos1]")
+        s"""WITH src AS (SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 2000000 AS doc_id,
+                'ins ' || text AS text
+              FROM documents WHERE doc_id % 97 = 1),
+          wp AS (SELECT doc_id,
+              unnest(generate_series(1, len($ws))) AS pos1, $ws AS warr
+            FROM src),
+          bd AS (SELECT doc_id, pos1, warr,
+              (pos1 + 2 <= len(warr) AND $h3 % $CdcMod = 0) AS boundary
+            FROM wp),
+          ck AS (SELECT doc_id, pos1, warr,
+              COALESCE(SUM(CASE WHEN boundary THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY pos1
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS chunk_id
+            FROM bd),
+          tm AS (SELECT doc_id, chunk_id,
+              ($hw % 4294967296) *
+                (pos1 - MIN(pos1) OVER (PARTITION BY doc_id, chunk_id) + 1)
+                AS term
+            FROM ck),
+          chunks AS (SELECT doc_id, chunk_id,
+              CAST(SUM(term) AS BIGINT) AS cfp, COUNT(*) AS n_w,
+              MIN(doc_id * 1048576 + chunk_id) AS k
+            FROM tm GROUP BY 1, 2),
+          cl AS (SELECT cfp, COUNT(*) AS n, MIN(k) AS keeper
+            FROM chunks GROUP BY 1)
+          SELECT chunks.doc_id, COUNT(*) AS n_chunks,
+            CAST(SUM(CASE WHEN cl.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_shared_chunks,
+            CAST(SUM(CASE WHEN cl.n > 1 AND chunks.k <> cl.keeper
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+            CAST(SUM(CASE WHEN cl.n > 1 AND chunks.k <> cl.keeper
+              THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*)
+              AS dup_ppm
+          FROM chunks JOIN cl ON cl.cfp = chunks.cfp
+          GROUP BY 1 ORDER BY doc_id"""
+      })
+
+    /* L55: chunk-containment detection — the asymmetric relation the
+     * symmetric near-dup family misses: document A is (mostly) a
+     * SUBSTRING of document B (quotation, mirror-with-banner,
+     * truncated re-crawl). Candidates ride shared L20 chunk
+     * fingerprints under the executed hot-bucket guard; containment =
+     * shared distinct chunks · 1e6 div |A's chunks|, reported when ≥
+     * the floor. The planted replay (%97==1 slice with a 20-word tail
+     * APPENDED) makes the original a perfect substring of its replica
+     * at every SF: A→B at 1e6 ppm, B→A at its partial ratio. At
+     * 100 TB: pair fan-out is bounded by chunk-fp df (guard-capped),
+     * the verify needs no re-join — the count IS the evidence. */
+    val q120 = GraftQuery(
+      "q120_chunk_containment", "L55 L33 L4",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val tail = (1 to 20).map(i => s"zz$i").mkString(" ")
+        val planted = docs.unionByName(
+          docs.filter(col("doc_id") % 97 === 1)
+            .withColumn("doc_id", col("doc_id") + 3000000L)
+            .withColumn("text", concat(col("text"), lit(" " + tail))))
+        val cf = LlmPipeline.chunkFrame(planted)
+          .select(col("doc_id"), col("chunk_fp")).distinct()
+        val sizes = cf.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+        val guarded = Skew.dropHotBuckets(cf, Seq("chunk_fp"),
+          HotBucketCap, observeAs = Some("containment_hot_chunks"))
+        val pairs = guarded
+          .join(guarded.select(col("doc_id").as("container"),
+            col("chunk_fp")), Seq("chunk_fp"))
+          .filter(col("doc_id") =!= col("container"))
+          .groupBy(col("doc_id"), col("container"))
+          .agg(count(lit(1)).as("n_shared"))
+        pairs.join(sizes, Seq("doc_id"))
+          .withColumn("containment_ppm",
+            expr("n_shared * 1000000 div n_a"))
+          .filter(col("containment_ppm") >= ContainPpm)
+          .select(col("doc_id"), col("container"), col("n_a").as("n_chunks"),
+            col("n_shared"), col("containment_ppm"))
+          .orderBy(col("doc_id"), col("container"))
+      },
+      Some {
+        val tail = (1 to 20).map(i => s"zz$i").mkString(" ")
+        val src = s"""(SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 3000000 AS doc_id,
+              text || ' $tail' AS text
+            FROM documents WHERE doc_id % 97 = 1)"""
+        s"""WITH ${LlmPipeline.chunkCtesSql(src)},
+          cf AS (SELECT DISTINCT doc_id, chunk_fp FROM chunks),
+          sizes AS (SELECT doc_id, COUNT(*) AS n_a FROM cf GROUP BY 1),
+          pairs AS (SELECT a.doc_id, b.doc_id AS container,
+              COUNT(*) AS n_shared
+            FROM cf a JOIN cf b ON b.chunk_fp = a.chunk_fp
+            WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+          SELECT p.doc_id, p.container, s.n_a AS n_chunks, p.n_shared,
+            p.n_shared * 1000000 // s.n_a AS containment_ppm
+          FROM pairs p JOIN sizes s ON s.doc_id = p.doc_id
+          WHERE p.n_shared * 1000000 // s.n_a >= $ContainPpm
+          ORDER BY p.doc_id, p.container"""
+      })
+
+    Seq(q115, q116, q117, q118, q120)
+  }
+}

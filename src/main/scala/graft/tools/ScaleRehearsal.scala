@@ -158,7 +158,16 @@ object ScaleRehearsal {
       // ~10x vectors: the assignment NLJ is the quadratic-looking term
       // (n x K dot products) that must stay map-side and sublinear-per-row
       "q70_ann_ivf_coarse", "q92_semdedup_cells", "q104_cluster_balance",
-      "q105_quantizer_refine")
+      "q105_quantizer_refine",
+      // round-11 additions: PQ encoding (broadcast codebook, K FIXED —
+      // unlike the stride quantizer the NLJ term grows only with n),
+      // CDC chunk dedup and chunk containment (per-doc windows + 8-byte
+      // key aggregates — the L33 scaling shapes with a window stage).
+      // q119 (ADC search) is deliberately absent: its query set is n/50
+      // by protocol, so corpus-coupled scaling is quadratic BY DESIGN
+      // (a compressed-domain brute scan, like q38) — at production the
+      // query count is a workload dial independent of corpus size.
+      "q109_pq_encode", "q118_cdc_chunk_dedup", "q120_chunk_containment")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)

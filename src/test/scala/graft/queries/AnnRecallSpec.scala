@@ -107,6 +107,40 @@ class AnnRecallSpec extends SparkSpec {
       f"IVF recall@1 regressed: $ivfRecall1%.2f (dial: NProbe)")
   }
 
+  test("q119 PQ-ADC recall vs exact top-k on planted twins") {
+    // the compressed-domain search (L54) measured against the exact
+    // baseline: the corpus is reduced to 4 code ids per vector (8
+    // codewords per subspace at this fixture size), so recall quantifies
+    // what the ~64x memory compression costs — the measure-don't-guess
+    // rule applied to the PQ dials (M, K) before anyone ships them
+    val exact = rows("q38_ann_brute_topk")
+    val queries = exact.map(_.getLong(0)).distinct
+    val exactTop1 = exact.filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val exactTopK = exact.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val k = exactTopK.head._2.size
+    val adcTopK = rows("q119_pq_adc_topk").groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val recall1 = queries.count(q =>
+      adcTopK.getOrElse(q, Set.empty).contains(exactTop1(q))).toDouble /
+      queries.length
+    val recallK = queries.map { q =>
+      adcTopK.getOrElse(q, Set.empty).intersect(exactTopK(q)).size.toDouble / k
+    }.sum / queries.length
+    info(f"q119 PQ-ADC recall@1 = $recall1%.2f, recall@$k%d = $recallK%.2f")
+    println(f"[ann-recall] q119_recall@1=$recall1%.2f " +
+      f"q119_recall@$k%d=$recallK%.2f n=${queries.length}%d")
+    // measured on this corpus: recall@1 = 0.90, recall@5 = 0.22 — the
+    // planted twin (a near-exact copy) quantizes to its query's codes and
+    // surfaces at rank 1, while deeper ranks wash out in quantization
+    // ties (8 codewords/subspace cannot order moderate-cosine neighbors).
+    // Floors sit WELL OFF the measurements (the r10 #2 margin rule): @1
+    // catches an encode/tie-break regression, @5 only an outright break.
+    assert(recall1 >= 0.7 && recallK >= 0.1,
+      f"PQ-ADC recall floor: @1=$recall1%.2f @$k%d=$recallK%.2f")
+  }
+
   test("q92 SemDeDup pair recall on planted twins (cell-based candidates)") {
     // the dedup analog of ANN recall: a planted twin at cos ~0.995 is a
     // CONFIDENT near-dup (τ = 0.3), so each twin (q+3) must be assigned a

@@ -1,0 +1,180 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Branch-level semantics of the L50–L55 operators (q115–q120) on planted
+  * fixtures, including an independent JVM-side reimplementation of the
+  * CDC chunking arithmetic (the insertion-robustness headline) and the
+  * PQ-ADC ranking on a hand-computable corpus.
+  */
+class TextCorpusOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def queryByName(name: String) = graft.SparkEntry.queries(name)
+
+  private def docCorpus(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = Files.createTempDirectory("textops-docs").toString
+    rows.map { case (id, text, lang, source) => (id, text, lang, source, 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def embCorpus(rows: Seq[(Long, Array[Float], Int)]): String = {
+    val dir = Files.createTempDirectory("textops-emb").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  /** The engine's portable 60-bit hash, reimplemented independently. */
+  private def h64(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("q115: chars, whitespace tokens and BPE-ish tokens per source are exact") {
+    val dir = docCorpus(Seq(
+      (1L, "ab cd", "en", "s1"),      // 5 chars, 2 ws, 2 bpe
+      (2L, "a1! b", "en", "s1"),      // 5 chars, 2 ws, 4 bpe (a|1|!|b)
+      (3L, "hello world", "en", "s2") // 11 chars, 2 ws, 2 bpe
+    ))
+    val out = queryByName("q115_tokenizer_fertility")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(out("s1") === ((2L, 10L, 4L, 6L,
+      10L * 1000000L / 6L, 6L * 1000000L / 4L)))
+    assert(out("s2") === ((1L, 11L, 2L, 2L,
+      5500000L, 1000000L)))
+  }
+
+  test("q116: identical sources diverge zero-ish, a disjoint source diverges hard") {
+    // A and B share the exact distribution; C is disjoint vocabulary
+    val dir = docCorpus(Seq(
+      (1L, "x y x y", "en", "A"),
+      (2L, "x y x y", "en", "B"),
+      (3L, "z w z w", "en", "C")))
+    val out = queryByName("q116_term_divergence")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // N=12: p_c(x)=p_c(y)=333333 ppm, p_c(z)=p_c(w)=166666 ppm
+    // A: p(x)=p(y)=500000, p(z)=p(w)=0 → TV=(166667*2+166666*2)/2
+    assert(out("A") === ((4L, 333333L)))
+    assert(out("B") === ((4L, 333333L)))
+    // C: |500000-166666|*2 + 333333*2 over 2
+    assert(out("C") === ((4L, 666667L)))
+  }
+
+  test("q117: window and selection counts follow the winnowing contract") {
+    // 6 words → 4 shingles → exactly 1 full window of 4 → 1 fingerprint;
+    // 5 words → 3 shingles → no full window → density 0
+    val dir = docCorpus(Seq(
+      (1L, "a b c d e f", "en", "s"),
+      (2L, "a b c d e", "en", "s"),
+      (3L, (0 until 100).map(i => s"t$i").mkString(" "), "en", "s")))
+    val out = queryByName("q117_winnowing")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) === ((4L, 1L, 1L, 250000L)))
+    assert(out(2L) === ((3L, 0L, 0L, 0L)))
+    // 100 words → 98 shingles, 95 windows; winnowing selects at expected
+    // density 2/(W+1) = 0.4 — allow a generous band, and never more
+    // selections than windows
+    val (n3, w3, sel3, dens3) = out(3L)
+    assert(n3 === 98L && w3 === 95L)
+    assert(sel3 <= w3 && dens3 > 200000L && dens3 < 600000L,
+      s"density $dens3 far from the 2/(W+1) expectation")
+  }
+
+  test("q118: CDC chunks re-align after a prepended word; exact vs JVM mirror") {
+    // independent reimplementation of the operator's arithmetic
+    def chunkFps(words: Seq[String]): Seq[Long] = {
+      val n = words.length
+      val isBound = (0 until n).map(p =>
+        p + 2 < n && h64(words.slice(p, p + 3).mkString(" ")) % 16L == 0L)
+      val cid = (0 until n).scanLeft(0)((acc, p) =>
+        acc + (if (isBound(p)) 1 else 0)).dropRight(1)
+      // chunk_id(p) counts boundaries strictly BEFORE p
+      val cidBefore = (0 until n).map(p =>
+        (0 until p).count(isBound))
+      assert(cid === cidBefore) // two formulations agree
+      words.indices.groupBy(cidBefore).toSeq.sortBy(_._1).map {
+        case (_, ps) =>
+          val mp = ps.min
+          ps.map(p => (h64(words(p)) % 4294967296L) * (p - mp + 1)).sum
+      }
+    }
+    // doc 98 is in the query's own %97==1 replay slice → the engine
+    // plants doc 2000098 = "ins " + text; doc 99 is control
+    val words98 = (0 until 200).map(i => s"w${i % 37}q${i % 11}")
+    val words99 = (0 until 150).map(i => s"u$i")
+    val dir = docCorpus(Seq(
+      (98L, words98.mkString(" "), "en", "s"),
+      (99L, words99.mkString(" "), "en", "s")))
+    val out = queryByName("q118_cdc_chunk_dedup")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    val fp98 = chunkFps(words98)
+    val fpIns = chunkFps("ins" +: words98)
+    val fp99 = chunkFps(words99)
+    val all = fp98 ++ fpIns ++ fp99
+    def stats(own: Seq[Long], isReplica: Boolean): (Long, Long, Long, Long) = {
+      val shared = own.count(fp => all.count(_ == fp) > 1).toLong
+      // originals (doc 98) hold every keeper: its packed (doc, chunk) keys
+      // are always below the replica's
+      val dups = if (isReplica) shared else 0L
+      (own.length.toLong, shared, dups,
+        dups * 1000000L / own.length)
+    }
+    assert(out(98L) === stats(fp98, isReplica = false))
+    assert(out(99L) === stats(fp99, isReplica = false))
+    assert(out(2000098L) === stats(fpIns, isReplica = true))
+    // the headline: the replica re-aligns on most chunks despite the
+    // insertion (fixed windows would share zero)
+    val sharedReplica = out(2000098L)._2
+    assert(sharedReplica >= out(2000098L)._1 - 2 && sharedReplica > 0,
+      s"CDC must re-align after the first boundary, shared=$sharedReplica" +
+        s" of ${out(2000098L)._1}")
+  }
+
+  test("q119: ADC ranks an exact-codeword match first, ties break by id") {
+    // codebook = ids 0 (all 1.0) and 63 (all 2.0); query id 0 (all 1.0);
+    // vec 5 encodes to c0 → adc 0; vecs 7/63 encode to c63 → adc 64 each
+    val dir = embCorpus(Seq(
+      (0L, Array.fill(64)(1f), 0),
+      (63L, Array.fill(64)(2f), 0),
+      (5L, Array.fill(64)(1f), 0),
+      (7L, Array.fill(64)(2f), 0)))
+    val out = queryByName("q119_pq_adc_topk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3)))
+    val q0 = out.collect { case ((0L, rank), v) => rank -> v }.toMap
+    assert(q0(1L) === ((5L, 0.0)))
+    assert(q0(2L) === ((7L, 64.0)))
+    assert(q0(3L) === ((63L, 64.0)))
+  }
+
+  test("q120: an appended-tail replica contains its original completely") {
+    // doc 98 (80 words → chunks at 0 and 32, both full 48-word windows)
+    // is in the %97==1 replay slice → the engine plants 3000098 with a
+    // 20-word tail: the original is a perfect substring of the replica
+    val words = (0 until 80).map(i => s"c${i % 13}x${i % 7}")
+    val dir = docCorpus(Seq(
+      (98L, words.mkString(" "), "en", "s"),
+      (99L, (0 until 80).map(i => s"k$i").mkString(" "), "en", "s")))
+    val out = queryByName("q120_chunk_containment")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // original → replica: both of its 2 chunks present → 1e6 ppm
+    assert(out((98L, 3000098L)) === ((2L, 2L, 1000000L)))
+    // replica → original: 2 of its 3 chunks → 666666 ppm (≥ the floor)
+    assert(out((3000098L, 98L)) === ((3L, 2L, 666666L)))
+    // the control doc pairs with nobody
+    assert(!out.keySet.exists { case (a, b) => a == 99L || b == 99L })
+  }
+}
