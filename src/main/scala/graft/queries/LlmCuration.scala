@@ -34,12 +34,12 @@ object LlmCuration {
     * a dedup operator fires at every scale factor instead of only where
     * fixture luck provides a collision. Applied identically in the oracle.
     */
-  private def withReplays(docs: org.apache.spark.sql.DataFrame)
+  private[queries] def withReplays(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     docs.unionByName(docs.filter(col("doc_id") % 97 === 1)
       .withColumn("doc_id", col("doc_id") + 1000000L))
 
-  private def replaySrcSql(cols: String): String =
+  private[queries] def replaySrcSql(cols: String): String =
     s"(SELECT $cols FROM documents UNION ALL " +
       s"SELECT ${cols.replace("doc_id", "doc_id + 1000000 AS doc_id")} " +
       s"FROM documents WHERE doc_id % 97 = 1)"

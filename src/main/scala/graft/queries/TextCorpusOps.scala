@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -14,6 +15,8 @@ import graft.functions.{Sketches, Skew, TextFunctions}
   *  - L52 winnowing fingerprint selection (MOSS)               → q117
   *  - L53 content-defined chunking dedup (CDC)                 → q118
   *  - L55 chunk-containment detection (sub/superstring pairs)  → q120
+  *  - L56 filter-ensemble overlap matrix                       → q121
+  *  - L57 dedup cluster-size histogram                         → q122
   *
   * (L54, the PQ asymmetric-distance search, lives with its encode twin
   * in [[CorpusOps]] — q119.)
@@ -382,6 +385,171 @@ object TextCorpusOps {
           ORDER BY p.doc_id, p.container"""
       })
 
-    Seq(q115, q116, q117, q118, q120)
+    /* L56: filter-ensemble overlap matrix — a curation stack runs many
+     * keep/drop filters; the decision which to KEEP RUNNING needs the
+     * pairwise kill-set overlap: near-total overlap means one filter is
+     * redundant (drop the expensive one), near-zero overlap means they
+     * catch different garbage (keep both). Four registered filter
+     * semantics reused verbatim (the one-source-of-truth rule): L16's
+     * min-word-count, duplicate-2-gram ratio and top-word fraction
+     * (q75's exact formulas) and L41's hashing classifier sign (q106).
+     * Per unordered filter pair: docs, each side's kills, intersection,
+     * union, and overlap ppm (Jaccard of the kill sets). At 100 TB: the
+     * flags ride the two shared exploded frames (one word window + one
+     * token aggregate), the pair table is 6 literal rows CROSS JOINed
+     * broadcast, and the aggregate map-side-combines to 6 rows — no
+     * self-join, no doc-keyed shuffle beyond the flag builds. */
+    val q121 = GraftQuery(
+      "q121_filter_overlap", "L56 L16 L41",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val withGram = docs
+          .select(col("doc_id"),
+            posexplode(Sketches.words(col("text"))).as(Seq("pos", "w0")))
+          .withColumn("gram",
+            concat(col("w0"), lit(" "), lead(col("w0"), 1).over(w)))
+        val gstats = withGram.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            countDistinct(col("gram")).as("dist2"))
+        val wstats = withGram.groupBy(col("doc_id"), col("w0"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("maxc"))
+        val cls = docs
+          .select(col("doc_id"),
+            explode(Sketches.words(lower(col("text")))).as("w"))
+          .filter(length(col("w")) > 0)
+          .withColumn("weight",
+            (TextFunctions.md5Fingerprint(col("w")) % lit(1024L))
+              * lit(2654435761L) % lit(1001L) - lit(500L))
+          .groupBy(col("doc_id")).agg(sum(col("weight")).as("score"))
+        val flags = gstats.join(wstats, Seq("doc_id"))
+          .join(cls, Seq("doc_id"))
+          .select(col("doc_id"),
+            (col("n_words") < 10).as("k_len"),
+            (when(col("n_words") >= 2,
+              lit(1.0) - col("dist2").cast("double") /
+                (col("n_words") - 1).cast("double"))
+              .otherwise(lit(0.0)) > 0.3).as("k_rep"),
+            (col("maxc").cast("double") / col("n_words").cast("double")
+              > 0.2).as("k_top"),
+            (col("score") < 0).as("k_cls"))
+        val names = Seq("cls", "len", "rep", "top")
+        val pairTable = (for {
+          a <- names; b <- names if a < b
+        } yield (a, b)).toDF("filter_a", "filter_b")
+        def kill(f: Column): Column =
+          when(f === "len", col("k_len")).when(f === "rep", col("k_rep"))
+            .when(f === "top", col("k_top")).otherwise(col("k_cls"))
+        flags.crossJoin(broadcast(pairTable))
+          .withColumn("ka", kill(col("filter_a")))
+          .withColumn("kb", kill(col("filter_b")))
+          .groupBy(col("filter_a"), col("filter_b"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("ka"), 1L).otherwise(0L)).as("kill_a"),
+            sum(when(col("kb"), 1L).otherwise(0L)).as("kill_b"),
+            sum(when(col("ka") && col("kb"), 1L).otherwise(0L))
+              .as("kill_both"),
+            sum(when(col("ka") || col("kb"), 1L).otherwise(0L))
+              .as("kill_union"))
+          .withColumn("overlap_ppm", expr(
+            "case when kill_union = 0 then 0 " +
+              "else kill_both * 1000000 div kill_union end"))
+          .orderBy(col("filter_a"), col("filter_b"))
+      },
+      Some {
+        val ws = Sketches.wordsSql("text")
+        val fp = TextFunctions.md5FingerprintSql("w")
+        val pairs = Seq("cls", "len", "rep", "top").combinations(2)
+          .map { case Seq(a, b) => s"('$a', '$b')" }.mkString(", ")
+        s"""WITH a AS (SELECT doc_id, $ws AS ws FROM documents),
+          g AS (SELECT doc_id, len(ws) AS n_words,
+              len(list_distinct(list_transform(range(1, len(ws)),
+                i -> ws[i] || ' ' || ws[i + 1]))) AS dist2 FROM a),
+          wc AS (SELECT doc_id, word, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(ws) AS word FROM a) GROUP BY 1, 2),
+          mx AS (SELECT doc_id, MAX(c) AS maxc FROM wc GROUP BY 1),
+          toks AS (SELECT doc_id, w FROM (SELECT doc_id,
+              unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents) WHERE length(w) > 0),
+          cs AS (SELECT doc_id,
+              SUM(($fp % 1024) * 2654435761 % 1001 - 500) AS score
+            FROM toks GROUP BY 1),
+          fl AS (SELECT g.doc_id,
+              g.n_words < 10 AS k_len,
+              (CASE WHEN g.n_words >= 2 THEN 1.0e0 -
+                CAST(g.dist2 AS DOUBLE) / CAST(g.n_words - 1 AS DOUBLE)
+                ELSE 0.0e0 END) > 0.3e0 AS k_rep,
+              CAST(mx.maxc AS DOUBLE) / CAST(g.n_words AS DOUBLE) > 0.2e0
+                AS k_top,
+              cs.score < 0 AS k_cls
+            FROM g JOIN mx ON mx.doc_id = g.doc_id
+            JOIN cs ON cs.doc_id = g.doc_id),
+          pr AS (SELECT * FROM (VALUES $pairs) AS t(filter_a, filter_b)),
+          x AS (SELECT filter_a, filter_b,
+              CASE filter_a WHEN 'len' THEN k_len WHEN 'rep' THEN k_rep
+                WHEN 'top' THEN k_top ELSE k_cls END AS ka,
+              CASE filter_b WHEN 'len' THEN k_len WHEN 'rep' THEN k_rep
+                WHEN 'top' THEN k_top ELSE k_cls END AS kb
+            FROM fl CROSS JOIN pr)
+          SELECT filter_a, filter_b, COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN ka THEN 1 ELSE 0 END) AS BIGINT) AS kill_a,
+            CAST(SUM(CASE WHEN kb THEN 1 ELSE 0 END) AS BIGINT) AS kill_b,
+            CAST(SUM(CASE WHEN ka AND kb THEN 1 ELSE 0 END) AS BIGINT)
+              AS kill_both,
+            CAST(SUM(CASE WHEN ka OR kb THEN 1 ELSE 0 END) AS BIGINT)
+              AS kill_union,
+            CASE WHEN CAST(SUM(CASE WHEN ka OR kb THEN 1 ELSE 0 END)
+                AS BIGINT) = 0 THEN 0
+              ELSE CAST(SUM(CASE WHEN ka AND kb THEN 1 ELSE 0 END)
+                AS BIGINT) * 1000000
+                // CAST(SUM(CASE WHEN ka OR kb THEN 1 ELSE 0 END)
+                  AS BIGINT) END AS overlap_ppm
+          FROM x GROUP BY 1, 2 ORDER BY filter_a, filter_b"""
+      })
+
+    /* L57: dedup cluster-size histogram — duplicate clusters follow a
+     * heavy-tailed size law; the histogram (power-of-two buckets over
+     * L2 canonical-cluster sizes) is the report that sizes the dedup
+     * win, reveals mirror explosions (mass migrating into big buckets)
+     * and picks the hot-bucket caps the LSH guards use. Replays planted
+     * (the q101 pattern) so multi-doc buckets exist at every SF. At
+     * 100 TB: one 8-byte-key hash aggregate to clusters, then a
+     * |buckets|-row re-aggregate — nothing wider than L2 itself. */
+    val q122 = GraftQuery(
+      "q122_cluster_histogram", "L57 L2 L36",
+      (s, d) => {
+        val docs = LlmCuration.withReplays(Tables.documents(s, d)
+          .select(col("doc_id"), col("text")))
+        val clusters = docs
+          .select(col("doc_id"), Sketches.h64(array_join(sort_array(
+            array_distinct(Sketches.words(col("text")))), " ")).as("ck"))
+          .groupBy(col("ck")).agg(count(lit(1)).as("sz"))
+        val bucketed = clusters.withColumn("bucket",
+          when(col("sz") === 1, 1L).when(col("sz") === 2, 2L)
+            .when(col("sz") <= 4, 4L).when(col("sz") <= 8, 8L)
+            .when(col("sz") <= 16, 16L).otherwise(32L))
+        bucketed.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+            sum(col("sz") - 1L).as("n_dup_docs"))
+          .orderBy(col("bucket"))
+      },
+      Some {
+        val ck = Sketches.h64Sql(
+          s"array_to_string(list_sort(list_distinct(${Sketches.wordsSql("text")})), ' ')")
+        s"""WITH cl AS (SELECT $ck AS ck, COUNT(*) AS sz
+            FROM ${LlmCuration.replaySrcSql("doc_id, text")} GROUP BY 1),
+          bk AS (SELECT CAST(CASE WHEN sz = 1 THEN 1 WHEN sz = 2 THEN 2
+              WHEN sz <= 4 THEN 4 WHEN sz <= 8 THEN 8
+              WHEN sz <= 16 THEN 16 ELSE 32 END AS BIGINT) AS bucket, sz
+            FROM cl)
+          SELECT bucket, COUNT(*) AS n_clusters,
+            CAST(SUM(sz) AS BIGINT) AS n_docs,
+            CAST(SUM(sz - 1) AS BIGINT) AS n_dup_docs
+          FROM bk GROUP BY 1 ORDER BY bucket"""
+      })
+
+    Seq(q115, q116, q117, q118, q120, q121, q122)
   }
 }

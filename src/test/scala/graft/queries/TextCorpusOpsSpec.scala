@@ -159,6 +159,70 @@ class TextCorpusOpsSpec extends SparkSpec {
     assert(q0(3L) === ((63L, 64.0)))
   }
 
+  test("q121: the pairwise kill matrix equals an independent JVM mirror") {
+    // docs chosen to light different kill combinations: a short clean
+    // doc, a repetitive one, a top-heavy one, and a long diverse one
+    val docs = Seq(
+      1L -> "alpha beta gamma",                                   // short
+      2L -> Seq.fill(12)("rep").mkString(" "),                    // rep+top
+      3L -> ((1 to 20).map(i => s"v$i") :+ "v1").mkString(" "),   // clean-ish
+      4L -> (1 to 40).map(i => s"u${i % 35}").mkString(" "))      // long
+    val dir = docCorpus(docs.map { case (id, t) => (id, t, "en", "s") })
+
+    // independent mirror of the four registered filter formulas
+    def flagsOf(text: String): (Boolean, Boolean, Boolean, Boolean) = {
+      val ws = text.trim.split("\\s+").toSeq
+      val n = ws.length
+      val dist2 = ws.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq.distinct.size
+      val kLen = n < 10
+      val kRep = (if (n >= 2) 1.0 - dist2.toDouble / (n - 1) else 0.0) > 0.3
+      val maxc = ws.groupBy(identity).values.map(_.size).max
+      val kTop = maxc.toDouble / n > 0.2
+      val score = ws.map(_.toLowerCase).filter(_.nonEmpty)
+        .map(w => (h64(w) % 1024L) * 2654435761L % 1001L - 500L).sum
+      (kLen, kRep, kTop, score < 0L)
+    }
+    val f = docs.map { case (_, t) => flagsOf(t) }
+    def killsOf(name: String): Seq[Boolean] = name match {
+      case "len" => f.map(_._1); case "rep" => f.map(_._2)
+      case "top" => f.map(_._3); case "cls" => f.map(_._4)
+    }
+    val names = Seq("cls", "len", "rep", "top")
+    val expect = (for { a <- names; b <- names if a < b } yield {
+      val (ka, kb) = (killsOf(a), killsOf(b))
+      val both = ka.zip(kb).count { case (x, y) => x && y }.toLong
+      val union = ka.zip(kb).count { case (x, y) => x || y }.toLong
+      (a, b) -> (docs.size.toLong, ka.count(identity).toLong,
+        kb.count(identity).toLong, both, union,
+        if (union == 0) 0L else both * 1000000L / union)
+    }).toMap
+    val out = queryByName("q121_filter_overlap")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    assert(out === expect)
+    // sanity on the fixture: at least one filter actually kills something
+    assert(expect.values.exists(_._5 > 0), "fixture lights no kill at all")
+  }
+
+  test("q122: cluster sizes land in their power-of-two buckets") {
+    // ids avoid the %97==1 replay slice so the planted clusters are the
+    // only ones: a 3-cluster, a 2-cluster, one singleton
+    val dir = docCorpus(Seq(
+      (2L, "same words here", "en", "s"), (3L, "same words here", "en", "s"),
+      (4L, "same words here", "en", "s"),
+      (5L, "other text body", "en", "s"), (6L, "other text body", "en", "s"),
+      (7L, "unique solitary doc", "en", "s")))
+    val out = queryByName("q122_cluster_histogram")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(
+      1L -> ((1L, 1L, 0L)),
+      2L -> ((1L, 2L, 1L)),
+      4L -> ((1L, 3L, 2L))))
+  }
+
   test("q120: an appended-tail replica contains its original completely") {
     // doc 98 (80 words → chunks at 0 and 32, both full 48-word windows)
     // is in the %97==1 replay slice → the engine plants 3000098 with a
