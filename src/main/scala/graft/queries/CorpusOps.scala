@@ -17,6 +17,7 @@ import graft.functions.{Sketches, TextFunctions}
   *  - L48 bigram LM familiarity (context-sensitive fluency)    → q113
   *  - L49 mixture materialization (epoch-replicated resample)  → q114
   *  - L54 PQ asymmetric-distance (ADC) top-k search            → q119
+  *  - L58 incremental semantic dedup (frozen codebook)         → q123
   *
   * All six reuse the pipeline's shared kernels
   * ([[LlmPipeline.embeddingFrame]], [[LlmPipeline.cellAssignWithCos]],
@@ -92,6 +93,61 @@ object CorpusOps {
         min_by(col("c_id"), struct(col("d1"), col("c_id"))).as("code1"),
         min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("code2"),
         min_by(col("c_id"), struct(col("d3"), col("c_id"))).as("code3"))
+
+  // --- shared incremental-semantic-dedup kernel (q123 + streaming form) ---
+
+  /** Frozen corpus models for L58: the stride codebook (corpus ids only —
+    * a batch id can never reshape the cells) and the corpus cell
+    * assignment. In production both are stored artifacts of the corpus
+    * build (the K8 bucketed layout); here they derive from the corpus
+    * frame `(vec_id, embedding, nrm)`.
+    */
+  private[graft] def semanticModels(
+      corpus: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val cb = corpus.filter(col("vec_id") % CentroidStep === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+    (cb, LlmPipeline.cellAggWith(corpus, cb,
+      carryVec = false, carryCos = false))
+  }
+
+  /** Classify an arriving `(vec_id, embedding)` batch against the frozen
+    * models: batch assigns cells against the broadcast codebook,
+    * candidates are corpus vectors in the same cell (batch side
+    * BROADCAST — the corpus is never shuffled), exact cosine ≥ τ
+    * verifies, verdict = min matching corpus id or 'new'. Stateless in
+    * the batch: classifying micro-batches independently gives the same
+    * verdicts as one big batch (the streaming form's foreachBatch runs
+    * exactly this per micro-batch — IncrementalSemanticSpec proves
+    * stream == batch q123).
+    */
+  private[graft] def classifySemanticBatch(
+      batchRaw: org.apache.spark.sql.DataFrame,
+      cb: org.apache.spark.sql.DataFrame,
+      asnC: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val batch = batchRaw
+      .withColumn("nrm", Sketches.norm(col("embedding"), Dims))
+    val asnB = LlmPipeline.cellAggWith(batch, cb,
+      carryVec = false, carryCos = false)
+      .select(col("vec_id").as("b_id"), col("cell"))
+    val cand = asnC.join(broadcast(asnB), Seq("cell"))
+    val dup = cand
+      .join(corpus.select(col("vec_id"), col("embedding").as("cve"),
+        col("nrm").as("cvn")), Seq("vec_id"))
+      .join(broadcast(batch.select(col("vec_id").as("b_id"),
+        col("embedding").as("bve"), col("nrm").as("bvn"))), Seq("b_id"))
+      .filter(Sketches.cosineFromParts(
+        Sketches.dot(col("cve"), col("bve"), Dims),
+        col("cvn"), col("bvn")) >= NearDupTau)
+      .groupBy(col("b_id")).agg(min(col("vec_id")).as("dup_of"))
+    asnB.join(dup, Seq("b_id"), "left")
+      .select(col("b_id").as("vec_id"), col("cell"), col("dup_of"),
+        when(col("dup_of").isNotNull, lit("semantic_dup"))
+          .otherwise(lit("new")).as("verdict"))
+  }
 
   /** DuckDB twin of the PQ assignment as CTEs `cb`, `p`, `u`, `r`, `b`
     * — `b(vec_id, m, c_id, d)` holds each vector's per-subspace argmin
@@ -535,6 +591,71 @@ object CorpusOps {
           FROM rk WHERE rn <= $AdcTopK ORDER BY q_id, rank"""
       })
 
-    Seq(q109, q110, q111, q112, q113, q114, q119)
+    /* L58: incremental semantic dedup — the embedding-side nightly-ingest
+     * shape (the q96/L31 stance one space over): classify an ARRIVING
+     * batch of vectors against the existing corpus without re-deduping
+     * the corpus. The quantizer codebook is FROZEN at corpus build
+     * (derived from corpus ids only — an arriving vector can never
+     * reshape the cells, the IncrementalFunnel monotonicity rule); the
+     * batch assigns cells against that frozen codebook, candidates are
+     * corpus vectors in the SAME cell, and exact cosine ≥ τ verifies.
+     * Batch = the %89 slice plus replayed corpus vectors under shifted
+     * ids (planted so the semantic-dup branch fires at every SF — an
+     * exact replay lands in its original's cell by construction).
+     * Verdict per batch vector: dup_of = min matching corpus id, or
+     * 'new'. At 100 TB: the scale asymmetry IS the operator — the batch
+     * is small by definition, so the candidate join BROADCASTS the
+     * batch-side assignment and the corpus streams map-side (its own
+     * cell assignment is the stored K8-layout artifact in production;
+     * recomputed here from the same frozen codebook); the verify joins
+     * corpus embeddings on 8-byte ids only. Zero corpus shuffle. */
+    val q123 = GraftQuery(
+      "q123_incremental_semantic_dedup", "L58 L31 L27",
+      (s, d) => {
+        val eAll = Tables.embeddings(s, d)
+        val corpus = eAll.filter(col("vec_id") % 89 =!= 0)
+          .select(col("vec_id"), col("embedding"),
+            Sketches.norm(col("embedding"), Dims).as("nrm"))
+        val batch = eAll.filter(col("vec_id") % 89 === 0)
+          .select(col("vec_id"), col("embedding"))
+          .unionByName(eAll
+            .filter(col("vec_id") % 89 =!= 0 && col("vec_id") % 83 === 2)
+            .select((col("vec_id") + 1000000L).as("vec_id"),
+              col("embedding")))
+        val (cb, asnC) = semanticModels(corpus)
+        classifySemanticBatch(batch, cb, asnC, corpus)
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val vcos = Sketches.cosineSql(
+          Sketches.dotSql("cv.embedding", "bv.embedding", Dims),
+          Sketches.normSql("cv.embedding", Dims),
+          Sketches.normSql("bv.embedding", Dims))
+        s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id % 89 <> 0),
+          batch AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id % 89 = 0
+            UNION ALL SELECT vec_id + 1000000 AS vec_id, embedding
+              FROM embeddings WHERE vec_id % 89 <> 0 AND vec_id % 83 = 2),
+          cq AS (SELECT vec_id AS c_id, embedding FROM corpus
+            WHERE vec_id % $CentroidStep = 0),
+          ${LlmPipeline.asnOverCtesSql("asn_c", "cq", "corpus")},
+          ${LlmPipeline.asnOverCtesSql("asn_b", "cq", "batch")},
+          cand AS (SELECT asn_c.vec_id, asn_b.vec_id AS b_id
+            FROM asn_c JOIN asn_b ON asn_b.cell = asn_c.cell),
+          dup AS (SELECT cand.b_id, MIN(cand.vec_id) AS dup_of
+            FROM cand
+            JOIN corpus cv ON cv.vec_id = cand.vec_id
+            JOIN batch bv ON bv.vec_id = cand.b_id
+            WHERE ($vcos) >= $NearDupTau
+            GROUP BY 1)
+          SELECT asn_b.vec_id, asn_b.cell, dup.dup_of,
+            CASE WHEN dup.dup_of IS NOT NULL THEN 'semantic_dup'
+              ELSE 'new' END AS verdict
+          FROM asn_b LEFT JOIN dup ON dup.b_id = asn_b.vec_id
+          ORDER BY asn_b.vec_id"""
+      })
+
+    Seq(q109, q110, q111, q112, q113, q114, q119, q123)
   }
 }

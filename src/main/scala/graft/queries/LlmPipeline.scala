@@ -543,7 +543,7 @@ object LlmPipeline {
     * `carryCos` additionally carries each vector's best cosine through
     * the aggregate (`best_cos`) for inertia tracking.
     */
-  private def cellAggWith(e: org.apache.spark.sql.DataFrame,
+  private[queries] def cellAggWith(e: org.apache.spark.sql.DataFrame,
       c: org.apache.spark.sql.DataFrame, carryVec: Boolean,
       carryCos: Boolean): org.apache.spark.sql.DataFrame = {
     val centroidCos = Sketches.cosineFromParts(
@@ -684,11 +684,27 @@ object LlmPipeline {
       Sketches.normSql("c.embedding", Dims))
     s"""c AS (SELECT vec_id AS c_id, embedding FROM embeddings
               WHERE vec_id % $centroidStep = 0),
-          asn AS MATERIALIZED (SELECT vec_id, c_id AS cell, ccos FROM (
+          ${asnOverCtesSql("asn", "c", "embeddings")}"""
+  }
+
+  /** The argmax-cosine assignment CTE alone, against an explicit codebook
+    * CTE `cbName(c_id, embedding)` and an arbitrary `(vec_id, embedding)`
+    * relation — the [[cellAsnCtesSql]] kernel factored out so oracles
+    * that need TWO assignment tables against one frozen codebook (the
+    * incremental shape, q123) keep one SQL source of truth. Emits
+    * `asnName(vec_id, cell, ccos)`, MATERIALIZED (the mmap lesson).
+    */
+  private[queries] def asnOverCtesSql(asnName: String, cbName: String,
+      srcSql: String): String = {
+    val ccos = Sketches.cosineSql(
+      Sketches.dotSql("e.embedding", "c.embedding", Dims),
+      Sketches.normSql("e.embedding", Dims),
+      Sketches.normSql("c.embedding", Dims))
+    s"""$asnName AS MATERIALIZED (SELECT vec_id, c_id AS cell, ccos FROM (
             SELECT e.vec_id, c.c_id, $ccos AS ccos,
               row_number() OVER (PARTITION BY e.vec_id
                 ORDER BY $ccos DESC, c.c_id) AS rn
-            FROM embeddings e CROSS JOIN c) WHERE rn = 1)"""
+            FROM $srcSql e CROSS JOIN $cbName c) WHERE rn = 1)"""
   }
 
   /** L27 with its dials exposed: the EXACT pipeline q92 registers

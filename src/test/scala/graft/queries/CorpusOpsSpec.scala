@@ -134,6 +134,26 @@ class CorpusOpsSpec extends SparkSpec {
         s"threshold, got fam=$fam3")
   }
 
+  test("q123: a replayed vector is a semantic dup of its original; novel content is new") {
+    // corpus = ids 2/5/63 on distinct axes (codebook seed: id 63, the only
+    // corpus multiple of 63). Batch = id 0 (%89==0, a novel axis) plus the
+    // engine's own planted replay of id 2 (%83==2 → arrives as 1000002).
+    val dir = embCorpus(Seq(
+      (2L, axisVec(0), 0),
+      (5L, axisVec(2), 0),
+      (63L, axisVec(1), 0),
+      (0L, axisVec(3), 0)))
+    val out = queryByName("q123_incremental_semantic_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getString(3))).toMap
+    assert(out.keySet === Set(0L, 1000002L), "exactly the arriving batch")
+    // the replay verifies against its original (cos = 1) and nothing else
+    assert(out(1000002L) === ((63L, Some(2L), "semantic_dup")))
+    // novel content: candidates exist (single cell) but no cosine clears τ
+    assert(out(0L) === ((63L, None, "new")))
+  }
+
   test("q114: replication emits whole epochs plus a hash-selected remainder") {
     // two sources: "small" is upsampled hard (temperature flattening),
     // "big" keeps roughly its share. Every copy index from 1..floor must
