@@ -263,12 +263,19 @@ object TextCorpusOps {
             sum(when(col("boundary"), 1L).otherwise(0L))
               .over(w.rowsBetween(Window.unboundedPreceding, -1)),
             lit(0L)))
-        val wc = Window.partitionBy(col("doc_id"), col("chunk_id"))
+        // chunk-relative position WITHOUT re-partitioning on (doc, chunk):
+        // the chunk start is (last boundary strictly before pos) + 1, a
+        // max over the same (doc_id ORDER BY pos) sort every other window
+        // here already uses — one sort, no second exchange. Integer-exact
+        // equivalent of the oracle's min(pos) per (doc, chunk) form.
         val chunks = base
-          .withColumn("mp", min(col("pos")).over(wc))
+          .withColumn("start", coalesce(
+            max(when(col("boundary"), col("pos")))
+              .over(w.rowsBetween(Window.unboundedPreceding, -1)) + 1L,
+            lit(0L)))
           .withColumn("term",
             (Sketches.h64(col("w0")) % lit(4294967296L)) *
-              (col("pos") - col("mp") + 1L))
+              (col("pos") - col("start") + 1L))
           .groupBy(col("doc_id"), col("chunk_id"))
           .agg(sum(col("term")).as("cfp"), count(lit(1)).as("n_w"),
             min(col("doc_id") * 1048576L + col("chunk_id")).as("k"))

@@ -20,6 +20,12 @@ object ExplainProbe {
       println(s"$tok count: " + tok.r.findAllIn(plan).length)
     }
     println("plan size chars: " + plan.length)
+    // physical shape: exchanges/sorts/windows are the shuffle budget
+    val phys = df.queryExecution.executedPlan.toString
+    Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+      "Sort \\[", "Window \\[", "BroadcastExchange").foreach { tok =>
+      println(s"${tok.replace("\\", "")} count: " + tok.r.findAllIn(phys).length)
+    }
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     println("run secs: " + (System.nanoTime() - t0) / 1e9)
