@@ -137,6 +137,18 @@ object GraftExtensions {
         require(children(1).foldable, "graft_hll precision must be literal")
         HyperLogLogAgg(children(0),
           children(1).eval().asInstanceOf[Number].intValue())
+      }),
+    ("graft_bottomk",
+      new ExpressionInfo(classOf[BottomKSketchAgg].getName, "graft_bottomk"),
+      (children: Seq[Expression]) => {
+        // k and salt ride as foldable literals
+        require(children.length == 3,
+          s"graft_bottomk expects (col, k, salt), got ${children.length} args")
+        require(children(1).foldable && children(2).foldable,
+          "graft_bottomk k and salt must be literal")
+        BottomKSketchAgg(children(0),
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().toString)
       }))
 
   /** Imperative registration for externally-created sessions: functions go

@@ -17,6 +17,7 @@ import graft.functions.{Sketches, Skew, TextFunctions}
   *  - L55 chunk-containment detection (sub/superstring pairs)  → q120
   *  - L56 filter-ensemble overlap matrix                       → q121
   *  - L57 dedup cluster-size histogram                         → q122
+  *  - L59 sketched quantile profile (bottom-k sample UDAF)     → q124
   *
   * (L54, the PQ asymmetric-distance search, lives with its encode twin
   * in [[CorpusOps]] — q119.)
@@ -557,6 +558,69 @@ object TextCorpusOps {
           FROM bk GROUP BY 1 ORDER BY bucket"""
       })
 
-    Seq(q115, q116, q117, q118, q120, q121, q122)
+    /* L59: sketched quantile profile — the single-pass scale path for
+     * quantiles over UNBOUNDED integer domains. L30/L35 aggregate a
+     * count-map (exact, but only viable on bounded domains like token
+     * counts); for arbitrary measures the production shape is a
+     * mergeable sample: `graft_bottomk` (the engine's second
+     * TypedImperativeAggregate after graft_hll) keeps the k rows with
+     * the smallest salted md5-prefix hash under the (hash, value) total
+     * order — a uniform but DETERMINISTIC row sample whose merge
+     * (multiset union → k smallest) is associative, commutative and
+     * merge-tree independent, unlike GK/KLL compaction. Because the
+     * hash is the portable md5 construction, the oracle reproduces the
+     * EXACT sample with a row_number window — the sketch is gated
+     * bit-for-bit, not within error bounds. Nearest-rank P25/P50/P75
+     * off the sorted sample (pure integer indexing — no interpolation,
+     * no float boundary). At 100 TB: one hash aggregate with map-side
+     * partial merge, ≤2k pairs per group in flight; the oracle's
+     * per-group sort never happens in the engine. */
+    val q124 = GraftQuery(
+      "q124_sketched_quantiles", "L59 L30 A10",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("source"),
+            TextFunctions.tokenCountBpeIsh(col("text")).cast("long")
+              .as("tok"))
+        t.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            call_function("graft_bottomk", col("tok"), lit(64), lit("q124"))
+              .as("sample"))
+          .withColumn("sample_n", size(col("sample")).cast("long"))
+          .withColumn("p25",
+            expr("element_at(sample, cast((sample_n + 3) div 4 as int))"))
+          .withColumn("p50",
+            expr("element_at(sample, cast((sample_n + 1) div 2 as int))"))
+          .withColumn("p75",
+            expr("element_at(sample, cast((3 * sample_n + 3) div 4 as int))"))
+          .select(col("source"), col("n_docs"), col("sample_n"),
+            col("p25"), col("p50"), col("p75"))
+          .orderBy(col("source"))
+      },
+      Some {
+        s"""WITH t AS (SELECT source,
+              CAST(${TextFunctions.tokenCountBpeIshSql("text")} AS BIGINT)
+                AS tok
+            FROM documents),
+          h AS (SELECT source, tok,
+              CAST(('0x' || substr(md5('bk:q124:' || CAST(tok AS VARCHAR)),
+                1, 15)) AS BIGINT) AS h
+            FROM t),
+          r AS (SELECT source, tok,
+              row_number() OVER (PARTITION BY source ORDER BY h, tok) AS rn
+            FROM h),
+          sm AS (SELECT source, list(tok ORDER BY tok) AS sample
+            FROM r WHERE rn <= 64 GROUP BY 1),
+          n AS (SELECT source, COUNT(*) AS n_docs FROM t GROUP BY 1)
+          SELECT n.source, n.n_docs,
+            CAST(len(sm.sample) AS BIGINT) AS sample_n,
+            sm.sample[(len(sm.sample) + 3) // 4] AS p25,
+            sm.sample[(len(sm.sample) + 1) // 2] AS p50,
+            sm.sample[(3 * len(sm.sample) + 3) // 4] AS p75
+          FROM n JOIN sm ON sm.source = n.source
+          ORDER BY n.source"""
+      })
+
+    Seq(q115, q116, q117, q118, q120, q121, q122, q124)
   }
 }
