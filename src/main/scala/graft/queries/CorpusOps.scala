@@ -38,7 +38,8 @@ object CorpusOps {
     * stance), capped so K does not grow with the corpus.
     */
   private[queries] val PqMaxCodes = 64
-  private val PqIdCap = CentroidStep.toLong * PqMaxCodes
+  private def pqIdCap(centroidStep: Int): Long =
+    centroidStep.toLong * PqMaxCodes
 
   /** Prototype/outlier dials over the quantized affinity
     * qcos = floor((1 + best_cos)·1e6) ∈ [0, 2e6] (shifted so the
@@ -60,9 +61,10 @@ object CorpusOps {
   /** The fixed-size PQ codebook: stride-sampled, id-capped (K constant —
     * see [[PqMaxCodes]]).
     */
-  private def pqCbOf(e: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    e.filter(col("vec_id") % CentroidStep === 0 && col("vec_id") < PqIdCap)
+  private def pqCbOf(e: org.apache.spark.sql.DataFrame,
+      centroidStep: Int = CentroidStep): org.apache.spark.sql.DataFrame =
+    e.filter(col("vec_id") % centroidStep === 0 &&
+        col("vec_id") < pqIdCap(centroidStep))
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
 
   /** Subspace-m squared L2 distance, in the exact parity-safe form
@@ -82,9 +84,9 @@ object CorpusOps {
   /** Per-vector PQ code assignment (the q109 argmin without the
     * distortion columns) — shared with the ADC search (q119).
     */
-  private[queries] def pqCodesOf(e: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
-    e.crossJoin(broadcast(pqCbOf(e)))
+  private[queries] def pqCodesOf(e: org.apache.spark.sql.DataFrame,
+      centroidStep: Int = CentroidStep): org.apache.spark.sql.DataFrame =
+    e.crossJoin(broadcast(pqCbOf(e, centroidStep)))
       .select(col("vec_id") +: col("c_id") +:
         (0 until PqM).map(m =>
           pqDist(col("embedding"), col("ce"), m).as(s"d$m")): _*)
@@ -93,6 +95,42 @@ object CorpusOps {
         min_by(col("c_id"), struct(col("d1"), col("c_id"))).as("code1"),
         min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("code2"),
         min_by(col("c_id"), struct(col("d3"), col("c_id"))).as("code3"))
+
+  /** L54 with its quantization dial exposed: the EXACT pipeline q119
+    * registers (codes + per-query codeword lookup tables + 4 broadcast
+    * joins + per-query rank window), parameterized on `centroidStep`
+    * (PQ codebook stride — K trades memory/recall). The registered q119
+    * is `pqAdcTopK(s, d)` at the default; AnnRecallSpec sweeps the
+    * stride over the planted-twin corpus to measure the recall-vs-K
+    * curve the default is judged against.
+    */
+  def pqAdcTopK(s: org.apache.spark.sql.SparkSession, d: String,
+      centroidStep: Int = CentroidStep): org.apache.spark.sql.DataFrame = {
+    val e = LlmPipeline.embeddingFrame(s, d)
+    val codes = pqCodesOf(e, centroidStep)
+    val qs = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val table = qs.crossJoin(broadcast(pqCbOf(e, centroidStep)))
+      .select(col("q_id") +: col("c_id") +:
+        (0 until PqM).map(m =>
+          pqDist(col("qe"), col("ce"), m).as(s"dq$m")): _*)
+    val joined = (0 until PqM).foldLeft(codes) { (df, m) =>
+      val tm = table.select(col("q_id"), col("c_id").as(s"code$m"),
+        col(s"dq$m"))
+      if (m == 0) df.join(broadcast(tm), Seq(s"code$m"))
+      else df.join(broadcast(tm), Seq("q_id", s"code$m"))
+    }
+    joined.filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc",
+        col("dq0") + col("dq1") + col("dq2") + col("dq3"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rank") <= AdcTopK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("adc"))
+      .orderBy(col("q_id"), col("rank"))
+  }
 
   // --- shared incremental-semantic-dedup kernel (q123 + streaming form) ---
 
@@ -164,7 +202,7 @@ object CorpusOps {
       .mkString(" UNION ALL ")
     s"""cb AS (SELECT vec_id AS c_id, embedding AS ce
               FROM embeddings
-              WHERE vec_id % $CentroidStep = 0 AND vec_id < $PqIdCap),
+              WHERE vec_id % $CentroidStep = 0 AND vec_id < ${pqIdCap(CentroidStep)}),
           p AS MATERIALIZED (SELECT e.vec_id, cb.c_id,
               $dists
             FROM embeddings e CROSS JOIN cb),
@@ -534,32 +572,7 @@ object CorpusOps {
      * embeddings. */
     val q119 = GraftQuery(
       "q119_pq_adc_topk", "L54 L44 L6",
-      (s, d) => {
-        val e = LlmPipeline.embeddingFrame(s, d)
-        val codes = pqCodesOf(e)
-        val qs = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-        val table = qs.crossJoin(broadcast(pqCbOf(e)))
-          .select(col("q_id") +: col("c_id") +:
-            (0 until PqM).map(m =>
-              pqDist(col("qe"), col("ce"), m).as(s"dq$m")): _*)
-        val joined = (0 until PqM).foldLeft(codes) { (df, m) =>
-          val tm = table.select(col("q_id"), col("c_id").as(s"code$m"),
-            col(s"dq$m"))
-          if (m == 0) df.join(broadcast(tm), Seq(s"code$m"))
-          else df.join(broadcast(tm), Seq("q_id", s"code$m"))
-        }
-        joined.filter(col("vec_id") =!= col("q_id"))
-          .withColumn("adc",
-            col("dq0") + col("dq1") + col("dq2") + col("dq3"))
-          .withColumn("rank", row_number().over(
-            Window.partitionBy(col("q_id"))
-              .orderBy(col("adc"), col("vec_id"))))
-          .filter(col("rank") <= AdcTopK)
-          .select(col("q_id"), col("rank").cast("long").as("rank"),
-            col("vec_id"), col("adc"))
-          .orderBy(col("q_id"), col("rank"))
-      },
+      (s, d) => pqAdcTopK(s, d),
       Some {
         val codes = (0 until PqM).map(m =>
           s"MAX(CASE WHEN m = $m THEN c_id END) AS code$m")

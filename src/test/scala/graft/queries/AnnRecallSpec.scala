@@ -141,6 +141,37 @@ class AnnRecallSpec extends SparkSpec {
       f"PQ-ADC recall floor: @1=$recall1%.2f @$k%d=$recallK%.2f")
   }
 
+  test("q119 recall-vs-codebook-stride curve (the PQ memory/recall dial)") {
+    // the measure-the-dial rule applied to PQ's K: a denser codebook
+    // (smaller stride) quantizes finer, so deep-rank recall must not
+    // degrade as K grows. Sweep the stride over the planted-twin corpus
+    // with the REAL registered pipeline.
+    val exact = rows("q38_ann_brute_topk")
+    val queries = exact.map(_.getLong(0)).distinct
+    val exactTopK = exact.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val k = exactTopK.head._2.size
+    val curve = Seq(63, 21).map { step =>
+      val adc = graft.core.CacheScope.scoped {
+        graft.queries.CorpusOps.pqAdcTopK(spark, dir, step).collect()
+      }.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      val rK = queries.map { q =>
+        adc.getOrElse(q, Set.empty).intersect(exactTopK(q)).size.toDouble / k
+      }.sum / queries.length
+      step -> rK
+    }
+    curve.foreach { case (step, rK) =>
+      info(f"q119 stride=$step%d recall@$k%d = $rK%.2f")
+    }
+    println("[ann-recall] q119_stride_curve=" + curve.map { case (s, r) =>
+      f"$s%d:$r%.2f" }.mkString(","))
+    val byStep = curve.toMap
+    assert(byStep(21) >= byStep(63) - 0.05,
+      f"denser PQ codebook must not lose deep recall: " +
+        f"K@21=${byStep(21)}%.2f vs K@63=${byStep(63)}%.2f")
+  }
+
   test("q92 SemDeDup pair recall on planted twins (cell-based candidates)") {
     // the dedup analog of ANN recall: a planted twin at cos ~0.995 is a
     // CONFIDENT near-dup (τ = 0.3), so each twin (q+3) must be assigned a
