@@ -18,6 +18,7 @@ import graft.functions.{Sketches, TextFunctions}
   *  - L49 mixture materialization (epoch-replicated resample)  → q114
   *  - L54 PQ asymmetric-distance (ADC) top-k search            → q119
   *  - L58 incremental semantic dedup (frozen codebook)         → q123
+  *  - L60 cross-modal dedup agreement matrix                   → q125
   *
   * All six reuse the pipeline's shared kernels
   * ([[LlmPipeline.embeddingFrame]], [[LlmPipeline.cellAssignWithCos]],
@@ -669,6 +670,145 @@ object CorpusOps {
           ORDER BY asn_b.vec_id"""
       })
 
-    Seq(q109, q110, q111, q112, q113, q114, q119, q123)
+    /* L60: cross-modal dedup agreement — the governance read on the
+     * dedup stack itself: text-space dedup (L2 canonical clusters) and
+     * embedding-space dedup (L27 SemDeDup) see DIFFERENT duplicates
+     * (reworded mirrors evade exact keys; unrelated texts can share an
+     * embedding neighborhood), and the agreement matrix over the shared
+     * id space is the evidence for running both. Three replay classes
+     * planted so every cell fires at every SF: ids %83==2 duplicate
+     * BOTH text and embedding (+1e6), %83==5 duplicate the text but
+     * carry a reversed embedding (+2e6 — text-only), %83==7 duplicate
+     * the embedding under reworded text (+3e6 — semantic-only).
+     * Output: one row — doc counts per cell plus the kill-set Jaccard.
+     * At 100 TB: the text side is one 8-byte-key hash aggregate, the
+     * embedding side the L27 bounded cell-pair shape, and the modal
+     * join rides the shared doc_id=vec_id key (co-located under the K8
+     * bucketed layout). */
+    val q125 = GraftQuery(
+      "q125_crossmodal_agreement", "L60 L2 L27",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+        def slice(m: Int) = col("doc_id") % 83 === m
+        def eslice(m: Int) = col("vec_id") % 83 === m
+        val pd = docs
+          .unionByName(docs.filter(slice(2))
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .unionByName(docs.filter(slice(5))
+            .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+          .unionByName(docs.filter(slice(7))
+            .select((col("doc_id") + 3000000L).as("doc_id"),
+              concat(col("text"), lit(" rephrased")).as("text")))
+        val pe = emb
+          .unionByName(emb.filter(eslice(2))
+            .select((col("vec_id") + 1000000L).as("vec_id"),
+              col("embedding")))
+          .unionByName(emb.filter(eslice(5))
+            .select((col("vec_id") + 2000000L).as("vec_id"),
+              reverse(col("embedding")).as("embedding")))
+          .unionByName(emb.filter(eslice(7))
+            .select((col("vec_id") + 3000000L).as("vec_id"),
+              col("embedding")))
+        // text side: L2 canonical clusters, dup = non-keeper copy
+        val ck = pd.select(col("doc_id"),
+          Sketches.h64(array_join(sort_array(array_distinct(
+            Sketches.words(col("text")))), " ")).as("ck"))
+        val tdup = ck.join(
+            ck.groupBy(col("ck")).agg(min(col("doc_id")).as("keeper")),
+            Seq("ck"))
+          .select(col("doc_id"),
+            (col("doc_id") =!= col("keeper")).as("text_dup"))
+        // embedding side: L27 cell candidates + cosine verify, dup = has
+        // a verified smaller-id match
+        val e = pe.withColumn("nrm", Sketches.norm(col("embedding"), Dims))
+        val (cb, asn) = semanticModels(e)
+        val cand = asn.select(col("cell"), col("vec_id").as("a_id"))
+          .join(asn.select(col("cell"), col("vec_id").as("b_id")),
+            Seq("cell"))
+          .filter(col("a_id") < col("b_id"))
+        val ea = e.select(col("vec_id").as("a_id"),
+          col("embedding").as("ae"), col("nrm").as("an"))
+        val eb = e.select(col("vec_id").as("b_id"),
+          col("embedding").as("be"), col("nrm").as("bn"))
+        val sdup = cand.join(ea, Seq("a_id")).join(eb, Seq("b_id"))
+          .filter(Sketches.cosineFromParts(
+            Sketches.dot(col("ae"), col("be"), Dims),
+            col("an"), col("bn")) >= NearDupTau)
+          .groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
+        val svec = asn.select(col("vec_id"))
+          .join(sdup, col("vec_id") === col("b_id"), "left")
+          .select(col("vec_id"), col("dup_of").isNotNull.as("sem_dup"))
+        tdup.join(svec, col("doc_id") === col("vec_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("text_dup"), 1L).otherwise(0L)).as("n_text_dup"),
+            sum(when(col("sem_dup"), 1L).otherwise(0L)).as("n_sem_dup"),
+            sum(when(col("text_dup") && col("sem_dup"), 1L).otherwise(0L))
+              .as("n_both"),
+            sum(when(col("text_dup") || col("sem_dup"), 1L).otherwise(0L))
+              .as("n_either"))
+          .withColumn("agreement_ppm", expr(
+            "case when n_either = 0 then 0 " +
+              "else n_both * 1000000 div n_either end"))
+      },
+      Some {
+        val ckExpr = Sketches.h64Sql(
+          s"array_to_string(list_sort(list_distinct(${Sketches.wordsSql("text")})), ' ')")
+        val vcos = Sketches.cosineSql(
+          Sketches.dotSql("ea.embedding", "eb.embedding", Dims),
+          Sketches.normSql("ea.embedding", Dims),
+          Sketches.normSql("eb.embedding", Dims))
+        s"""WITH pd AS (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id % 83 = 2
+            UNION ALL SELECT doc_id + 2000000, text FROM documents
+              WHERE doc_id % 83 = 5
+            UNION ALL SELECT doc_id + 3000000, text || ' rephrased'
+              FROM documents WHERE doc_id % 83 = 7),
+          pe AS (SELECT vec_id, embedding FROM embeddings
+            UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings
+              WHERE vec_id % 83 = 2
+            UNION ALL SELECT vec_id + 2000000, list_reverse(embedding)
+              FROM embeddings WHERE vec_id % 83 = 5
+            UNION ALL SELECT vec_id + 3000000, embedding FROM embeddings
+              WHERE vec_id % 83 = 7),
+          ck AS (SELECT doc_id, $ckExpr AS ck FROM pd),
+          kp AS (SELECT ck, MIN(doc_id) AS keeper FROM ck GROUP BY 1),
+          td AS (SELECT ck.doc_id, ck.doc_id <> kp.keeper AS text_dup
+            FROM ck JOIN kp ON kp.ck = ck.ck),
+          cq AS (SELECT vec_id AS c_id, embedding FROM pe
+            WHERE vec_id % $CentroidStep = 0),
+          ${LlmPipeline.asnOverCtesSql("asn", "cq", "pe")},
+          cand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM asn a JOIN asn b ON b.cell = a.cell
+            WHERE a.vec_id < b.vec_id),
+          sdup AS (SELECT cand.b_id, MIN(cand.a_id) AS dup_of
+            FROM cand
+            JOIN pe ea ON ea.vec_id = cand.a_id
+            JOIN pe eb ON eb.vec_id = cand.b_id
+            WHERE ($vcos) >= $NearDupTau
+            GROUP BY 1),
+          sv AS (SELECT asn.vec_id, sdup.dup_of IS NOT NULL AS sem_dup
+            FROM asn LEFT JOIN sdup ON sdup.b_id = asn.vec_id)
+          SELECT COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN text_dup THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_text_dup,
+            CAST(SUM(CASE WHEN sem_dup THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_sem_dup,
+            CAST(SUM(CASE WHEN text_dup AND sem_dup THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_both,
+            CAST(SUM(CASE WHEN text_dup OR sem_dup THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_either,
+            CASE WHEN CAST(SUM(CASE WHEN text_dup OR sem_dup
+                THEN 1 ELSE 0 END) AS BIGINT) = 0 THEN 0
+              ELSE CAST(SUM(CASE WHEN text_dup AND sem_dup
+                THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+                // CAST(SUM(CASE WHEN text_dup OR sem_dup
+                  THEN 1 ELSE 0 END) AS BIGINT) END AS agreement_ppm
+          FROM td JOIN sv ON sv.vec_id = td.doc_id"""
+      })
+
+    Seq(q109, q110, q111, q112, q113, q114, q119, q123, q125)
   }
 }

@@ -154,6 +154,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(0L) === ((63L, None, "new")))
   }
 
+  test("q125: the agreement matrix separates both/text-only/semantic-only dups") {
+    // ids chosen so each planted replay class fires exactly once:
+    // %83==2 (id 2) → both-modal dup; %83==5 (id 5) → text-only (its
+    // replica's embedding is reversed); %83==7 (id 7) → semantic-only
+    // (its replica's text is reworded). Base vectors pairwise orthogonal
+    // so no natural semantic matches muddy the count.
+    val texts = Map(0L -> "zero base words", 2L -> "two base words",
+      5L -> "five base words", 7L -> "seven base words",
+      63L -> "sixtythree base words")
+    val axes = Map(0L -> 0, 2L -> 4, 5L -> 2, 7L -> 3, 63L -> 1)
+    val dDir = Files.createTempDirectory("xmodal").toString
+    texts.toSeq.map { case (id, t) => (id, t, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dDir/documents.parquet")
+    axes.toSeq.map { case (id, ax) => (id, axisVec(ax), 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dDir/embeddings.parquet")
+    val r = queryByName("q125_crossmodal_agreement")(spark, dDir)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((8L, 2L, 2L, 1L, 3L, 333333L)))
+  }
+
   test("q114: replication emits whole epochs plus a hash-selected remainder") {
     // two sources: "small" is upsampled hard (temperature flattening),
     // "big" keeps roughly its share. Every copy index from 1..floor must
