@@ -786,12 +786,17 @@ object LlmPipeline {
     * MinHash oracle SQL (q35, q36 and q103 all interpolate it; the
     * qualityScoreSql de-duplication rule).
     */
-  private[queries] def sigCtesSql: String = {
+  private[queries] def sigCtesSql: String = sigCtesSqlOver("documents")
+
+  /** [[sigCtesSql]] over an arbitrary documents-shaped relation `src` —
+    * operators that plant replays (q126) interpolate their union here.
+    */
+  private[queries] def sigCtesSqlOver(src: String): String = {
     val shed = Sketches.shinglesSql("text", ShingleN)
     val sigs = (0 until Sketches.NumHashes)
       .map(i => s"${Sketches.minhashSql("hs", i)} AS s$i").mkString(", ")
     s"""sh AS (SELECT doc_id, s AS sh FROM
-          (SELECT doc_id, $shed AS s FROM documents) WHERE len(s) > 0),
+          (SELECT doc_id, $shed AS s FROM $src) WHERE len(s) > 0),
         hh AS (SELECT doc_id, ${Sketches.shingleHashesSql("sh")} AS hs FROM sh),
         sig AS (SELECT doc_id, $sigs FROM hh)"""
   }

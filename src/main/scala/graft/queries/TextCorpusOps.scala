@@ -18,6 +18,8 @@ import graft.functions.{Sketches, Skew, TextFunctions}
   *  - L56 filter-ensemble overlap matrix                       → q121
   *  - L57 dedup cluster-size histogram                         → q122
   *  - L59 sketched quantile profile (bottom-k sample UDAF)     → q124
+  *  - L61 edit-distance near-dup verify (banded candidates)    → q126
+  *  - L62 adversarial-unicode hygiene (zero-width/homoglyph)   → q127
   *
   * (L54, the PQ asymmetric-distance search, lives with its encode twin
   * in [[CorpusOps]] — q119.)
@@ -39,6 +41,19 @@ object TextCorpusOps {
 
   /** Containment report floor (ppm of the contained doc's chunks). */
   private[queries] val ContainPpm = 600000L
+
+  /** L62's homoglyph fold table (Cyrillic lookalikes → Latin) and the
+    * planted adversarial prefix — ONE Scala value interpolated into both
+    * the engine Columns and the oracle SQL, so the two sides can never
+    * disagree on the byte sequence (U+200B/U+FEFF zero-widths,
+    * U+0430/0435/043E Cyrillic а/е/о, plus an unfolded U+043F п that
+    * must survive the scrub).
+    */
+  private[queries] val HomoglyphFold: Seq[(String, String)] =
+    Seq("\u0430" -> "a", "\u0435" -> "e", "\u043E" -> "o",
+      "\u0440" -> "p")
+  private[queries] val AdversarialPrefix: String =
+    "z\u200Bw\uFEFF \u043F\u0430ge h\u0435r\u043E "
 
   val all: Seq[GraftQuery] = {
 
@@ -621,6 +636,146 @@ object TextCorpusOps {
           ORDER BY n.source"""
       })
 
-    Seq(q115, q116, q117, q118, q120, q121, q122, q124)
+    /* L61: edit-distance near-dup verify — the character-level verify
+     * modality the token-level family (Jaccard L4, cosine L13, chunks
+     * L33/L53) cannot express: "same text up to a few keystrokes"
+     * (typo mirrors, OCR variants, case/punct tweaks that shift token
+     * boundaries). Candidates ride the SHARED MinHash band machinery
+     * (the one quadratic term, hot-bucket guarded); the verify is
+     * built-in `levenshtein` — classic unit-cost DP, bit-identical
+     * integers on both engines, no float anywhere. A replica slice
+     * with a single-character substitution is planted so the
+     * near-miss branch fires at every SF (distance exactly 1). Output:
+     * candidate pairs under the 20% normalized-distance floor. At
+     * 100 TB: pair count is the banded-LSH bound; the O(len²) DP runs
+     * only on candidates, never corpus-wide. */
+    val q126 = GraftQuery(
+      "q126_editdist_neardup", "L61 L4 L3",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val planted = docs.unionByName(
+          docs.filter(col("doc_id") % 97 === 1)
+            .withColumn("doc_id", col("doc_id") + 4000000L)
+            .withColumn("text",
+              concat(lit("Z"), expr("substring(text, 2)"))))
+        val sig = LlmPipeline.signaturesOf(
+          LlmPipeline.shingleRowsOf(planted))
+        val cand = LlmPipeline.lshCandidates(
+          LlmPipeline.lshBands(sig, "editdist_hot_buckets"))
+        cand
+          .join(planted.select(col("doc_id").as("a"), col("text").as("ta")),
+            Seq("a"))
+          .join(planted.select(col("doc_id").as("b"), col("text").as("tb")),
+            Seq("b"))
+          .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+          .withColumn("maxlen",
+            greatest(length(col("ta")), length(col("tb"))).cast("long"))
+          .withColumn("edit_ppm", expr("lev * 1000000 div maxlen"))
+          .filter(col("edit_ppm") <= 200000L)
+          .select(col("a"), col("b"), col("lev"), col("maxlen"),
+            col("edit_ppm"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some {
+        val src = """(SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 4000000 AS doc_id,
+              'Z' || substring(text, 2) AS text
+            FROM documents WHERE doc_id % 97 = 1)"""
+        s"""WITH pd AS $src,
+          ${LlmPipeline.sigCtesSqlOver("pd")},
+          ${LlmPipeline.bandCandCtesSql}
+          SELECT c.a, c.b,
+            CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+            CAST(greatest(length(da.text), length(db.text)) AS BIGINT)
+              AS maxlen,
+            CAST(levenshtein(da.text, db.text) AS BIGINT) * 1000000
+              // greatest(length(da.text), length(db.text)) AS edit_ppm
+          FROM cand c
+          JOIN pd da ON da.doc_id = c.a
+          JOIN pd db ON db.doc_id = c.b
+          WHERE CAST(levenshtein(da.text, db.text) AS BIGINT) * 1000000
+            // greatest(length(da.text), length(db.text)) <= 200000
+          ORDER BY c.a, c.b"""
+      })
+
+    /* L62: adversarial-unicode hygiene — the evasion class L25's NFC
+     * canonicalization deliberately does NOT touch: zero-width
+     * characters (ZWSP/ZWNJ/ZWJ/BOM) that split tokens invisibly, and
+     * Cyrillic homoglyphs (а е о р с х) that make visually-identical
+     * text hash differently — both standard dedup/blocklist evasion.
+     * Scrub = strip zero-widths (one regexp_replace, Java ∩ RE2
+     * \\x{hex} class) + fold homoglyphs (chained replace — both
+     * engines lack a shared translate dialect); idempotent by
+     * construction and PROVEN in-query (the q87/q90 pattern): the
+     * violations column re-applies the scrub and counts diffs — 0 on
+     * both engines or the hash fails. Adversarial text planted on the
+     * %97 slice so every branch fires at every SF. Per source: docs,
+     * affected docs per class, stripped/folded char counts, violations.
+     * At 100 TB: pure codegen'd map-side string ops + one
+     * |sources|-row aggregate. */
+    val q127 = GraftQuery(
+      "q127_unicode_hygiene", "L62 L25 L22",
+      (s, d) => {
+        val zwPat = "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"
+        def fold(c: Column): Column =
+          HomoglyphFold.foldLeft(c) { case (acc, (from, to)) =>
+            regexp_replace(acc, lit(from), lit(to))
+          }
+        def scrub(c: Column): Column =
+          fold(regexp_replace(c, lit(zwPat), lit("")))
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"))
+        val planted = docs.unionByName(
+          docs.filter(col("doc_id") % 97 === 1)
+            .withColumn("doc_id", col("doc_id") + 5000000L)
+            .withColumn("text", concat(lit(AdversarialPrefix), col("text"))))
+        val scored = planted
+          .withColumn("zw", regexp_count(col("text"), lit(zwPat)))
+          .withColumn("hg", regexp_count(col("text"),
+            lit("[\\x{0430}\\x{0435}\\x{043E}\\x{0440}]")))
+          .withColumn("clean", scrub(col("text")))
+          .withColumn("violation",
+            when(scrub(col("clean")) =!= col("clean"), 1L).otherwise(0L))
+        scored.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("zw") > 0, 1L).otherwise(0L)).as("n_zw_docs"),
+            sum(when(col("hg") > 0, 1L).otherwise(0L)).as("n_hg_docs"),
+            sum(col("zw")).cast("long").as("zw_chars"),
+            sum(col("hg")).cast("long").as("hg_chars"),
+            sum(col("violation")).as("idem_violations"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val zwPat = "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"
+        val hgPat = "[\\x{0430}\\x{0435}\\x{043E}\\x{0440}]"
+        def scrub(e: String): String =
+          HomoglyphFold.foldLeft(
+            s"regexp_replace($e, '$zwPat', '', 'g')") {
+            case (acc, (from, to)) => s"replace($acc, '$from', '$to')"
+          }
+        val clean = scrub("text")
+        val clean2 = scrub(s"($clean)")
+        s"""WITH pd AS (SELECT doc_id, source, text FROM documents
+            UNION ALL SELECT doc_id + 5000000 AS doc_id, source,
+              '$AdversarialPrefix' || text
+            FROM documents WHERE doc_id % 97 = 1),
+          sc AS (SELECT source,
+              len(regexp_extract_all(text, '$zwPat')) AS zw,
+              len(regexp_extract_all(text, '$hgPat')) AS hg,
+              CASE WHEN ($clean2) <> ($clean) THEN 1 ELSE 0 END
+                AS violation
+            FROM pd)
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN zw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_zw_docs,
+            CAST(SUM(CASE WHEN hg > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_hg_docs,
+            CAST(SUM(zw) AS BIGINT) AS zw_chars,
+            CAST(SUM(hg) AS BIGINT) AS hg_chars,
+            CAST(SUM(violation) AS BIGINT) AS idem_violations
+          FROM sc GROUP BY 1 ORDER BY source"""
+      })
+
+    Seq(q115, q116, q117, q118, q120, q121, q122, q124, q126, q127)
   }
 }

@@ -223,6 +223,38 @@ class TextCorpusOpsSpec extends SparkSpec {
       4L -> ((1L, 3L, 2L))))
   }
 
+  test("q126: a one-keystroke replica is found by bands and verified at distance 1") {
+    // doc 98 rides the query's own %97==1 replay → replica 4000098 with
+    // its first character substituted: MinHash bands still collide (only
+    // shingles touching word 1 change) and levenshtein verifies exactly 1
+    val words = (0 until 40).map(i => s"m${i % 17}n${i % 7}")
+    val dir = docCorpus(Seq(
+      (98L, words.mkString(" "), "en", "s"),
+      (99L, (0 until 40).map(i => s"q$i").mkString(" "), "en", "s")))
+    val out = queryByName("q126_editdist_neardup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val text = words.mkString(" ")
+    assert(out((98L, 4000098L)) ===
+      ((1L, text.length.toLong, 1000000L / text.length)))
+    // the unrelated doc pairs with nobody
+    assert(!out.keySet.exists { case (a, b) => a == 99L || b == 99L })
+  }
+
+  test("q127: zero-widths and homoglyphs are counted and the scrub is idempotent") {
+    // doc 98 rides the %97==1 replay → replica 5000098 carries the
+    // adversarial prefix: 2 zero-width chars (ZWSP, BOM) and 3 foldable
+    // Cyrillic homoglyphs (а е о); all base docs are clean ASCII
+    val dir = docCorpus(Seq(
+      (98L, "plain ascii text here", "en", "s"),
+      (99L, "more plain ascii words", "en", "s")))
+    val out = queryByName("q127_unicode_hygiene")(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) === ((3L, 1L, 1L, 2L, 3L, 0L)))
+  }
+
   test("q120: an appended-tail replica contains its original completely") {
     // doc 98 (80 words → chunks at 0 and 32, both full 48-word windows)
     // is in the %97==1 replay slice → the engine plants 3000098 with a
