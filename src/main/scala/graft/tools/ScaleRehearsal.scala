@@ -167,7 +167,10 @@ object ScaleRehearsal {
       // by protocol, so corpus-coupled scaling is quadratic BY DESIGN
       // (a compressed-domain brute scan, like q38) — at production the
       // query count is a workload dial independent of corpus size.
-      "q109_pq_encode", "q118_cdc_chunk_dedup", "q120_chunk_containment")
+      "q109_pq_encode", "q118_cdc_chunk_dedup", "q120_chunk_containment",
+      // the edit-distance verify adds an O(len²) DP per banded candidate
+      // — candidate count is the scaling term, the DP cost per pair flat
+      "q126_editdist_neardup")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)
