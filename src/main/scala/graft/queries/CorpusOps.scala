@@ -57,6 +57,14 @@ object CorpusOps {
   /** ADC search protocol: queries (the q70 %50 rule) and result depth. */
   private[queries] val AdcTopK = 5
 
+  /** L49 epoch ceiling: the max whole-corpus repeats mixture
+    * materialization will emit for one source — bounds the replication
+    * fan-out against degenerate tiny sources under temperature
+    * flattening (mC4-style cap; far above any useful oversampling rate,
+    * so it binds only on pathology).
+    */
+  private[queries] val MaxEpochs = 1000
+
   // --- shared PQ kernel (q109 encode, q119 ADC search) ---
 
   /** The fixed-size PQ codebook: stride-sampled, id-capped (K constant —
@@ -507,11 +515,18 @@ object CorpusOps {
             floor(sqrt(col("n_tok").cast("double")) * lit(1e6))
               .cast("long"))
         val total = n.agg(sum(col("sq")).as("total_sq"))
+        // MaxEpochs caps the per-source rate: a degenerate near-empty
+        // source under temperature flattening would otherwise request an
+        // unbounded epoch count and the sequence() fan-out would explode
+        // with it — at the cap the source simply repeats MaxEpochs times
+        // (the standard mC4-style epoch ceiling; the cap is part of the
+        // operator's semantics and mirrored in the oracle)
         val rates = n.crossJoin(broadcast(total))
           .withColumn("target_tok", expr(s"$budget * sq div total_sq"))
           .withColumn("rate_ppm", expr(
             "case when n_tok = 0 then 0 " +
-              "else target_tok * 1000000 div n_tok end"))
+              s"else least(${MaxEpochs}000000L, " +
+              "target_tok * 1000000 div n_tok) end"))
           .select(col("source"), col("rate_ppm"))
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("source"))
@@ -542,7 +557,8 @@ object CorpusOps {
           tot AS (SELECT SUM(sq) AS total_sq FROM sq),
           rates AS (SELECT source,
               CASE WHEN n_tok = 0 THEN 0
-                ELSE (1000000 * sq // total_sq) * 1000000 // n_tok END
+                ELSE least(${MaxEpochs}000000,
+                  (1000000 * sq // total_sq) * 1000000 // n_tok) END
                 AS rate_ppm
             FROM sq, tot),
           c AS (SELECT d.source, d.doc_id,

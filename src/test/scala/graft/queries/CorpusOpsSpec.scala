@@ -212,4 +212,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(big.getOrElse(bigFloor + 1, 0L) ===
       (11L to 20L).count(h(_) < 727250L).toLong)
   }
+
+  test("q114: the epoch ceiling binds on a degenerate near-empty source") {
+    // "tiny" holds ONE token against a large partner: the uncapped
+    // temperature rate would be ~4975 epochs; the MaxEpochs cap (1000)
+    // must bound the fan-out exactly — capped rate 1000.000000 → every
+    // doc gets precisely 1000 copies, no fractional remainder epoch
+    val dir = docCorpus(Seq(
+      (1L, "tok", "en", "tiny"),
+      (2L, Seq.fill(40000)("tok").mkString(" "), "en", "huge")))
+    val out = queryByName("q114_mixture_materialization")(spark, dir)
+      .collect().collect { case r if r.getString(0) == "tiny" =>
+        r.getLong(1) -> r.getLong(2) }.toMap
+    assert(out.keySet.max === CorpusOps.MaxEpochs.toLong)
+    assert(out.values.forall(_ === 1L))
+    assert(out.size === CorpusOps.MaxEpochs)
+  }
 }
