@@ -116,10 +116,20 @@ object CorpusOps {
   def pqAdcTopK(s: org.apache.spark.sql.SparkSession, d: String,
       centroidStep: Int = CentroidStep): org.apache.spark.sql.DataFrame = {
     val e = LlmPipeline.embeddingFrame(s, d)
-    val codes = pqCodesOf(e, centroidStep)
-    val qs = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-    val table = qs.crossJoin(broadcast(pqCbOf(e, centroidStep)))
+    adcSearch(pqCodesOf(e, centroidStep), pqCbOf(e, centroidStep),
+      e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe")))
+  }
+
+  /** The ADC search kernel over an arbitrary codes table, codebook and
+    * query set — shared by the in-query form (q119) and the
+    * stored-index form ([[pqAdcTopKFromIndex]]).
+    */
+  private def adcSearch(codes: org.apache.spark.sql.DataFrame,
+      cb: org.apache.spark.sql.DataFrame,
+      qs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val table = qs.crossJoin(broadcast(cb))
       .select(col("q_id") +: col("c_id") +:
         (0 until PqM).map(m =>
           pqDist(col("qe"), col("ce"), m).as(s"dq$m")): _*)
@@ -139,6 +149,38 @@ object CorpusOps {
       .select(col("q_id"), col("rank").cast("long").as("rank"),
         col("vec_id"), col("adc"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Build the PQ index as STORED ARTIFACTS — the production separation
+    * of index build from serving (Jégou et al. deployment shape): the
+    * codebook (M·K subspace codewords, kilobytes) and the corpus codes
+    * (4 BIGINTs per vector — ~16 B against 256 B of floats, the ~16×
+    * raw compression ADC serving runs on) written as parquet under
+    * `indexDir`. An index build touches the corpus embeddings ONCE;
+    * every subsequent search reads only the artifacts.
+    */
+  def writePqIndex(s: org.apache.spark.sql.SparkSession, d: String,
+      indexDir: String, centroidStep: Int = CentroidStep): Unit = {
+    val e = LlmPipeline.embeddingFrame(s, d)
+    pqCbOf(e, centroidStep).coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/codebook.parquet")
+    pqCodesOf(e, centroidStep)
+      .write.mode("overwrite").parquet(s"$indexDir/codes.parquet")
+  }
+
+  /** ADC top-k search FROM the stored index: corpus embeddings are never
+    * read — only the query set (small by definition), the broadcast
+    * codebook artifact and the compressed codes table. Produces
+    * exactly q119's rows on the same corpus (PqIndexSpec proves it):
+    * the serving path costs a codes scan, not an embeddings scan.
+    */
+  def pqAdcTopKFromIndex(s: org.apache.spark.sql.SparkSession,
+      indexDir: String, d: String): org.apache.spark.sql.DataFrame = {
+    val cb = s.read.parquet(s"$indexDir/codebook.parquet")
+    val codes = s.read.parquet(s"$indexDir/codes.parquet")
+    val qs = Tables.embeddings(s, d).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    adcSearch(codes, cb, qs)
   }
 
   // --- shared incremental-semantic-dedup kernel (q123 + streaming form) ---
