@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{Sketches, TextFunctions}
 
-/** Corpus-engineering operators, batch three (SURVEY §2.11a, L44–L49):
-  * the compression / semantic-safety / serving-efficiency tier of a
-  * production training-data stack.
+/** Corpus-engineering operators (SURVEY §2.11a, L44–L49, L54, L58,
+  * L60): the compression / semantic-safety / serving-efficiency tier of
+  * a production training-data stack.
   *
   *  - L44 product quantization (PQ codes + distortion)         → q109
   *  - L45 semantic decontamination (embedding-space eval)      → q110
@@ -20,7 +20,7 @@ import graft.functions.{Sketches, TextFunctions}
   *  - L58 incremental semantic dedup (frozen codebook)         → q123
   *  - L60 cross-modal dedup agreement matrix                   → q125
   *
-  * All six reuse the pipeline's shared kernels
+  * All of them reuse the pipeline's shared kernels
   * ([[LlmPipeline.embeddingFrame]], [[LlmPipeline.cellAssignWithCos]],
   * [[LlmPipeline.shingleRowsOf]], [[Sketches.dotOff]]) so constructions
   * and their DuckDB oracle twins keep one source of truth each.

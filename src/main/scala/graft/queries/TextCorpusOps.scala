@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{Sketches, Skew, TextFunctions}
 
-/** Text-corpus engineering operators, batch four (SURVEY §2.11a,
-  * L50–L53 + L55): tokenizer economics, distributional drift, and the
-  * fingerprinting family beyond fixed windows.
+/** Text-corpus engineering operators (SURVEY §2.11a, L50–L53,
+  * L55–L57, L59, L61–L62): tokenizer economics, distributional drift,
+  * filter governance, and the fingerprinting family beyond fixed
+  * windows.
   *
   *  - L50 tokenizer fertility profile                          → q115
   *  - L51 term-distribution divergence (total variation)       → q116
