@@ -21,6 +21,7 @@ import graft.functions.{Sketches, Skew, TextFunctions}
   *  - L59 sketched quantile profile (bottom-k sample UDAF)     → q124
   *  - L61 edit-distance near-dup verify (banded candidates)    → q126
   *  - L62 adversarial-unicode hygiene (zero-width/homoglyph)   → q127
+  *  - L63 integer-log perplexity proxy (Zipf surprise)         → q128
   *
   * (L54, the PQ asymmetric-distance search, lives with its encode twin
   * in [[CorpusOps]] — q119.)
@@ -777,6 +778,68 @@ object TextCorpusOps {
           FROM sc GROUP BY 1 ORDER BY source"""
       })
 
-    Seq(q115, q116, q117, q118, q120, q121, q122, q124, q126, q127)
+    /* L63: integer-log perplexity proxy — the frequency-weighted upgrade
+     * of L23's binary in-vocab familiarity: classic LM filtering scores
+     * −Σ log p(w), but libm log is the one engine-divergent operation
+     * (the L23 lesson). Under a Zipfian vocabulary, −log p(w) ≈
+     * log2(rank(w)) + const, and floor(log2(rank)) over a bounded rank
+     * domain is a 9-branch integer CASE ladder — exact on any engine.
+     * Per word: surprise = floor(log2(vocab rank)), out-of-vocab = 9
+     * (one past the deepest rank bucket); per doc: total and mean
+     * surprise (ppm-scaled integer div), keep under the threshold —
+     * common-word text scores low, word salad of rare/unknown tokens
+     * scores high, and unlike L23 the score DISCRIMINATES between
+     * frequent and merely-known words. At 100 TB: the ranked vocab is
+     * a tiny sort on the |vocab|-row frame shipped BROADCAST, surprise
+     * is map-side ladder math, one doc-keyed aggregate. */
+    val q128 = GraftQuery(
+      "q128_surprise_score", "L63 L23 L48",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(col("doc_id"), explode(Sketches.words(col("text")))
+            .as("w"))
+        val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w")).limit(CorpusOps.BigramVocab)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("c").desc, col("w"))))
+          .select(col("w"), col("rank"))
+        val ladder = (1 to 8).foldLeft(when(col("rank") < 2, 0L)) {
+          (acc, b) => acc.when(col("rank") < (1 << (b + 1)), b.toLong)
+        }
+        words.join(broadcast(vocab), Seq("w"), "left")
+          .withColumn("surprise",
+            when(col("rank").isNull, 9L).otherwise(ladder))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("surprise")).as("surprise_sum"))
+          .withColumn("mean_surprise_ppm",
+            expr("surprise_sum * 1000000 div n_words"))
+          .withColumn("keep", col("mean_surprise_ppm") <= 6000000L)
+          .select(col("doc_id"), col("n_words"), col("surprise_sum"),
+            col("mean_surprise_ppm"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val ws = Sketches.wordsSql("text")
+        val ladder = (1 to 8).map(b =>
+          s"WHEN rank < ${1 << (b + 1)} THEN $b").mkString(" ")
+        s"""WITH w AS (SELECT doc_id, unnest($ws) AS w FROM documents),
+          v AS (SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rank
+            FROM (SELECT w, COUNT(*) AS c FROM w GROUP BY 1
+              ORDER BY c DESC, w LIMIT ${CorpusOps.BigramVocab})),
+          sc AS (SELECT w.doc_id,
+              CASE WHEN v.rank IS NULL THEN 9
+                WHEN v.rank < 2 THEN 0 $ladder ELSE 9 END AS surprise
+            FROM w LEFT JOIN v ON v.w = w.w)
+          SELECT doc_id, COUNT(*) AS n_words,
+            CAST(SUM(surprise) AS BIGINT) AS surprise_sum,
+            CAST(SUM(surprise) AS BIGINT) * 1000000 // COUNT(*)
+              AS mean_surprise_ppm,
+            CAST(SUM(surprise) AS BIGINT) * 1000000 // COUNT(*)
+              <= 6000000 AS keep
+          FROM sc GROUP BY 1 ORDER BY doc_id"""
+      })
+
+    Seq(q115, q116, q117, q118, q120, q121, q122, q124, q126, q127, q128)
   }
 }

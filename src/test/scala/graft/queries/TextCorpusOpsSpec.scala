@@ -255,6 +255,25 @@ class TextCorpusOpsSpec extends SparkSpec {
       r.getLong(5), r.getLong(6)) === ((3L, 1L, 1L, 2L, 3L, 0L)))
   }
 
+  test("q128: surprise is zero on top-rank text and saturates on word salad") {
+    // doc 1 repeats the corpus's rank-1 word (surprise 0, keep); doc 2
+    // holds 300 distinct singletons: 255 fill vocab ranks 2..256, 45 are
+    // out-of-vocab at penalty 9 — the total is rank-layout independent:
+    // sum over r=2..256 of floor(log2(r)) + 45*9 = 1546 + 405 = 1951
+    val salad = (1 to 300).map(i => f"u$i%03d").mkString(" ")
+    val dir = docCorpus(Seq(
+      (1L, "the the the the", "en", "s"),
+      (2L, salad, "en", "s")))
+    val out = queryByName("q128_surprise_score")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(1L) === ((4L, 0L, 0L, true)))
+    val expectSum = (2 to 256).map(r =>
+      (math.log(r) / math.log(2)).toInt.toLong).sum + 45L * 9L
+    assert(out(2L) === ((300L, expectSum,
+      expectSum * 1000000L / 300L, false)))
+  }
+
   test("q120: an appended-tail replica contains its original completely") {
     // doc 98 (80 words → chunks at 0 and 32, both full 48-word windows)
     // is in the %97==1 replay slice → the engine plants 3000098 with a
