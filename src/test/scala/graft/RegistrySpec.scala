@@ -39,4 +39,23 @@ class RegistrySpec extends AnyFunSuite {
     reg.foreach(q => assert(q.survey.trim.nonEmpty,
       s"${q.name} has no SURVEY.md operator tag — coverage ledger breaks"))
   }
+
+  test("every L-numbered row in SURVEY §2.11a is covered by a registered query") {
+    // the coverage ledger can't rot silently: parse the L-operator table
+    // out of SURVEY.md and require each row's id to appear in some
+    // registered query's survey tags (streaming-only forms are covered
+    // by their batch twin's tag plus a named spec, so the same id always
+    // exists on a query)
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val tableIds = "(?m)^\\| (L\\d+) \\|".r
+      .findAllMatchIn(survey).map(_.group(1)).toSet
+    assert(tableIds.size >= 60, s"SURVEY §2.11a table parse broke: " +
+      s"only ${tableIds.size} L-rows found")
+    val tagged = reg.flatMap(_.survey.split("\\s+")).toSet
+    val uncovered = tableIds.filterNot(tagged.contains)
+    assert(uncovered.isEmpty,
+      s"SURVEY §2.11a rows with no registered query tag: " +
+        uncovered.toSeq.sorted.mkString(", "))
+  }
 }
