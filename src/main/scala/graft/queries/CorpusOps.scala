@@ -450,7 +450,11 @@ object CorpusOps {
           .withColumn("waste_ppm",
             expr("pad_slots * 1000000 div (bucket * n_docs)"))
           .withColumn("global_waste_ppm",
-            expr("(gmax * gn - gsum) * 1000000 div (gmax * gn)"))
+            // zero guard (the q115/q125 sibling-ratio convention): an
+            // all-empty corpus has gmax*gn = 0 — Spark `div` would yield
+            // NULL while DuckDB `//` errors; both engines emit 0 instead
+            expr("case when gmax * gn = 0 then 0 " +
+              "else (gmax * gn - gsum) * 1000000 div (gmax * gn) end"))
           .select(col("bucket"), col("n_docs"), col("sum_tok"),
             col("pad_slots"), col("waste_ppm"), col("global_waste_ppm"))
           .orderBy(col("bucket"))
@@ -473,7 +477,9 @@ object CorpusOps {
             bucket * n_docs - sum_tok AS pad_slots,
             (bucket * n_docs - sum_tok) * 1000000 // (bucket * n_docs)
               AS waste_ppm,
-            (gmax * gn - gsum) * 1000000 // (gmax * gn) AS global_waste_ppm
+            CASE WHEN gmax * gn = 0 THEN 0
+              ELSE (gmax * gn - gsum) * 1000000 // (gmax * gn) END
+              AS global_waste_ppm
           FROM per, g ORDER BY bucket"""
       })
 

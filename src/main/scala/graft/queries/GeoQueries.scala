@@ -149,7 +149,7 @@ object GeoQueries {
       val pixel = Synthetic.k + (col("event_id") % 2).cast("int") * 128
       Tables.events(s, d)
         .withColumn("pixel", pixel)
-        .withColumn("dbz", Codecs.dbzCol(col("pixel")))
+        .withColumn("dbz", Codecs.dbzCol(col("pixel")).cast("long"))
         .withColumn("color", Codecs.dbzColorCol(col("dbz")))
         .groupBy(col("dbz"), col("color"))
         .agg(count(lit(1)).as("n"))

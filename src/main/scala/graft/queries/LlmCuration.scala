@@ -474,7 +474,7 @@ object LlmCuration {
      * at all (arithmetic, not a table — a real model rides a |buckets|-row
      * broadcast join instead, same plan shape). */
     val q106 = GraftQuery(
-      "q106_hash_classifier", "L41 L9 F13",
+      "q106_hash_classifier", "L41 L9",
       (s, d) => {
         val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
         docs.select(col("doc_id"),
@@ -498,7 +498,8 @@ object LlmCuration {
               FROM documents) WHERE length(w) > 0),
           feats AS (SELECT doc_id,
               ($fp % 1024) * 2654435761 % 1001 - 500 AS weight FROM toks)
-          SELECT doc_id, COUNT(*) AS n_tokens, SUM(weight) AS score,
+          SELECT doc_id, COUNT(*) AS n_tokens,
+            CAST(SUM(weight) AS BIGINT) AS score,
             CASE WHEN SUM(weight) >= 0 THEN 'keep' ELSE 'drop' END AS label
           FROM feats GROUP BY 1 ORDER BY doc_id"""
       })
@@ -551,7 +552,7 @@ object LlmCuration {
           sq AS (SELECT source, n_tok,
               CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * 1e6) AS BIGINT) AS sq
             FROM n),
-          tot AS (SELECT SUM(sq) AS total_sq FROM sq)
+          tot AS (SELECT CAST(SUM(sq) AS BIGINT) AS total_sq FROM sq)
           SELECT source, n_tok, sq * 1000000 // total_sq AS share_ppm,
             1000000 * sq // total_sq AS target_tok,
             CASE WHEN n_tok = 0 THEN 0 ELSE least(1000000,

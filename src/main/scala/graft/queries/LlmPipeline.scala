@@ -481,7 +481,8 @@ object LlmPipeline {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rank") <= TopK)
-      .select(col("q_id"), col("rank"), col("vec_id"), col("cell"), col("cos"))
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cell"), col("cos"))
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -968,7 +969,8 @@ object LlmPipeline {
           .withColumn("rank", row_number().over(
             Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
           .filter(col("rank") <= TopK)
-          .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+          .select(col("q_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("cos"))
           .orderBy(col("q_id"), col("rank"))
       },
       Some {
@@ -1026,7 +1028,7 @@ object LlmPipeline {
                 ORDER BY ${Sketches.cosineSql(dot, an, bn)} DESC, b.vec_id) AS rn
             FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id <> b.vec_id)
             WHERE rn = 1)
-          SELECT e.vec_id, e.sig, nn.nn_id, nn.nn_cos
+          SELECT e.vec_id, CAST(e.sig AS BIGINT) AS sig, nn.nn_id, nn.nn_cos
           FROM e LEFT JOIN nn ON nn.vec_id = e.vec_id
           ORDER BY e.vec_id"""
       })
@@ -1101,7 +1103,7 @@ object LlmPipeline {
             FROM cand JOIN e x ON x.vec_id = cand.va
               JOIN e y ON y.vec_id = cand.vb)
             WHERE rn = 1)
-          SELECT e.vec_id, e.sig, nn.nn_id, nn.nn_cos
+          SELECT e.vec_id, CAST(e.sig AS BIGINT) AS sig, nn.nn_id, nn.nn_cos
           FROM e LEFT JOIN nn ON nn.vec_id = e.vec_id
           ORDER BY e.vec_id"""
       })
@@ -1164,8 +1166,8 @@ object LlmPipeline {
       (s, d) =>
         Tables.documents(s, d)
           .select(col("doc_id"),
-            TextFunctions.tokenCountWs(col("text")).as("tok_ws"),
-            TextFunctions.tokenCountBpeIsh(col("text")).as("tok_bpe"),
+            TextFunctions.tokenCountWs(col("text")).cast("long").as("tok_ws"),
+            TextFunctions.tokenCountBpeIsh(col("text")).cast("long").as("tok_bpe"),
             TextFunctions.qualityScoreColumn(col("text")).as("quality"))
           .orderBy(col("doc_id")),
       Some {
@@ -2208,7 +2210,8 @@ object LlmPipeline {
             Window.partitionBy(col("source"))
               .orderBy(col("score_ppm").desc, col("w"))))
           .filter(col("rank") <= 5)
-          .select(col("source"), col("rank"), col("w").as("term"),
+          .select(col("source"), col("rank").cast("long").as("rank"),
+            col("w").as("term"),
             col("tf"), col("df"), col("n_docs"), col("score_ppm"))
           .orderBy(col("source"), col("rank"))
       },

@@ -108,10 +108,10 @@ object RasterQueries {
       Tables.documents(s, d)
         .withColumn("payload", col("text").cast("binary"))
         .select(col("doc_id"),
-          length(col("payload")).as("n_bytes"),
+          length(col("payload")).cast("long").as("n_bytes"),
           md5(col("payload")).as("payload_md5"),
           lower(substring(hex(col("payload")), 1, 16)).as("head_hex"),
-          (length(col("payload")) % 512).as("fake_width"),
+          (length(col("payload")) % 512).cast("long").as("fake_width"),
           (expr("length(payload) div 512") + 1).as("fake_height"),
           ascii(substring(col("text"), 1, 1)).as("first_byte"))
         .orderBy(col("doc_id")),

@@ -24,7 +24,7 @@ object Scalar {
           col("doc_id"),
           regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word"),
           regexp_extract(col("source"), "([0-9]+)", 1).cast("int").as("src_num"),
-          (size(split(col("text"), " dup", -1)) - 1).as("dup_count"))
+          (size(split(col("text"), " dup", -1)) - 1).cast("long").as("dup_count"))
         .orderBy(col("doc_id")),
     Some("""SELECT doc_id,
         regexp_extract(text, '^([a-z]+)', 1) AS first_word,

@@ -37,7 +37,8 @@ object ScalarPackQueries {
         .filter(col("start_sec").isNull || col("start_sec") <= col("h") - 3600)
         .select(col("event_id"), col("start_sec"),
           // C7: event hour in NZ local time (IANA zone, covers NZDT/NZST)
-          hour(from_utc_timestamp(col("ts_us"), "Pacific/Auckland")).as("nz_hour"),
+          hour(from_utc_timestamp(col("ts_us"), "Pacific/Auckland"))
+            .cast("long").as("nz_hour"),
           // C13: strip CR/LF/control chars before logging
           regexp_replace(col("dirty"), "[\\x00-\\x1f\\x7f]", "_").as("sanitized"))
         .orderBy(col("event_id"))

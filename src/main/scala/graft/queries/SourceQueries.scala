@@ -80,7 +80,8 @@ object SourceQueries {
         .filter(col("customers") >= 50)
         .orderBy(col("event_id"))
     },
-    Some(s"""SELECT event_id, event_type AS region, ${Synthetic.kSql} AS customers,
+    Some(s"""SELECT event_id, event_type AS region,
+        CAST(${Synthetic.kSql} AS BIGINT) AS customers,
         round(${Synthetic.lonSql}, 6) AS lon, round(${Synthetic.latSql}, 6) AS lat
       FROM events WHERE ${Synthetic.kSql} >= 50 ORDER BY event_id"""))
 
@@ -215,7 +216,8 @@ object SourceQueries {
         .filter(col("k") % 4 =!= 0)
         .orderBy(col("event_id"))
     },
-    Some(s"""SELECT event_id, event_id // 500 AS page, event_type, ${Synthetic.kSql} AS k
+    Some(s"""SELECT event_id, event_id // 500 AS page, event_type,
+        CAST(${Synthetic.kSql} AS BIGINT) AS k
       FROM events WHERE ${Synthetic.kSql} % 4 <> 0 ORDER BY event_id"""))
 
   /** One-envelope-per-file staging for the DSv2 reader: `page-<n>.json`,
@@ -265,7 +267,8 @@ object SourceQueries {
           col("k"))
         .orderBy(col("event_id"))
     },
-    Some(s"""SELECT event_id, event_id // 500 AS page, event_type, ${Synthetic.kSql} AS k
+    Some(s"""SELECT event_id, event_id // 500 AS page, event_type,
+        CAST(${Synthetic.kSql} AS BIGINT) AS k
       FROM events WHERE event_type = 'click' AND ${Synthetic.kSql} >= 10
       ORDER BY event_id"""))
 

@@ -374,6 +374,14 @@ object TextCorpusOps {
         val cf = LlmPipeline.chunkFrame(planted)
           .select(col("doc_id"), col("chunk_fp")).distinct()
         val sizes = cf.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+        // q36-convention guard asymmetry: the oracle below is UNCAPPED, so
+        // the oracle run PROVES the cap never binds at the gated SFs (a
+        // binding cap would hash-mismatch); `sizes` is computed from the
+        // unguarded frame on purpose — n_a is the doc's true chunk count,
+        // the denominator of the containment ratio, independent of any
+        // candidate-generation cap. If the cap ever binds at a larger SF,
+        // the observed containment_hot_chunks metric (stderr in Verify) is
+        // the signal that pairs were dropped while denominators were not.
         val guarded = Skew.dropHotBuckets(cf, Seq("chunk_fp"),
           HotBucketCap, observeAs = Some("containment_hot_chunks"))
         val pairs = guarded

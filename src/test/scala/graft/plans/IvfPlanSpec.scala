@@ -48,9 +48,9 @@ class IvfPlanSpec extends SparkSpec {
   test("q70 output is well-formed and its top-1 agrees with brute force on most queries") {
     graft.core.CacheScope.scoped {
       val ivf = graft.SparkEntry.queries("q70_ann_ivf_coarse")(spark, sfDir)
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val brute = graft.SparkEntry.queries("q38_ann_brute_topk")(spark, sfDir)
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       // ranks are contiguous from 1 within each query
       ivf.groupBy(_._1).foreach { case (q, rows) =>
         assert(rows.map(_._2).sorted.sameElements(1 to rows.size),

@@ -70,7 +70,7 @@ class AnnRecallSpec extends SparkSpec {
     val exact = rows("q38_ann_brute_topk") // (q_id, rank, vec_id, cos)
     val queries = exact.map(_.getLong(0)).distinct
     assert(queries.length === 10, "fixture must yield q38's 10-query protocol")
-    val exactTop1 = exact.filter(_.getInt(1) == 1)
+    val exactTop1 = exact.filter(_.getLong(1) == 1L)
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     val exactTopK = exact.groupBy(_.getLong(0))
       .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
@@ -115,7 +115,7 @@ class AnnRecallSpec extends SparkSpec {
     // rule applied to the PQ dials (M, K) before anyone ships them
     val exact = rows("q38_ann_brute_topk")
     val queries = exact.map(_.getLong(0)).distinct
-    val exactTop1 = exact.filter(_.getInt(1) == 1)
+    val exactTop1 = exact.filter(_.getLong(1) == 1L)
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     val exactTopK = exact.groupBy(_.getLong(0))
       .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
@@ -201,7 +201,7 @@ class AnnRecallSpec extends SparkSpec {
     // corpus using the SAME parameterized builder q70 registers.
     val exact = rows("q38_ann_brute_topk")
     val queries = exact.map(_.getLong(0)).distinct
-    val exactTop1 = exact.filter(_.getInt(1) == 1)
+    val exactTop1 = exact.filter(_.getLong(1) == 1L)
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     val exactTopK = exact.groupBy(_.getLong(0))
       .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
