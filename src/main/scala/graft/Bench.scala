@@ -99,6 +99,7 @@ object Bench {
     }
     warm(graft.queries.SourceQueries.stageAll(spark, sfDir))
     warm(graft.queries.IngestQueries.stageAll(spark, sfDir))
+    warm(graft.queries.SinkQueries.stageAll(spark, sfDir))
     // each query runs THREE times, full pipeline every time (fresh
     // DataFrame → analysis → optimization → execution → noop write). Run 1
     // is COLD: it includes the plan's one-time Janino + JIT compile. Runs

@@ -31,9 +31,10 @@ import graft.queries._
   *  - K4 idempotent resume + K5 JSON write → ResumableSinkSpec; the JDBC
   *    MBTiles form (unique-index resume, duplicate classification) →
   *    MbtilesSinkSpec; K7 training-shard writer (hash-sharded, key-sorted,
-  *    size-capped parquet layout) → ShardWriterSpec; K8 bucketed
-  *    corpus-store layout (zero-shuffle co-located joins/aggs on the
-  *    bucket key, proven on executed plans) → BucketedLayoutSpec
+  *    size-capped parquet layout) → ShardWriterSpec + the q129 inventory
+  *    read-back oracle; K8 bucketed corpus-store layout (zero-shuffle
+  *    co-located joins/aggs on the bucket key, proven on executed plans)
+  *    → BucketedLayoutSpec + the q130 round-trip oracle
   *  - L7 native signature kernel → HyperplaneSignatureSpec; skew/bucket
   *    guards incl. the LSH hot-bucket cap → SkewBucketSpec; HyperLogLog
   *    sketch aggregate (accuracy, merge determinism, partial-agg plan)
@@ -52,7 +53,7 @@ object SparkEntry {
       TextCorpusOps.all ++
       IngestQueries.all ++ RasterQueries.all ++
       SinkJoinQueries.all ++ SourceQueries.all ++ WindowFilterQueries.all ++
-      ScalarPackQueries.all
+      ScalarPackQueries.all ++ SinkQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.sinks.{BucketedLayout, ShardWriter}
+
+/** Oracle-gated READ-BACK queries for the flagship corpus sinks (K7
+  * training-shard writer, K8 bucketed store) — the sink analog of the
+  * source-scan queries (q43, q52-q56): the written layout is a
+  * deterministic function of the test tables, so a DuckDB oracle can
+  * recompute the expected inventory relationally and the driver's hash
+  * gate proves the writer lost, duplicated, and misplaced NOTHING.
+  * Reference analog: the MBTiles resume set is likewise gated by
+  * re-deriving the expected keyed state from the inputs
+  * (`scripts/download_nationalmap/create_nationalmap_mbtiles.py:92-106`,
+  * gated via q06); these give the engine's own shipping sinks the same
+  * treatment, upgrading K7/K8 from spec-only to CORRECTNESS-gated.
+  */
+object SinkQueries {
+
+  private val NShards = 16
+  private val RecordCap = 64L
+  private val NBuckets = 8
+
+  /** K7 layout staged once per sf dir (the Staging.once convention: the
+    * write is setup for the timed/hashed READ path, and Bench pre-stages
+    * it untimed via [[stageAll]]). Base write + incremental append so the
+    * inventory gates BOTH ShardWriter entry points: rows with
+    * doc_id % 5 != 0 land in the initial write, the % 5 == 0 slice is
+    * appended as the nightly increment — membership must agree because
+    * shard id is the same pure salted key hash on both paths.
+    */
+  private def stageShardLayout(s: SparkSession, d: String): String =
+    Staging.once(d, "shard_layout_v1") { path =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      ShardWriter.write(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", NShards, path, maxRecordsPerFile = RecordCap)
+      ShardWriter.append(docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", NShards, path, maxRecordsPerFile = RecordCap)
+    }
+
+  /** K7: shard-layout inventory read-back. Per shard directory: row
+    * count, part-file count, and the key range — all recomputed by the
+    * oracle from `documents` alone (shard membership is the salted
+    * md5-prefix hash mod NShards; the file count is ceil(rows/cap) per
+    * write because one task owns each shard value and the writer rolls
+    * files at exactly `maxRecordsPerFile` rows). A lost row, a duplicated
+    * append, a misplaced key, or a broken file-split contract each shows
+    * up as a hash mismatch. At 100 TB: the read-back is one partition-
+    * pruned scan + a map-side-combined aggregate keyed by the directory
+    * key; `input_file_name` is evaluated per-row map-side (no extra
+    * shuffle beyond the |shards|-row aggregate).
+    */
+  val q129 = GraftQuery(
+    "q129_shard_inventory", "K7",
+    (s, d) => {
+      val path = stageShardLayout(s, d)
+      s.read.parquet(path)
+        // project the file name BEFORE the aggregate: Spark (correctly)
+        // rejects non-deterministic expressions inside aggregate
+        // arguments, but a projected column is just a value
+        .withColumn("fname", input_file_name())
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("fname")).as("n_files"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("shard"))
+    },
+    Some {
+      val shard = s"${TextFunctions.md5FingerprintSql(
+        "'shard:' || CAST(doc_id AS VARCHAR)")} % $NShards"
+      s"""WITH s AS (SELECT doc_id, $shard AS shard,
+            (doc_id % 5 <> 0) AS is_base
+          FROM documents)
+        SELECT shard, COUNT(*) AS n_rows,
+          (COUNT(*) FILTER (WHERE is_base) + ${RecordCap - 1}) // $RecordCap
+            + (COUNT(*) FILTER (WHERE NOT is_base) + ${RecordCap - 1})
+              // $RecordCap AS n_files,
+          MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM s GROUP BY 1 ORDER BY shard"""
+    })
+
+  /** Catalog-safe table suffix for the sf dir (bucket specs live in the
+    * session catalog, so names must not collide across sf dirs within
+    * one JVM).
+    */
+  private def sfTag(d: String): String =
+    new java.io.File(d).getName.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** K8: bucketed corpus-store round-trip. Writes the document store and
+    * its fingerprint store bucketed by `doc_id` (the repeated join key),
+    * reads both back THROUGH the catalog (a bare parquet read would drop
+    * the bucket spec), joins them on the bucket key — zero-shuffle by
+    * layout, proven on executed plans in BucketedLayoutSpec — and emits a
+    * per-source profile the oracle recomputes straight from `documents`:
+    * any row the store round-trip lost, duplicated, or mangled diverges
+    * the counts / key ranges / fingerprint checksum. The write runs every
+    * call (mode=overwrite, the store IS the operator under test); unlike
+    * q129 the staged artifact is catalog state, which a fresh JVM cannot
+    * reuse from disk alone. At 100 TB: the one-time write pays the single
+    * hash exchange, every later probe (this query's join stands in for
+    * the nightly ones) reads pre-partitioned, pre-sorted buckets.
+    */
+  val q130 = GraftQuery(
+    "q130_bucketed_store", "K8",
+    (s, d) => {
+      val base = Staging.dir(d, "bucketed_store_v1")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val fps = Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.md5Fingerprint(col("text")).as("fp"))
+      val tag = sfTag(d)
+      BucketedLayout.write(docs, s"graft_bl_docs_$tag", "doc_id", NBuckets,
+        s"$base/docs")
+      BucketedLayout.write(fps, s"graft_bl_fps_$tag", "doc_id", NBuckets,
+        s"$base/fps")
+      BucketedLayout.table(s, s"graft_bl_docs_$tag")
+        .join(BucketedLayout.table(s, s"graft_bl_fps_$tag"), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("fp") % lit(1000003L)).as("fp_mod_sum"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val fp = TextFunctions.md5FingerprintSql("text")
+      s"""SELECT source, COUNT(*) AS n_docs,
+          MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          CAST(SUM($fp % 1000003) AS BIGINT) AS fp_mod_sum
+        FROM documents GROUP BY 1 ORDER BY source"""
+    })
+
+  /** Untimed pre-stage hook for Bench's warmup (q129's layout; q130
+    * rebuilds its store every call by design).
+    */
+  def stageAll(s: SparkSession, d: String): Unit = {
+    stageShardLayout(s, d); ()
+  }
+
+  val all: Seq[GraftQuery] = Seq(q129, q130)
+}
