@@ -78,11 +78,14 @@ object CorpusOps {
 
   /** Subspace-m squared L2 distance, in the exact parity-safe form
     * d = dot(a,a) − 2·dot(a,b) + dot(c,c) over the subspace window.
+    * `sub` is the subspace width Dims/M — parameterized so the M dial
+    * (AnnRecallSpec's compression/recall sweep) reuses the same kernel.
     */
-  private def pqDist(a: Column, b: Column, m: Int): Column =
-    (Sketches.dotOff(a, a, PqSub, m * PqSub)
-      - lit(2.0) * Sketches.dotOff(a, b, PqSub, m * PqSub)
-      + Sketches.dotOff(b, b, PqSub, m * PqSub))
+  private def pqDist(a: Column, b: Column, m: Int,
+      sub: Int = PqSub): Column =
+    (Sketches.dotOff(a, a, sub, m * sub)
+      - lit(2.0) * Sketches.dotOff(a, b, sub, m * sub)
+      + Sketches.dotOff(b, b, sub, m * sub))
 
   private def pqDistSql(a: String, b: String, m: Int): String = {
     def dsub(x: String, y: String): String =
@@ -92,18 +95,23 @@ object CorpusOps {
 
   /** Per-vector PQ code assignment (the q109 argmin without the
     * distortion columns) — shared with the ADC search (q119).
+    * `nSub` is the M dial (subspace count): more subquantizers quantize
+    * finer at a linear cost in stored code bytes — the compression side
+    * of the recall/compression trade AnnRecallSpec measures.
     */
   private[queries] def pqCodesOf(e: org.apache.spark.sql.DataFrame,
-      centroidStep: Int = CentroidStep): org.apache.spark.sql.DataFrame =
+      centroidStep: Int = CentroidStep,
+      nSub: Int = PqM): org.apache.spark.sql.DataFrame = {
+    val sub = Dims / nSub
+    val aggs = (0 until nSub).map(m =>
+      min_by(col("c_id"), struct(col(s"d$m"), col("c_id"))).as(s"code$m"))
     e.crossJoin(broadcast(pqCbOf(e, centroidStep)))
       .select(col("vec_id") +: col("c_id") +:
-        (0 until PqM).map(m =>
-          pqDist(col("embedding"), col("ce"), m).as(s"d$m")): _*)
+        (0 until nSub).map(m =>
+          pqDist(col("embedding"), col("ce"), m, sub).as(s"d$m")): _*)
       .groupBy(col("vec_id"))
-      .agg(min_by(col("c_id"), struct(col("d0"), col("c_id"))).as("code0"),
-        min_by(col("c_id"), struct(col("d1"), col("c_id"))).as("code1"),
-        min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("code2"),
-        min_by(col("c_id"), struct(col("d3"), col("c_id"))).as("code3"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** L54 with its quantization dial exposed: the EXACT pipeline q119
     * registers (codes + per-query codeword lookup tables + 4 broadcast
@@ -114,11 +122,13 @@ object CorpusOps {
     * curve the default is judged against.
     */
   def pqAdcTopK(s: org.apache.spark.sql.SparkSession, d: String,
-      centroidStep: Int = CentroidStep): org.apache.spark.sql.DataFrame = {
+      centroidStep: Int = CentroidStep,
+      nSub: Int = PqM): org.apache.spark.sql.DataFrame = {
     val e = LlmPipeline.embeddingFrame(s, d)
-    adcSearch(pqCodesOf(e, centroidStep), pqCbOf(e, centroidStep),
+    adcSearch(pqCodesOf(e, centroidStep, nSub), pqCbOf(e, centroidStep),
       e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe")))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe")),
+      nSub)
   }
 
   /** The ADC search kernel over an arbitrary codes table, codebook and
@@ -127,13 +137,15 @@ object CorpusOps {
     */
   private def adcSearch(codes: org.apache.spark.sql.DataFrame,
       cb: org.apache.spark.sql.DataFrame,
-      qs: org.apache.spark.sql.DataFrame)
+      qs: org.apache.spark.sql.DataFrame,
+      nSub: Int = PqM)
       : org.apache.spark.sql.DataFrame = {
+    val sub = Dims / nSub
     val table = qs.crossJoin(broadcast(cb))
       .select(col("q_id") +: col("c_id") +:
-        (0 until PqM).map(m =>
-          pqDist(col("qe"), col("ce"), m).as(s"dq$m")): _*)
-    val joined = (0 until PqM).foldLeft(codes) { (df, m) =>
+        (0 until nSub).map(m =>
+          pqDist(col("qe"), col("ce"), m, sub).as(s"dq$m")): _*)
+    val joined = (0 until nSub).foldLeft(codes) { (df, m) =>
       val tm = table.select(col("q_id"), col("c_id").as(s"code$m"),
         col(s"dq$m"))
       if (m == 0) df.join(broadcast(tm), Seq(s"code$m"))
@@ -141,7 +153,7 @@ object CorpusOps {
     }
     joined.filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc",
-        col("dq0") + col("dq1") + col("dq2") + col("dq3"))
+        (0 until nSub).map(m => col(s"dq$m")).reduce(_ + _))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("adc"), col("vec_id"))))

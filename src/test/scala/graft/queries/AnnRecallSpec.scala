@@ -172,6 +172,58 @@ class AnnRecallSpec extends SparkSpec {
         f"K@21=${byStep(21)}%.2f vs K@63=${byStep(63)}%.2f")
   }
 
+  test("q119 recall-vs-M curve (the PQ compression/recall dial)") {
+    // the other half of the PQ dial pair (VERDICT r11 #5): M subquantizers
+    // store M code ids per vector (M·log2(K) bits packed — 8·6 = 48 bits
+    // at M=8/K=64 vs 2048 bits of raw float32: ~43×; M=2 is ~171×), and
+    // finer subspaces rank neighbors better. Sweep M over the planted-twin
+    // corpus with the SAME parameterized kernel q119 registers; the
+    // measured (compression, recall) pairs are the table the default M=4
+    // is chosen from (recorded in ROUND_NOTES).
+    val exact = rows("q38_ann_brute_topk")
+    val queries = exact.map(_.getLong(0)).distinct
+    val exactTop1 = exact.filter(_.getLong(1) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val exactTopK = exact.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val k = exactTopK.head._2.size
+    val curve = Seq(2, 4, 8).map { m =>
+      val adc = graft.core.CacheScope.scoped {
+        graft.queries.CorpusOps.pqAdcTopK(spark, dir, nSub = m).collect()
+      }.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      val r1 = queries.count(q =>
+        adc.getOrElse(q, Set.empty).contains(exactTop1(q))).toDouble /
+        queries.length
+      val rK = queries.map { q =>
+        adc.getOrElse(q, Set.empty).intersect(exactTopK(q)).size.toDouble / k
+      }.sum / queries.length
+      (m, r1, rK)
+    }
+    curve.foreach { case (m, r1, rK) =>
+      info(f"M=$m%d  recall@1=$r1%.2f  recall@$k%d=$rK%.2f")
+    }
+    println("[ann-recall] q119_m_curve=" + curve.map { case (m, r1, rK) =>
+      f"$m%d:$r1%.2f/$rK%.2f" }.mkString(","))
+    val byM = curve.map { case (m, r1, rK) => m -> (r1, rK) }.toMap
+    // measured: M=2 0.30/0.16, M=4 0.90/0.22, M=8 1.00/0.34 — recall
+    // must be non-decreasing in M (finer subspaces can only rank
+    // better; a violation localizes an encode/tie-break bug to one
+    // subspace width), and the low M=2 end is the POINT: two 32-dim
+    // subquantizers at K=64 cannot separate a 64-dim twin from fillers,
+    // which is why the default is M=4, not the 171×-compression corner
+    curve.sliding(2).foreach { case Seq((mLo, r1Lo, rKLo), (mHi, r1Hi, rKHi)) =>
+      assert(r1Hi >= r1Lo - 0.05 && rKHi >= rKLo - 0.05,
+        f"recall fell as M grew: M=$mLo%d ($r1Lo%.2f/$rKLo%.2f) → " +
+          f"M=$mHi%d ($r1Hi%.2f/$rKHi%.2f)")
+    }
+    // floors with margin off the measurements (the r10 #2 rule): the
+    // default M=4 @1 (0.90 measured) and the fine end M=8 (1.00/0.34)
+    assert(byM(4)._1 >= 0.7, f"default-M recall@1 ${byM(4)._1}%.2f < 0.7")
+    assert(byM(8)._1 >= 0.85 && byM(8)._2 >= 0.2,
+      f"M=8 recall ${byM(8)._1}%.2f/${byM(8)._2}%.2f below 0.85/0.2 floors")
+  }
+
   test("q92 SemDeDup pair recall on planted twins (cell-based candidates)") {
     // the dedup analog of ANN recall: a planted twin at cos ~0.995 is a
     // CONFIDENT near-dup (τ = 0.3), so each twin (q+3) must be assigned a
