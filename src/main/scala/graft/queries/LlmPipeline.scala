@@ -586,19 +586,56 @@ object LlmPipeline {
     * in the executed plan (`embed_hot_buckets`).
     *
     * `bandBits` is the occupancy dial: 2 bands of `bandBits` bits each,
-    * so expected bucket population is n / 2^bandBits — the production
-    * setting scales bandBits with log2(n) to hold per-bucket occupancy
-    * (and the quadratic candidate term) CONSTANT as the corpus grows.
-    * Registered queries (q72/q78) use the default 8; ScaleRehearsal
-    * measures the dial at 10× data.
+    * so expected bucket population is n / 2^bandBits — the quadratic
+    * candidate term is n·occupancy. The DEFAULT is data-scaled
+    * ([[bandBitsFor]]): bits grow with log2(n) to hold occupancy (and
+    * therefore per-row candidate work) constant as the corpus grows —
+    * the fix for the one super-linear 10× ScaleRehearsal ratio the fixed
+    * 8-bit constant caused. ScaleRehearsal's `dial` mode prints the
+    * measured wall/pair-count evidence at 1×@8, 10×@8 and 10×@11.
     */
+  /** Occupancy-targeted band width: the narrowest `bandBits ≥ 8` with
+    * expected bucket population n / 2^bandBits ≤ [[BandOccupancyTarget]].
+    * The floor keeps every driver-gated SF (n ≤ 2000 embeddings) at the
+    * historical 8 bits — the baked 16-bit-signature oracles stay
+    * hash-identical — while 10× rehearsal data (n = 20000) gets 11 bits
+    * and production corpora keep scaling, capped at 31 (62-bit
+    * signatures still fit the LONG sig column).
+    */
+  private[graft] val BandOccupancyTarget = 12L
+  private[graft] def bandBitsFor(n: Long): Int = {
+    def ceilLog2(x: Long): Int =
+      if (x <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
+    // overflow-safe ceiling divide: (n + C - 1) wraps near Long.MaxValue
+    val buckets = if (n <= 0L) 1L else (n - 1) / BandOccupancyTarget + 1
+    math.min(31, math.max(8, ceilLog2(buckets)))
+  }
+
+  /** Adaptive-default form — resolves the dial from the corpus row count
+    * (a parquet-metadata count, paid once per directory: the fixture
+    * tables are immutable, so the resolved width memoizes on the dir;
+    * a production deployment would resolve it from catalog stats).
+    */
+  private val bandBitsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private[graft] def embedNearDupPairs(s: org.apache.spark.sql.SparkSession,
-      d: String, bandBits: Int = 8): org.apache.spark.sql.DataFrame = {
+      d: String): org.apache.spark.sql.DataFrame = {
+    val bits = bandBitsMemo.computeIfAbsent(d,
+      _ => Integer.valueOf(bandBitsFor(Tables.embeddings(s, d).count())))
+    embedNearDupPairs(s, d, bits.intValue())
+  }
+
+  /** The candidate half of the kernel — banded signature equi-join
+    * BEFORE the exact-cosine verify. Exposed so ScaleRehearsal's dial
+    * can measure cost (candidate count, the quadratic term bandBits
+    * bounds) separately from recall (verified pairs surviving the
+    * cosine gate).
+    */
+  private[graft] def embedCandidatePairs(
+      s: org.apache.spark.sql.SparkSession,
+      d: String, bandBits: Int): org.apache.spark.sql.DataFrame = {
     require(bandBits >= 1 && bandBits <= 31, "bandBits in [1, 31]")
     val mask = (1L << bandBits) - 1L
-    val emb = CacheScope.tracked(Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        Sketches.norm(col("embedding"), Dims).as("nrm")))
     val sigs = Tables.embeddings(s, d)
       .select(col("vec_id"),
         Sketches.hyperplaneSigN(col("embedding"), Dims, 2 * bandBits).as("sig"))
@@ -609,11 +646,19 @@ object LlmPipeline {
           .as(Seq("bi", "bv"))),
       Seq("bi", "bv"), HotBucketCap,
       observeAs = Some("embed_hot_buckets"))
-    val cand = bands
+    bands
       .join(bands.select(col("vec_id").as("b_id"), col("bi"), col("bv")),
         Seq("bi", "bv"))
       .filter(col("vec_id") < col("b_id"))
       .select(col("vec_id").as("a_id"), col("b_id")).distinct()
+  }
+
+  private[graft] def embedNearDupPairs(s: org.apache.spark.sql.SparkSession,
+      d: String, bandBits: Int): org.apache.spark.sql.DataFrame = {
+    val emb = CacheScope.tracked(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        Sketches.norm(col("embedding"), Dims).as("nrm")))
+    val cand = embedCandidatePairs(s, d, bandBits)
     cand
       .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
         col("nrm").as("an")), Seq("a_id"))

@@ -198,7 +198,12 @@ object ScaleRehearsal {
     * (occupancy 10×) and 10×@11 bits (occupancy back to ~1.2×).
     */
   def dial(spark: SparkSession): Unit = {
-    println(f"${"embed near-dup banding"}%-28s ${"wall_s"}%8s ${"pairs"}%10s")
+    Seq(Base, Out).foreach { dir =>
+      val n = graft.core.Tables.embeddings(spark, dir).count()
+      println(s"[scale-dial] adaptive default for $dir: n=$n -> " +
+        s"bandBits=${graft.queries.LlmPipeline.bandBitsFor(n)}")
+    }
+    println(f"${"embed near-dup banding"}%-28s ${"wall_s"}%8s ${"cand"}%10s ${"pairs"}%10s")
     val rows = Seq((Base, "1x @ 8 bits", 8), (Out, "10x @ 8 bits", 8),
       (Out, "10x @ 11 bits", 11)).map { case (dir, label, bits) =>
       def once(): (Double, Long) = {
@@ -209,15 +214,18 @@ object ScaleRehearsal {
         }
         ((System.nanoTime() - t0) / 1e9, n)
       }
+      val cand = graft.core.CacheScope.scoped {
+        graft.queries.LlmPipeline.embedCandidatePairs(spark, dir, bits).count()
+      }
       once()
       val (w1, n1) = once(); val (w2, n2) = once()
       require(n1 == n2, "deterministic pair count")
       val w = math.min(w1, w2)
-      println(f"$label%-28s $w%8.2f $n1%10d")
-      (label, w, n1)
+      println(f"$label%-28s $w%8.2f $cand%10d $n1%10d")
+      (label, w, cand, n1)
     }
-    println("[scale-dial] " + rows.map { case (l, w, n) =>
-      f"${l.replace(" ", "")}=$w%.2f/$n" }.mkString(" "))
+    println("[scale-dial] " + rows.map { case (l, w, c, n) =>
+      f"${l.replace(" ", "")}=$w%.2f/$c/$n" }.mkString(" "))
   }
 
   def main(args: Array[String]): Unit = {

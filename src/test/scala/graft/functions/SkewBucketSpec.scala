@@ -130,4 +130,25 @@ class SkewBucketSpec extends SparkSpec {
       assert(joined.count() === 50)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
   }
+
+  test("bandBitsFor holds near-dup band occupancy constant as n grows") {
+    import graft.queries.LlmPipeline.{bandBitsFor, BandOccupancyTarget}
+    // gated SFs stay at the historical 8 bits (oracle 16-bit signatures
+    // unchanged); the 10x rehearsal corpus gets 11; growth is log2(n)
+    assert(bandBitsFor(500L) === 8)
+    assert(bandBitsFor(2000L) === 8)
+    assert(bandBitsFor(20000L) === 11)
+    assert(bandBitsFor(1L) === 8)
+    // occupancy bound holds at every size above the floor's reach, and
+    // bits-1 would violate it (narrowest sufficient width)
+    Seq(10000L, 100000L, 1000000L, 1000000000L).foreach { n =>
+      val b = bandBitsFor(n)
+      assert(n.toDouble / (1L << b) <= BandOccupancyTarget,
+        s"occupancy target broken at n=$n bits=$b")
+      assert(n.toDouble / (1L << (b - 1)) > BandOccupancyTarget,
+        s"bits not minimal at n=$n bits=$b")
+    }
+    // cap: signatures must fit the LONG sig column (2 bands x 31 bits)
+    assert(bandBitsFor(Long.MaxValue) === 31)
+  }
 }
