@@ -75,6 +75,48 @@ class StreamingSessionsSpec extends SparkSpec {
       "computed timeout at/before the watermark must clamp to watermark + 1")
   }
 
+  test("expired events (older than the watermark) are dropped, not sessioned") {
+    // The reference's stale policy (F8/T4: `stale < now` → drop) in
+    // streaming form: an event that arrives AFTER the watermark has passed
+    // its timestamp is expired — Spark's pre-state late-row filter must
+    // drop it so it neither reopens a closed session nor emits a new one.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 10_000_000L // 10 s gap, zero watermark delay
+    val stream = MemoryStream[StreamingSessions.Ev]
+    val q = StreamingSessions.sessionize(stream.toDS(), gapUs, "0 seconds")
+      .writeStream.format("memory").queryName("expired_sessions").outputMode("append")
+      .start()
+    val base = 200_000_000_000L
+    try {
+      stream.addData(StreamingSessions.Ev(1L, base, 1L))
+      q.processAllAvailable()
+      // sentinel pushes the watermark far past base + gap: user 1's session
+      // times out and closes with exactly one event
+      stream.addData(StreamingSessions.Ev(-1L, base + 1_000_000_000_000L, -1L))
+      q.processAllAvailable()
+      // EXPIRED: an event for user 1 a hair after its closed session —
+      // far older than the watermark — and an expired event for a user
+      // never seen before; both must vanish without a trace
+      stream.addData(StreamingSessions.Ev(2L, base + 1_000_000L, 1L),
+        StreamingSessions.Ev(3L, base + 2_000_000L, 9L))
+      q.processAllAvailable()
+      // flush anything that (incorrectly) opened
+      stream.addData(StreamingSessions.Ev(-2L, base + 2_000_000_000_000L, -1L))
+      q.processAllAvailable()
+      stream.addData(StreamingSessions.Ev(-3L, base + 3_000_000_000_000L, -1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val closed = spark.table("expired_sessions").as[StreamingSessions.SessionOut]
+      .collect().filter(_.user_id >= 0)
+    assert(closed.count(_.user_id == 1L) === 1, s"user 1 must close exactly once: ${closed.toSeq}")
+    val s1 = closed.find(_.user_id == 1L).get
+    assert(s1.n_events === 1L && s1.session_end === base,
+      s"the expired event must not extend the closed session: $s1")
+    assert(!closed.exists(_.user_id == 9L),
+      s"an expired event must not open a session for a new key: ${closed.toSeq}")
+  }
+
   test("sessions survive a watermark delay longer than the gap (end-to-end)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
