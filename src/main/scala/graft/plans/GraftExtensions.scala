@@ -138,6 +138,28 @@ object GraftExtensions {
         HyperLogLogAgg(children(0),
           children(1).eval().asInstanceOf[Number].intValue())
       }),
+    ("graft_bloom",
+      new ExpressionInfo(classOf[BloomFilterAgg].getName, "graft_bloom"),
+      (children: Seq[Expression]) => {
+        // bitsLog2 and k ride as foldable int literals
+        require(children.length == 3,
+          s"graft_bloom expects (fp, bitsLog2, k), got ${children.length} args")
+        require(children(1).foldable && children(2).foldable,
+          "graft_bloom bitsLog2 and k must be literal")
+        BloomFilterAgg(children(0),
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].intValue())
+      }),
+    ("graft_bloom_probe",
+      new ExpressionInfo(classOf[BloomProbeExpression].getName, "graft_bloom_probe"),
+      (children: Seq[Expression]) => {
+        // k rides as a foldable int literal
+        require(children.length == 3,
+          s"graft_bloom_probe expects (bitmap, fp, k), got ${children.length} args")
+        require(children(2).foldable, "graft_bloom_probe k must be literal")
+        BloomProbeExpression(children(0), children(1),
+          children(2).eval().asInstanceOf[Number].intValue())
+      }),
     ("graft_bottomk",
       new ExpressionInfo(classOf[BottomKSketchAgg].getName, "graft_bottomk"),
       (children: Seq[Expression]) => {

@@ -7,8 +7,8 @@ import graft.core.Tables
 import graft.functions.{Sketches, TextFunctions}
 
 /** Corpus-engineering operators (SURVEY §2.11a, L44–L49, L54, L58,
-  * L60): the compression / semantic-safety / serving-efficiency tier of
-  * a production training-data stack.
+  * L60, L64): the compression / semantic-safety / serving-efficiency
+  * tier of a production training-data stack.
   *
   *  - L44 product quantization (PQ codes + distortion)         → q109
   *  - L45 semantic decontamination (embedding-space eval)      → q110
@@ -19,6 +19,7 @@ import graft.functions.{Sketches, TextFunctions}
   *  - L54 PQ asymmetric-distance (ADC) top-k search            → q119
   *  - L58 incremental semantic dedup (frozen codebook)         → q123
   *  - L60 cross-modal dedup agreement matrix                   → q125
+  *  - L64 Bloom-filter corpus membership (measured FPR)        → q131
   *
   * All of them reuse the pipeline's shared kernels
   * ([[LlmPipeline.embeddingFrame]], [[LlmPipeline.cellAssignWithCos]],
@@ -56,6 +57,32 @@ object CorpusOps {
 
   /** ADC search protocol: queries (the q70 %50 rule) and result depth. */
   private[queries] val AdcTopK = 5
+
+  /** L64 Bloom dial: 2^14 bits (2 KiB) × k=2 probes for the registered
+    * query — sized so the driver-gated corpora run the filter from
+    * near-empty (sf0.01, FPR ≈ 0.3%) to half-loaded (sf0.1, FPR ≈ 18%),
+    * exercising both verdict branches under the measured-FPR report.
+    */
+  private[queries] val BloomBitsLog2 = 14
+  private[queries] val BloomK = 2
+
+  /** Production width: the narrowest power-of-two m ≥ BitsPerKey·n, with
+    * the 2^14 floor keeping every driver-gated SF at the baked oracle
+    * width (the q72/q78 band-width stance — the dial scales with log2(n)
+    * so bits-per-key, and therefore FPR, hold constant as the corpus
+    * grows). BloomSpec asserts floor, minimality, and the monotone
+    * FPR-vs-width trade on a fixed corpus.
+    */
+  private[queries] val BloomBitsPerKey = 4L
+  private[graft] def bloomBitsFor(n: Long): Int = {
+    def ceilLog2(x: Long): Int =
+      if (x <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
+    // overflow-safe: n·BitsPerKey can exceed Long range only past 2^61
+    val bits = if (n <= 0L) 1L
+      else if (n > (Long.MaxValue / BloomBitsPerKey)) Long.MaxValue
+      else n * BloomBitsPerKey
+    math.min(33, math.max(BloomBitsLog2, ceilLog2(bits)))
+  }
 
   /** L49 epoch ceiling: the max whole-corpus repeats mixture
     * materialization will emit for one source — bounds the replication
@@ -885,6 +912,107 @@ object CorpusOps {
           FROM td JOIN sv ON sv.vec_id = td.doc_id"""
       })
 
-    Seq(q109, q110, q111, q112, q113, q114, q119, q123, q125)
+    /* L64: Bloom-filter corpus membership — the bounded-memory form of
+     * L31's exact-dup probe for when only the yes/no verdict matters
+     * (nightly "skip already-ingested pages" admission, the Dolma-style
+     * dedup front door): the corpus collapses to a 2^BloomBitsLog2-bit
+     * array built in ONE map-side-combined aggregate (bitmaps OR in any
+     * merge order — the `graft_bloom` TypedImperativeAggregate), ships
+     * BROADCAST, and each arriving fingerprint probes k bits map-side
+     * (`graft_bloom_probe`, codegen'd). One-sided error: a set bit can
+     * lie, a clear bit cannot — so the op REPORTS the measured error,
+     * which is what makes a lossy sketch honest (the L11 NProbe / L44
+     * subspace-count convention): each probe verdict is compared against
+     * the exact corpus join and rolled up per source into hits, true
+     * dups, false positives, fpr_ppm — and n_missed, which is ZERO on
+     * both engines or the hash gate fails (the in-query proof of the
+     * no-false-negative contract, q127's idem_violations pattern).
+     * Fixture: the q96 split (batch = %10==0 + replayed corpus docs) so
+     * the true-dup branch fires at every SF; at sf0.1 the 2 KiB filter
+     * runs ~55% loaded and the false-positive branch fires too. At
+     * 100 TB: the exact-truth join exists only to MEASURE fpr (8-byte
+     * keys, batch-side broadcast like q96); the production path is the
+     * broadcast bitmap probe — zero corpus shuffle, memory fixed by the
+     * bits-per-key dial, not by corpus size ([[bloomBitsFor]] scales the
+     * width to hold FPR as n grows; the gated SFs stay at the floor so
+     * the baked oracle is width-stable, the q72/q78 band-width stance). */
+    val q131 = GraftQuery(
+      "q131_bloom_membership", "L64 L31 L1",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            TextFunctions.md5Fingerprint(col("text")).as("fp"))
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        val batch = docs.filter(col("doc_id") % 10 === 0)
+          .unionAll(corpus.filter(col("doc_id") % 97 === 1)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+              col("fp")))
+        val bloom = corpus.agg(call_function("graft_bloom",
+          col("fp"), lit(BloomBitsLog2), lit(BloomK)).as("bm"))
+        // exact truth, batch-side broadcast (q96's asymmetry): the corpus
+        // streams map-side; at most |batch| fps come back
+        val present = corpus
+          .join(broadcast(batch.select(col("fp")).distinct()), Seq("fp"))
+          .select(col("fp")).distinct()
+          .withColumn("in_corpus", lit(true))
+        batch.crossJoin(broadcast(bloom))
+          .withColumn("hit", call_function("graft_bloom_probe",
+            col("bm"), col("fp"), lit(BloomK)))
+          .join(broadcast(present), Seq("fp"), "left")
+          .withColumn("in_corpus", coalesce(col("in_corpus"), lit(false)))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_probes"),
+            sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"),
+            sum(when(col("in_corpus"), 1L).otherwise(0L)).as("n_dups"),
+            sum(when(col("hit") && !col("in_corpus"), 1L).otherwise(0L))
+              .as("n_false_pos"),
+            sum(when(col("in_corpus") && !col("hit"), 1L).otherwise(0L))
+              .as("n_missed"))
+          .withColumn("fpr_ppm", expr(
+            "case when n_probes - n_dups = 0 then 0 " +
+              "else n_false_pos * 1000000 div (n_probes - n_dups) end"))
+          .select(col("source"), col("n_probes"), col("n_hits"),
+            col("n_dups"), col("n_false_pos"), col("n_missed"),
+            col("fpr_ppm"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val fp = TextFunctions.md5FingerprintSql("text")
+        val m = 1 << BloomBitsLog2
+        def p(i: Int, h: String) = graft.plans.BloomFilterAgg.positionSql(i, h, m)
+        val posUnion = (0 until BloomK)
+          .map(i => s"SELECT ${p(i, "fp")} AS p FROM corpus")
+          .mkString(" UNION ")
+        val hitPred = (0 until BloomK)
+          .map(i => s"${p(i, "b.fp")} IN (SELECT p FROM pos)")
+          .mkString(" AND ")
+        s"""WITH docs AS (SELECT doc_id, source, $fp AS fp FROM documents),
+          corpus AS (SELECT * FROM docs WHERE doc_id % 10 <> 0),
+          batch AS (SELECT * FROM docs WHERE doc_id % 10 = 0
+            UNION ALL SELECT doc_id + 1000000, source, fp FROM corpus
+            WHERE doc_id % 97 = 1),
+          pos AS (SELECT DISTINCT p FROM ($posUnion)),
+          pr AS (SELECT b.source,
+              ($hitPred) AS hit,
+              b.fp IN (SELECT fp FROM corpus) AS in_corpus
+            FROM batch b)
+          SELECT source, COUNT(*) AS n_probes,
+            CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+            CAST(SUM(CASE WHEN in_corpus THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dups,
+            CAST(SUM(CASE WHEN hit AND NOT in_corpus THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_false_pos,
+            CAST(SUM(CASE WHEN in_corpus AND NOT hit THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_missed,
+            CASE WHEN COUNT(*) - CAST(SUM(CASE WHEN in_corpus THEN 1
+                ELSE 0 END) AS BIGINT) = 0 THEN 0
+              ELSE CAST(SUM(CASE WHEN hit AND NOT in_corpus THEN 1
+                ELSE 0 END) AS BIGINT) * 1000000
+                // (COUNT(*) - CAST(SUM(CASE WHEN in_corpus THEN 1
+                  ELSE 0 END) AS BIGINT)) END AS fpr_ppm
+          FROM pr GROUP BY 1 ORDER BY source"""
+      })
+
+    Seq(q109, q110, q111, q112, q113, q114, q119, q123, q125, q131)
   }
 }
