@@ -7,9 +7,9 @@ import graft.core.Tables
 import graft.functions.{Sketches, Skew, TextFunctions}
 
 /** Text-corpus engineering operators (SURVEY §2.11a, L50–L53,
-  * L55–L57, L59, L61–L62): tokenizer economics, distributional drift,
-  * filter governance, and the fingerprinting family beyond fixed
-  * windows.
+  * L55–L57, L59, L61–L63, L65–L66): tokenizer economics,
+  * distributional drift, filter governance, contrastive selection, and
+  * the fingerprinting family beyond fixed windows.
   *
   *  - L50 tokenizer fertility profile                          → q115
   *  - L51 term-distribution divergence (total variation)       → q116
@@ -22,6 +22,8 @@ import graft.functions.{Sketches, Skew, TextFunctions}
   *  - L61 edit-distance near-dup verify (banded candidates)    → q126
   *  - L62 adversarial-unicode hygiene (zero-width/homoglyph)   → q127
   *  - L63 integer-log perplexity proxy (Zipf surprise)         → q128
+  *  - L65 Moore–Lewis cross-entropy-difference selection       → q132
+  *  - L66 duplicate-chunk removal + reassembly                 → q133
   *
   * (L54, the PQ asymmetric-distance search, lives with its encode twin
   * in [[CorpusOps]] — q119.)
@@ -56,6 +58,29 @@ object TextCorpusOps {
       "\u0440" -> "p")
   private[queries] val AdversarialPrefix: String =
     "z\u200Bw\uFEFF \u043F\u0430ge h\u0435r\u043E "
+
+  /** L65 fixture: the planted off-domain marker block (six marker words
+    * \u00D7 8 repeats = 48 tokens), ONE Scala value interpolated into both
+    * the engine Column and the oracle SQL so the byte sequences cannot
+    * diverge. Six distinct markers can never outrank the fixture's 31
+    * base words in the pool model (rank 32..37, ladder bucket 5) and
+    * never enter the seed model at all (OOV, surprise 9) \u2014 the +4-bit
+    * per-marker contrast that fires the drop branch at every SF.
+    */
+  private[queries] val OodMarkerBlock: String = {
+    val ms = Seq("lemma", "proof", "qed", "axiom", "corollary", "torus")
+    Seq.fill(8)(ms).flatten.mkString(" ")
+  }
+
+  /** L65 dials: model width (\u2265 37 so markers stay IN the pool model)
+    * and the keep ceiling on the +10-shifted mean surprise difference \u2014
+    * 10e6 is neutral; original docs stay within ~0.9 bit of neutral
+    * (rank-boundary flips between the two models), planted marker docs
+    * score \u2265 +4 per marker word (\u2265 11.4e6 even for the longest
+    * fixtures), and the ceiling sits in the gap.
+    */
+  private[queries] val MooreLewisVocab = 64
+  private[queries] val MooreLewisKeepQppm = 11100000L
 
   val all: Seq[GraftQuery] = {
 
@@ -848,6 +873,227 @@ object TextCorpusOps {
           FROM sc GROUP BY 1 ORDER BY doc_id"""
       })
 
-    Seq(q115, q116, q117, q118, q120, q121, q122, q124, q126, q127, q128)
+    /* L65: Moore–Lewis cross-entropy-difference selection — the two-model
+     * contrastive upgrade the single-model filters (L23 vocabulary, L48
+     * bigram familiarity, L63 surprise) cannot express: score each pool
+     * document by H_in(doc) − H_general(doc), where H_in comes from a
+     * small in-domain SEED model and H_general from the whole (noisy)
+     * pool — the classic intelligent-selection recipe (Moore & Lewis
+     * 2010) behind CCNet/DSIR-style curation. Surprise per word is the
+     * L63 integer rank ladder under each model (OOV = 9), so the
+     * difference is exact integer arithmetic on both engines; it is
+     * SHIFTED by +10 per word into the non-negative domain before the
+     * ppm mean (integer `div` on negatives floors differently across
+     * engines — the ProtoHiQ quantization stance), so 10e6 is the
+     * neutral score. Fixture: the seed is the %7==0 original slice;
+     * planted off-domain docs (%83==3, +1e6 ids) carry a fixed 48-token
+     * marker block interpolated from ONE Scala value into engine and
+     * oracle (the q127 pattern) — markers are seed-OOV (surprise 9) but
+     * rank 32..37 in the pool model at EVERY SF (six markers can never
+     * outrank the 31 base words), so planted docs score ≥ +4 per marker
+     * word and the drop branch fires deterministically while original
+     * docs sit within a fraction of a bit of neutral. At 100 TB: two
+     * |vocab|-row models built by map-side-combined counts and shipped
+     * BROADCAST, map-side ladder math, one doc-keyed aggregate — the
+     * L63 shape with one extra broadcast. */
+    val q132 = GraftQuery(
+      "q132_moore_lewis", "L65 L63 L23",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val pool = docs.unionByName(docs.filter(col("doc_id") % 83 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit(OodMarkerBlock + " "), col("text")).as("text")))
+        val words = pool.select(col("doc_id"),
+          explode(Sketches.words(col("text"))).as("w"))
+        def model(src: org.apache.spark.sql.DataFrame) = src
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w")).limit(MooreLewisVocab)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("c").desc, col("w"))))
+          .select(col("w"), col("rank"))
+        val seed = model(words.filter(
+          col("doc_id") % 7 === 0 && col("doc_id") < 1000000L))
+          .withColumnRenamed("rank", "rank_in")
+        val general = model(words).withColumnRenamed("rank", "rank_gen")
+        def ladder(rank: Column): Column = {
+          val known = (1 to 8).foldLeft(when(rank < 2, 0L)) {
+            (acc, b) => acc.when(rank < (1 << (b + 1)), b.toLong)
+          }
+          when(rank.isNull, 9L).otherwise(known)
+        }
+        words
+          .join(broadcast(seed), Seq("w"), "left")
+          .join(broadcast(general), Seq("w"), "left")
+          .withColumn("shifted",
+            ladder(col("rank_in")) - ladder(col("rank_gen")) + 10L)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("shifted")).as("ce_shift_sum"))
+          .withColumn("ce_mean_qppm",
+            expr("ce_shift_sum * 1000000 div n_words"))
+          .withColumn("keep", col("ce_mean_qppm") <= MooreLewisKeepQppm)
+          .select(col("doc_id"), col("n_words"), col("ce_shift_sum"),
+            col("ce_mean_qppm"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val ws = Sketches.wordsSql("text")
+        def ladderSql(rank: String) =
+          s"CASE WHEN $rank IS NULL THEN 9 WHEN $rank < 2 THEN 0 " +
+            (1 to 8).map(b => s"WHEN $rank < ${1 << (b + 1)} THEN $b")
+              .mkString(" ") + " ELSE 9 END"
+        s"""WITH pool AS (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 1000000,
+              '$OodMarkerBlock ' || text FROM documents
+            WHERE doc_id % 83 = 3),
+          w AS (SELECT doc_id, unnest($ws) AS w FROM pool),
+          seed AS (SELECT w, row_number() OVER (ORDER BY c DESC, w)
+              AS rank_in
+            FROM (SELECT w, COUNT(*) AS c FROM w
+              WHERE doc_id % 7 = 0 AND doc_id < 1000000 GROUP BY 1
+              ORDER BY c DESC, w LIMIT $MooreLewisVocab)),
+          gen AS (SELECT w, row_number() OVER (ORDER BY c DESC, w)
+              AS rank_gen
+            FROM (SELECT w, COUNT(*) AS c FROM w GROUP BY 1
+              ORDER BY c DESC, w LIMIT $MooreLewisVocab)),
+          sc AS (SELECT w.doc_id,
+              ${ladderSql("seed.rank_in")} -
+                ${ladderSql("gen.rank_gen")} + 10 AS shifted
+            FROM w LEFT JOIN seed ON seed.w = w.w
+            LEFT JOIN gen ON gen.w = w.w)
+          SELECT doc_id, COUNT(*) AS n_words,
+            CAST(SUM(shifted) AS BIGINT) AS ce_shift_sum,
+            CAST(SUM(shifted) AS BIGINT) * 1000000 // COUNT(*)
+              AS ce_mean_qppm,
+            CAST(SUM(shifted) AS BIGINT) * 1000000 // COUNT(*)
+              <= $MooreLewisKeepQppm AS keep
+          FROM sc GROUP BY 1 ORDER BY doc_id"""
+      })
+
+    /* L66: duplicate-chunk removal + document reassembly — the APPLY
+     * step the dedup reports (q98/q118) stop short of: Dolma-style
+     * paragraph dedup drops every non-canonical occurrence of a
+     * cross-document duplicate passage and REBUILDS the surviving
+     * document from what remains. Chunks are the L53 content-defined
+     * boundaries (insertion-stable), the canonical occurrence is the
+     * min-(doc, chunk) key (the L1/L21 survivor rule), and the rebuilt
+     * text is the kept words re-joined in original position order, so
+     * the output carries a VERIFIABLE artifact: the md5 fingerprint of
+     * the cleaned text, hash-gated on both engines (not just counts —
+     * a reassembly bug that kept the right number of words in the
+     * wrong order fails the gate). Replays planted (the q101/q122
+     * pattern) so full-document removal fires at every SF (a replay's
+     * every chunk is non-canonical → it rebuilds to the empty string,
+     * fingerprinted as md5('')), while fixture chunk collisions among
+     * originals exercise partial removal. At 100 TB: the q118 chunk
+     * frame (one sort per doc serves every window), an 8-byte-key
+     * cluster aggregate, verdicts re-joined on (doc, chunk), and the
+     * reassembly is one doc-keyed aggregate whose state is bounded by
+     * the document length bound — no global sort, no pairwise join. */
+    val q133 = GraftQuery(
+      "q133_chunk_dedup_rebuild", "L66 L53 L21",
+      (s, d) => {
+        val docs = LlmCuration.withReplays(
+          Tables.documents(s, d).select(col("doc_id"), col("text")))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val base = docs
+          .select(col("doc_id"),
+            posexplode(Sketches.words(col("text"))).as(Seq("pos", "w0")))
+          .withColumn("w1", lead(col("w0"), 1).over(w))
+          .withColumn("w2", lead(col("w0"), 2).over(w))
+          .withColumn("boundary",
+            col("w2").isNotNull &&
+              Sketches.h64(concat_ws(" ", col("w0"), col("w1"), col("w2")))
+                % CdcMod === 0)
+          .withColumn("chunk_id", coalesce(
+            sum(when(col("boundary"), 1L).otherwise(0L))
+              .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .withColumn("start", coalesce(
+            max(when(col("boundary"), col("pos")))
+              .over(w.rowsBetween(Window.unboundedPreceding, -1)) + 1L,
+            lit(0L)))
+        val chunks = base
+          .withColumn("term",
+            (Sketches.h64(col("w0")) % lit(4294967296L)) *
+              (col("pos") - col("start") + 1L))
+          .groupBy(col("doc_id"), col("chunk_id"))
+          .agg(sum(col("term")).as("cfp"),
+            min(col("doc_id") * 1048576L + col("chunk_id")).as("k"))
+        val cl = chunks.groupBy(col("cfp"))
+          .agg(count(lit(1)).as("n"), min(col("k")).as("keeper"))
+        val verdicts = chunks.join(cl, Seq("cfp"))
+          .select(col("doc_id"), col("chunk_id"),
+            (col("n") > 1 && col("k") =!= col("keeper")).as("dropped"))
+        val stats = verdicts.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"))
+        val rebuilt = base
+          .select(col("doc_id"), col("chunk_id"), col("pos"), col("w0"))
+          .join(verdicts.filter(!col("dropped"))
+            .select(col("doc_id"), col("chunk_id")),
+            Seq("doc_id", "chunk_id"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words_kept"),
+            array_join(transform(
+              sort_array(collect_list(struct(col("pos"), col("w0")))),
+              x => x.getField("w0")), " ").as("cleaned"))
+        stats.join(rebuilt, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chunks"), col("n_dropped"),
+            coalesce(col("n_words_kept"), lit(0L)).as("n_words_kept"),
+            TextFunctions.md5Fingerprint(coalesce(col("cleaned"), lit("")))
+              .as("cleaned_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val ws = Sketches.wordsSql("text")
+        val h3 = Sketches.h64Sql("array_to_string(warr[pos1:pos1+2], ' ')")
+        val hw = Sketches.h64Sql("warr[pos1]")
+        val cleanFp = TextFunctions.md5FingerprintSql("COALESCE(kw.s, '')")
+        s"""WITH src AS ${LlmCuration.replaySrcSql("doc_id, text")},
+          wp AS (SELECT doc_id,
+              unnest(generate_series(1, len($ws))) AS pos1, $ws AS warr
+            FROM src),
+          bd AS (SELECT doc_id, pos1, warr,
+              (pos1 + 2 <= len(warr) AND $h3 % $CdcMod = 0) AS boundary
+            FROM wp),
+          ck AS (SELECT doc_id, pos1, warr,
+              COALESCE(SUM(CASE WHEN boundary THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY pos1
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS chunk_id
+            FROM bd),
+          tm AS (SELECT doc_id, chunk_id, pos1, warr[pos1] AS w,
+              ($hw % 4294967296) *
+                (pos1 - MIN(pos1) OVER (PARTITION BY doc_id, chunk_id) + 1)
+                AS term
+            FROM ck),
+          chunks AS (SELECT doc_id, chunk_id,
+              CAST(SUM(term) AS BIGINT) AS cfp,
+              MIN(doc_id * 1048576 + chunk_id) AS k
+            FROM tm GROUP BY 1, 2),
+          cl AS (SELECT cfp, COUNT(*) AS n, MIN(k) AS keeper
+            FROM chunks GROUP BY 1),
+          vd AS (SELECT chunks.doc_id, chunks.chunk_id,
+              (cl.n > 1 AND chunks.k <> cl.keeper) AS dropped
+            FROM chunks JOIN cl ON cl.cfp = chunks.cfp),
+          st AS (SELECT doc_id, COUNT(*) AS n_chunks,
+              CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dropped
+            FROM vd GROUP BY 1),
+          kw AS (SELECT tm.doc_id, COUNT(*) AS n_words_kept,
+              string_agg(tm.w, ' ' ORDER BY tm.pos1) AS s
+            FROM tm JOIN vd ON vd.doc_id = tm.doc_id
+              AND vd.chunk_id = tm.chunk_id
+            WHERE NOT vd.dropped GROUP BY 1)
+          SELECT st.doc_id, st.n_chunks, st.n_dropped,
+            COALESCE(kw.n_words_kept, 0) AS n_words_kept,
+            $cleanFp AS cleaned_fp
+          FROM st LEFT JOIN kw ON kw.doc_id = st.doc_id
+          ORDER BY st.doc_id"""
+      })
+
+    Seq(q115, q116, q117, q118, q120, q121, q122, q124, q126, q127, q128,
+      q132, q133)
   }
 }
