@@ -24,7 +24,10 @@ import graft.queries._
   *    (readStream graft-rest → KeyedMerge) → StreamingSpec; L1 streaming
   *    form (exact dedup across micro-batches, TTL'd seen-set)
   *    → StreamingDedupSpec; T11 streaming form (gap sessions closed by
-  *    event-time timeout, stream == batch q82) → StreamingSessionsSpec
+  *    event-time timeout, stream == batch q82) → StreamingSessionsSpec;
+  *    L64 streaming form (Bloom admission gate — fixed-width bitmap
+  *    state, accumulated bitmap byte-equal to the one-shot batch build)
+  *    → StreamingAdmissionSpec
   *  - S15 TTL config scan → ConfigSourceSpec
   *  - K3 PNG codec / C18 geoid bilinear / R2-R4 tile ops / S11 GTX decode
   *    → RasterSpec; multimodal binary batching → MultimodalSpec
