@@ -84,6 +84,50 @@ object CorpusOps {
     math.min(33, math.max(BloomBitsLog2, ceilLog2(bits)))
   }
 
+  /** The q131 kernel with the width as the explicit dial, so
+    * ScaleRehearsal's `bloomdial` can measure FPR at the 2^14 floor vs
+    * the [[bloomBitsFor]] adaptive width on 10× data.
+    */
+  private[graft] def bloomMembership(s: org.apache.spark.sql.SparkSession,
+      d: String, bitsLog2: Int): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.md5Fingerprint(col("text")).as("fp"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .unionAll(corpus.filter(col("doc_id") % 97 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          col("fp")))
+    val bloom = corpus.agg(call_function("graft_bloom",
+      col("fp"), lit(bitsLog2), lit(BloomK)).as("bm"))
+    // exact truth, batch-side broadcast (q96's asymmetry): the corpus
+    // streams map-side; at most |batch| fps come back
+    val present = corpus
+      .join(broadcast(batch.select(col("fp")).distinct()), Seq("fp"))
+      .select(col("fp")).distinct()
+      .withColumn("in_corpus", lit(true))
+    batch.crossJoin(broadcast(bloom))
+      .withColumn("hit", call_function("graft_bloom_probe",
+        col("bm"), col("fp"), lit(BloomK)))
+      .join(broadcast(present), Seq("fp"), "left")
+      .withColumn("in_corpus", coalesce(col("in_corpus"), lit(false)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"),
+        sum(when(col("in_corpus"), 1L).otherwise(0L)).as("n_dups"),
+        sum(when(col("hit") && !col("in_corpus"), 1L).otherwise(0L))
+          .as("n_false_pos"),
+        sum(when(col("in_corpus") && !col("hit"), 1L).otherwise(0L))
+          .as("n_missed"))
+      .withColumn("fpr_ppm", expr(
+        "case when n_probes - n_dups = 0 then 0 " +
+          "else n_false_pos * 1000000 div (n_probes - n_dups) end"))
+      .select(col("source"), col("n_probes"), col("n_hits"),
+        col("n_dups"), col("n_false_pos"), col("n_missed"),
+        col("fpr_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** L49 epoch ceiling: the max whole-corpus repeats mixture
     * materialization will emit for one source — bounds the replication
     * fan-out against degenerate tiny sources under temperature
@@ -938,44 +982,7 @@ object CorpusOps {
      * the baked oracle is width-stable, the q72/q78 band-width stance). */
     val q131 = GraftQuery(
       "q131_bloom_membership", "L64 L31 L1",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            TextFunctions.md5Fingerprint(col("text")).as("fp"))
-        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-        val batch = docs.filter(col("doc_id") % 10 === 0)
-          .unionAll(corpus.filter(col("doc_id") % 97 === 1)
-            .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
-              col("fp")))
-        val bloom = corpus.agg(call_function("graft_bloom",
-          col("fp"), lit(BloomBitsLog2), lit(BloomK)).as("bm"))
-        // exact truth, batch-side broadcast (q96's asymmetry): the corpus
-        // streams map-side; at most |batch| fps come back
-        val present = corpus
-          .join(broadcast(batch.select(col("fp")).distinct()), Seq("fp"))
-          .select(col("fp")).distinct()
-          .withColumn("in_corpus", lit(true))
-        batch.crossJoin(broadcast(bloom))
-          .withColumn("hit", call_function("graft_bloom_probe",
-            col("bm"), col("fp"), lit(BloomK)))
-          .join(broadcast(present), Seq("fp"), "left")
-          .withColumn("in_corpus", coalesce(col("in_corpus"), lit(false)))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_probes"),
-            sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"),
-            sum(when(col("in_corpus"), 1L).otherwise(0L)).as("n_dups"),
-            sum(when(col("hit") && !col("in_corpus"), 1L).otherwise(0L))
-              .as("n_false_pos"),
-            sum(when(col("in_corpus") && !col("hit"), 1L).otherwise(0L))
-              .as("n_missed"))
-          .withColumn("fpr_ppm", expr(
-            "case when n_probes - n_dups = 0 then 0 " +
-              "else n_false_pos * 1000000 div (n_probes - n_dups) end"))
-          .select(col("source"), col("n_probes"), col("n_hits"),
-            col("n_dups"), col("n_false_pos"), col("n_missed"),
-            col("fpr_ppm"))
-          .orderBy(col("source"))
-      },
+      (s, d) => bloomMembership(s, d, BloomBitsLog2),
       Some {
         val fp = TextFunctions.md5FingerprintSql("text")
         val m = 1 << BloomBitsLog2

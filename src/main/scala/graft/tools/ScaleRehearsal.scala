@@ -170,7 +170,14 @@ object ScaleRehearsal {
       "q109_pq_encode", "q118_cdc_chunk_dedup", "q120_chunk_containment",
       // the edit-distance verify adds an O(len²) DP per banded candidate
       // — candidate count is the scaling term, the DP cost per pair flat
-      "q126_editdist_neardup")
+      "q126_editdist_neardup",
+      // round-12 additions: Bloom membership (broadcast bitmap probe —
+      // wall should track the scan; the WIDTH dial is measured
+      // separately by bloomDial), Moore-Lewis (two broadcast models +
+      // map-side ladder) and chunk-dedup rebuild (the q118 frame plus a
+      // doc-keyed reassembly aggregate bounded by document length)
+      "q131_bloom_membership", "q132_moore_lewis",
+      "q133_chunk_dedup_rebuild")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)
@@ -228,6 +235,44 @@ object ScaleRehearsal {
       f"${l.replace(" ", "")}=$w%.2f/$c/$n" }.mkString(" "))
   }
 
+  /** Bloom width-dial measurement: at the 2^14 floor a 10× corpus loads
+    * the filter past saturation (FPR → 1 — the filter still never
+    * false-negatives, but every probe hits), while the
+    * [[graft.queries.CorpusOps.bloomBitsFor]] adaptive width holds
+    * bits-per-key, and therefore FPR, near its 1× level. This prints the
+    * measured FPR + wall for both settings as the dial evidence.
+    */
+  def bloomDial(spark: SparkSession): Unit = {
+    import spark.implicits._
+    println(f"${"bloom membership"}%-28s ${"wall_s"}%8s ${"fpr_ppm"}%10s ${"missed"}%8s")
+    val rows = Seq((Base, "1x @ floor(14)", None),
+      (Out, "10x @ floor(14)", Some(14)),
+      (Out, "10x @ adaptive", None)).map { case (dir, label, forced) =>
+      val n = graft.core.Tables.documents(spark, dir).count()
+      val bits = forced.getOrElse(graft.queries.CorpusOps.bloomBitsFor(n))
+      def once(): (Double, Long, Long) = {
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        val (fpr, miss) = graft.core.CacheScope.scoped {
+          graft.queries.CorpusOps.bloomMembership(spark, dir, bits)
+            .agg(expr("sum(n_false_pos) * 1000000 div " +
+              "sum(n_probes - n_dups)"), expr("sum(n_missed)"))
+            .as[(Long, Long)].head()
+        }
+        ((System.nanoTime() - t0) / 1e9, fpr, miss)
+      }
+      once()
+      val (w1, fpr, miss) = once(); val (w2, fpr2, miss2) = once()
+      require(fpr == fpr2 && miss == miss2, "deterministic verdicts")
+      val w = math.min(w1, w2)
+      println(f"$label%-28s $w%8.2f $fpr%10d $miss%8d (n=$n bits=$bits)")
+      require(miss == 0L, "no-false-negative contract broken")
+      (label, w, fpr, miss)
+    }
+    println("[scale-bloomdial] " + rows.map { case (l, w, f, _) =>
+      f"${l.replace(" ", "")}=$w%.2f/$f" }.mkString(" "))
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = if (args.nonEmpty) args(0) else "all"
     val factor = if (args.length > 1) args(1).toInt else 10
@@ -236,7 +281,8 @@ object ScaleRehearsal {
       case "gen" => gen(spark, factor)
       case "run" => run(spark)
       case "dial" => dial(spark)
-      case _ => gen(spark, factor); run(spark); dial(spark)
+      case "bloomdial" => bloomDial(spark)
+      case _ => gen(spark, factor); run(spark); dial(spark); bloomDial(spark)
     }
     spark.stop()
   }
