@@ -160,6 +160,28 @@ object GraftExtensions {
         BloomProbeExpression(children(0), children(1),
           children(2).eval().asInstanceOf[Number].intValue())
       }),
+    ("graft_cms",
+      new ExpressionInfo(classOf[CountMinAgg].getName, "graft_cms"),
+      (children: Seq[Expression]) => {
+        // widthLog2 and depth ride as foldable int literals
+        require(children.length == 3,
+          s"graft_cms expects (fp, widthLog2, depth), got ${children.length} args")
+        require(children(1).foldable && children(2).foldable,
+          "graft_cms widthLog2 and depth must be literal")
+        CountMinAgg(children(0),
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].intValue())
+      }),
+    ("graft_cms_query",
+      new ExpressionInfo(classOf[CmsQueryExpression].getName, "graft_cms_query"),
+      (children: Seq[Expression]) => {
+        // depth rides as a foldable int literal
+        require(children.length == 3,
+          s"graft_cms_query expects (sketch, fp, depth), got ${children.length} args")
+        require(children(2).foldable, "graft_cms_query depth must be literal")
+        CmsQueryExpression(children(0), children(1),
+          children(2).eval().asInstanceOf[Number].intValue())
+      }),
     ("graft_bottomk",
       new ExpressionInfo(classOf[BottomKSketchAgg].getName, "graft_bottomk"),
       (children: Seq[Expression]) => {

@@ -7,7 +7,7 @@ import graft.core.Tables
 import graft.functions.{Sketches, Skew, TextFunctions}
 
 /** Text-corpus engineering operators (SURVEY §2.11a, L50–L53,
-  * L55–L57, L59, L61–L63, L65–L66): tokenizer economics,
+  * L55–L57, L59, L61–L63, L65–L67): tokenizer economics,
   * distributional drift, filter governance, contrastive selection, and
   * the fingerprinting family beyond fixed windows.
   *
@@ -24,6 +24,7 @@ import graft.functions.{Sketches, Skew, TextFunctions}
   *  - L63 integer-log perplexity proxy (Zipf surprise)         → q128
   *  - L65 Moore–Lewis cross-entropy-difference selection       → q132
   *  - L66 duplicate-chunk removal + reassembly                 → q133
+  *  - L67 count-min frequency sketch (measured overshoot)      → q134
   *
   * (L54, the PQ asymmetric-distance search, lives with its encode twin
   * in [[CorpusOps]] — q119.)
@@ -81,6 +82,18 @@ object TextCorpusOps {
     */
   private[queries] val MooreLewisVocab = 64
   private[queries] val MooreLewisKeepQppm = 11100000L
+
+  /** L67 dials: 2 rows × 32 cells for the registered query — the
+    * fixture's ~31-word vocabulary deliberately overloads the rows so
+    * collision overshoot is measurable at every SF (production sizes
+    * width ≈ e/ε for additive error ε·N, the same log2-width scaling
+    * stance as [[CorpusOps.bloomBitsFor]]). Absent probes are planted
+    * so the pure-collision-mass branch fires deterministically.
+    */
+  private[queries] val CmsWidthLog2 = 5
+  private[queries] val CmsDepth = 2
+  private[queries] val CmsAbsentProbes =
+    Seq("zzqabsent1", "zzqabsent2", "zzqabsent3", "zzqabsent4")
 
   val all: Seq[GraftQuery] = {
 
@@ -1093,7 +1106,79 @@ object TextCorpusOps {
           ORDER BY st.doc_id"""
       })
 
+    /* L67: count-min frequency sketch — the frequency analog of L64's
+     * membership filter, one-sided in the other direction: at 100 TB an
+     * exact term-frequency table is a full hash aggregate over every
+     * occurrence (fine once, expensive to maintain, impossible to
+     * broadcast at vocabulary scale); the CMS is a fixed depth×width
+     * counter matrix built in ONE map-side-combined aggregate (counter
+     * matrices ADD — any merge tree, identical state), shipped
+     * BROADCAST, point-queried per term as min over depth rows
+     * (`graft_cms_query`, codegen'd). Estimate ≥ truth ALWAYS; the
+     * overshoot is the collision mass, and the registered query
+     * MEASURES it per probe term against the exact aggregate (the
+     * L64/L11/L44 honest-lossy-sketch convention) with an in-query
+     * one-sided proof: `undercount` ≡ 0 on both engines or the hash
+     * gate fails. Probes: every corpus term plus four planted ABSENT
+     * terms whose estimates are pure collision mass — the error branch
+     * fires at every SF because the fixture vocabulary (~31 words)
+     * deliberately overloads the 32-cell rows. Cells reuse the Bloom
+     * position arithmetic (universal family over the md5-prefix hash,
+     * intermediates < 2^62), so DuckDB reproduces every estimate —
+     * collisions included — from a per-(row, cell) counting join. */
+    val q134 = GraftQuery(
+      "q134_cms_frequency", "L67 L64 L28",
+      (s, d) => {
+        import s.implicits._
+        val occ = Tables.documents(s, d)
+          .select(explode(Sketches.words(col("text"))).as("w"))
+          .withColumn("fp", Sketches.h64(col("w")))
+        val sketch = occ.agg(call_function("graft_cms",
+          col("fp"), lit(CmsWidthLog2), lit(CmsDepth)).as("sk"))
+        val exact = occ.groupBy(col("w")).agg(count(lit(1)).as("exact_c"))
+        val probes = exact.select(col("w"), col("exact_c"))
+          .unionByName(CmsAbsentProbes.toDF("w")
+            .withColumn("exact_c", lit(0L)))
+        probes.crossJoin(broadcast(sketch))
+          .withColumn("est", call_function("graft_cms_query",
+            col("sk"), Sketches.h64(col("w")), lit(CmsDepth)))
+          .select(col("w"), col("exact_c"), col("est"),
+            (col("est") - col("exact_c")).as("over"),
+            when(col("est") < col("exact_c"), 1L).otherwise(0L)
+              .as("undercount"))
+          .orderBy(col("w"))
+      },
+      Some {
+        val ws = Sketches.wordsSql("text")
+        val width = 1 << CmsWidthLog2
+        def cell(i: Int, h: String) =
+          graft.plans.BloomFilterAgg.positionSql(i, h, width)
+        val fpW = Sketches.h64Sql("w")
+        val cellsUnion = (0 until CmsDepth).map(i =>
+          s"SELECT $i AS i, ${cell(i, "fp")} AS cell, COUNT(*) AS c " +
+            "FROM occ GROUP BY 2").mkString(" UNION ALL ")
+        val probeCells = (0 until CmsDepth).map(i =>
+          s"SELECT w, exact_c, $i AS i, ${cell(i, s"($fpW)")} AS cell " +
+            "FROM probes").mkString(" UNION ALL ")
+        val absent = CmsAbsentProbes.map(w => s"('$w')").mkString(", ")
+        s"""WITH occ AS (SELECT w, ${Sketches.h64Sql("w")} AS fp
+            FROM (SELECT unnest($ws) AS w FROM documents)),
+          cells AS ($cellsUnion),
+          exact AS (SELECT w, COUNT(*) AS exact_c FROM occ GROUP BY 1),
+          probes AS (SELECT w, exact_c FROM exact
+            UNION ALL SELECT w, 0 FROM (VALUES $absent) AS t(w)),
+          pc AS ($probeCells),
+          est AS (SELECT pc.w, pc.exact_c,
+              MIN(COALESCE(cells.c, 0)) AS est
+            FROM pc LEFT JOIN cells ON cells.i = pc.i
+              AND cells.cell = pc.cell
+            GROUP BY 1, 2)
+          SELECT w, exact_c, est, est - exact_c AS over,
+            CASE WHEN est < exact_c THEN 1 ELSE 0 END AS undercount
+          FROM est ORDER BY w"""
+      })
+
     Seq(q115, q116, q117, q118, q120, q121, q122, q124, q126, q127, q128,
-      q132, q133)
+      q132, q133, q134)
   }
 }
