@@ -95,6 +95,9 @@ object TextCorpusOps {
   private[queries] val CmsAbsentProbes =
     Seq("zzqabsent1", "zzqabsent2", "zzqabsent3", "zzqabsent4")
 
+  /** L68: heavy-hitter report depth (top-K by estimate). */
+  private[queries] val HeavyK = 16
+
   val all: Seq[GraftQuery] = {
 
     /* L50: tokenizer fertility profile — the multilingual tokenizer-
@@ -1178,7 +1181,78 @@ object TextCorpusOps {
           FROM est ORDER BY w"""
       })
 
+    /* L68: approximate heavy hitters — the SERVING use of the L67
+     * sketch: rank terms by their CMS estimate instead of the exact
+     * count, the way a production pipeline surfaces "most frequent
+     * n-grams / domains / boilerplate lines" without maintaining the
+     * full frequency table. The report is the honesty layer: for the
+     * top-K terms BY ESTIMATE it emits the estimate next to the exact
+     * count and both rank positions, so collision-driven RANK
+     * DISPLACEMENT — the way CMS error actually manifests downstream —
+     * is measured, not assumed (the fixture's overloaded 32-cell rows
+     * make displacement nonzero at every SF). Ranks are computed within
+     * the est-ordered top-512 candidate frame, the q128-sanctioned
+     * post-limit shape: at 100 TB the |vocab|-row frequency frame is
+     * large, so the global sort is bounded to the candidate cut and the
+     * sketch itself is the only full-corpus pass. Deterministic
+     * tiebreaks ((rank key) DESC, w) on both engines. */
+    val q135 = GraftQuery(
+      "q135_cms_heavy_hitters", "L68 L67 L28",
+      (s, d) => {
+        val occ = Tables.documents(s, d)
+          .select(explode(Sketches.words(col("text"))).as("w"))
+          .withColumn("fp", Sketches.h64(col("w")))
+        val sketch = occ.agg(call_function("graft_cms",
+          col("fp"), lit(CmsWidthLog2), lit(CmsDepth)).as("sk"))
+        val cand = occ.groupBy(col("w")).agg(count(lit(1)).as("exact_c"))
+          .crossJoin(broadcast(sketch))
+          .withColumn("est", call_function("graft_cms_query",
+            col("sk"), Sketches.h64(col("w")), lit(CmsDepth)))
+          .orderBy(col("est").desc, col("w")).limit(512)
+        cand
+          .withColumn("est_rank", row_number().over(
+            Window.orderBy(col("est").desc, col("w"))))
+          .withColumn("exact_rank", row_number().over(
+            Window.orderBy(col("exact_c").desc, col("w"))))
+          .filter(col("est_rank") <= HeavyK)
+          .select(col("w"), col("est"), col("exact_c"),
+            col("est_rank"), col("exact_rank"),
+            abs(col("est_rank") - col("exact_rank")).as("displacement"))
+          .orderBy(col("est_rank"))
+      },
+      Some {
+        val ws = Sketches.wordsSql("text")
+        val width = 1 << CmsWidthLog2
+        def cell(i: Int, h: String) =
+          graft.plans.BloomFilterAgg.positionSql(i, h, width)
+        val fpW = Sketches.h64Sql("w")
+        val cellsUnion = (0 until CmsDepth).map(i =>
+          s"SELECT $i AS i, ${cell(i, "fp")} AS cell, COUNT(*) AS c " +
+            "FROM occ GROUP BY 2").mkString(" UNION ALL ")
+        val probeCells = (0 until CmsDepth).map(i =>
+          s"SELECT w, exact_c, $i AS i, ${cell(i, s"($fpW)")} AS cell " +
+            "FROM exact").mkString(" UNION ALL ")
+        s"""WITH occ AS (SELECT w, ${Sketches.h64Sql("w")} AS fp
+            FROM (SELECT unnest($ws) AS w FROM documents)),
+          cells AS ($cellsUnion),
+          exact AS (SELECT w, COUNT(*) AS exact_c FROM occ GROUP BY 1),
+          pc AS ($probeCells),
+          est AS (SELECT pc.w, pc.exact_c,
+              MIN(COALESCE(cells.c, 0)) AS est
+            FROM pc LEFT JOIN cells ON cells.i = pc.i
+              AND cells.cell = pc.cell
+            GROUP BY 1, 2),
+          cand AS (SELECT * FROM est ORDER BY est DESC, w LIMIT 512),
+          rk AS (SELECT w, est, exact_c,
+              row_number() OVER (ORDER BY est DESC, w) AS est_rank,
+              row_number() OVER (ORDER BY exact_c DESC, w) AS exact_rank
+            FROM cand)
+          SELECT w, est, exact_c, est_rank, exact_rank,
+            ABS(est_rank - exact_rank) AS displacement
+          FROM rk WHERE est_rank <= $HeavyK ORDER BY est_rank"""
+      })
+
     Seq(q115, q116, q117, q118, q120, q121, q122, q124, q126, q127, q128,
-      q132, q133, q134)
+      q132, q133, q134, q135)
   }
 }
