@@ -98,11 +98,15 @@ object BloomFilterAgg {
     * the [[graft.functions.Sketches]] universal family over the md5-prefix
     * hash, reduced mod m. `h` is the engine's 60-bit non-negative
     * fingerprint; every intermediate stays under 2^62, so the DuckDB
-    * oracle computes the identical value in BIGINT.
+    * oracle computes the identical value in BIGINT. A NEGATIVE input
+    * (some other hash pushed through the sketch) floor-mods into the
+    * same non-negative domain instead of producing a negative index and
+    * crashing the executor — registered queries only ever feed md5
+    * fingerprints, where floorMod ≡ %, so oracle parity is unaffected.
     */
   def position(i: Int, h: Long, m: Int): Int = {
     import graft.functions.Sketches.{P31, hashA, hashB}
-    (((hashA(i) * (h % P31) + hashB(i)) % P31) % m).toInt
+    ((hashA(i) * java.lang.Math.floorMod(h, P31) + hashB(i)) % P31 % m).toInt
   }
 
   /** The oracle twin of [[position]] (interpolates into DuckDB SQL). */

@@ -115,9 +115,13 @@ case class CountMinAgg(
 object CountMinAgg {
   /** Static point-query kernel: min over the depth rows of the counter at
     * this fingerprint's cell. Width is carried by the sketch itself:
-    * bytes / 8 / depth.
+    * bytes / 8 / depth — a depth that does not divide the sketch (built
+    * with a different depth than queried) fails loudly here instead of
+    * reading shifted rows as counters.
     */
   def query(bytes: Array[Byte], h: Long, depth: Int): Long = {
+    require(bytes.length % (8 * depth) == 0,
+      s"graft_cms_query depth=$depth does not match a ${bytes.length}-byte sketch")
     val width = bytes.length / 8 / depth
     val bb = java.nio.ByteBuffer.wrap(bytes)
     var best = Long.MaxValue

@@ -120,6 +120,18 @@ class BloomSpec extends SparkSpec {
       probed.queryExecution.executedPlan)
   }
 
+  test("negative fingerprints floor-mod safely (no negative bit index)") {
+    // registered queries only feed non-negative md5 fingerprints, but a
+    // user pushing e.g. FNV output through the sketch must not crash an
+    // executor on a negative array index — and the one-sided contract
+    // must survive the fold
+    val buf = new Array[Byte](128)
+    val hs = Seq(Long.MinValue, -1L, -987654321L, 0L, Long.MaxValue)
+    hs.foreach(BloomFilterAgg.add(buf, _, 4))
+    hs.foreach(h => assert(BloomFilterAgg.probe(buf, h, 4),
+      s"false negative for fingerprint $h"))
+  }
+
   test("bloomBitsFor: floor, minimality, cap") {
     import graft.queries.CorpusOps.bloomBitsFor
     assert(bloomBitsFor(0) === 14)

@@ -77,6 +77,26 @@ class CmsSpec extends SparkSpec {
     }
   }
 
+  test("depth mismatch fails loudly; negative fingerprints stay one-sided") {
+    val occ = Seq(-5L, -1L, Long.MinValue, 42L)
+    val width = 1 << 4
+    val buf = new Array[Long](Depth * width)
+    occ.foreach { h =>
+      (0 until Depth).foreach { i =>
+        buf(i * width + BloomFilterAgg.position(i, h, width)) += 1L
+      }
+    }
+    val sk = CountMinAgg(org.apache.spark.sql.catalyst.expressions.Literal(1L),
+      4, Depth).serialize(buf)
+    occ.foreach(h => assert(CountMinAgg.query(sk, h, Depth) >= 1L,
+      s"undercount for negative fingerprint $h"))
+    // a sketch built at depth 2 queried at depth 3 must throw, not read
+    // shifted rows as counters
+    intercept[IllegalArgumentException] {
+      CountMinAgg.query(sk, 42L, 3)
+    }
+  }
+
   test("aggregate build is merge-tree independent (1 vs 8 partitions)") {
     val docs = graft.core.Tables.documents(spark, sf)
       .select(explode(split(trim(col("text")), "\\s+")).as("w"))
