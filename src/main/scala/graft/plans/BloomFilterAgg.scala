@@ -43,8 +43,13 @@ case class BloomFilterAgg(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
 
-  require(bitsLog2 >= 3 && bitsLog2 <= 33,
-    s"graft_bloom bitsLog2 must be in [3, 33], got $bitsLog2")
+  // cap 31: the universal family reduces positions mod P31 = 2^31 - 1, so
+  // bits past 2^31 are unreachable — a wider filter would waste >half its
+  // memory AND overflow `m = len << 3` as an Int (bitsLog2 32/33 wrapped
+  // m to 0 → division by zero in position(); 31 itself only worked because
+  // Long % Int.MinValue happens to stay non-negative). ADVICE r12.
+  require(bitsLog2 >= 3 && bitsLog2 <= 31,
+    s"graft_bloom bitsLog2 must be in [3, 31], got $bitsLog2")
   require(k >= 1 && k <= 16, s"graft_bloom k must be in [1, 16], got $k")
 
   private val nBytes: Int = 1 << (bitsLog2 - 3)
@@ -104,7 +109,7 @@ object BloomFilterAgg {
     * crashing the executor — registered queries only ever feed md5
     * fingerprints, where floorMod ≡ %, so oracle parity is unaffected.
     */
-  def position(i: Int, h: Long, m: Int): Int = {
+  def position(i: Int, h: Long, m: Long): Int = {
     import graft.functions.Sketches.{P31, hashA, hashB}
     ((hashA(i) * java.lang.Math.floorMod(h, P31) + hashB(i)) % P31 % m).toInt
   }
@@ -114,7 +119,10 @@ object BloomFilterAgg {
     s"(${graft.functions.Sketches.familyHashSql(i, h)} % $m)"
 
   def add(buf: Array[Byte], h: Long, k: Int): Unit = {
-    val m = buf.length << 3
+    // Long m: an Int `len << 3` wraps at len = 2^28 bytes (2^31 bits) —
+    // the agg's require caps width below that, but the kernel must not
+    // rely on it (probe sees arbitrary caller bitmaps)
+    val m = buf.length.toLong << 3
     var i = 0
     while (i < k) {
       val p = position(i, h, m)
@@ -125,7 +133,7 @@ object BloomFilterAgg {
 
   /** Static probe kernel the generated code calls: all `k` bits set. */
   def probe(buf: Array[Byte], h: Long, k: Int): Boolean = {
-    val m = buf.length << 3
+    val m = buf.length.toLong << 3
     var i = 0
     while (i < k) {
       val p = position(i, h, m)

@@ -82,7 +82,13 @@ case class CountMinAgg(
   override def eval(buf: Array[Long]): Any = serialize(buf)
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    // 8-byte header = magic | depth | widthLog2, so query() can VALIDATE
+    // the geometry instead of trusting its depth argument: a depth-4
+    // sketch queried at depth 2 used to pass the old divisibility check,
+    // derive a doubled width, and silently UNDERcount — breaking the
+    // one-sided contract (ADVICE r12)
+    val bb = java.nio.ByteBuffer.allocate((buf.length + 1) * 8)
+    bb.putLong(CountMinAgg.header(depth, widthLog2))
     var i = 0
     while (i < buf.length) {
       bb.putLong(buf(i))
@@ -93,7 +99,11 @@ case class CountMinAgg(
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val out = new Array[Long](bytes.length / 8)
+    val hdr = bb.getLong()
+    require(hdr == CountMinAgg.header(depth, widthLog2),
+      s"graft_cms buffer header mismatch: expected depth=$depth " +
+        s"widthLog2=$widthLog2, got 0x${hdr.toHexString}")
+    val out = new Array[Long](bytes.length / 8 - 1)
     var i = 0
     while (i < out.length) {
       out(i) = bb.getLong()
@@ -113,22 +123,40 @@ case class CountMinAgg(
 }
 
 object CountMinAgg {
+
+  /** Serialized-sketch header long: "GCMS" magic in the high 4 bytes, then
+    * depth and widthLog2 in the low 2. The geometry rides IN the bytes so
+    * a query against a mismatched depth fails loudly even when the wrong
+    * depth happens to divide the counter count (the old length-divisibility
+    * check let depth 4 → 2 slip through and silently undercount).
+    */
+  private[plans] def header(depth: Int, widthLog2: Int): Long =
+    (0x47434D53L << 32) | (depth.toLong << 8) | widthLog2.toLong
+
   /** Static point-query kernel: min over the depth rows of the counter at
-    * this fingerprint's cell. Width is carried by the sketch itself:
-    * bytes / 8 / depth — a depth that does not divide the sketch (built
-    * with a different depth than queried) fails loudly here instead of
-    * reading shifted rows as counters.
+    * this fingerprint's cell. Geometry (depth, width) is validated against
+    * the sketch's own header — a sketch built with a different depth than
+    * queried fails loudly here instead of reading shifted rows as counters.
     */
   def query(bytes: Array[Byte], h: Long, depth: Int): Long = {
-    require(bytes.length % (8 * depth) == 0,
-      s"graft_cms_query depth=$depth does not match a ${bytes.length}-byte sketch")
-    val width = bytes.length / 8 / depth
+    require(bytes.length >= 16 && bytes.length % 8 == 0,
+      s"graft_cms_query: ${bytes.length} bytes is not a graft_cms sketch")
     val bb = java.nio.ByteBuffer.wrap(bytes)
+    val hdr = bb.getLong(0)
+    require((hdr >>> 32) == 0x47434D53L,
+      s"graft_cms_query: bad sketch magic 0x${(hdr >>> 32).toHexString}")
+    val sketchDepth = ((hdr >>> 8) & 0xFF).toInt
+    require(sketchDepth == depth,
+      s"graft_cms_query depth=$depth does not match a depth-$sketchDepth sketch")
+    val width = 1 << (hdr & 0xFF).toInt
+    require(bytes.length == (depth * width + 1) * 8,
+      s"graft_cms_query: ${bytes.length}-byte sketch inconsistent with " +
+        s"header depth=$depth width=$width")
     var best = Long.MaxValue
     var i = 0
     while (i < depth) {
       val c = bb.getLong(
-        (i * width + BloomFilterAgg.position(i, h, width)) * 8)
+        (1 + i * width + BloomFilterAgg.position(i, h, width)) * 8)
       if (c < best) best = c
       i += 1
     }

@@ -81,7 +81,11 @@ object CorpusOps {
     val bits = if (n <= 0L) 1L
       else if (n > (Long.MaxValue / BloomBitsPerKey)) Long.MaxValue
       else n * BloomBitsPerKey
-    math.min(33, math.max(BloomBitsLog2, ceilLog2(bits)))
+    // 31 is a hard ceiling, not a tuning choice: Bloom positions come from
+    // the mod-P31 universal family, so bits past 2^31 can never be set —
+    // beyond ~2^29 keys the right production move is sharding the filter
+    // (one bitmap per fingerprint range), not widening one bitmap
+    math.min(31, math.max(BloomBitsLog2, ceilLog2(bits)))
   }
 
   /** The q131 kernel with the width as the explicit dial, so

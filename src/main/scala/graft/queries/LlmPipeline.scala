@@ -712,26 +712,25 @@ object LlmPipeline {
     * assigned-centroid cosine, [[cellAssignWithCos]]'s `best_cos`;
     * consumers that don't need it ignore the column).
     *
-    * `asn` is declared MATERIALIZED: DuckDB inlines plain CTEs, and a
-    * consumer that references `asn` twice (q92's candidate self-join)
-    * re-executes the 64-wide unrolled-cosine window per reference —
-    * measured to fragment the oracle process into >30k mmap regions at
-    * sf0.001, enough for two adjacent embedding oracles to hit
-    * vm.max_map_count (65530) and fail ALL later allocations in the
-    * sweep ("bad allocation" at 2 KB with 120 GB free). Materializing
-    * the |corpus|-row (vec_id, cell) table keeps the whole sweep ~1k
-    * maps. Oracle-side only; the Spark plan is unaffected.
+    * `asn` (and the scored `asn_sc` stage inside [[asnOverCtesSql]]) is
+    * declared MATERIALIZED: DuckDB inlines plain CTEs, and a consumer
+    * that references `asn` twice (q92's candidate self-join) re-executes
+    * the 64-wide unrolled-cosine stage per reference — measured to
+    * fragment the oracle process into >30k mmap regions at sf0.001,
+    * enough for two adjacent embedding oracles to hit vm.max_map_count
+    * (65530) and fail ALL later allocations in the sweep ("bad
+    * allocation" at 2 KB with 120 GB free). Materializing the
+    * |corpus|-row (vec_id, cell) table keeps the whole sweep ~1k maps,
+    * and the r12 staged-argmax rewrite (see [[asnOverCtesSql]]) removed
+    * the per-vec window whose sort state was the remaining peak-memory
+    * term in the driver's long-lived checker process. Oracle-side only;
+    * the Spark plan is unaffected.
     */
   private[queries] def cellAsnCtesSql(
-      centroidStep: Int = CentroidStep): String = {
-    val ccos = Sketches.cosineSql(
-      Sketches.dotSql("e.embedding", "c.embedding", Dims),
-      Sketches.normSql("e.embedding", Dims),
-      Sketches.normSql("c.embedding", Dims))
+      centroidStep: Int = CentroidStep): String =
     s"""c AS (SELECT vec_id AS c_id, embedding FROM embeddings
               WHERE vec_id % $centroidStep = 0),
           ${asnOverCtesSql("asn", "c", "embeddings")}"""
-  }
 
   /** The argmax-cosine assignment CTE alone, against an explicit codebook
     * CTE `cbName(c_id, embedding)` and an arbitrary `(vec_id, embedding)`
@@ -746,11 +745,26 @@ object LlmPipeline {
       Sketches.dotSql("e.embedding", "c.embedding", Dims),
       Sketches.normSql("e.embedding", Dims),
       Sketches.normSql("c.embedding", Dims))
-    s"""$asnName AS MATERIALIZED (SELECT vec_id, c_id AS cell, ccos FROM (
-            SELECT e.vec_id, c.c_id, $ccos AS ccos,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY $ccos DESC, c.c_id) AS rn
-            FROM $srcSql e CROSS JOIN $cbName c) WHERE rn = 1)"""
+    // Staged max + join-back instead of a row_number window (VERDICT r12
+    // #1): the 64-wide unrolled cosine evaluates exactly ONCE into the
+    // MATERIALIZED `_sc` scored table (the window form referenced $ccos in
+    // both the projection and the ORDER BY, and its per-vec_id sort held
+    // |corpus|·K rows of window state at peak); the argmax is then two
+    // streaming hash aggregates over plain stored doubles. Equality on
+    // `s.ccos = m.best` is exact — both sides are the same stored value,
+    // never recomputed. Tie-break MIN(c_id) at max ccos ≡ the old window's
+    // `ORDER BY ccos DESC, c_id` rn=1, so every consumer's values (and the
+    // driver's hashes) are unchanged.
+    s"""${asnName}_sc AS MATERIALIZED (
+            SELECT e.vec_id, c.c_id, $ccos AS ccos
+            FROM $srcSql e CROSS JOIN $cbName c),
+          ${asnName}_mx AS (SELECT vec_id, MAX(ccos) AS best
+            FROM ${asnName}_sc GROUP BY vec_id),
+          $asnName AS MATERIALIZED (
+            SELECT s.vec_id, MIN(s.c_id) AS cell, MAX(s.ccos) AS ccos
+            FROM ${asnName}_sc s JOIN ${asnName}_mx m
+              ON m.vec_id = s.vec_id AND s.ccos = m.best
+            GROUP BY s.vec_id)"""
   }
 
   /** L27 with its dials exposed: the EXACT pipeline q92 registers
@@ -2204,7 +2218,7 @@ object LlmPipeline {
         s"""WITH ${cellAsnCtesSql()},
           cand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
             FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id),
-          ver AS (SELECT cand.a_id, cand.b_id FROM cand
+          ver AS MATERIALIZED (SELECT cand.a_id, cand.b_id FROM cand
             JOIN embeddings ea ON ea.vec_id = cand.a_id
             JOIN embeddings eb ON eb.vec_id = cand.b_id
             WHERE $vcos >= $NearDupTau),

@@ -852,9 +852,11 @@ object TextCorpusOps {
           .withColumn("rank", row_number().over(
             Window.orderBy(col("c").desc, col("w"))))
           .select(col("w"), col("rank"))
+        // .otherwise(9L) mirrors the SQL ELSE 9 — unreachable while the
+        // vocab tops out under 512 ranks, load-bearing the day it doesn't
         val ladder = (1 to 8).foldLeft(when(col("rank") < 2, 0L)) {
           (acc, b) => acc.when(col("rank") < (1 << (b + 1)), b.toLong)
-        }
+        }.otherwise(9L)
         words.join(broadcast(vocab), Seq("w"), "left")
           .withColumn("surprise",
             when(col("rank").isNull, 9L).otherwise(ladder))
@@ -932,9 +934,13 @@ object TextCorpusOps {
           .withColumnRenamed("rank", "rank_in")
         val general = model(words).withColumnRenamed("rank", "rank_gen")
         def ladder(rank: Column): Column = {
+          // the non-null fold ends in .otherwise(9L), mirroring the SQL
+          // twin's ELSE 9: unreachable at MooreLewisVocab = 64 (ranks cap
+          // at 64 < 512), but a raised vocab must not diverge the two
+          // ladders via a NULL rung (ADVICE r12)
           val known = (1 to 8).foldLeft(when(rank < 2, 0L)) {
             (acc, b) => acc.when(rank < (1 << (b + 1)), b.toLong)
-          }
+          }.otherwise(9L)
           when(rank.isNull, 9L).otherwise(known)
         }
         words

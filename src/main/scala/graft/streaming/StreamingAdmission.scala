@@ -34,8 +34,20 @@ object StreamingAdmission {
 
   /** Classify one micro-batch against `bitmap` (frozen during the batch)
     * and return the updated bitmap. The probe is the codegen'd
-    * `graft_bloom_probe` over a literal bitmap column — map-side, zero
-    * shuffle beyond the |batch|-row first-occurrence aggregate.
+    * `graft_bloom_probe` over a BROADCAST one-row bitmap frame — map-side,
+    * zero shuffle beyond the |batch|-row first-occurrence aggregate. A
+    * broadcast (not a literal column) so the bitmap ships to executors
+    * once via torrent blocks instead of riding inside every serialized
+    * plan/codegen fragment — at `bloomBitsFor`'s upper widths the bitmap
+    * is hundreds of MB, which a plan literal would re-ship per batch.
+    *
+    * Width ceiling for THIS driver-held-artifact shape: the delta build
+    * below still round-trips one bitmap through the driver per
+    * micro-batch, so the practical ceiling is driver-heap/latency-bound
+    * (~2^27 bits = 16 MiB is comfortable; the 2^31 family cap is not).
+    * Past that, shard the filter by fingerprint range (one admitBatch
+    * per shard) or fall back to the exact keyed-state form
+    * (`StreamingDedup`), whose state is partitioned by construction.
     */
   def admitBatch(mb: Dataset[Arrival], bitmap: Array[Byte],
       bitsLog2: Int, k: Int): (DataFrame, Array[Byte]) = {
@@ -43,9 +55,14 @@ object StreamingAdmission {
       s"bitmap width ${bitmap.length}B does not match bitsLog2=$bitsLog2")
     val first = mb.toDF().groupBy(col("fp"))
       .agg(min(col("doc_id")).as("first_id"))
+    val spark = mb.sparkSession
+    import spark.implicits._
+    val bmDf = Seq(Tuple1(bitmap)).toDF("graft_bm")
     val verdicts = mb.toDF()
+      .crossJoin(broadcast(bmDf))
       .withColumn("hit", call_function("graft_bloom_probe",
-        lit(bitmap), col("fp"), lit(k)))
+        col("graft_bm"), col("fp"), lit(k)))
+      .drop("graft_bm")
       .join(broadcast(first), Seq("fp"))
       .select(col("doc_id"), col("fp"),
         when(col("hit"), "seen")

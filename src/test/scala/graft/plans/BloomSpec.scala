@@ -137,7 +137,8 @@ class BloomSpec extends SparkSpec {
     assert(bloomBitsFor(0) === 14)
     assert(bloomBitsFor(4096) === 14) // 4 bits/key inside the floor
     assert(bloomBitsFor(5000) === 15) // first width past the floor
-    assert(bloomBitsFor(1L << 40) === 33) // capped
+    assert(bloomBitsFor(1L << 40) === 31) // capped at the mod-P31 address ceiling
+    assert(bloomBitsFor(1L << 29) === 31) // 2^29 keys x 4 b/k = exactly 2^31
     // minimality: m/2 < BitsPerKey·n ≤ m above the floor
     for (n <- Seq(5000L, 100000L, 12345678L)) {
       val bits = bloomBitsFor(n)

@@ -7,7 +7,16 @@ over the same sf directory. Row order is ignored (both sides sorted by
 all columns); values must match exactly (floats bit-for-bit), which is
 what a hash-based compare implies.
 
-Usage: tools/oracle_check.py <sfDir> <outDir>
+Usage: tools/oracle_check.py <sfDir> <outDir> [query ...]
+           [--fresh] [--memory-limit SIZE]
+
+Optional query names restrict the sweep (exact match). `--fresh` runs
+every checked query in its OWN subprocess — the worst-case isolation
+the driver's non-recycling checker can only dream of, useful to prove
+a single oracle stands alone. `--memory-limit 2GB` applies DuckDB's
+memory_limit PRAGMA, the way the q92 footprint fix is verified: the
+SemDeDup oracle must pass under a 2 GB cap so the driver's fragmented
+long-lived process still has room for it.
 """
 import json
 import sys
@@ -15,12 +24,14 @@ import sys
 import duckdb
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only=None, memory_limit=None) -> int:
     tables = ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"]
 
     def fresh_con():
         c = duckdb.connect()
+        if memory_limit:
+            c.sql(f"SET memory_limit='{memory_limit}'")
         for t in tables:
             c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
         return c
@@ -43,6 +54,12 @@ def main(sf_dir: str, out_dir: str) -> int:
 
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    if only:
+        missing = sorted(set(only) - set(oracles))
+        if missing:
+            print(f"FAIL unknown query name(s): {missing}")
+            return 1
+        oracles = {k: v for k, v in oracles.items() if k in only}
     failures = 0
     for qi, (name, sql) in enumerate(sorted(oracles.items())):
         # Recycle the connection periodically: DuckDB's allocator can
@@ -140,5 +157,32 @@ def main(sf_dir: str, out_dir: str) -> int:
     return 1 if failures else 0
 
 
+def fresh_sweep(sf_dir, out_dir, names, memory_limit):
+    """One subprocess per query: no shared allocator state at all."""
+    import subprocess
+    rc = 0
+    for n in names:
+        cmd = [sys.executable, __file__, sf_dir, out_dir, n]
+        if memory_limit:
+            cmd += ["--memory-limit", memory_limit]
+        rc |= subprocess.call(cmd)
+    return rc
+
+
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    argv = sys.argv[1:]
+    fresh = "--fresh" in argv
+    if fresh:
+        argv.remove("--fresh")
+    memory_limit = None
+    if "--memory-limit" in argv:
+        i = argv.index("--memory-limit")
+        memory_limit = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir, out_dir, names = argv[0], argv[1], argv[2:]
+    if fresh:
+        if not names:
+            with open(f"{out_dir}/oracle_sql.json") as f:
+                names = sorted(json.load(f))
+        sys.exit(fresh_sweep(sf_dir, out_dir, names, memory_limit))
+    sys.exit(main(sf_dir, out_dir, set(names) or None, memory_limit))
