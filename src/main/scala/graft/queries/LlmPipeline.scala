@@ -750,11 +750,22 @@ object LlmPipeline {
     // MATERIALIZED `_sc` scored table (the window form referenced $ccos in
     // both the projection and the ORDER BY, and its per-vec_id sort held
     // |corpus|·K rows of window state at peak); the argmax is then two
-    // streaming hash aggregates over plain stored doubles. Equality on
-    // `s.ccos = m.best` is exact — both sides are the same stored value,
-    // never recomputed. Tie-break MIN(c_id) at max ccos ≡ the old window's
-    // `ORDER BY ccos DESC, c_id` rn=1, so every consumer's values (and the
-    // driver's hashes) are unchanged.
+    // streaming hash aggregates over plain stored doubles. Keeping `_sc`
+    // MATERIALIZED is measured, not assumed (ADVICE r13 #1 proposed
+    // dropping it): in a driver-shaped single-connection sweep the
+    // materialized form grew the process map count LESS than the
+    // recompute-twice plain-CTE form (~1.0k vs ~2.3k regions per
+    // execution, tools/driver_sim.py) and ran faster; the r13 OOM shift
+    // was q70's own un-shared window-form oracle, fixed below. Tie-break
+    // MIN(c_id) at max ccos ≡ the old window's `ORDER BY ccos DESC, c_id`
+    // rn=1, so every consumer's values (and the driver's hashes) are
+    // unchanged. The join is null-SAFE (ADVICE r13 #4): a zero-norm
+    // vector scores NULL against every centroid (cosineSql's guard), and
+    // `IS NOT DISTINCT FROM` keeps its group — MIN(c_id) over the all-NULL
+    // rows ≡ the engine's `max_by(c_id, struct(ccos, -c_id))`, whose
+    // nulls-first struct ordering resolves the all-NULL tie to the LOWEST
+    // centroid id with a NULL best_cos (measured on the kernel, not
+    // assumed: cell=min c_id, best_cos=NULL).
     s"""${asnName}_sc AS MATERIALIZED (
             SELECT e.vec_id, c.c_id, $ccos AS ccos
             FROM $srcSql e CROSS JOIN $cbName c),
@@ -763,7 +774,7 @@ object LlmPipeline {
           $asnName AS MATERIALIZED (
             SELECT s.vec_id, MIN(s.c_id) AS cell, MAX(s.ccos) AS ccos
             FROM ${asnName}_sc s JOIN ${asnName}_mx m
-              ON m.vec_id = s.vec_id AND s.ccos = m.best
+              ON m.vec_id = s.vec_id AND s.ccos IS NOT DISTINCT FROM m.best
             GROUP BY s.vec_id)"""
   }
 
@@ -805,12 +816,12 @@ object LlmPipeline {
     * — the 100 TB-safe shape. Shared by q35/q36 and the calibration
     * operator (q103).
     */
-  private[queries] def signaturesOf(ex: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
+  private[queries] def signaturesOf(ex: org.apache.spark.sql.DataFrame,
+      numHashes: Int = Sketches.NumHashes): org.apache.spark.sql.DataFrame =
     ex.withColumn("h", Sketches.h64(col("s")))
       .groupBy(col("doc_id"))
       .agg(Sketches.minhashAgg(0, col("h")).as("s0"),
-        (1 until Sketches.NumHashes).map(i =>
+        (1 until numHashes).map(i =>
           Sketches.minhashAgg(i, col("h")).as(s"s$i")): _*)
 
   /** LSH band rows `(doc_id, band, bh)` from a signature frame, with the
@@ -818,11 +829,13 @@ object LlmPipeline {
     * Shared by q36 and q103 — one construction, one guard contract.
     */
   private[queries] def lshBands(sig: org.apache.spark.sql.DataFrame,
-      observeName: String): org.apache.spark.sql.DataFrame =
+      observeName: String,
+      rowsPerBand: Int = Sketches.RowsPerBand): org.apache.spark.sql.DataFrame =
     Skew.dropHotBuckets(
       sig.select(col("doc_id"), explode(array(
           (0 until Sketches.Bands).map(b =>
-            struct(lit(b).as("band"), Sketches.bandHash(b).as("bh"))): _*)).as("e"))
+            struct(lit(b).as("band"),
+              Sketches.bandHash(b, rowsPerBand).as("bh"))): _*)).as("e"))
         .select(col("doc_id"), col("e.band").as("band"), col("e.bh").as("bh")),
       Seq("band", "bh"), HotBucketCap,
       observeAs = Some(observeName))
@@ -839,6 +852,72 @@ object LlmPipeline {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+
+  /** The banded-candidate half of the text near-dup kernel with the
+    * rows-per-band dial exposed — the quadratic term ScaleRehearsal's
+    * minhash dial measures separately from recall (verified pairs).
+    */
+  private[graft] def textCandidatePairs(s: org.apache.spark.sql.SparkSession,
+      d: String, rowsPerBand: Int): org.apache.spark.sql.DataFrame = {
+    require(rowsPerBand >= 1 && rowsPerBand <= 8, "rowsPerBand in [1, 8]")
+    val sig = signaturesOf(shingleRows(s, d), Sketches.Bands * rowsPerBand)
+    lshCandidates(lshBands(sig, "text_neardup_hot_buckets", rowsPerBand))
+  }
+
+  /** q36's EXACT kernel with the corpus-scaled rows-per-band dial
+    * (VERDICT r12 #4 — [[Sketches.rowsPerBandFor]]'s occupancy treatment
+    * for the text MinHash family): banded candidates at `Bands × r`
+    * signature geometry, exact-Jaccard verified at [[JaccardThreshold]].
+    * The registered q36/q103/q126 stay at the baked 4×4 floor (their
+    * oracles bake the 16-hash signature); this form is the production
+    * default — r grows ~one row per decade of corpus, holding the random
+    * candidate mass (the path's quadratic term) near its small-corpus
+    * level, measured by ScaleRehearsal's `minhashdial` mode.
+    */
+  private[graft] def textNearDupPairs(s: org.apache.spark.sql.SparkSession,
+      d: String, rowsPerBand: Int): org.apache.spark.sql.DataFrame = {
+    val ex = shingleRows(s, d)
+    val sig = signaturesOf(ex, Sketches.Bands * rowsPerBand)
+    val cand = lshCandidates(
+      lshBands(sig, "text_neardup_hot_buckets", rowsPerBand))
+    jaccardVerify(ex, cand)
+  }
+
+  private val minhashRowsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Adaptive-default form — rows-per-band resolved from the corpus row
+    * count (parquet-metadata count, memoized per immutable fixture dir; a
+    * production deployment would resolve it from catalog stats).
+    */
+  private[graft] def textNearDupPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val rows = minhashRowsMemo.computeIfAbsent(d, _ =>
+      Integer.valueOf(Sketches.rowsPerBandFor(Tables.documents(s, d).count())))
+    textNearDupPairs(s, d, rows.intValue())
+  }
+
+  /** Exact-Jaccard verification of candidate pairs by relational
+    * intersect-count over the shingle rows — q36's verify stage, shared
+    * with the dial forms above so there is one kernel, one contract.
+    */
+  private[queries] def jaccardVerify(ex: org.apache.spark.sql.DataFrame,
+      cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(ex.as("ea"), col("a") === col("ea.doc_id"))
+      .join(ex.as("eb"),
+        col("b") === col("eb.doc_id") && col("ea.s") === col("eb.s"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
+  }
 
   /** DuckDB twin of the shingle→hash→signature chain as WITH-body CTEs
     * ending in `sig(doc_id, s0..s15)` (plus `sh(doc_id, sh)` holding each
@@ -948,22 +1027,10 @@ object LlmPipeline {
         val sig = signatures(ex)
         val cand = lshCandidates(lshBands(sig, "lsh_hot_buckets"))
         // |A ∩ B| for candidate pairs by counting shingle matches — a
-        // relational (codegen) equivalent of array_intersect, joined on the
-        // shingle value, so only candidate pairs pay anything.
-        val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-        val inter = cand
-          .join(ex.as("ea"), col("a") === col("ea.doc_id"))
-          .join(ex.as("eb"), col("b") === col("eb.doc_id") && col("ea.s") === col("eb.s"))
-          .groupBy(col("a"), col("b"))
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
-          .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
-          .withColumn("jaccard",
-            col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
-          .filter(col("jaccard") >= JaccardThreshold)
-          .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
-          .orderBy(col("doc_a"), col("doc_b"))
+        // relational (codegen) equivalent of array_intersect, joined on
+        // the shingle value, so only candidate pairs pay anything
+        // (jaccardVerify, shared with the corpus-scaled dial forms).
+        jaccardVerify(ex, cand).orderBy(col("doc_a"), col("doc_b"))
       },
       Some {
         s"""WITH $sigCtesSql,
@@ -1267,22 +1334,27 @@ object LlmPipeline {
           Sketches.dotSql("q.embedding", "e.embedding", Dims),
           Sketches.normSql("q.embedding", Dims),
           Sketches.normSql("e.embedding", Dims))
-        s"""WITH c AS (SELECT vec_id AS c_id, embedding FROM embeddings
-              WHERE vec_id % $CentroidStep = 0),
-          asn AS MATERIALIZED (SELECT vec_id, c_id AS cell FROM (
-            SELECT e.vec_id, c.c_id,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY $ccos DESC, c.c_id) AS rn
-            FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+        // No window may ORDER BY the unrolled cosine directly: DuckDB's
+        // per-partition sort state under a 64-wide ordering expression is
+        // the single worst allocator-fragmentation shape in the whole
+        // oracle suite — this query's old inline row_number asn grew the
+        // checker process by ~57k mmap regions ALONE (driver_sim at
+        // sf0.01), the actual root cause of the r12/r13 driver OOMs
+        // (q92/q78 just inherited the exhausted map table). Shared staged
+        // asn + scores STORED before every window: ~1k regions, 3× faster,
+        // value-identical (verified at sf0.01 and sf0.1).
+        s"""WITH ${cellAsnCtesSql()},
+          pr_sc AS MATERIALIZED (SELECT e.vec_id AS q_id, c.c_id,
+              $ccos AS ccos
+            FROM embeddings e CROSS JOIN c WHERE e.vec_id % 50 = 0),
           pr AS MATERIALIZED (SELECT q_id, c_id AS cell FROM (
-            SELECT e.vec_id AS q_id, c.c_id,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY $ccos DESC, c.c_id) AS rn
-            FROM embeddings e CROSS JOIN c WHERE e.vec_id % 50 = 0)
+            SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+              ORDER BY ccos DESC, c_id) AS rn FROM pr_sc)
             WHERE rn <= $NProbe),
           cand AS (SELECT pr.q_id, a.vec_id, a.cell
             FROM pr JOIN asn a ON a.cell = pr.cell WHERE a.vec_id <> pr.q_id),
-          scored AS (SELECT cand.q_id, cand.vec_id, cand.cell, $qcos AS cos
+          scored AS MATERIALIZED (
+            SELECT cand.q_id, cand.vec_id, cand.cell, $qcos AS cos
             FROM cand JOIN embeddings q ON q.vec_id = cand.q_id
               JOIN embeddings e ON e.vec_id = cand.vec_id),
           ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
