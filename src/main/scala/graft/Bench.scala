@@ -118,16 +118,28 @@ object Bench {
     // caches) and (b) cached relations don't accumulate across the suite.
     case class QueryRun(name: String, tStart: Double, cold: Pass,
         steady1: Pass, steady2: Pass,
-        jitColdMs: Long, jitSteadyMs: Long, codeCacheMb: Long) {
-      def steady: Double = math.min(steady1.wall, steady2.wall)
+        jitColdMs: Long, jitSteadyMs: Long, codeCacheMb: Long,
+        repair: Option[Pass] = None) {
+      // pre-repair best-of-2 — the raw protocol number both steady passes
+      // produced inside the main suite loop
+      def steadyRaw: Double = math.min(steady1.wall, steady2.wall)
+      // headline steady: the repair pass (run at suite end, only for
+      // inverted queries) participates in the min — a freeze that landed
+      // inside both in-loop steady passes no longer inflates the total
+      def steady: Double =
+        repair.fold(steadyRaw)(p => math.min(steadyRaw, p.wall))
       def best: Double = math.min(cold.wall, steady)
       def wallSum: Double = cold.wall + steady1.wall + steady2.wall
       def passes: Seq[(String, Pass)] =
-        Seq("cold" -> cold, "s1" -> steady1, "s2" -> steady2)
+        Seq("cold" -> cold, "s1" -> steady1, "s2" -> steady2) ++
+          repair.map("rep" -> _)
       // best-of-2 steady (compile already paid) slower than the same
       // plan's own cold pass is physically impossible without external
       // interference inside a steady pass — flag it so the artifact
       // adjudicates itself (r10's q41/q78/q49 dispute shape)
+      def invertedRaw: Boolean = steadyRaw > cold.wall * 1.1 + 0.1
+      // still inverted AFTER the repair pass: either the interference
+      // outlived the suite or the cold pass was anomalously fast
       def inverted: Boolean = steady > cold.wall * 1.1 + 0.1
     }
     // A failing query must not cost the artifact every OTHER query's
@@ -185,6 +197,27 @@ object Bench {
         failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         None
       }
+    }.map { r =>
+      // Inversion self-repair (VERDICT r12 #2): steady > cold means a host
+      // freeze landed inside BOTH in-loop steady passes — physically
+      // impossible otherwise, since the cold pass paid the compile the
+      // steady passes skip. Re-measure once at suite end (by then the
+      // freeze has usually passed) and let the min repair the headline.
+      // The raw passes stay in bench_full.json, the PRE-repair inversion
+      // count still rides the compact line as inv_n, and inv_left_n counts
+      // inversions even the repair pass couldn't clear.
+      if (!r.invertedRaw) r
+      else try {
+        val p = once(r.name, qfns(r.name))
+        System.err.println(f"[bench] ${r.name}%-28s repair=${p.wall}%6.2fs" +
+          f" (steady was ${r.steadyRaw}%.2fs vs cold ${r.cold.wall}%.2fs)")
+        r.copy(repair = Some(p))
+      } catch { case e: Throwable =>
+        // a failing repair pass must not un-measure the query: keep the
+        // in-loop numbers, the inversion flag stands
+        System.err.println(s"[bench] ${r.name} repair FAILED (keeping raw): ${e.getMessage}")
+        r
+      }
     }
     // The driver captures only the last ~2000 chars of MERGED output and
     // parses the JSON line it finds there; sbt appends a ~73-char
@@ -228,7 +261,11 @@ object Bench {
     val lowCpuPasses = results.flatMap(r => r.passes.collect {
       case (tag, p) if p.lowCpu => s"${r.name}.$tag"
     })
-    val invertedQueries = results.filter(_.inverted).map(_.name)
+    // inv_n / the named list stay PRE-repair — the honesty signal that the
+    // in-loop passes saw interference; invLeft counts what the suite-end
+    // repair pass could not clear (nonzero = distrust this box's run)
+    val invertedQueries = results.filter(_.invertedRaw).map(_.name)
+    val invLeft = results.count(_.inverted)
     val suiteCpuS = results.flatMap(_.passes).map(_._2.cpuMs).filter(_ >= 0).sum / 1000.0
     val suiteGcS = results.flatMap(_.passes).map(_._2.gcMs).sum / 1000.0
     // the compact line's failed list is capped (12 names + failed_n) so a
@@ -262,6 +299,7 @@ object Bench {
          |"steady":${json(results.map(r => r.name -> r.steady), 6)},
          |"steady1":${json(results.map(r => r.name -> r.steady1.wall), 6)},
          |"steady2":${json(results.map(r => r.name -> r.steady2.wall), 6)},
+         |"repair":${json(results.flatMap(r => r.repair.map(p => r.name -> p.wall)), 6)},
          |"best":${json(results.map(r => r.name -> r.best), 6)},
          |"t_start":${json(results.map(r => r.name -> r.tStart), 3)},
          |"cpu_cold_ms":${jsonL(results.map(r => r.name -> r.cold.cpuMs))},
@@ -331,7 +369,7 @@ object Bench {
          else s""","low_cpu":${jsonS(lowCpuPasses.take(8))}""") +
         (if (invertedQueries.isEmpty) ""
          else s""","steady_over_cold":${jsonS(invertedQueries.take(8))}""")
-      s""","low_cpu_n":${lowCpuPasses.size},"inv_n":${invertedQueries.size},"suite_cpu_s":${num(suiteCpuS, 1)},"suite_gc_s":${num(suiteGcS, 1)}$lists"""
+      s""","low_cpu_n":${lowCpuPasses.size},"inv_n":${invertedQueries.size},"inv_left_n":$invLeft,"suite_cpu_s":${num(suiteCpuS, 1)},"suite_gc_s":${num(suiteGcS, 1)}$lists"""
     }
     val totalsExtra = s""","cold_total":${num(total, 2)},"best_total":${num(bestTotal, 2)},"max_tstart_gap":${num(maxTstartGap, 2)}$stallExtra$failedExtra"""
     // short-key fallback: at 72 queries the full-name dp1 map alone is
