@@ -129,9 +129,19 @@ object CountMinAgg {
     * a query against a mismatched depth fails loudly even when the wrong
     * depth happens to divide the counter count (the old length-divisibility
     * check let depth 4 → 2 slip through and silently undercount).
+    *
+    * Byte 2 (bits 16-23) is an explicit FORMAT VERSION (ADVICE r13 #2,
+    * mirroring the reference CountMinSketch binary format's leading
+    * version int): the next layout evolution bumps it instead of breaking
+    * old sketches undetectably, and a reader meeting a future version
+    * fails with "version" in the message rather than a misleading
+    * geometry mismatch.
     */
+  private[plans] val FormatVersion = 1L
+
   private[plans] def header(depth: Int, widthLog2: Int): Long =
-    (0x47434D53L << 32) | (depth.toLong << 8) | widthLog2.toLong
+    (0x47434D53L << 32) | (FormatVersion << 16) |
+      (depth.toLong << 8) | widthLog2.toLong
 
   /** Static point-query kernel: min over the depth rows of the counter at
     * this fingerprint's cell. Geometry (depth, width) is validated against
@@ -145,6 +155,9 @@ object CountMinAgg {
     val hdr = bb.getLong(0)
     require((hdr >>> 32) == 0x47434D53L,
       s"graft_cms_query: bad sketch magic 0x${(hdr >>> 32).toHexString}")
+    require(((hdr >>> 16) & 0xFF) == FormatVersion,
+      s"graft_cms_query: unsupported sketch format version " +
+        s"${(hdr >>> 16) & 0xFF} (this build reads version $FormatVersion)")
     val sketchDepth = ((hdr >>> 8) & 0xFF).toInt
     require(sketchDepth == depth,
       s"graft_cms_query depth=$depth does not match a depth-$sketchDepth sketch")

@@ -170,19 +170,25 @@ def fresh_sweep(sf_dir, out_dir, names, memory_limit):
 
 
 if __name__ == "__main__":
-    argv = sys.argv[1:]
-    fresh = "--fresh" in argv
-    if fresh:
-        argv.remove("--fresh")
-    memory_limit = None
-    if "--memory-limit" in argv:
-        i = argv.index("--memory-limit")
-        memory_limit = argv[i + 1]
-        del argv[i:i + 2]
-    sf_dir, out_dir, names = argv[0], argv[1], argv[2:]
-    if fresh:
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="Mirror the driver's correctness gate over a "
+                    "graft.Verify dump.")
+    ap.add_argument("sf_dir", help="testdata scale-factor directory")
+    ap.add_argument("out_dir", help="graft.Verify output directory")
+    ap.add_argument("names", nargs="*", metavar="query",
+                    help="restrict the sweep to these query names")
+    ap.add_argument("--fresh", action="store_true",
+                    help="one subprocess per query (worst-case isolation)")
+    ap.add_argument("--memory-limit", metavar="SIZE",
+                    help="DuckDB memory_limit PRAGMA, e.g. 2GB")
+    args = ap.parse_args()
+    if args.fresh:
+        names = args.names
         if not names:
-            with open(f"{out_dir}/oracle_sql.json") as f:
+            with open(f"{args.out_dir}/oracle_sql.json") as f:
                 names = sorted(json.load(f))
-        sys.exit(fresh_sweep(sf_dir, out_dir, names, memory_limit))
-    sys.exit(main(sf_dir, out_dir, set(names) or None, memory_limit))
+        sys.exit(fresh_sweep(args.sf_dir, args.out_dir, names,
+                             args.memory_limit))
+    sys.exit(main(args.sf_dir, args.out_dir, set(args.names) or None,
+                  args.memory_limit))
