@@ -85,6 +85,25 @@ object Sketches {
   val Bands = 4
   val RowsPerBand = 4
 
+  /** Corpus-scaled rows-per-band dial (VERDICT r12 #4 — the bandBitsFor
+    * treatment applied to the text MinHash family). Rows per band is the
+    * LSH sharpness exponent: a pair colliding in one band requires r
+    * signature positions to agree, so a random background pair's per-band
+    * collision probability is ~E[j₀^r] — every extra row multiplies the
+    * corpus's random-candidate mass by j₀ < 1 while the band count
+    * (held at [[Bands]] = 4) keeps the OR-recall term 1-(1-j^r)^b for
+    * true near-dups. Growing the corpus by ~a decade therefore buys one
+    * extra row to hold candidate volume (the path's one quadratic term)
+    * at its small-corpus level; the signature grows to Bands·r family
+    * minima ([[familyHash]] is defined for any index). The floor keeps
+    * every gated SF (≤ 10k docs) at the baked 4×4 geometry, so the
+    * oracle-checked queries stay hash-identical; the adaptive form is the
+    * production default, measured by ScaleRehearsal's minhash dial.
+    */
+  def rowsPerBandFor(n: Long): Int =
+    math.max(RowsPerBand, math.ceil(math.log10(math.max(1L, n).toDouble))
+      .toInt)
+
   /** Base hash array: md5 once per shingle. Materialize this as a column,
     * then take the k family minima over it — md5 cost is paid once.
     */
@@ -105,10 +124,12 @@ object Sketches {
   def minhashAgg(i: Int, h: Column): Column = min(familyHash(i, h))
 
   /** LSH band bucket key: hash of the band's signature slice (columns
-    * s0..s{NumHashes-1} must exist).
+    * s0..s{bands·rows-1} must exist).
     */
-  def bandHash(band: Int): Column = {
-    val cols = (band * RowsPerBand until (band + 1) * RowsPerBand)
+  def bandHash(band: Int): Column = bandHash(band, RowsPerBand)
+
+  def bandHash(band: Int, rows: Int): Column = {
+    val cols = (band * rows until (band + 1) * rows)
       .map(i => col(s"s$i").cast("string"))
     h64(concat_ws(",", cols: _*))
   }
