@@ -281,5 +281,89 @@ object RasterQueries {
       })
   }
 
-  val all: Seq[GraftQuery] = Seq(q46, q47, q69, q71)
+  /** K3 oracle-gated end-to-end (VERDICT r12 #6): the PNG codec inside a
+    * driver-checked query. Each complete tile is recolored (R1), encoded
+    * to REAL PNG bytes (ImageIO), decoded back, and reduced to channel
+    * checksums over the DECODED pixels — so a lossy or corrupting codec
+    * diverges the sums from the oracle, which computes the recolored
+    * pixel math relationally (q46's palette ladder, minus the crop
+    * stage). PNG bytes are not canonical across encoders, so the BYTES
+    * are asserted engine-side only: `roundtrip_ok` ANDs the PNG magic
+    * with byte-exact pixel equality through the round trip, and the
+    * oracle pins it TRUE — lossless-codec-or-red, per tile, in the gate.
+    * (Recolored pixels are (0,0,0,0) or opaque palette colors, so no
+    * encoder alpha-premultiplication ambiguity exists to launder loss.)
+    */
+  val q136 = GraftQuery(
+    "q136_png_roundtrip", "K3 R1 C17",
+    (s, d) => {
+      import s.implicits._
+      val byTile = Window.partitionBy(col("tile_id")).orderBy(col("event_id"))
+      val px = Tables.events(s, d)
+        .withColumn("k", Synthetic.k)
+        .withColumn("tile_id", expr("event_id div 64"))
+        .withColumn("pos", row_number().over(byTile) - 1)
+        .withColumn("tile_n",
+          count(lit(1)).over(Window.partitionBy(col("tile_id"))))
+        .filter(col("tile_n") === PixelsPerTile)
+        .withColumn("v", (col("k") + (col("event_id") % 2).cast("int") * 128))
+        .withColumn("a", when(col("k") % 11 === 0, 0).otherwise(255))
+        .select(col("tile_id"), col("pos"), col("v"), col("a"))
+        .as[(Long, Int, Int, Int)]
+      val sums = px.groupByKey(_._1).mapGroups { (tid, rows) =>
+        val arr = new Array[Byte](PixelsPerTile * 4)
+        rows.foreach { case (_, pos, v, a) =>
+          arr(pos * 4) = v.toByte
+          arr(pos * 4 + 3) = a.toByte
+        }
+        val tile = Tile(0, (tid % 2).toInt, ((tid / 2) % 2).toInt, Side, Side, arr)
+        val rec = Tiles.recolor(tile)
+        val bytes = graft.raster.Png.encode(rec)
+        val back = graft.raster.Png.decode(rec.z, rec.x, rec.y, bytes)
+        var (sr, sg, sb, n) = (0L, 0L, 0L, 0L)
+        var i = 0
+        while (i < back.pixels.length) {
+          sr += back.pixels(i) & 0xff
+          sg += back.pixels(i + 1) & 0xff
+          sb += back.pixels(i + 2) & 0xff
+          if ((back.pixels(i + 3) & 0xff) != 0) n += 1
+          i += 4
+        }
+        val ok = bytes.length > 8 && (bytes(0) & 0xff) == 0x89 &&
+          bytes(1) == 'P'.toByte && bytes(2) == 'N'.toByte &&
+          bytes(3) == 'G'.toByte &&
+          java.util.Arrays.equals(back.pixels, rec.pixels)
+        (tid, sr, sg, sb, n, ok)
+      }
+      sums
+        .toDF("tile_id", "sum_r", "sum_g", "sum_b", "n_opaque", "roundtrip_ok")
+        .orderBy(col("tile_id"))
+    },
+    Some {
+      val color = Codecs.dbzColorSql("((v & 127) - 32)")
+      def chan(idx: Int): String = {
+        val whens = (Codecs.DbzPalette.map(_._2) :+ Codecs.DbzTop).map { h =>
+          s"WHEN color = '$h' THEN ${Integer.parseInt(h.substring(idx * 2, idx * 2 + 2), 16)}"
+        }
+        s"(CASE ${whens.mkString(" ")} ELSE 0 END)"
+      }
+      s"""WITH p0 AS (
+          SELECT event_id // 64 AS tile_id,
+            (${Synthetic.kSql} + (event_id % 2) * 128) AS v,
+            CASE WHEN ${Synthetic.kSql} % 11 = 0 THEN 0 ELSE 255 END AS a,
+            COUNT(*) OVER (PARTITION BY event_id // 64) AS tile_n
+          FROM events),
+        p AS (SELECT * FROM p0 WHERE tile_n = $PixelsPerTile),
+        c AS (SELECT tile_id,
+            CASE WHEN a = 0 THEN 'transparent' ELSE $color END AS color FROM p)
+        SELECT tile_id,
+          CAST(SUM(${chan(0)}) AS BIGINT) AS sum_r,
+          CAST(SUM(${chan(1)}) AS BIGINT) AS sum_g,
+          CAST(SUM(${chan(2)}) AS BIGINT) AS sum_b,
+          CAST(SUM(CASE WHEN color = 'transparent' THEN 0 ELSE 1 END) AS BIGINT) AS n_opaque,
+          TRUE AS roundtrip_ok
+        FROM c GROUP BY tile_id ORDER BY tile_id"""
+    })
+
+  val all: Seq[GraftQuery] = Seq(q46, q47, q69, q71, q136)
 }
