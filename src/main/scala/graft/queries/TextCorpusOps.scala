@@ -7,9 +7,10 @@ import graft.core.Tables
 import graft.functions.{Sketches, Skew, TextFunctions}
 
 /** Text-corpus engineering operators (SURVEY §2.11a, L50–L53,
-  * L55–L57, L59, L61–L63, L65–L67): tokenizer economics,
-  * distributional drift, filter governance, contrastive selection, and
-  * the fingerprinting family beyond fixed windows.
+  * L55–L57, L59, L61–L63, L65–L70): tokenizer economics,
+  * distributional drift, filter governance, contrastive selection, the
+  * fingerprinting family beyond fixed windows, and the sketch tier's
+  * frequency/cardinality/sampling legs.
   *
   *  - L50 tokenizer fertility profile                          → q115
   *  - L51 term-distribution divergence (total variation)       → q116
@@ -25,6 +26,9 @@ import graft.functions.{Sketches, Skew, TextFunctions}
   *  - L65 Moore–Lewis cross-entropy-difference selection       → q132
   *  - L66 duplicate-chunk removal + reassembly                 → q133
   *  - L67 count-min frequency sketch (measured overshoot)      → q134
+  *  - L68 approximate heavy hitters (rank displacement)        → q135
+  *  - L69 HyperLogLog cardinality sketch (measured bias)       → q137
+  *  - L70 bottom-k (KMV) sample + distinct estimate            → q138
   *
   * (L54, the PQ asymmetric-distance search, lives with its encode twin
   * in [[CorpusOps]] — q119.)
@@ -97,6 +101,29 @@ object TextCorpusOps {
 
   /** L68: heavy-hitter report depth (top-K by estimate). */
   private[queries] val HeavyK = 16
+
+  /** HLL geometry (L69): m = 2^6 registers over the 60-bit portable hash
+    * — top 6 bits pick the register, the remaining 54 carry the
+    * leading-zero rank, capped at 30 so Σ 2^(cap−rho) stays far inside
+    * int64 (≤ 64·2^30 = 2^36) and the alpha·m²·2^cap numerator
+    * (0.709·4096·2^30, exact below) fits in one BIGINT literal both
+    * engines divide identically. m = 64 keeps the fixture shingle loads
+    * (thousands of distinct shingles per source — hundreds per register)
+    * in the raw estimator's calibrated range; the measured zero-register
+    * column is the switch signal a production profile would use for the
+    * linear-counting regime.
+    */
+  private[queries] val HllM = 64
+  private[queries] val HllRemBits = 54
+  private[queries] val HllRemMask = (1L << HllRemBits) - 1
+  private[queries] val HllRhoCap = 30
+  private[queries] val HllNumerator: Long = 709L * HllM * HllM * (1L << 30)
+
+  /** Bottom-k sample size (L70): 32 keeps the KMV relative error
+    * ~1/√(k−2) ≈ 18% — a smoke-level estimate; the operator's dial is k,
+    * and the measured abs_err_ppm column is the evidence for raising it.
+    */
+  private[queries] val BottomK = 32
 
   val all: Seq[GraftQuery] = {
 
@@ -1258,7 +1285,156 @@ object TextCorpusOps {
           FROM rk WHERE est_rank <= $HeavyK ORDER BY est_rank"""
       })
 
+    /* L69: HyperLogLog cardinality sketch — the third leg of the sketch
+     * tier (L64 membership, L67 frequency, L69 cardinality): per-source
+     * distinct-shingle estimation in 64 single-byte registers instead
+     * of an unbroadcastable distinct set. Every step is INTEGER-exact on
+     * both engines: register = top-6 hash bits, rho = leading-zero rank
+     * of the remaining 54 bits via binary-string length (codegen'd `bin`
+     * / DuckDB `format('{:b}')` — no libm), registers merge by MAX (any
+     * merge tree, map-side combined), and the harmonic-mean estimate is
+     * ONE integer division — Σ 2^-rho is held as the exact integer
+     * Σ 2^(30-rho_capped) so alpha·m²·2^30 (a < 2^52 constant) divides
+     * by it without ever touching a double. The raw estimator's
+     * small-range bias is MEASURED, not hidden: n_exact, zero-register
+     * count (the linear-counting signal a production profile would
+     * switch on) and abs_err_ppm ride the output. At 100 TB: one
+     * map-side pass + a 64-row-per-source aggregate; the exact side
+     * exists only to measure the error. */
+    val q137 = GraftQuery(
+      "q137_hll_cardinality", "L69 L8",
+      (s, d) => {
+        // distinct 3-gram shingles per source — thousands per source at
+        // the gated SFs, loading the 64 registers ~hundreds deep (the raw
+        // estimator's calibrated range); the ~31-word fixture VOCABULARY
+        // would sit in the linear-counting regime the measured
+        // zero-register column exists to flag
+        val w = Tables.documents(s, d)
+          .select(col("source"),
+            explode(Sketches.shingles(col("text"), LlmPipeline.ShingleN))
+              .as("w"))
+          .withColumn("h", Sketches.h64(col("w")))
+        val rr = w
+          .withColumn("reg", shiftright(col("h"), HllRemBits))
+          .withColumn("rem", col("h").bitwiseAND(lit(HllRemMask)))
+          .withColumn("rho_c", least(
+            when(col("rem") === 0, lit(HllRemBits + 1))
+              .otherwise(lit(HllRemBits + 1) - length(bin(col("rem")))),
+            lit(HllRhoCap)).cast("long"))
+        val regs = rr.groupBy(col("source"), col("reg"))
+          .agg(max(col("rho_c")).as("r"))
+        val per = regs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_regs_hit"),
+            sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoCap - r)"))
+              .as("s_hit"))
+          .withColumn("s_total", col("s_hit") +
+            (lit(HllM.toLong) - col("n_regs_hit")) * lit(1L << HllRhoCap))
+          .withColumn("est_raw", expr(s"$HllNumerator div (s_total * 1000)"))
+        val exact = w.groupBy(col("source"))
+          .agg(countDistinct(col("w")).as("n_exact"))
+        per.join(exact, Seq("source"))
+          .select(col("source"), col("n_exact"),
+            col("n_regs_hit"),
+            (lit(HllM.toLong) - col("n_regs_hit")).as("n_zero_regs"),
+            col("est_raw"),
+            expr("abs(est_raw - n_exact) * 1000000 div n_exact")
+              .as("abs_err_ppm"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val ws = Sketches.shinglesSql("text", LlmPipeline.ShingleN)
+        val hw = Sketches.h64Sql("w")
+        s"""WITH w AS (SELECT source, unnest($ws) AS w FROM documents),
+          hh AS (SELECT source, w, $hw AS h FROM w),
+          rr AS (SELECT source, h >> $HllRemBits AS reg,
+              LEAST(CASE WHEN (h & $HllRemMask) = 0 THEN ${HllRemBits + 1}
+                ELSE ${HllRemBits + 1}
+                  - length(format('{:b}', h & $HllRemMask)) END,
+                $HllRhoCap) AS rho_c
+            FROM hh),
+          regs AS (SELECT source, reg, MAX(rho_c) AS r
+            FROM rr GROUP BY 1, 2),
+          per AS (SELECT source,
+              COUNT(*) AS n_regs_hit,
+              CAST(SUM(1::BIGINT << ($HllRhoCap - r)) AS BIGINT) AS s_hit
+            FROM regs GROUP BY 1),
+          pt AS (SELECT source, n_regs_hit,
+              s_hit + ($HllM - n_regs_hit) * (1::BIGINT << $HllRhoCap)
+                AS s_total
+            FROM per),
+          ex AS (SELECT source, COUNT(DISTINCT w) AS n_exact FROM w
+            GROUP BY 1)
+          SELECT pt.source, ex.n_exact, pt.n_regs_hit,
+            $HllM - pt.n_regs_hit AS n_zero_regs,
+            $HllNumerator // (pt.s_total * 1000) AS est_raw,
+            abs($HllNumerator // (pt.s_total * 1000) - ex.n_exact)
+              * 1000000 // ex.n_exact AS abs_err_ppm
+          FROM pt JOIN ex ON ex.source = pt.source
+          ORDER BY pt.source"""
+      })
+
+    /* L70: bottom-k (KMV) corpus sample + distinct estimate — the
+     * deterministic-uniform-sample primitive a training pipeline runs
+     * constantly ("hold out 0.1%", "eyeball 32 random docs") made
+     * reproducible: rank documents by the md5-prefix content hash and
+     * keep the k smallest — a seed-free uniform sample over DISTINCT
+     * contents (duplicates collapse to one witness, min doc_id), stable
+     * under repartitioning, appends, and engine choice, computed by
+     * TakeOrdered (no global sort materializes). The same k hashes ARE a
+     * cardinality sketch: the k-th minimum value estimates distinct
+     * count as (k−1)·2^60/h_k — held integer-exact as
+     * ((k−1)<<50) / (h_k>>10), one division, no doubles; a corpus
+     * smaller than k degrades to the exact count (the sketch holds
+     * everything). abs_err_ppm (clamped before the ppm multiply so a
+     * degenerate estimate saturates instead of overflowing) measures the
+     * estimator against the exact distinct count in-query. */
+    val q138 = GraftQuery(
+      "q138_bottomk_sample", "L70 L1",
+      (s, d) => {
+        val dh = Tables.documents(s, d)
+          .select(col("doc_id"), Sketches.h64(col("text")).as("h"))
+          .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        val bottom = dh.orderBy(col("h")).limit(BottomK)
+        val kth = bottom.agg(max(col("h")).as("hk"),
+          count(lit(1)).as("k_actual"))
+        val exact = dh.agg(count(lit(1)).as("n_exact"))
+        bottom
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("h"))).cast("long"))
+          .crossJoin(broadcast(kth)).crossJoin(broadcast(exact))
+          .withColumn("est_distinct",
+            when(col("k_actual") < BottomK, col("n_exact"))
+              .otherwise(expr(
+                s"shiftleft(CAST(${BottomK - 1} AS BIGINT), 50) div " +
+                  "greatest(shiftright(hk, 10), CAST(1 AS BIGINT))")))
+          .select(col("rank"), col("h"), col("doc_id"), col("n_exact"),
+            col("est_distinct"),
+            expr("least(abs(est_distinct - n_exact), CAST(9000000000 AS " +
+              "BIGINT)) * 1000000 div n_exact").as("abs_err_ppm"))
+          .orderBy(col("rank"))
+      },
+      Some {
+        val ht = Sketches.h64Sql("text")
+        s"""WITH dh AS (SELECT $ht AS h, MIN(doc_id) AS doc_id
+            FROM documents GROUP BY 1),
+          bottom AS (SELECT h, doc_id,
+              row_number() OVER (ORDER BY h) AS rank
+            FROM dh ORDER BY h LIMIT $BottomK),
+          kth AS (SELECT MAX(h) AS hk, COUNT(*) AS k_actual FROM bottom),
+          ex AS (SELECT COUNT(*) AS n_exact FROM dh)
+          SELECT CAST(rank AS BIGINT) AS rank, h, doc_id, n_exact,
+            CASE WHEN k_actual < $BottomK THEN n_exact
+              ELSE (${BottomK - 1}::BIGINT << 50)
+                // GREATEST(hk >> 10, 1::BIGINT) END AS est_distinct,
+            LEAST(abs(CASE WHEN k_actual < $BottomK THEN n_exact
+                ELSE (${BottomK - 1}::BIGINT << 50)
+                  // GREATEST(hk >> 10, 1::BIGINT) END - n_exact),
+              9000000000) * 1000000 // n_exact AS abs_err_ppm
+          FROM bottom, kth, ex ORDER BY rank"""
+      })
+
     Seq(q115, q116, q117, q118, q120, q121, q122, q124, q126, q127, q128,
-      q132, q133, q134, q135)
+      q132, q133, q134, q135, q137, q138)
   }
+
 }
