@@ -58,4 +58,27 @@ class RegistrySpec extends AnyFunSuite {
       s"SURVEY §2.11a rows with no registered query tag: " +
         uncovered.toSeq.sorted.mkString(", "))
   }
+
+  test("README's pipeline and L-range counts match the registry") {
+    // the README prose has drifted twice (ADVICE r11, r12 notes §5) —
+    // extend the SURVEY tag guard to the two count-bearing claims in
+    // README.md: the registered-pipeline count and the top of the
+    // L-operator range (VERDICT r12 #8)
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val pipelineCounts = "(\\d+) named pipelines".r
+      .findAllMatchIn(readme).map(_.group(1).toInt).toSeq
+    assert(pipelineCounts.nonEmpty, "README no longer states the pipeline " +
+      "count — update this guard alongside the prose")
+    pipelineCounts.foreach(n => assert(n === reg.size,
+      s"README claims $n named pipelines, registry has ${reg.size}"))
+    val maxL = reg.flatMap(_.survey.split("\\s+"))
+      .collect { case s if s.matches("L\\d+") => s.drop(1).toInt }.max
+    val lRanges = "L1[-–]L(\\d+)".r
+      .findAllMatchIn(readme).map(_.group(1).toInt).toSeq
+    assert(lRanges.nonEmpty, "README no longer states the L-operator " +
+      "range — update this guard alongside the prose")
+    lRanges.foreach(n => assert(n === maxL,
+      s"README claims L1-L$n, registry tags reach L$maxL"))
+  }
 }
