@@ -365,6 +365,77 @@ object ScaleRehearsal {
     }.mkString("[", ",", s""",{"recall_ppm_10x":$recallPpm}]"""))
   }
 
+  /** 100× probe of the two hottest text paths (VERDICT r12 #7): derive a
+    * documents-only corpus at `factor`× (same shuffled-replica scheme as
+    * [[gen]] — fingerprints/shingles/bands all differ across replicas, no
+    * artificial mega-clusters) and run q36 (banded LSH near-dup, the
+    * ADAPTIVE rows-per-band dial) and q133 (chunk dedup + rebuild, the
+    * window-heaviest L operator) against it, recording wall AND the
+    * shuffle bytes the run actually wrote — the binding resource at
+    * cluster scale. Both probed queries read only the documents table, so
+    * the derivation stays disk-proportionate to what the probe needs.
+    */
+  def probe100(spark: SparkSession, factor: Int): Unit = {
+    import spark.implicits._
+    val out = s"target/scale$factor"
+    Files.createDirectories(Paths.get(out))
+    val docs = spark.read.parquet(s"$Base/documents.parquet")
+      .as[(Long, String, String, String, Long)]
+    val reps = spark.range(factor).select(col("id").cast("int").as("rep"))
+    docs.crossJoin(broadcast(reps)).as[(Long, String, String, String, Long, Int)]
+      .map { case (id, text, lang, source, nChars, rep) =>
+        val newText = if (rep == 0) text else {
+          val words = text.split("\\s+").toSeq
+          val rnd = new scala.util.Random(Seed ^ (rep.toLong << 32) ^ id)
+          rnd.shuffle(words).mkString(" ")
+        }
+        (id + rep.toLong * 1000000L, newText, lang, source, nChars)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val n = spark.read.parquet(s"$out/documents.parquet").count()
+    println(s"[scale-probe] documents at ${factor}x: $n rows -> " +
+      s"rowsPerBand=${graft.functions.Sketches.rowsPerBandFor(n)}")
+
+    // shuffle-byte meter: aggregated per completed stage off the listener
+    // bus (async - drained by a bounded wait before reading)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stages = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shuffleBytes.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        stages.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def measured(label: String)(body: => Long): (String, Double, Long, Long) = {
+      spark.sharedState.cacheManager.clearCache()
+      Thread.sleep(300); shuffleBytes.set(0L) // drain prior stage events
+      val t0 = System.nanoTime()
+      val rows = graft.core.CacheScope.scoped(body)
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // let the last stage's completion event land
+      val sb = shuffleBytes.get()
+      println(f"$label%-34s $wall%8.2fs rows=$rows%10d shuffle=${sb >> 20}%6d MB")
+      (label, wall, rows, sb)
+    }
+    val rows = Seq(
+      measured(s"q36 kernel @${factor}x adaptive-r") {
+        graft.queries.LlmPipeline.textNearDupPairs(spark, out).count()
+      },
+      measured(s"q133 @${factor}x") {
+        graft.SparkEntry.queries("q133_chunk_dedup_rebuild")(spark, out)
+          .count()
+      })
+    spark.sparkContext.removeSparkListener(listener)
+    emit("probe100", rows.map { case (l, w, r, sb) =>
+      s"""{"label":"$l","wall":${num(w)},"rows":$r,"shuffle_bytes":$sb}"""
+    }.mkString(s"""[{"factor":$factor,"docs":$n},""", ",", "]"))
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = if (args.nonEmpty) args(0) else "all"
     val factor = if (args.length > 1) args(1).toInt else 10
@@ -375,19 +446,28 @@ object ScaleRehearsal {
       case "dial" => dial(spark)
       case "bloomdial" => bloomDial(spark)
       case "minhashdial" => minhashDial(spark)
+      case "probe100" =>
+        probe100(spark, if (args.length > 1) args(1).toInt else 100)
       case _ =>
         gen(spark, factor); run(spark); dial(spark); bloomDial(spark)
         minhashDial(spark)
     }
-    // merged artifact over the modes THIS invocation ran ("all" = the
-    // complete file the round notes are checked in from)
+    // merged artifact composed from EVERY section file on disk (not just
+    // the modes this invocation ran), so a single-mode re-run refreshes
+    // its section without clobbering the rest of the committed evidence
     if (sections.nonEmpty) {
-      val merged = sections.map { case (k, v) => s""""$k":$v""" }
-        .mkString("{", ",",
-          s""","base":"$Base","scaled":"$Out","factor":$factor}""")
+      val all = Seq("run", "dial", "bloomdial", "minhashdial", "probe100")
+        .flatMap { name =>
+          val p = Paths.get("target", s"scale_rehearsal_$name.json")
+          if (Files.exists(p))
+            Some(s""""$name":${new String(Files.readAllBytes(p), "UTF-8")}""")
+          else None
+        }
+      val merged = all.mkString("{", ",",
+        s""","base":"$Base","scaled":"$Out","factor":$factor}""")
       val p = Paths.get("target", "scale_rehearsal.json")
       Files.write(p, merged.getBytes("UTF-8"))
-      println(s"[scale] merged artifact: $p (${sections.keys.mkString(",")})")
+      println(s"[scale] merged artifact: $p (${all.size} sections)")
     }
     spark.stop()
   }
