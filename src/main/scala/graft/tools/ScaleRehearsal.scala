@@ -198,7 +198,12 @@ object ScaleRehearsal {
       // map-side ladder) and chunk-dedup rebuild (the q118 frame plus a
       // doc-keyed reassembly aggregate bounded by document length)
       "q131_bloom_membership", "q132_moore_lewis",
-      "q133_chunk_dedup_rebuild")
+      "q133_chunk_dedup_rebuild",
+      // round-14 additions: PNG round-trip (per-tile object work over the
+      // 10x event timeline - wall should track tile count), HLL
+      // cardinality (map-side register pass + 64-row-per-source agg) and
+      // bottom-k sampling (TakeOrdered - wall should track the scan)
+      "q136_png_roundtrip", "q137_hll_cardinality", "q138_bottomk_sample")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)
