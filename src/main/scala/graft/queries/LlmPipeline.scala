@@ -62,7 +62,7 @@ import graft.plans.NfcNormalizeExpression
   */
 object LlmPipeline {
 
-  private[queries] val ShingleN = 3
+  private[graft] val ShingleN = 3
   private[queries] val JaccardThreshold = 0.8
   private[queries] val Dims = 64
   // L23 vocab width — 20 of the synthetic corpus's 31 distinct words so the

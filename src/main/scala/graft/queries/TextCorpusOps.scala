@@ -7,7 +7,7 @@ import graft.core.Tables
 import graft.functions.{Sketches, Skew, TextFunctions}
 
 /** Text-corpus engineering operators (SURVEY §2.11a, L50–L53,
-  * L55–L57, L59, L61–L63, L65–L70): tokenizer economics,
+  * L55–L57, L59, L61–L63, L65–L71): tokenizer economics,
   * distributional drift, filter governance, contrastive selection, the
   * fingerprinting family beyond fixed windows, and the sketch tier's
   * frequency/cardinality/sampling legs.
@@ -29,6 +29,7 @@ import graft.functions.{Sketches, Skew, TextFunctions}
   *  - L68 approximate heavy hitters (rank displacement)        → q135
   *  - L69 HyperLogLog cardinality sketch (measured bias)       → q137
   *  - L70 bottom-k (KMV) sample + distinct estimate            → q138
+  *  - L71 BPE merge step (tokenizer-training kernel)          → q139
   *
   * (L54, the PQ asymmetric-distance search, lives with its encode twin
   * in [[CorpusOps]] — q119.)
@@ -113,17 +114,52 @@ object TextCorpusOps {
     * column is the switch signal a production profile would use for the
     * linear-counting regime.
     */
-  private[queries] val HllM = 64
-  private[queries] val HllRemBits = 54
-  private[queries] val HllRemMask = (1L << HllRemBits) - 1
-  private[queries] val HllRhoCap = 30
-  private[queries] val HllNumerator: Long = 709L * HllM * HllM * (1L << 30)
+  private[graft] val HllM = 64
+  private[graft] val HllRemBits = 54
+  private[graft] val HllRemMask = (1L << HllRemBits) - 1
+  private[graft] val HllRhoCap = 30
+  private[graft] val HllNumerator: Long = 709L * HllM * HllM * (1L << 30)
+
+  /** The register/rank derivation as Columns — ONE expression shared by
+    * the batch operator (q137) and the streaming form
+    * ([[graft.streaming.StreamingCardinality]]), so stream==batch holds
+    * by construction of the per-row math.
+    */
+  private[graft] def hllReg(h: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = shiftright(h, HllRemBits)
+
+  private[graft] def hllRhoC(h: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = least(
+    when(h.bitwiseAND(lit(HllRemMask)) === 0, lit(HllRemBits + 1))
+      .otherwise(lit(HllRemBits + 1) -
+        length(bin(h.bitwiseAND(lit(HllRemMask))))),
+    lit(HllRhoCap)).cast("long")
+
+  /** The integer harmonic-mean estimate off a driver-held register array
+    * (0 = never hit) — the same one-division math q137 computes
+    * relationally, for the streaming form's running readout.
+    */
+  private[graft] def hllEstimate(regs: Array[Byte]): Long = {
+    require(regs.length == HllM, s"expected $HllM registers")
+    var s = 0L
+    var i = 0
+    while (i < regs.length) {
+      s += 1L << (HllRhoCap - math.min(regs(i).toInt, HllRhoCap))
+      i += 1
+    }
+    HllNumerator / (s * 1000L)
+  }
 
   /** Bottom-k sample size (L70): 32 keeps the KMV relative error
     * ~1/√(k−2) ≈ 18% — a smoke-level estimate; the operator's dial is k,
     * and the measured abs_err_ppm column is the evidence for raising it.
     */
   private[queries] val BottomK = 32
+
+  /** BPE candidate-table size (L71): the ranked merge surface reported per
+    * step — rank 1 is the chosen merge; 16 gives the trainer's lookahead.
+    */
+  private[queries] val BpeTopK = 16
 
   val all: Seq[GraftQuery] = {
 
@@ -1315,12 +1351,8 @@ object TextCorpusOps {
               .as("w"))
           .withColumn("h", Sketches.h64(col("w")))
         val rr = w
-          .withColumn("reg", shiftright(col("h"), HllRemBits))
-          .withColumn("rem", col("h").bitwiseAND(lit(HllRemMask)))
-          .withColumn("rho_c", least(
-            when(col("rem") === 0, lit(HllRemBits + 1))
-              .otherwise(lit(HllRemBits + 1) - length(bin(col("rem")))),
-            lit(HllRhoCap)).cast("long"))
+          .withColumn("reg", hllReg(col("h")))
+          .withColumn("rho_c", hllRhoC(col("h")))
         val regs = rr.groupBy(col("source"), col("reg"))
           .agg(max(col("rho_c")).as("r"))
         val per = regs.groupBy(col("source"))
@@ -1433,8 +1465,87 @@ object TextCorpusOps {
           FROM bottom, kth, ex ORDER BY rank"""
       })
 
+    /* L71: BPE merge step — the tokenizer-TRAINING kernel (the L50
+     * fertility profile measures a tokenizer; this builds one): over the
+     * word-frequency table, count every adjacent character pair weighted
+     * by word frequency (the classic BPE statistic — overlapping, so a
+     * run 'aaa' contributes (a,a) twice) and rank the merge candidates;
+     * rank 1 is the pair a BPE trainer would merge next. Each candidate
+     * also carries its ACTUAL token saving — greedy left-to-right
+     * non-overlapping occurrences × frequency, computed exactly on both
+     * engines as length(w) − length(replace(w, pair, <1 char>)) — so the
+     * ranked table separates the selection statistic from the realized
+     * compression (they differ exactly on runs: 'aaa' counts 2, saves 1).
+     * The training LOOP is driver orchestration of this kernel (the
+     * refineCodebook pattern); one step is the oracle-gated operator. At
+     * 100 TB: the corpus collapses to the |vocab|-row frequency table in
+     * one map-side-combined aggregate; pair counting explodes |word|-1
+     * positions per VOCAB row (not per corpus row); savings re-scan is
+     * top-16 candidates broadcast against the vocab frame — no corpus
+     * pass after the first. */
+    val q139 = GraftQuery(
+      "q139_bpe_merge_step", "L71 L50",
+      (s, d) => {
+        val wf = Tables.documents(s, d)
+          .select(explode(Sketches.words(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        val pc = wf.filter(length(col("w")) >= 2)
+          .select(col("w"), col("freq"),
+            explode(expr("sequence(1, length(w) - 1)")).as("i"))
+          .select(col("w"), col("freq"),
+            expr("substring(w, i, 2)").as("pair"))
+          .groupBy(col("pair"))
+          .agg(sum(col("freq")).as("pair_count"),
+            countDistinct(col("w")).as("n_words"))
+        val top = pc
+          .orderBy(col("pair_count").desc, col("pair")).limit(BpeTopK)
+          .withColumn("rank", row_number()
+            .over(Window.orderBy(col("pair_count").desc, col("pair")))
+            .cast("long"))
+        val savings = wf
+          .crossJoin(broadcast(top.select(col("pair"))))
+          .select(col("pair"),
+            ((length(col("w")) -
+              length(expr("replace(w, pair, char(1))"))) * col("freq"))
+              .as("sv"))
+          .groupBy(col("pair")).agg(sum(col("sv")).as("merge_savings"))
+        top.join(savings, Seq("pair"), "left")
+          .select(col("rank"),
+            substring(col("pair"), 1, 1).as("sym_a"),
+            substring(col("pair"), 2, 1).as("sym_b"),
+            col("pair"), col("pair_count"), col("n_words"),
+            coalesce(col("merge_savings"), lit(0L)).as("merge_savings"))
+          .orderBy(col("rank"))
+      },
+      Some {
+        val ws = Sketches.wordsSql("text")
+        s"""WITH wf AS (SELECT w, COUNT(*) AS freq
+            FROM (SELECT unnest($ws) AS w FROM documents) GROUP BY 1),
+          pos AS (SELECT w, freq,
+              unnest(generate_series(1, length(w) - 1)) AS i
+            FROM wf WHERE length(w) >= 2),
+          pc AS (SELECT substring(w, i, 2) AS pair,
+              CAST(SUM(freq) AS BIGINT) AS pair_count,
+              COUNT(DISTINCT w) AS n_words
+            FROM pos GROUP BY 1),
+          top AS (SELECT pair, pair_count, n_words,
+              row_number() OVER (ORDER BY pair_count DESC, pair) AS rank
+            FROM pc ORDER BY pair_count DESC, pair LIMIT $BpeTopK),
+          sv AS (SELECT t.pair,
+              CAST(SUM((length(w) - length(replace(w, t.pair, chr(1))))
+                * freq) AS BIGINT) AS merge_savings
+            FROM wf CROSS JOIN top t GROUP BY 1)
+          SELECT CAST(top.rank AS BIGINT) AS rank,
+            substring(top.pair, 1, 1) AS sym_a,
+            substring(top.pair, 2, 1) AS sym_b,
+            top.pair, top.pair_count, top.n_words,
+            COALESCE(sv.merge_savings, 0) AS merge_savings
+          FROM top LEFT JOIN sv ON sv.pair = top.pair
+          ORDER BY rank"""
+      })
+
     Seq(q115, q116, q117, q118, q120, q121, q122, q124, q126, q127, q128,
-      q132, q133, q134, q135, q137, q138)
+      q132, q133, q134, q135, q137, q138, q139)
   }
 
 }

@@ -203,7 +203,10 @@ object ScaleRehearsal {
       // 10x event timeline - wall should track tile count), HLL
       // cardinality (map-side register pass + 64-row-per-source agg) and
       // bottom-k sampling (TakeOrdered - wall should track the scan)
-      "q136_png_roundtrip", "q137_hll_cardinality", "q138_bottomk_sample")
+      "q136_png_roundtrip", "q137_hll_cardinality", "q138_bottomk_sample",
+      // ...and the BPE merge step (vocab-frame pair explosion + top-16
+      // broadcast savings re-scan - wall should track |vocab|, not corpus)
+      "q139_bpe_merge_step")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)
