@@ -1,0 +1,381 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Sketches
+
+/** Sampling, graph-centrality and corpus-statistics operators
+  * (SURVEY §2.11a, L72–L75) — the estimator/selection tier above the
+  * sketch family:
+  *
+  *  - L72 weighted priority sample + subset-sum estimate   → q140
+  *  - L73 similarity-graph centrality (PageRank iteration) → q141
+  *  - L74 character-entropy quality signal                 → q142
+  *  - L75 BPE training loop (4 unrolled merge steps)       → q143
+  *
+  * All four follow the established determinism conventions: md5-prefix
+  * portable hashes ([[Sketches.h64]]), integer-only arithmetic (`div` /
+  * DuckDB `//`, both floor on the non-negative domain), ppm fixed-point
+  * for rates, binary-string length for integer log2 (the L63/L69
+  * ladder), and deterministic `(statistic DESC, key)` tie-breaks
+  * everywhere a top-K cut or argmax exists.
+  */
+object SampleGraphOps {
+
+  /** L72 sample size: top-k by priority; the (k+1)-th priority is the
+    * estimator threshold τ (Duffield–Lund–Thorup priority sampling).
+    */
+  private[queries] val PrioK = 24
+
+  /** L73 edge sampler: a 3-gram shingle participates in edge building
+    * when its hash ≡ 0 (mod this) — 1/16 of shingle mass, the CDC
+    * boundary trick reused as a deterministic sampler.
+    */
+  private[queries] val PrShingleMod = 16L
+
+  /** L73 bucket guard: only shingle buckets with 2..this many docs emit
+    * candidate pairs — the LSH hot-bucket cap convention (stop-shingle
+    * buckets carry no similarity signal and would emit O(n²) pairs).
+    * Measured on the fixtures: max organic bucket 21 docs at sf0.1,
+    * 69k pairs under the cap — no hot bucket is ever dropped silently
+    * at gated SFs.
+    */
+  private[queries] val PrBucketCap = 16L
+
+  /** L73 power-iteration count (fixed, unrolled in the oracle). */
+  private[queries] val PrIters = 3
+
+  /** L74 entropy probe width: the proxy reads the first this-many chars
+    * of each document — the bounded-probe convention (cost per doc is
+    * O(cap), not O(doc)).
+    */
+  private[queries] val EntropyCap = 512
+
+  /** L74 planted low-entropy block (doc_id % 41 slice) — ONE Scala
+    * constant interpolated into engine and oracle, so both sides see
+    * identical bytes. Proxy entropy ≈ 1.0e6 ppm (3 symbols, near-uniform)
+    * vs ≥ 2.91e6 for every organic fixture doc at every gated SF
+    * (measured) — the 2.0e6 threshold separates deterministically.
+    */
+  private[queries] val LowEntropyBlock =
+    "ha ha ha ha ha ha ha ha ha ha ha ha ha ha ha ha"
+  private[queries] val EntropyPlantStride = 41
+  private[queries] val EntropyLowPpm = 2000000L
+
+  /** L75 merge-step count: the BPE trainer's first this-many merges,
+    * each realized into the vocab with a private-use placeholder char
+    * (chr(step)) before the next pair count.
+    */
+  private[queries] val BpeSteps = 4
+
+  def all: Seq[GraftQuery] = {
+
+    /* L72: weighted priority sampling — the production weighted-sample
+     * primitive (Duffield–Lund–Thorup): item i with weight w_i gets
+     * priority w_i/u_i, u_i uniform; the top-k by priority form a sample
+     * whose subset-sum estimator Σ max(w_i, τ) (τ = (k+1)-th priority)
+     * is unbiased for the total weight. Deterministic and engine-portable:
+     * u_i is the top 30 bits of the content-free doc_id hash, so the
+     * priority is the INTEGER (w << 30) div u — already in weight units.
+     * The registered query samples documents by n_chars and emits the
+     * estimator against the exact total with its error in ppm. At
+     * 100 TB: TakeOrdered top-(k+1) (no global sort materializes), one
+     * scan for the exact total (which exists only to measure the
+     * estimator), the rank window runs over the k-row post-limit frame. */
+    val q140 = GraftQuery(
+      "q140_priority_sample", "L72 L43",
+      (s, d) => {
+        val dw = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars").as("w"),
+            greatest(shiftright(
+              Sketches.h64(concat(lit("ps:"), col("doc_id").cast("string"))),
+              30), lit(1L)).as("u"))
+          .withColumn("priority", expr("shiftleft(w, 30) div u"))
+        val t1 = dw.orderBy(col("priority").desc, col("doc_id"))
+          .limit(PrioK + 1)
+        val tau = t1.agg(count(lit(1)).as("k1"),
+          min(col("priority")).as("pmin"))
+          .select(when(col("k1") === PrioK + 1, col("pmin")).otherwise(0L)
+            .as("tau"))
+        val exact = Tables.documents(s, d)
+          .agg(sum(col("n_chars")).as("exact_total"))
+        t1.orderBy(col("priority").desc, col("doc_id")).limit(PrioK)
+          .withColumn("rank", row_number()
+            .over(Window.orderBy(col("priority").desc, col("doc_id")))
+            .cast("long"))
+          .crossJoin(broadcast(tau)).crossJoin(broadcast(exact))
+          .withColumn("est_w", greatest(col("w"), col("tau")))
+          .withColumn("est_total",
+            sum(col("est_w")).over(Window.rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)))
+          .select(col("rank"), col("doc_id"), col("w"), col("priority"),
+            col("est_w"), col("est_total"), col("exact_total"),
+            expr("least(abs(est_total - exact_total), " +
+              "CAST(9000000000 AS BIGINT)) * 1000000 div exact_total")
+              .as("err_ppm"))
+          .orderBy(col("rank"))
+      },
+      Some {
+        val h = Sketches.h64Sql("'ps:' || doc_id")
+        s"""WITH dw AS (SELECT doc_id, n_chars AS w,
+              (n_chars << 30) // GREATEST(($h) >> 30, 1) AS priority
+            FROM documents),
+          t1 AS (SELECT doc_id, w, priority FROM dw
+            ORDER BY priority DESC, doc_id LIMIT ${PrioK + 1}),
+          tau AS (SELECT CASE WHEN COUNT(*) = ${PrioK + 1}
+              THEN MIN(priority) ELSE 0 END AS tau FROM t1),
+          ex AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS exact_total
+            FROM documents),
+          samp AS (SELECT doc_id, w, priority,
+              row_number() OVER (ORDER BY priority DESC, doc_id) AS rank
+            FROM t1 ORDER BY priority DESC, doc_id LIMIT $PrioK)
+          SELECT CAST(rank AS BIGINT) AS rank, doc_id, w, priority,
+            GREATEST(w, tau) AS est_w,
+            CAST(SUM(GREATEST(w, tau)) OVER () AS BIGINT) AS est_total,
+            exact_total,
+            LEAST(abs(CAST(SUM(GREATEST(w, tau)) OVER () AS BIGINT)
+                - exact_total), 9000000000) * 1000000 // exact_total
+              AS err_ppm
+          FROM samp, tau, ex ORDER BY rank"""
+      })
+
+    /* L73: similarity-graph centrality — the Common-Crawl-style graph
+     * rank used as a quality/authority prior and for canonical-doc
+     * selection inside duplication networks: nodes are documents, edges
+     * join documents sharing a sampled content shingle (the bucketed
+     * candidate pattern — never all-pairs), and PageRank runs a FIXED
+     * number of integer power iterations (rank in ppm, damping 0.85 as
+     * 850000/1000000, contribution = pr div deg — both engines floor
+     * identically on the non-negative domain). The oracle unrolls the
+     * same three iterations as chained CTEs. At 100 TB: the edge build
+     * is one sampled-shingle shuffle under the hot-bucket cap; each
+     * iteration is one co-partitioned join + aggregate on the node key
+     * (on a cluster, ranks and edges bucket by node so iterations are
+     * zero-exchange after the first); the global sort only ever sees the
+     * top-32 TakeOrdered cut. */
+    val q141 = GraftQuery(
+      "q141_graph_centrality", "L73 L19",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(Sketches.shingles(col("text"), 3)).as("s3"))
+          .select(col("doc_id"), Sketches.h64(col("s3")).as("h"))
+          .filter(col("h") % PrShingleMod === 0)
+        val sz = sh.groupBy(col("h")).agg(count(lit(1)).as("n"))
+          .filter(col("n").between(2L, PrBucketCap)).select(col("h"))
+        val pe = sh.join(sz, Seq("h"))
+          .select(col("h"), col("doc_id").as("src"))
+          .join(sh.select(col("h"), col("doc_id").as("dst")), Seq("h"))
+          .filter(col("src") < col("dst"))
+          .select(col("src"), col("dst")).distinct()
+        val edges = pe.union(pe.select(col("dst").as("src"),
+          col("src").as("dst")))
+        val deg = edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        val r0 = deg.withColumn("pr", lit(1000000L))
+        val ranks = (1 to PrIters).foldLeft(r0) { (r, _) =>
+          val contrib = r
+            .select(col("node").as("src"), expr("pr div deg").as("c"))
+            .join(edges, Seq("src"))
+            .groupBy(col("dst").as("node")).agg(sum(col("c")).as("sc"))
+          deg.join(contrib, Seq("node"), "left")
+            .select(col("node"), col("deg"),
+              expr("150000 + ((850000 * coalesce(sc, CAST(0 AS BIGINT)))" +
+                " div 1000000)").as("pr"))
+        }
+        val tot = ranks.agg(count(lit(1)).as("n_nodes"),
+          sum(col("pr")).as("sum_pr_ppm"))
+        ranks.orderBy(col("pr").desc, col("node")).limit(32)
+          .withColumn("rank", row_number()
+            .over(Window.orderBy(col("pr").desc, col("node"))).cast("long"))
+          .crossJoin(broadcast(tot))
+          .select(col("rank"), col("node").as("doc_id"),
+            col("deg").as("degree"), col("pr").as("pr_ppm"),
+            col("n_nodes"), col("sum_pr_ppm"))
+          .orderBy(col("rank"))
+      },
+      Some {
+        val sh3 = Sketches.shinglesSql("text", 3)
+        val h = Sketches.h64Sql("s3")
+        def iter(prev: String, cur: String): String =
+          s"""$cur AS (SELECT d.node, d.deg,
+              150000 + ((850000 * COALESCE(i.sc, 0)) // 1000000) AS pr
+            FROM deg d LEFT JOIN (
+              SELECT e.dst AS node, CAST(SUM(r.pr // r.deg) AS BIGINT) AS sc
+              FROM $prev r JOIN edges e ON e.src = r.node GROUP BY 1) i
+              ON i.node = d.node)"""
+        s"""WITH sh AS (SELECT doc_id, h FROM (
+              SELECT doc_id, $h AS h
+              FROM (SELECT doc_id, unnest($sh3) AS s3 FROM documents))
+            WHERE h % $PrShingleMod = 0),
+          sz AS (SELECT h FROM (SELECT h, COUNT(*) AS n FROM sh GROUP BY 1)
+            WHERE n BETWEEN 2 AND $PrBucketCap),
+          pe AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+            FROM sh a JOIN sz ON sz.h = a.h
+            JOIN sh b ON b.h = a.h AND a.doc_id < b.doc_id),
+          edges AS (SELECT src, dst FROM pe
+            UNION ALL SELECT dst AS src, src AS dst FROM pe),
+          deg AS (SELECT src AS node, COUNT(*) AS deg
+            FROM edges GROUP BY 1),
+          r0 AS (SELECT node, deg, CAST(1000000 AS BIGINT) AS pr FROM deg),
+          ${iter("r0", "r1")},
+          ${iter("r1", "r2")},
+          ${iter("r2", "r3")},
+          top AS (SELECT node, deg, pr FROM r3
+            ORDER BY pr DESC, node LIMIT 32),
+          tot AS (SELECT COUNT(*) AS n_nodes,
+            CAST(SUM(pr) AS BIGINT) AS sum_pr_ppm FROM r3)
+          SELECT CAST(row_number() OVER (ORDER BY pr DESC, node) AS BIGINT)
+              AS rank, node AS doc_id, deg AS degree, pr AS pr_ppm,
+            n_nodes, sum_pr_ppm
+          FROM top, tot ORDER BY rank"""
+      })
+
+    /* L74: character-entropy quality signal — the compressibility-style
+     * garbage detector (repetitive spam, key-mash, template residue)
+     * the word-level quality filters miss: per-document Shannon entropy
+     * over the first EntropyCap characters, approximated with the
+     * integer-log ladder (surprise of char c = floor-log2(N div n_c) via
+     * binary-string length — Spark `bin`, DuckDB `format('{:b}')`, no
+     * libm anywhere). The planted %41 slice swaps in a 3-symbol
+     * repetitive block (proxy ≈ 1.0e6 ppm) so the low-entropy branch
+     * fires deterministically at every SF while organic docs (≥ 2.91e6,
+     * measured) never trip the 2.0e6 threshold. At 100 TB: cost per doc
+     * is bounded by the probe cap, the per-(doc, char) count is one
+     * map-side-combined aggregate (≤ alphabet-size rows per doc), and
+     * the output is one |sources|-row rollup. */
+    val q142 = GraftQuery(
+      "q142_entropy_quality", "L74 L9",
+      (s, d) => {
+        val src = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            when(col("doc_id") % EntropyPlantStride === 0,
+              lit(LowEntropyBlock)).otherwise(col("text")).as("text"))
+          .filter(length(col("text")) >= 1)
+          .withColumn("nn", least(length(col("text")), lit(EntropyCap)))
+        val cc = src
+          .select(col("doc_id"), col("source"), col("nn"),
+            explode(expr(s"sequence(1, nn)")).as("i"),
+            col("text"))
+          .select(col("doc_id"), col("source"), col("nn"),
+            expr("substring(text, i, 1)").as("c"))
+          .groupBy(col("doc_id"), col("source"), col("nn"), col("c"))
+          .agg(count(lit(1)).as("n"))
+        val h = cc.groupBy(col("doc_id"), col("source"))
+          .agg((sum(col("n") *
+            (length(bin(expr("nn div n"))) - 1)) * 1000000L / max(col("nn")))
+            .cast("long").as("hp"))
+        h.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("hp") < EntropyLowPpm, 1L).otherwise(0L))
+              .as("n_low"),
+            min(col("hp")).as("min_h_ppm"),
+            max(col("hp")).as("max_h_ppm"),
+            expr("sum(hp) div count(1)").as("avg_h_ppm"))
+          .orderBy(col("source"))
+      },
+      Some {
+        s"""WITH src AS (SELECT doc_id, source,
+              CASE WHEN doc_id % $EntropyPlantStride = 0
+                THEN '$LowEntropyBlock' ELSE text END AS text
+            FROM documents WHERE length(CASE WHEN
+              doc_id % $EntropyPlantStride = 0 THEN '$LowEntropyBlock'
+              ELSE text END) >= 1),
+          ch AS (SELECT doc_id, source,
+              LEAST(length(text), $EntropyCap) AS nn, substr(text, i, 1) AS c
+            FROM (SELECT doc_id, source, text,
+                unnest(generate_series(1, LEAST(length(text), $EntropyCap)))
+                  AS i FROM src)),
+          cc AS (SELECT doc_id, source, nn, c, COUNT(*) AS n
+            FROM ch GROUP BY 1, 2, 3, 4),
+          h AS (SELECT doc_id, source,
+              CAST(SUM(n * (length(format('{:b}', nn // n)) - 1))
+                AS BIGINT) * 1000000 // MAX(nn) AS hp
+            FROM cc GROUP BY 1, 2)
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN hp < $EntropyLowPpm THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_low,
+            MIN(hp) AS min_h_ppm, MAX(hp) AS max_h_ppm,
+            CAST(SUM(hp) AS BIGINT) // COUNT(*) AS avg_h_ppm
+          FROM h GROUP BY 1 ORDER BY source"""
+      })
+
+    /* L75: BPE training loop — the q139 kernel ITERATED: four unrolled
+     * merge steps, each picking the argmax adjacent pair (count DESC,
+     * pair tie-break) over the CURRENT vocab and realizing the merge
+     * with a placeholder char (chr(step)) before the next count — so
+     * later steps see merged symbols, the part the one-step kernel
+     * cannot express (merges interact: after 'th'→X, step 2 may pick
+     * 'Xe'). Emits per step the merged pair (as code points — placeholder
+     * bytes never reach the output), its overlapping pair count, and the
+     * realized corpus token count after the merge. At 100 TB: the corpus
+     * collapses once into the |vocab|-row frequency frame (the repeated
+     * subplan is exchange-reused by Spark; production materializes it,
+     * the K8 pattern); every step after that is vocab-sized — pair
+     * explosion is |word|−1 per vocab row and the argmax is a TakeOrdered
+     * LIMIT 1, so the loop's cost is independent of corpus size. */
+    val q143 = GraftQuery(
+      "q143_bpe_train_loop", "L75 L71",
+      (s, d) => {
+        val wf0 = Tables.documents(s, d)
+          .select(explode(Sketches.words(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        def pairTop(vf: DataFrame): DataFrame = vf
+          .filter(length(col("w")) >= 2)
+          .select(col("w"), col("freq"),
+            explode(expr("sequence(1, length(w) - 1)")).as("i"))
+          .select(expr("substring(w, i, 2)").as("pair"), col("freq"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("pair")).limit(1)
+        val (_, steps) = (1 to BpeSteps)
+          .foldLeft((wf0, Seq.empty[DataFrame])) { case ((vf, acc), k) =>
+            val top1 = pairTop(vf)
+            val vfNext = vf
+              .crossJoin(broadcast(top1.select(col("pair").as("mp"))))
+              .select(expr(s"replace(w, mp, char($k))").as("w"), col("freq"))
+            val tokAfter = vfNext
+              .agg(sum(col("freq") * length(col("w"))).as("tokens_after"))
+            val row = top1.crossJoin(broadcast(tokAfter))
+              .select(lit(k.toLong).as("step"),
+                ascii(substring(col("pair"), 1, 1)).cast("long").as("pa"),
+                ascii(substring(col("pair"), 2, 1)).cast("long").as("pb"),
+                col("pair_count"), col("tokens_after"))
+            (vfNext, acc :+ row)
+          }
+        steps.reduce(_ unionByName _).orderBy(col("step"))
+      },
+      Some {
+        val ws = Sketches.wordsSql("text")
+        def stepSql(k: Int, prevWf: String): String = {
+          val pc =
+            s"""p$k AS (SELECT substring(w, i, 2) AS pair,
+                CAST(SUM(freq) AS BIGINT) AS pair_count
+              FROM (SELECT w, freq,
+                  unnest(generate_series(1, length(w) - 1)) AS i
+                FROM $prevWf WHERE length(w) >= 2) GROUP BY 1),
+              t$k AS (SELECT pair, pair_count FROM p$k
+                ORDER BY pair_count DESC, pair LIMIT 1),
+              wf$k AS (SELECT replace(w, (SELECT pair FROM t$k), chr($k))
+                  AS w, freq FROM $prevWf),
+              s$k AS (SELECT CAST($k AS BIGINT) AS step,
+                CAST(ascii(substring(pair, 1, 1)) AS BIGINT) AS pa,
+                CAST(ascii(substring(pair, 2, 1)) AS BIGINT) AS pb,
+                pair_count,
+                (SELECT CAST(SUM(freq * length(w)) AS BIGINT) FROM wf$k)
+                  AS tokens_after FROM t$k)"""
+          pc
+        }
+        s"""WITH wf0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT unnest($ws) AS w FROM documents) GROUP BY 1),
+          ${(1 to BpeSteps).map(k => stepSql(k, s"wf${k - 1}"))
+            .mkString(",\n          ")}
+          ${(1 to BpeSteps).map(k => s"SELECT * FROM s$k")
+            .mkString(" UNION ALL ")}
+          ORDER BY step"""
+      })
+
+    Seq(q140, q141, q142, q143)
+  }
+}

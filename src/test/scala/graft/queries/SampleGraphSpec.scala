@@ -1,0 +1,124 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** L72–L75 semantics the fixture-scale oracles can't isolate: the
+  * priority-sampling estimator's exact sub-k degeneration, PageRank's
+  * degree/ordering/conservation on a hand-built graph, the entropy
+  * proxy's exact values on known char distributions, and the BPE loop's
+  * merge INTERACTION (later steps selecting pairs that contain earlier
+  * merged symbols).
+  */
+class SampleGraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def corpusDir(rows: Seq[(Long, String, String, String, Long)])
+      : String = {
+    val d = Files.createTempDirectory("sg-corpus").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q140: sub-k corpus degrades to the exact total (tau = 0)") {
+    val dir = corpusDir(Seq(
+      (1L, "a", "en", "s", 10L), (2L, "b", "en", "s", 20L),
+      (3L, "c", "en", "s", 30L), (4L, "d", "en", "s", 40L),
+      (5L, "e", "en", "s", 50L)))
+    val rows = graft.SparkEntry.queries("q140_priority_sample")(spark, dir)
+      .select("rank", "doc_id", "w", "est_w", "est_total", "exact_total",
+        "err_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(rows.size === 5)
+    // fewer docs than PrioK + 1 -> tau = 0 -> est_w = w, estimator exact
+    rows.foreach { case (_, _, w, estW, estT, exT, err) =>
+      assert(estW === w)
+      assert(estT === 150L && exT === 150L && err === 0L)
+    }
+    assert(rows.map(_._1) === (1L to 5L).toList, "rank contiguity")
+  }
+
+  test("q140: dominant weight is always sampled and estimator bounds hold") {
+    val small = (2L to 30L).map(i => (i, s"t$i", "en", "s", 10L))
+    val dir = corpusDir((1L, "big", "en", "s", 100000L) +: small)
+    val rows = graft.SparkEntry.queries("q140_priority_sample")(spark, dir)
+      .select("rank", "doc_id", "w", "est_w", "est_total")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(rows.size === SampleGraphOps.PrioK)
+    // w >> total of the rest -> its priority dominates every u draw
+    assert(rows.head._2 === 1L, "dominant-weight doc must rank first")
+    rows.foreach { case (_, _, w, estW, _) => assert(estW >= w) }
+    val estT = rows.head._5
+    assert(estT === rows.map(_._4).sum, "subset-sum = sum of est_w")
+    assert(estT >= 100000L, "estimate at least the sampled dominant mass")
+  }
+
+  test("q141: degrees, ordering and conservation on a hand-built graph") {
+    // markers chosen so h64("mX mX mX") % 16 == 0 (sampled): bucket m7 =
+    // docs {1,2,3,4} (clique), bucket m8 = {1,5}; fillers are unique per
+    // doc, so their sampled shingles sit in size-1 buckets (dropped)
+    val dir = corpusDir(Seq(
+      (1L, "u1a m7 m7 m7 u1b m8 m8 m8 u1c", "en", "s", 1L),
+      (2L, "u2a m7 m7 m7 u2b", "en", "s", 1L),
+      (3L, "u3a m7 m7 m7 u3b", "en", "s", 1L),
+      (4L, "u4a m7 m7 m7 u4b", "en", "s", 1L),
+      (5L, "u5a m8 m8 m8 u5b", "en", "s", 1L)))
+    val rows = graft.SparkEntry.queries("q141_graph_centrality")(spark, dir)
+      .select("rank", "doc_id", "degree", "pr_ppm", "n_nodes", "sum_pr_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(rows.size === 5)
+    assert(rows.head._6 === rows.map(_._4).sum,
+      "top-32 covers the whole graph here: sum_pr_ppm = sum of pr")
+    val byDoc = rows.map(r => r._2 -> r).toMap
+    assert(byDoc(1L)._3 === 4L, "hub degree")
+    assert(byDoc(5L)._3 === 1L, "leaf degree")
+    Seq(2L, 3L, 4L).foreach(i => assert(byDoc(i)._3 === 3L))
+    assert(rows.head._2 === 1L, "hub ranks first")
+    assert(rows.last._2 === 5L, "leaf ranks last")
+    assert(rows.head._5 === 5L, "n_nodes")
+    val sum = rows.head._6
+    assert(sum <= 5000000L && sum >= 4200000L,
+      s"integer PageRank conserves mass up to floor loss, got $sum")
+  }
+
+  test("q142: exact proxy values on known char distributions") {
+    // doc 1: 2 symbols x4 -> 8 div 4 = 2 -> surprise 1 -> 1.0e6 ppm (low)
+    // doc 2: 8 distinct    -> 8 div 1 = 8 -> surprise 3 -> 3.0e6 ppm
+    // doc 41: planted block (stride hit) -> 1.0e6 ppm (low)
+    val dir = corpusDir(Seq(
+      (1L, "abababab", "en", "s1", 8L),
+      (2L, "abcdefgh", "en", "s2", 8L),
+      (41L, "organic text that the plant replaces", "en", "s3", 30L)))
+    val rows = graft.SparkEntry.queries("q142_entropy_quality")(spark, dir)
+      .select("source", "n_docs", "n_low", "min_h_ppm", "max_h_ppm",
+        "avg_h_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    val bySrc = rows.map(r => r._1 -> r).toMap
+    assert(bySrc("s1") === ("s1", 1L, 1L, 1000000L, 1000000L, 1000000L))
+    assert(bySrc("s2") === ("s2", 1L, 0L, 3000000L, 3000000L, 3000000L))
+    assert(bySrc("s3")._3 === 1L, "planted %41 slice is flagged")
+    assert(bySrc("s3")._4 === 1000000L, "planted block proxy value")
+  }
+
+  test("q143: later merge steps select pairs containing earlier merges") {
+    // 'abc' x5: step 1 takes 'ab' (tie with 'bc' broken lexicographically),
+    // step 2 MUST take chr(1)||'c' — the interaction one kernel step
+    // cannot express; 'wxyz' x3 then feeds steps 3-4 the same way
+    val docs = (1L to 5L).map(i => (i, "abc", "en", "s", 3L)) ++
+      (6L to 8L).map(i => (i, "wxyz", "en", "s", 4L))
+    val dir = corpusDir(docs)
+    val rows = graft.SparkEntry.queries("q143_bpe_train_loop")(spark, dir)
+      .select("step", "pa", "pb", "pair_count", "tokens_after")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(rows.map(r => (r._2, r._3)) ===
+      List((97L, 98L), (1L, 99L), (119L, 120L), (3L, 121L)),
+      "steps 2 and 4 merge pairs built on steps 1 and 3's symbols")
+    assert(rows.map(_._4) === List(5L, 5L, 3L, 3L), "pair counts")
+    assert(rows.map(_._5) === List(22L, 17L, 14L, 11L),
+      "realized token counts shrink by each merge")
+  }
+}
