@@ -27,7 +27,10 @@ import graft.queries._
   *    event-time timeout, stream == batch q82) → StreamingSessionsSpec;
   *    L64 streaming form (Bloom admission gate — fixed-width bitmap
   *    state, accumulated bitmap byte-equal to the one-shot batch build)
-  *    → StreamingAdmissionSpec
+  *    → StreamingAdmissionSpec; L67 streaming form (CMS counter
+  *    accumulation, byte-equal to one-shot, non-idempotence pinned)
+  *    → StreamingFrequencySpec; L72 streaming form (top-(k+1)
+  *    reservoir, stream==batch) → StreamingPrioritySampleSpec
   *  - S15 TTL config scan → ConfigSourceSpec
   *  - K3 PNG codec / C18 geoid bilinear / R2-R4 tile ops / S11 GTX decode
   *    → RasterSpec; multimodal binary batching → MultimodalSpec

@@ -35,6 +35,16 @@ object Sketches {
   def h64Sql(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** JVM-side twin of [[h64]] for driver-held state (streaming sketch
+    * readouts probe the same hash the executors built the state with).
+    */
+  def h64Scala(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Seed-parameterized hash family: h_i(s) = h64(i || ':' || s). */
   def seeded(seed: Int, c: Column): Column = h64(concat(lit(s"$seed:"), c))
   def seededSql(seed: Int, e: String): String = h64Sql(s"'$seed:' || $e")

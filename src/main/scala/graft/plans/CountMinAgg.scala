@@ -139,7 +139,7 @@ object CountMinAgg {
     */
   private[plans] val FormatVersion = 1L
 
-  private[plans] def header(depth: Int, widthLog2: Int): Long =
+  private[graft] def header(depth: Int, widthLog2: Int): Long =
     (0x47434D53L << 32) | (FormatVersion << 16) |
       (depth.toLong << 8) | widthLog2.toLong
 

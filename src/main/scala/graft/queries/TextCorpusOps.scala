@@ -95,8 +95,8 @@ object TextCorpusOps {
     * stance as [[CorpusOps.bloomBitsFor]]). Absent probes are planted
     * so the pure-collision-mass branch fires deterministically.
     */
-  private[queries] val CmsWidthLog2 = 5
-  private[queries] val CmsDepth = 2
+  private[graft] val CmsWidthLog2 = 5
+  private[graft] val CmsDepth = 2
   private[queries] val CmsAbsentProbes =
     Seq("zzqabsent1", "zzqabsent2", "zzqabsent3", "zzqabsent4")
 
