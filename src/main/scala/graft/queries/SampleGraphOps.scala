@@ -27,7 +27,7 @@ object SampleGraphOps {
   /** L72 sample size: top-k by priority; the (k+1)-th priority is the
     * estimator threshold τ (Duffield–Lund–Thorup priority sampling).
     */
-  private[queries] val PrioK = 24
+  private[graft] val PrioK = 24
 
   /** L73 edge sampler: a 3-gram shingle participates in edge building
     * when its hash ≡ 0 (mod this) — 1/16 of shingle mass, the CDC
@@ -64,6 +64,18 @@ object SampleGraphOps {
   private[queries] val EntropyPlantStride = 41
   private[queries] val EntropyLowPpm = 2000000L
 
+  /** L72's priority over a `(doc_id, w)` frame: u = top 30 bits of the
+    * content-free doc_id hash, priority = the INTEGER (w << 30) div u —
+    * already in weight units. Shared by q140 and the streaming form
+    * ([[graft.streaming.StreamingPrioritySample]]) so the two can never
+    * diverge on the draw.
+    */
+  private[graft] def withPriority(df: DataFrame): DataFrame = df
+    .withColumn("u", greatest(shiftright(
+      Sketches.h64(concat(lit("ps:"), col("doc_id").cast("string"))), 30),
+      lit(1L)))
+    .withColumn("priority", expr("shiftleft(w, 30) div u"))
+
   /** L75 merge-step count: the BPE trainer's first this-many merges,
     * each realized into the vocab with a private-use placeholder char
     * (chr(step)) before the next pair count.
@@ -87,12 +99,8 @@ object SampleGraphOps {
     val q140 = GraftQuery(
       "q140_priority_sample", "L72 L43",
       (s, d) => {
-        val dw = Tables.documents(s, d)
-          .select(col("doc_id"), col("n_chars").as("w"),
-            greatest(shiftright(
-              Sketches.h64(concat(lit("ps:"), col("doc_id").cast("string"))),
-              30), lit(1L)).as("u"))
-          .withColumn("priority", expr("shiftleft(w, 30) div u"))
+        val dw = withPriority(Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars").as("w")))
         val t1 = dw.orderBy(col("priority").desc, col("doc_id"))
           .limit(PrioK + 1)
         val tau = t1.agg(count(lit(1)).as("k1"),
@@ -158,7 +166,13 @@ object SampleGraphOps {
     val q141 = GraftQuery(
       "q141_graph_centrality", "L73 L19",
       (s, d) => {
+        // spread the scan before the row-multiplicative explode+md5: the
+        // gated fixture is a single parquet split, and at any scale an
+        // upstream stage with few/skewed splits would serialize the
+        // shingle hashing (the cheap doc-sized shuffle buys a 32-way
+        // explode stage; the h-shuffle after it is unchanged)
         val sh = Tables.documents(s, d)
+          .select(col("doc_id"), col("text")).repartition(col("doc_id"))
           .select(col("doc_id"),
             explode(Sketches.shingles(col("text"), 3)).as("s3"))
           .select(col("doc_id"), Sketches.h64(col("s3")).as("h"))
@@ -255,6 +269,9 @@ object SampleGraphOps {
               lit(LowEntropyBlock)).otherwise(col("text")).as("text"))
           .filter(length(col("text")) >= 1)
           .withColumn("nn", least(length(col("text")), lit(EntropyCap)))
+          // spread before the 512x char explode (single-split scan
+          // otherwise serializes the whole probe — see q141's note)
+          .repartition(col("doc_id"))
         val cc = src
           .select(col("doc_id"), col("source"), col("nn"),
             explode(expr(s"sequence(1, nn)")).as("i"),

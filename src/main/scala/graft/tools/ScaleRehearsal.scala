@@ -206,7 +206,16 @@ object ScaleRehearsal {
       "q136_png_roundtrip", "q137_hll_cardinality", "q138_bottomk_sample",
       // ...and the BPE merge step (vocab-frame pair explosion + top-16
       // broadcast savings re-scan - wall should track |vocab|, not corpus)
-      "q139_bpe_merge_step")
+      "q139_bpe_merge_step",
+      // round-14b additions: priority sampling (TakeOrdered + one exact
+      // scan - wall should track the scan), graph centrality (bucketed
+      // sampled-shingle edges + 3 co-partitioned join/agg iterations -
+      // the edge count is the scaling term), entropy quality (bounded
+      // 512-char probe - wall tracks doc count, not doc length) and the
+      // unrolled BPE loop (corpus collapses to the vocab frame once;
+      // the 4 merge steps are vocab-sized)
+      "q140_priority_sample", "q141_graph_centrality",
+      "q142_entropy_quality", "q143_bpe_train_loop")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)
