@@ -76,6 +76,21 @@ object SampleGraphOps {
       lit(1L)))
     .withColumn("priority", expr("shiftleft(w, 30) div u"))
 
+  /** L76 projection widths measured side by side: the JL dial is the
+    * output dimension k (distortion ~ 1/sqrt(k)), so the registered
+    * query emits the distortion profile at both widths — the lossy-path
+    * measured-dial convention.
+    */
+  private[queries] val JlWidths = Seq(8, 32)
+
+  /** L76 sign matrix: Achlioptas ±1 entries from the portable hash —
+    * deterministic, reproducible from the public formula on either
+    * engine side (the Scala constant is interpolated into both).
+    */
+  private[graft] def jlSigns(k: Int, dims: Int): Seq[Seq[Double]] =
+    (0 until k).map(i => (0 until dims).map(j =>
+      if ((Sketches.h64Scala(s"jl:$i:$j") & 1L) == 0L) 1.0 else -1.0))
+
   /** L75 merge-step count: the BPE trainer's first this-many merges,
     * each realized into the vocab with a private-use placeholder char
     * (chr(step)) before the next pair count.
@@ -393,6 +408,291 @@ object SampleGraphOps {
           ORDER BY step"""
       })
 
-    Seq(q140, q141, q142, q143)
+    /* L76: Johnson–Lindenstrauss random projection — the dimensionality
+     * reduction step a 100 TB embedding pipeline runs before ANN/dedup
+     * (64-d float vectors → k-d at 4–8× less memory/bandwidth), with the
+     * loss MEASURED instead of assumed: the registered query projects
+     * through a deterministic Achlioptas ±1 sign matrix (entries from
+     * the portable hash, so both engines build the same matrix) at TWO
+     * widths and emits the cosine-distortion profile of a deterministic
+     * pair sample per width — the k dial's measured curve (distortion
+     * ~ 1/sqrt(k), and the k=32 rows must beat the k=8 rows on the same
+     * pairs). Float parity: every projected component is the native
+     * left-associated `graft_dot` loop against a ±1.0 literal array
+     * (sign flips are IEEE-exact), norms/cosines follow the q92
+     * conventions, and cosines are floor-quantized to ppm before any
+     * aggregation. At 100 TB: the projection is one map-side pass
+     * (k dots per row, constant bytecode, no shuffle); the measurement
+     * join is id-keyed on a 20%-stride sample; output is |widths|×8
+     * bucket rows. */
+    val q144 = GraftQuery(
+      "q144_jl_projection", "L76 L6",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        def projected(k: Int): DataFrame = {
+          val cols = jlSigns(k, LlmPipeline.Dims).zipWithIndex.map {
+            case (row, i) =>
+              Sketches.dot(col("embedding"),
+                array(row.map(lit): _*), LlmPipeline.Dims).as(s"p$i")
+          }
+          e.select(col("vec_id") +: cols: _*)
+            .select(col("vec_id"),
+              array((0 until k).map(i => col(s"p$i")): _*).as("p"))
+        }
+        val orig = e.select(col("vec_id"), col("embedding"),
+          Sketches.norm(col("embedding"), LlmPipeline.Dims).as("nrm"))
+        def co = Sketches.cosineFromParts(
+          Sketches.dot(col("ea"), col("eb"), LlmPipeline.Dims),
+          col("na"), col("nb"))
+        val pairsOrig = orig.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("a"), col("embedding").as("ea"),
+            col("nrm").as("na"))
+          .join(orig.select((col("vec_id") - 1L).as("a"),
+            col("embedding").as("eb"), col("nrm").as("nb")), Seq("a"))
+          .select(col("a"),
+            floor(lit(1000000d) * co).cast("long").as("co_q"))
+        val perWidth = JlWidths.map { k =>
+          val p = projected(k)
+            .select(col("vec_id"), col("p"),
+              Sketches.norm(col("p"), k).as("nrm"))
+          val cp = Sketches.cosineFromParts(
+            Sketches.dot(col("pa"), col("pb"), k), col("na"), col("nb"))
+          p.filter(col("vec_id") % 5 === 0)
+            .select(col("vec_id").as("a"), col("p").as("pa"),
+              col("nrm").as("na"))
+            .join(p.select((col("vec_id") - 1L).as("a"), col("p").as("pb"),
+              col("nrm").as("nb")), Seq("a"))
+            .select(col("a"),
+              floor(lit(1000000d) * cp).cast("long").as("cp_q"))
+            .join(pairsOrig, Seq("a"))
+            .select(lit(k.toLong).as("jl_dims"), (col("a") % 8).as("bucket"),
+              abs(col("co_q") - col("cp_q")).as("dist"))
+            .groupBy(col("jl_dims"), col("bucket"))
+            .agg(count(lit(1)).as("n_pairs"),
+              expr("sum(dist) div count(1)").as("avg_dist_ppm"),
+              max(col("dist")).as("max_dist_ppm"))
+        }
+        perWidth.reduce(_ unionByName _)
+          .orderBy(col("jl_dims"), col("bucket"))
+      },
+      Some {
+        val dims = LlmPipeline.Dims
+        def projExpr(row: Seq[Double]): String =
+          row.zipWithIndex.map { case (sg, j) =>
+            s"($sg * CAST(embedding[${j + 1}] AS DOUBLE))"
+          }.mkString(" + ")
+        def widthSql(k: Int): String = {
+          val dotO = Sketches.dotSql("ea", "eb", dims)
+          val dotP = Sketches.dotSql("pa", "pb", k)
+          s"""SELECT CAST($k AS BIGINT) AS jl_dims, a % 8 AS bucket,
+              COUNT(*) AS n_pairs,
+              CAST(SUM(dist) AS BIGINT) // COUNT(*) AS avg_dist_ppm,
+              MAX(dist) AS max_dist_ppm
+            FROM (
+              SELECT oa.a, abs(
+                CAST(floor(1000000 * ${Sketches.cosineSql(dotO, "ona", "onb")})
+                  AS BIGINT)
+                - CAST(floor(1000000 * ${Sketches.cosineSql(dotP, "pna", "pnb")})
+                  AS BIGINT)) AS dist
+              FROM (
+                SELECT a.vec_id AS a, a.embedding AS ea, b.embedding AS eb,
+                  ${Sketches.normSql("a.embedding", dims)} AS ona,
+                  ${Sketches.normSql("b.embedding", dims)} AS onb,
+                  a.p AS pa, b.p AS pb,
+                  ${Sketches.normSql("a.p", k)} AS pna,
+                  ${Sketches.normSql("b.p", k)} AS pnb
+                FROM proj$k a JOIN proj$k b ON b.vec_id = a.vec_id + 1
+                WHERE a.vec_id % 5 = 0) oa)
+            GROUP BY 1, 2"""
+        }
+        val projCtes = JlWidths.map { k =>
+          val plist = jlSigns(k, dims).map(projExpr).mkString("[", ", ", "]")
+          s"""proj$k AS MATERIALIZED (SELECT vec_id, embedding,
+              $plist AS p FROM embeddings)"""
+        }.mkString(",\n          ")
+        s"""WITH $projCtes
+          ${JlWidths.map(widthSql).mkString(" UNION ALL ")}
+          ORDER BY jl_dims, bucket"""
+      })
+
+    /* L78: filter-threshold PR sweep — filter governance by evidence:
+     * before a quality dial ships, sweep its threshold and measure
+     * precision/recall against known labels (here the L74 entropy signal
+     * against its own planted ground truth — the %41 slice IS the
+     * positive class, so the curve is exact, not annotated). Emits one
+     * row per candidate threshold with tp/fp/fn and ppm precision/
+     * recall; the production reading: pick the threshold where recall
+     * saturates before precision collapses (on the fixture: 100% recall
+     * at perfect precision up to 2.5e6, then precision decays as organic
+     * docs cross — both branches exercised at every SF). At 100 TB: ONE
+     * corpus pass computes the per-doc signal; the sweep is a broadcast
+     * 8-row threshold frame crossed against the |docs|-row signal frame,
+     * aggregated map-side — the curve costs one aggregate more than the
+     * filter itself. */
+    val q146 = GraftQuery(
+      "q146_threshold_sweep", "L78 L74 L35",
+      (s, d) => {
+        val src = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            when(col("doc_id") % EntropyPlantStride === 0,
+              lit(LowEntropyBlock)).otherwise(col("text")).as("text"))
+          .filter(length(col("text")) >= 1)
+          .withColumn("nn", least(length(col("text")), lit(EntropyCap)))
+          .repartition(col("doc_id"))
+        val cc = src
+          .select(col("doc_id"), col("nn"),
+            explode(expr(s"sequence(1, nn)")).as("i"), col("text"))
+          .select(col("doc_id"), col("nn"),
+            expr("substring(text, i, 1)").as("c"))
+          .groupBy(col("doc_id"), col("nn"), col("c"))
+          .agg(count(lit(1)).as("n"))
+        val h = cc.groupBy(col("doc_id"))
+          .agg((sum(col("n") *
+            (length(bin(expr("nn div n"))) - 1)) * 1000000L / max(col("nn")))
+            .cast("long").as("hp"))
+          .withColumn("pos",
+            when(col("doc_id") % EntropyPlantStride === 0, 1L)
+              .otherwise(0L))
+        val thresholds = s.range(1, 9)
+          .select((col("id") * 500000L).as("t"))
+        h.crossJoin(broadcast(thresholds))
+          .groupBy(col("t"))
+          .agg(sum(when(col("hp") < col("t"), col("pos")).otherwise(0L))
+            .as("tp"),
+            sum(when(col("hp") < col("t"), lit(1L) - col("pos"))
+              .otherwise(0L)).as("fp"),
+            sum(when(col("hp") >= col("t"), col("pos")).otherwise(0L))
+              .as("fn"))
+          .select(col("t"), col("tp"), col("fp"), col("fn"),
+            expr("tp * 1000000 div greatest(tp + fp, CAST(1 AS BIGINT))")
+              .as("precision_ppm"),
+            expr("tp * 1000000 div greatest(tp + fn, CAST(1 AS BIGINT))")
+              .as("recall_ppm"))
+          .orderBy(col("t"))
+      },
+      Some {
+        s"""WITH src AS (SELECT doc_id,
+              CASE WHEN doc_id % $EntropyPlantStride = 0
+                THEN '$LowEntropyBlock' ELSE text END AS text
+            FROM documents WHERE length(CASE WHEN
+              doc_id % $EntropyPlantStride = 0 THEN '$LowEntropyBlock'
+              ELSE text END) >= 1),
+          ch AS (SELECT doc_id, LEAST(length(text), $EntropyCap) AS nn,
+              substr(text, i, 1) AS c
+            FROM (SELECT doc_id, text,
+                unnest(generate_series(1, LEAST(length(text), $EntropyCap)))
+                  AS i FROM src)),
+          cc AS (SELECT doc_id, nn, c, COUNT(*) AS n
+            FROM ch GROUP BY 1, 2, 3),
+          h AS (SELECT doc_id,
+              CAST(SUM(n * (length(format('{:b}', nn // n)) - 1))
+                AS BIGINT) * 1000000 // MAX(nn) AS hp,
+              CASE WHEN doc_id % $EntropyPlantStride = 0
+                THEN 1 ELSE 0 END AS pos
+            FROM cc GROUP BY doc_id),
+          th AS (SELECT t * 500000 AS t
+            FROM unnest(generate_series(1, 8)) u(t)),
+          pr AS (SELECT t,
+              CAST(SUM(CASE WHEN hp < t THEN pos ELSE 0 END) AS BIGINT)
+                AS tp,
+              CAST(SUM(CASE WHEN hp < t THEN 1 - pos ELSE 0 END) AS BIGINT)
+                AS fp,
+              CAST(SUM(CASE WHEN hp >= t THEN pos ELSE 0 END) AS BIGINT)
+                AS fn
+            FROM h CROSS JOIN th GROUP BY 1)
+          SELECT t, tp, fp, fn,
+            tp * 1000000 // GREATEST(tp + fp, 1) AS precision_ppm,
+            tp * 1000000 // GREATEST(tp + fn, 1) AS recall_ppm
+          FROM pr ORDER BY t"""
+      })
+
+    /* L79: corpus snapshot diff — the versioning report a nightly
+     * pipeline publishes between corpus v(n) and v(n+1): per source, how
+     * many documents were added, removed, modified, and unchanged, and
+     * the net char delta. v2 is derived deterministically from the test
+     * table (removed = %13 slice, modified = the %11 slice that
+     * survives, added = the %17 slice re-keyed past the id space — ONE
+     * arithmetic both engines share), so the oracle rebuilds the same
+     * two snapshots and the hash gate proves the diff classification
+     * itself. Content equality rides the md5 fingerprint, not doc_id
+     * presence alone — a modified doc is present in both with differing
+     * fingerprints. At 100 TB: one full-outer join on the id key (both
+     * snapshots bucket by doc_id in production — the K8 layout makes the
+     * nightly diff zero-shuffle), map-side fingerprints, a
+     * |sources|-row rollup. */
+    val q147 = GraftQuery(
+      "q147_snapshot_diff", "L79 L31",
+      (s, d) => {
+        val v1 = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            md5(col("text")).as("fp"))
+        val docs = Tables.documents(s, d)
+        val v2 = docs
+          .filter(col("doc_id") % 13 =!= 0)
+          .select(col("doc_id"), col("source"),
+            when(col("doc_id") % 11 === 0, col("n_chars") + 9L)
+              .otherwise(col("n_chars")).as("n_chars"),
+            when(col("doc_id") % 11 === 0,
+              md5(concat(lit("edited: "), col("text"))))
+              .otherwise(md5(col("text"))).as("fp"))
+          .unionByName(docs.filter(col("doc_id") % 17 === 0)
+            .select((col("doc_id") + 3000000L).as("doc_id"), col("source"),
+              col("n_chars"), md5(concat(lit("fork: "), col("text")))
+                .as("fp")))
+        v1.select(col("doc_id"), col("source").as("s1"),
+          col("n_chars").as("c1"), col("fp").as("f1"))
+          .join(v2.select(col("doc_id"), col("source").as("s2"),
+            col("n_chars").as("c2"), col("fp").as("f2")),
+            Seq("doc_id"), "full_outer")
+          .select(coalesce(col("s1"), col("s2")).as("source"),
+            when(col("f1").isNull, 1L).otherwise(0L).as("is_added"),
+            when(col("f2").isNull, 1L).otherwise(0L).as("is_removed"),
+            when(col("f1").isNotNull && col("f2").isNotNull &&
+              col("f1") =!= col("f2"), 1L).otherwise(0L).as("is_modified"),
+            when(col("f1").isNotNull && col("f2").isNotNull &&
+              col("f1") === col("f2"), 1L).otherwise(0L).as("is_unchanged"),
+            (coalesce(col("c2"), lit(0L)) - coalesce(col("c1"), lit(0L)))
+              .as("cd"))
+          .groupBy(col("source"))
+          .agg(sum(col("is_added")).as("n_added"),
+            sum(col("is_removed")).as("n_removed"),
+            sum(col("is_modified")).as("n_modified"),
+            sum(col("is_unchanged")).as("n_unchanged"),
+            sum(col("cd")).as("char_delta"))
+          .orderBy(col("source"))
+      },
+      Some {
+        s"""WITH v1 AS (SELECT doc_id, source, n_chars, md5(text) AS fp
+            FROM documents),
+          v2 AS (
+            SELECT doc_id, source,
+              CASE WHEN doc_id % 11 = 0 THEN n_chars + 9
+                ELSE n_chars END AS n_chars,
+              CASE WHEN doc_id % 11 = 0 THEN md5('edited: ' || text)
+                ELSE md5(text) END AS fp
+            FROM documents WHERE doc_id % 13 <> 0
+            UNION ALL
+            SELECT doc_id + 3000000 AS doc_id, source, n_chars,
+              md5('fork: ' || text) AS fp
+            FROM documents WHERE doc_id % 17 = 0),
+          j AS (SELECT COALESCE(v1.source, v2.source) AS source,
+              CASE WHEN v1.fp IS NULL THEN 1 ELSE 0 END AS is_added,
+              CASE WHEN v2.fp IS NULL THEN 1 ELSE 0 END AS is_removed,
+              CASE WHEN v1.fp IS NOT NULL AND v2.fp IS NOT NULL
+                AND v1.fp <> v2.fp THEN 1 ELSE 0 END AS is_modified,
+              CASE WHEN v1.fp IS NOT NULL AND v2.fp IS NOT NULL
+                AND v1.fp = v2.fp THEN 1 ELSE 0 END AS is_unchanged,
+              COALESCE(v2.n_chars, 0) - COALESCE(v1.n_chars, 0) AS cd
+            FROM v1 FULL OUTER JOIN v2 ON v2.doc_id = v1.doc_id)
+          SELECT source,
+            CAST(SUM(is_added) AS BIGINT) AS n_added,
+            CAST(SUM(is_removed) AS BIGINT) AS n_removed,
+            CAST(SUM(is_modified) AS BIGINT) AS n_modified,
+            CAST(SUM(is_unchanged) AS BIGINT) AS n_unchanged,
+            CAST(SUM(cd) AS BIGINT) AS char_delta
+          FROM j GROUP BY 1 ORDER BY source"""
+      })
+
+    Seq(q140, q141, q142, q143, q144, q146, q147)
   }
 }

@@ -104,6 +104,64 @@ class SampleGraphSpec extends SparkSpec {
     assert(bySrc("s3")._4 === 1000000L, "planted block proxy value")
   }
 
+  test("q144: wider JL projection dominates on distortion; signs are ±1") {
+    // the k dial's measured law on the real fixture: k=32 must beat k=8
+    // in aggregate and in (almost) every bucket on the SAME pairs
+    val rows = graft.SparkEntry.queries("q144_jl_projection")(
+      spark, "/root/testdata/sf0.001")
+      .select("jl_dims", "bucket", "n_pairs", "avg_dist_ppm", "max_dist_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    val k8 = rows.filter(_._1 == 8L).map(r => r._2 -> r._4).toMap
+    val k32 = rows.filter(_._1 == 32L).map(r => r._2 -> r._4).toMap
+    assert(k8.keySet === k32.keySet)
+    val agg8 = k8.values.sum / k8.size
+    val agg32 = k32.values.sum / k32.size
+    assert(agg32 * 100 < agg8 * 75,
+      s"k=32 avg distortion $agg32 not <0.75x of k=8's $agg8 " +
+        "(1/sqrt(k) law broken)")
+    // the sign matrix is deterministic ±1 with both signs present per row
+    SampleGraphOps.jlSigns(8, 64).foreach { row =>
+      assert(row.forall(s => s == 1.0 || s == -1.0))
+      assert(row.contains(1.0) && row.contains(-1.0))
+    }
+    assert(SampleGraphOps.jlSigns(8, 64) === SampleGraphOps.jlSigns(8, 64))
+  }
+
+  test("q146: the PR curve traverses all three regimes on the fixture") {
+    val rows = graft.SparkEntry.queries("q146_threshold_sweep")(
+      spark, "/root/testdata/sf0.001")
+      .select("t", "tp", "fp", "fn", "precision_ppm", "recall_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    val byT = rows.map(r => r._1 -> r).toMap
+    assert(byT(1000000L)._6 === 0L, "zero recall below the planted band")
+    assert(byT(2000000L)._5 === 1000000L && byT(2000000L)._6 === 1000000L,
+      "perfect plateau at the shipping threshold")
+    assert(byT(4000000L)._5 < 1000000L && byT(4000000L)._6 === 1000000L,
+      "precision decays once organic docs cross")
+    // recall is monotone non-decreasing in the threshold
+    val recalls = rows.sortBy(_._1).map(_._6)
+    recalls.zip(recalls.tail).foreach { case (a, b) => assert(b >= a) }
+  }
+
+  test("q147: diff classification on hand-labelled ids") {
+    // id 13 -> removed; id 11 -> modified (+9 chars); id 17 -> unchanged
+    // AND forked (added); id 1 -> unchanged
+    val dir = corpusDir(Seq(
+      (13L, "gone", "en", "s13", 4L),
+      (11L, "edit", "en", "s11", 4L),
+      (17L, "fork", "en", "s17", 4L),
+      (1L, "keep", "en", "s1", 4L)))
+    val rows = graft.SparkEntry.queries("q147_snapshot_diff")(spark, dir)
+      .select("source", "n_added", "n_removed", "n_modified", "n_unchanged",
+        "char_delta")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    val bySrc = rows.map(r => r._1 -> r).toMap
+    assert(bySrc("s13") === ("s13", 0L, 1L, 0L, 0L, -4L))
+    assert(bySrc("s11") === ("s11", 0L, 0L, 1L, 0L, 9L))
+    assert(bySrc("s17") === ("s17", 1L, 0L, 0L, 1L, 4L))
+    assert(bySrc("s1") === ("s1", 0L, 0L, 0L, 1L, 0L))
+  }
+
   test("q143: later merge steps select pairs containing earlier merges") {
     // 'abc' x5: step 1 takes 'ab' (tie with 'bc' broken lexicographically),
     // step 2 MUST take chr(1)||'c' — the interaction one kernel step
