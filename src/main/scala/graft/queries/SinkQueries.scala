@@ -138,12 +138,58 @@ object SinkQueries {
         FROM documents GROUP BY 1 ORDER BY source"""
     })
 
-  /** Untimed pre-stage hook for Bench's warmup (q129's layout; q130
-    * rebuilds its store every call by design).
+  /** L77: columnar-interchange round-trip (ORC). A 100 TB training
+    * pipeline rarely lives alone — corpus snapshots are exchanged with
+    * engines whose native format is ORC, and "the export is faithful"
+    * deserves the same read-back gate as the parquet sinks (q129/q130):
+    * the export is staged once (Staging.once — the write is setup, the
+    * gated operator is the round-trip), read back through Spark's ORC
+    * scan, and reduced to a per-(source, lang) profile with counts,
+    * char sums, and the established fingerprint checksum
+    * (`sum(md5-prefix % 1000003)`); the oracle recomputes the profile
+    * straight from the parquet `documents`, so any row the ORC
+    * round-trip lost, duplicated, or mangled — or any value the
+    * encoder/decoder perturbed — diverges the hash gate. At 100 TB:
+    * one write + one columnar scan with pushdown, a map-side-combined
+    * |sources×langs|-row aggregate; no shuffle beyond it.
+    */
+  val q145 = GraftQuery(
+    "q145_orc_interchange", "L77 K7",
+    (s, d) => {
+      val path = Staging.once(d, "orc_interchange_v1") { p =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("n_chars"),
+            TextFunctions.md5Fingerprint(col("text")).as("fp"))
+          .write.mode("overwrite").orc(p)
+      }
+      s.read.orc(path)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("fp") % lit(1000003L)).as("fp_mod_sum"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some {
+      val fp = TextFunctions.md5FingerprintSql("text")
+      s"""SELECT source, lang, COUNT(*) AS n_docs,
+          MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          CAST(SUM($fp % 1000003) AS BIGINT) AS fp_mod_sum
+        FROM documents GROUP BY 1, 2 ORDER BY source, lang"""
+    })
+
+  /** Untimed pre-stage hook for Bench's warmup (q129's layout and
+    * q145's ORC export; q130 rebuilds its store every call by design).
     */
   def stageAll(s: SparkSession, d: String): Unit = {
-    stageShardLayout(s, d); ()
+    stageShardLayout(s, d)
+    // constructing q145's frame runs its Staging.once write if absent
+    q145.run(s, d)
+    ()
   }
 
-  val all: Seq[GraftQuery] = Seq(q129, q130)
+  val all: Seq[GraftQuery] = Seq(q129, q130, q145)
 }

@@ -215,7 +215,13 @@ object ScaleRehearsal {
       // unrolled BPE loop (corpus collapses to the vocab frame once;
       // the 4 merge steps are vocab-sized)
       "q140_priority_sample", "q141_graph_centrality",
-      "q142_entropy_quality", "q143_bpe_train_loop")
+      "q142_entropy_quality", "q143_bpe_train_loop",
+      // ...and the JL projection (map-side constant-bytecode dots + an
+      // id-keyed stride-sample join - wall should track the scan)
+      "q144_jl_projection",
+      // governance tier: threshold sweep (one signal pass + a broadcast
+      // 8-row cross) and snapshot diff (one full-outer id join)
+      "q146_threshold_sweep", "q147_snapshot_diff")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)
