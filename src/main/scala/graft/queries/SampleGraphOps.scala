@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -90,6 +90,69 @@ object SampleGraphOps {
   private[graft] def jlSigns(k: Int, dims: Int): Seq[Seq[Double]] =
     (0 until k).map(i => (0 until dims).map(j =>
       if ((Sketches.h64Scala(s"jl:$i:$j") & 1L) == 0L) 1.0 else -1.0))
+
+  /** L74's per-document signal — (doc_id, source, pos, hp) with the %41
+    * plant applied — ONE construction shared by the filter (q142) and
+    * its governance curve (q146) so signal and sweep can never diverge.
+    * `pos` is the planted-positive label (1 on the plant slice).
+    */
+  private def entropyPerDoc(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % EntropyPlantStride === 0,
+          lit(LowEntropyBlock)).otherwise(col("text")).as("text"))
+      .filter(length(col("text")) >= 1)
+      .withColumn("nn", least(length(col("text")), lit(EntropyCap)))
+      // spread before the 512x char explode (single-split scan
+      // otherwise serializes the whole probe — see q141's note)
+      .repartition(col("doc_id"))
+    src
+      .select(col("doc_id"), col("source"), col("nn"),
+        explode(expr("sequence(1, nn)")).as("i"), col("text"))
+      .select(col("doc_id"), col("source"), col("nn"),
+        expr("substring(text, i, 1)").as("c"))
+      .groupBy(col("doc_id"), col("source"), col("nn"), col("c"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg((sum(col("n") *
+        (length(bin(expr("nn div n"))) - 1)) * 1000000L / max(col("nn")))
+        .cast("long").as("hp"))
+      .withColumn("pos",
+        when(col("doc_id") % EntropyPlantStride === 0, 1L).otherwise(0L))
+  }
+
+  /** DuckDB twin of [[entropyPerDoc]] as CTEs ending in
+    * `h(doc_id, source, hp, pos)`.
+    */
+  private def entropyCtesSql: String =
+    s"""src AS (SELECT doc_id, source,
+          CASE WHEN doc_id % $EntropyPlantStride = 0
+            THEN '$LowEntropyBlock' ELSE text END AS text
+        FROM documents WHERE length(CASE WHEN
+          doc_id % $EntropyPlantStride = 0 THEN '$LowEntropyBlock'
+          ELSE text END) >= 1),
+      ch AS (SELECT doc_id, source,
+          LEAST(length(text), $EntropyCap) AS nn, substr(text, i, 1) AS c
+        FROM (SELECT doc_id, source, text,
+            unnest(generate_series(1, LEAST(length(text), $EntropyCap)))
+              AS i FROM src)),
+      cc AS (SELECT doc_id, source, nn, c, COUNT(*) AS n
+        FROM ch GROUP BY 1, 2, 3, 4),
+      h AS (SELECT doc_id, source,
+          CAST(SUM(n * (length(format('{:b}', nn // n)) - 1))
+            AS BIGINT) * 1000000 // MAX(nn) AS hp,
+          CASE WHEN doc_id % $EntropyPlantStride = 0
+            THEN 1 ELSE 0 END AS pos
+        FROM cc GROUP BY 1, 2)"""
+
+  /** L81 hash ring: the id space is [0, 2^60) (the portable-hash range);
+    * Step is a fixed large odd stride (~0.3861·M, away from simple
+    * fractions of M so consecutive j probes land in unrelated ring
+    * regions); K negatives per anchor.
+    */
+  private[queries] val RingMod = 1152921504606846976L // 2^60
+  private[queries] val RingStep = 445197591383046733L
+  private[queries] val RingNegK = 3
 
   /** L75 merge-step count: the BPE trainer's first this-many merges,
     * each realized into the vocab with a private-use placeholder char
@@ -278,28 +341,7 @@ object SampleGraphOps {
     val q142 = GraftQuery(
       "q142_entropy_quality", "L74 L9",
       (s, d) => {
-        val src = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            when(col("doc_id") % EntropyPlantStride === 0,
-              lit(LowEntropyBlock)).otherwise(col("text")).as("text"))
-          .filter(length(col("text")) >= 1)
-          .withColumn("nn", least(length(col("text")), lit(EntropyCap)))
-          // spread before the 512x char explode (single-split scan
-          // otherwise serializes the whole probe — see q141's note)
-          .repartition(col("doc_id"))
-        val cc = src
-          .select(col("doc_id"), col("source"), col("nn"),
-            explode(expr(s"sequence(1, nn)")).as("i"),
-            col("text"))
-          .select(col("doc_id"), col("source"), col("nn"),
-            expr("substring(text, i, 1)").as("c"))
-          .groupBy(col("doc_id"), col("source"), col("nn"), col("c"))
-          .agg(count(lit(1)).as("n"))
-        val h = cc.groupBy(col("doc_id"), col("source"))
-          .agg((sum(col("n") *
-            (length(bin(expr("nn div n"))) - 1)) * 1000000L / max(col("nn")))
-            .cast("long").as("hp"))
-        h.groupBy(col("source"))
+        entropyPerDoc(s, d).groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("hp") < EntropyLowPpm, 1L).otherwise(0L))
               .as("n_low"),
@@ -309,23 +351,7 @@ object SampleGraphOps {
           .orderBy(col("source"))
       },
       Some {
-        s"""WITH src AS (SELECT doc_id, source,
-              CASE WHEN doc_id % $EntropyPlantStride = 0
-                THEN '$LowEntropyBlock' ELSE text END AS text
-            FROM documents WHERE length(CASE WHEN
-              doc_id % $EntropyPlantStride = 0 THEN '$LowEntropyBlock'
-              ELSE text END) >= 1),
-          ch AS (SELECT doc_id, source,
-              LEAST(length(text), $EntropyCap) AS nn, substr(text, i, 1) AS c
-            FROM (SELECT doc_id, source, text,
-                unnest(generate_series(1, LEAST(length(text), $EntropyCap)))
-                  AS i FROM src)),
-          cc AS (SELECT doc_id, source, nn, c, COUNT(*) AS n
-            FROM ch GROUP BY 1, 2, 3, 4),
-          h AS (SELECT doc_id, source,
-              CAST(SUM(n * (length(format('{:b}', nn // n)) - 1))
-                AS BIGINT) * 1000000 // MAX(nn) AS hp
-            FROM cc GROUP BY 1, 2)
+        s"""WITH $entropyCtesSql
           SELECT source, COUNT(*) AS n_docs,
             CAST(SUM(CASE WHEN hp < $EntropyLowPpm THEN 1 ELSE 0 END)
               AS BIGINT) AS n_low,
@@ -532,27 +558,7 @@ object SampleGraphOps {
     val q146 = GraftQuery(
       "q146_threshold_sweep", "L78 L74 L35",
       (s, d) => {
-        val src = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            when(col("doc_id") % EntropyPlantStride === 0,
-              lit(LowEntropyBlock)).otherwise(col("text")).as("text"))
-          .filter(length(col("text")) >= 1)
-          .withColumn("nn", least(length(col("text")), lit(EntropyCap)))
-          .repartition(col("doc_id"))
-        val cc = src
-          .select(col("doc_id"), col("nn"),
-            explode(expr(s"sequence(1, nn)")).as("i"), col("text"))
-          .select(col("doc_id"), col("nn"),
-            expr("substring(text, i, 1)").as("c"))
-          .groupBy(col("doc_id"), col("nn"), col("c"))
-          .agg(count(lit(1)).as("n"))
-        val h = cc.groupBy(col("doc_id"))
-          .agg((sum(col("n") *
-            (length(bin(expr("nn div n"))) - 1)) * 1000000L / max(col("nn")))
-            .cast("long").as("hp"))
-          .withColumn("pos",
-            when(col("doc_id") % EntropyPlantStride === 0, 1L)
-              .otherwise(0L))
+        val h = entropyPerDoc(s, d)
         val thresholds = s.range(1, 9)
           .select((col("id") * 500000L).as("t"))
         h.crossJoin(broadcast(thresholds))
@@ -571,25 +577,7 @@ object SampleGraphOps {
           .orderBy(col("t"))
       },
       Some {
-        s"""WITH src AS (SELECT doc_id,
-              CASE WHEN doc_id % $EntropyPlantStride = 0
-                THEN '$LowEntropyBlock' ELSE text END AS text
-            FROM documents WHERE length(CASE WHEN
-              doc_id % $EntropyPlantStride = 0 THEN '$LowEntropyBlock'
-              ELSE text END) >= 1),
-          ch AS (SELECT doc_id, LEAST(length(text), $EntropyCap) AS nn,
-              substr(text, i, 1) AS c
-            FROM (SELECT doc_id, text,
-                unnest(generate_series(1, LEAST(length(text), $EntropyCap)))
-                  AS i FROM src)),
-          cc AS (SELECT doc_id, nn, c, COUNT(*) AS n
-            FROM ch GROUP BY 1, 2, 3),
-          h AS (SELECT doc_id,
-              CAST(SUM(n * (length(format('{:b}', nn // n)) - 1))
-                AS BIGINT) * 1000000 // MAX(nn) AS hp,
-              CASE WHEN doc_id % $EntropyPlantStride = 0
-                THEN 1 ELSE 0 END AS pos
-            FROM cc GROUP BY doc_id),
+        s"""WITH $entropyCtesSql,
           th AS (SELECT t * 500000 AS t
             FROM unnest(generate_series(1, 8)) u(t)),
           pr AS (SELECT t,
@@ -693,6 +681,95 @@ object SampleGraphOps {
           FROM j GROUP BY 1 ORDER BY source"""
       })
 
-    Seq(q140, q141, q142, q143, q144, q146, q147)
+    /* L81: hash-ring negative sampling — the contrastive-training data
+     * generator ("for each anchor, k reproducible pseudo-random
+     * negatives"): documents sit on a hash ring at h = h64("ring:" ||
+     * doc_id); anchor a's j-th negative is the ring SUCCESSOR of
+     * (h_a + j·Step) mod 2^60 — uniform, stateless, reproducible under
+     * appends (only ring neighbors of an inserted doc change), and
+     * engine-portable. The successor lookup is the bucketed-asof shape
+     * (J12): the ring partitions into 64 contiguous hash ranges by the
+     * top bits, a probe's successor is in ITS bucket or is the minimum
+     * of the next non-empty bucket (buckets are contiguous, so the
+     * fallback is exact, not approximate) — within-bucket join + a
+     * broadcast 64-row bucket-minimum frame + global-min wraparound; the
+     * oracle computes the same successor with a direct min-over-range
+     * subquery, so the hash gate proves the bucketed decomposition. Self
+     * hits (a probe landing back on its own anchor) are emitted as a
+     * flag, not silently dropped. At 100 TB: anchors are a strided
+     * sample, the within-bucket join shuffles on the bucket key only,
+     * the fallback frames are |buckets|-row broadcasts. */
+    val q149 = GraftQuery(
+      "q149_negative_sampling", "L81 J12",
+      (s, d) => {
+        val M = RingMod
+        val ring = Tables.documents(s, d)
+          .select(Sketches.h64(concat(lit("ring:"),
+            col("doc_id").cast("string"))).as("rh"), col("doc_id"))
+          .groupBy(col("rh")).agg(min(col("doc_id")).as("rid"))
+          .withColumn("rb", shiftright(col("rh"), 54))
+        val probes = Tables.documents(s, d)
+          .filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id").as("anchor"),
+            Sketches.h64(concat(lit("ring:"),
+              col("doc_id").cast("string"))).as("ah"))
+          .crossJoin(broadcast(s.range(1, RingNegK + 1)
+            .select(col("id").as("j"))))
+          .withColumn("p", (col("ah") + col("j") * lit(RingStep)) % lit(M))
+          .withColumn("pb", shiftright(col("p"), 54))
+        val within = probes.join(ring,
+            probes("pb") === ring("rb") && ring("rh") >= probes("p"))
+          .groupBy(col("anchor"), col("j"))
+          .agg(min(struct(col("rh"), col("rid"))).as("w"))
+          .select(col("anchor"), col("j"), col("w.rh").as("wrh"),
+            col("w.rid").as("wrid"))
+        val bmins = ring.groupBy(col("rb"))
+          .agg(min(struct(col("rh"), col("rid"))).as("m"))
+          .select(col("rb"), col("m.rh").as("brh"), col("m.rid").as("brid"))
+        val gmin = ring.agg(min(struct(col("rh"), col("rid"))).as("g"))
+          .select(col("g.rh").as("grh"), col("g.rid").as("grid"))
+        val nextb = probes.join(broadcast(bmins),
+            col("rb") > col("pb"), "left")
+          .groupBy(col("anchor"), col("j"))
+          .agg(min(struct(col("rb"), col("brh"), col("brid"))).as("n"))
+          .select(col("anchor"), col("j"), col("n.brh").as("nrh"),
+            col("n.brid").as("nrid"))
+        probes.select(col("anchor"), col("ah"), col("j"), col("p"))
+          .join(within, Seq("anchor", "j"), "left")
+          .join(nextb, Seq("anchor", "j"), "left")
+          .crossJoin(broadcast(gmin))
+          .select(col("anchor"), col("j"), col("p"),
+            coalesce(col("wrid"), col("nrid"), col("grid")).as("neg_doc"),
+            when(col("wrid").isNull && col("nrid").isNull, 1L).otherwise(0L)
+              .as("wrapped"),
+            when(coalesce(col("wrid"), col("nrid"), col("grid"))
+              === col("anchor"), 1L).otherwise(0L).as("self_hit"))
+          .orderBy(col("anchor"), col("j"))
+      },
+      Some {
+        val h = Sketches.h64Sql("'ring:' || doc_id")
+        s"""WITH ring AS (SELECT rh, MIN(doc_id) AS rid FROM
+              (SELECT $h AS rh, doc_id FROM documents) GROUP BY 1),
+          pr AS (SELECT doc_id AS anchor,
+              ($h + j * $RingStep) % $RingMod AS p, j
+            FROM documents CROSS JOIN
+              (SELECT unnest(generate_series(1, $RingNegK)) AS j) js
+            WHERE doc_id % 29 = 0),
+          sx AS (SELECT anchor, j, p,
+              (SELECT MIN(rh) FROM ring WHERE rh >= pr.p) AS srh,
+              (SELECT MIN(rh) FROM ring) AS grh
+            FROM pr)
+          SELECT anchor, j, p,
+            (SELECT rid FROM ring
+              WHERE rh = COALESCE(sx.srh, sx.grh)) AS neg_doc,
+            CAST(CASE WHEN srh IS NULL THEN 1 ELSE 0 END AS BIGINT)
+              AS wrapped,
+            CAST(CASE WHEN (SELECT rid FROM ring
+              WHERE rh = COALESCE(sx.srh, sx.grh)) = anchor
+              THEN 1 ELSE 0 END AS BIGINT) AS self_hit
+          FROM sx ORDER BY anchor, j"""
+      })
+
+    Seq(q140, q141, q142, q143, q144, q146, q147, q149)
   }
 }

@@ -181,15 +181,57 @@ object SinkQueries {
         FROM documents GROUP BY 1, 2 ORDER BY source, lang"""
     })
 
-  /** Untimed pre-stage hook for Bench's warmup (q129's layout and
-    * q145's ORC export; q130 rebuilds its store every call by design).
+  /** L80: JSONL interchange round-trip — the same read-back gate as the
+    * ORC export (q145) for the format training-data pipelines actually
+    * exchange most: newline-delimited JSON. The text column makes this a
+    * REAL escaping test — every quote, backslash, control char and
+    * non-ASCII byte must survive write-escape → parse-unescape exactly,
+    * which the gate proves with a full-text portable-hash checksum (any
+    * mangled byte moves `sum(h64(text) % 1000003)`), not just counts.
+    * The read back uses the explicit schema (inference is a scan of its
+    * own and can widen types). At 100 TB: one write + one line-splittable
+    * scan, a map-side-combined |sources|-row aggregate.
+    */
+  val q148 = GraftQuery(
+    "q148_jsonl_interchange", "L80 K7",
+    (s, d) => {
+      val path = Staging.once(d, "jsonl_interchange_v1") { p =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+          .write.mode("overwrite").json(p)
+      }
+      s.read.schema("doc_id LONG, text STRING, lang STRING, " +
+        "source STRING, n_chars LONG").json(path)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(graft.functions.Sketches.h64(col("text")) % lit(1000003L))
+            .as("text_hash_sum"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val h = graft.functions.Sketches.h64Sql("text")
+      s"""SELECT source, COUNT(*) AS n_docs,
+          MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          CAST(SUM($h % 1000003) AS BIGINT) AS text_hash_sum
+        FROM documents GROUP BY 1 ORDER BY source"""
+    })
+
+  /** Untimed pre-stage hook for Bench's warmup (q129's layout and the
+    * q145/q148 interchange exports; q130 rebuilds its store every call
+    * by design). Constructing the interchange frames runs their
+    * Staging.once writes if absent.
     */
   def stageAll(s: SparkSession, d: String): Unit = {
     stageShardLayout(s, d)
-    // constructing q145's frame runs its Staging.once write if absent
     q145.run(s, d)
+    q148.run(s, d)
     ()
   }
 
-  val all: Seq[GraftQuery] = Seq(q129, q130, q145)
+  val all: Seq[GraftQuery] = Seq(q129, q130, q145, q148)
 }

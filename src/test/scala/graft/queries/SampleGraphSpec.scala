@@ -162,6 +162,48 @@ class SampleGraphSpec extends SparkSpec {
     assert(bySrc("s1") === ("s1", 0L, 0L, 0L, 1L, 0L))
   }
 
+  test("q148: JSONL round-trip survives hostile text byte-exactly") {
+    // quotes, backslashes, newlines, tabs, unicode — the escaping paths
+    val nasty = Seq(
+      (1L, "plain words", "en", "sA", 11L),
+      (2L, "he said \"hi\" \\ twice", "en", "sA", 20L),
+      (3L, "line1\nline2\ttabbed", "en", "sB", 18L),
+      (4L, "unicode ✓ emoji é中文", "en", "sB", 20L))
+    val dir = corpusDir(nasty)
+    val rows = graft.SparkEntry.queries("q148_jsonl_interchange")(spark, dir)
+      .select("source", "n_docs", "text_hash_sum")
+      .as[(String, Long, Long)].collect().toList.sortBy(_._1)
+    import graft.functions.Sketches
+    def expect(src: String) = nasty.filter(_._4 == src)
+      .map(r => Sketches.h64Scala(r._2) % 1000003L).sum
+    assert(rows === List(("sA", 2L, expect("sA")), ("sB", 2L, expect("sB"))))
+  }
+
+  test("q149: ring successors match a direct Scala computation") {
+    val ids = Seq(29L, 58L, 87L, 3L, 7L, 19L, 44L, 100L)
+    val dir = corpusDir(ids.map(i => (i, s"t$i", "en", "s", 5L)))
+    import graft.functions.Sketches
+    val ring = ids.map(i => Sketches.h64Scala(s"ring:$i") -> i).sortBy(_._1)
+    def successor(p: Long): (Long, Boolean) =
+      ring.find(_._1 >= p).map(r => (r._2, false))
+        .getOrElse((ring.head._2, true))
+    val expected = ids.filter(_ % 29 == 0).sorted.flatMap { a =>
+      val ah = Sketches.h64Scala(s"ring:$a")
+      (1 to SampleGraphOps.RingNegK).map { j =>
+        val p = java.lang.Math.floorMod(
+          ah + j * SampleGraphOps.RingStep, SampleGraphOps.RingMod)
+        val (neg, wrapped) = successor(p)
+        (a, j.toLong, neg, if (wrapped) 1L else 0L,
+          if (neg == a) 1L else 0L)
+      }
+    }
+    val rows = graft.SparkEntry.queries("q149_negative_sampling")(spark, dir)
+      .select("anchor", "j", "neg_doc", "wrapped", "self_hit")
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(rows === expected)
+    assert(rows.exists(_._4 == 1L) || rows.forall(_._4 == 0L))
+  }
+
   test("q143: later merge steps select pairs containing earlier merges") {
     // 'abc' x5: step 1 takes 'ab' (tie with 'bc' broken lexicographically),
     // step 2 MUST take chr(1)||'c' — the interaction one kernel step
