@@ -56,7 +56,7 @@ object SparkEntry {
   def registry: Seq[GraftQuery] =
     Relational.all ++ Temporal.all ++ GeoQueries.all ++ Scalar.all ++
       DslQueries.all ++ LlmPipeline.all ++ LlmCuration.all ++ CorpusOps.all ++
-      TextCorpusOps.all ++ SampleGraphOps.all ++
+      TextCorpusOps.all ++ SampleGraphOps.all ++ CorpusShapingOps.all ++
       IngestQueries.all ++ RasterQueries.all ++
       SinkJoinQueries.all ++ SourceQueries.all ++ WindowFilterQueries.all ++
       ScalarPackQueries.all ++ SinkQueries.all

@@ -221,7 +221,17 @@ object ScaleRehearsal {
       "q144_jl_projection",
       // governance tier: threshold sweep (one signal pass + a broadcast
       // 8-row cross) and snapshot diff (one full-outer id join)
-      "q146_threshold_sweep", "q147_snapshot_diff")
+      "q146_threshold_sweep", "q147_snapshot_diff",
+      // round-15 additions: negative sampling (within-bucket join on the
+      // ring-bucket key — wall should track the anchor sample), BPE
+      // encode (map-side chained replace — wall tracks the scan), bitext
+      // mining (two corpus passes × a strided anchor budget — the anchor
+      // count is the cost dial, NOT |A|×|B|), domain cap (a window over
+      // millions of domain keys; the megasite partition is the skew
+      // term) and the bootstrap (a constant 16× map-side multiply
+      // collapsed by a map-side-combined (source, replicate) aggregate)
+      "q149_negative_sampling", "q150_bpe_encode_roundtrip",
+      "q151_bitext_mining", "q152_domain_quota_cap", "q153_bootstrap_ci")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)
