@@ -102,7 +102,28 @@ object CorpusShapingOps {
     * stand-in: nonnegative, mean-normalizable, engine-portable). Totals
     * therefore estimate 2× the truth; every readout divides by 2·R or 2.
     */
-  private[queries] val BootReps = 16
+  private[graft] val BootReps = 16
+
+  /** L85's per-(source, replicate) exact partials over ANY
+    * (doc_id, source, n_chars) frame — the kernel shared by q153 and the
+    * streaming form ([[graft.streaming.StreamingBootstrap]]), so the
+    * batch gate and the stream state can never diverge on the draw.
+    * Emits (source, b, nd, exact_chars, t2); every column is an
+    * associative BIGINT sum/count, which is exactly why the streaming
+    * form's add-merge is stream==batch exact.
+    */
+  private[graft] def bootstrapReplicates(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(col("doc_id"), col("source"), col("n_chars"))
+      .crossJoin(broadcast(df.sparkSession.range(1, BootReps + 1)
+        .select(col("id").as("b"))))
+      .withColumn("h", Sketches.h64(concat(col("b").cast("string"),
+        lit(":bs:"), col("doc_id").cast("string"))))
+      .groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("nd"),
+        sum(col("n_chars")).as("exact_chars"),
+        sum(expr("bit_count(h & 15)").cast("long") * col("n_chars"))
+          .as("t2"))
 
   def all: Seq[GraftQuery] = {
 
@@ -265,26 +286,45 @@ object CorpusShapingOps {
      * the corpus, the megasite), else one of DomTail tail domains — so
      * the cap fires on domain 0 at every gated SF while the tail passes
      * untouched (tail expectation ≤ ~0.85% of corpus per domain). At
-     * 100 TB: the window partitions by domain (millions of keys — no
-     * single-task window), map-side rollup to |sources| rows; a true
-     * megasite partition is bounded by a pre-aggregated count cap
-     * upstream in production, same plan shape. */
+     * 100 TB a megasite IS a mega-partition, so the top-Cap selection
+     * runs as an exact SALTED two-level TakeOrdered instead of one
+     * window over the domain: per (domain, salt in [0,16)) keep the
+     * local top-Cap (largest sort partition = 1/16 of the megasite),
+     * then the global top-Cap of the <= 16*Cap-row union per domain —
+     * exact, because every global top-Cap doc is top-Cap within its own
+     * salt — and every doc classifies kept/dropped via one join on
+     * doc_id against the tiny kept set. No single-task sort anywhere;
+     * the oracle keeps the plain one-window form (same semantics), so
+     * the hash gate also proves the salted decomposition equals the
+     * naive ranking. */
     val q152 = GraftQuery(
       "q152_domain_quota_cap", "L84 L24 L21",
       (s, d) => {
         val h = Sketches.h64(concat(lit("dom:"), col("doc_id").cast("string")))
-        val ranked = Tables.documents(s, d)
+        val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("n_chars"))
           .withColumn("dom",
             when(h % 4 === 0, 0L).otherwise(lit(1L) + h % DomTail))
-          .withColumn("rk", row_number().over(Window.partitionBy(col("dom"))
-            .orderBy(col("n_chars").desc, col("doc_id"))))
-        ranked.groupBy(col("source"))
+        val salted = docs.withColumn("salt",
+            Sketches.h64(concat(lit("salt:"), col("doc_id").cast("string")))
+              % 16)
+          .withColumn("rk1", row_number().over(
+            Window.partitionBy(col("dom"), col("salt"))
+              .orderBy(col("n_chars").desc, col("doc_id"))))
+          .filter(col("rk1") <= DomCap)
+        val kept = salted.withColumn("rk", row_number().over(
+            Window.partitionBy(col("dom"))
+              .orderBy(col("n_chars").desc, col("doc_id"))))
+          .filter(col("rk") <= DomCap)
+          .select(col("doc_id").as("kept_id"))
+        docs.join(kept, col("doc_id") === col("kept_id"), "left")
+          .withColumn("is_kept", col("kept_id").isNotNull)
+          .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("rk") <= DomCap, 1L).otherwise(0L)).as("n_kept"),
-            sum(when(col("rk") > DomCap, 1L).otherwise(0L)).as("n_dropped"),
+            sum(when(col("is_kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(!col("is_kept"), 1L).otherwise(0L)).as("n_dropped"),
             count_distinct(col("dom")).as("n_domains"),
-            count_distinct(when(col("rk") > DomCap, col("dom")))
+            count_distinct(when(!col("is_kept"), col("dom")))
               .as("n_capped_domains"))
           .orderBy(col("source"))
       },
@@ -323,17 +363,7 @@ object CorpusShapingOps {
     val q153 = GraftQuery(
       "q153_bootstrap_ci", "L85 L30",
       (s, d) => {
-        val w = expr(s"bit_count(h & 15)").cast("long")
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), col("n_chars"))
-          .crossJoin(broadcast(s.range(1, BootReps + 1)
-            .select(col("id").as("b"))))
-          .withColumn("h", Sketches.h64(concat(col("b").cast("string"),
-            lit(":bs:"), col("doc_id").cast("string"))))
-          .groupBy(col("source"), col("b"))
-          .agg(count(lit(1)).as("nd"),
-            sum(col("n_chars")).as("exact_chars"),
-            sum(w * col("n_chars")).as("t2"))
+        bootstrapReplicates(Tables.documents(s, d))
           .groupBy(col("source"))
           .agg(max(col("nd")).as("n_docs"),
             max(col("exact_chars")).as("exact_chars"),

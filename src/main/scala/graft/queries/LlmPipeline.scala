@@ -76,7 +76,7 @@ object LlmPipeline {
   // last-two-labels is not a registrable domain under these — take three
   private val SecondLevelSuffixes =
     Seq("co.nz", "org.nz", "net.nz", "ac.nz", "govt.nz", "co.uk", "com.au")
-  private val TopK = 5
+  private[queries] val TopK = 5
 
   /** IVF (q70): every CentroidStep-th vector seeds the codebook — K grows
     * with the corpus (~n/63: 8 cells on the 500-row fixtures, 32 at sf0.1),
@@ -88,7 +88,7 @@ object LlmPipeline {
     * premise of IVF — production tuning is K ~ sqrt(n), NProbe ~ K/16.
     */
   private[queries] val CentroidStep = 63
-  private val NProbe = 4
+  private[queries] val NProbe = 4
 
   /** Max members per LSH bucket before [[graft.functions.Skew.dropHotBuckets]]
     * drops the bucket from candidate generation (a bucket of n yields n²/2
@@ -325,7 +325,7 @@ object LlmPipeline {
     * ONE source of truth for the funnel's oracle CTEs (q80 and q86 both
     * interpolate it; the qualityScoreSql de-duplication rule).
     */
-  private def funnelBaseCtesSql: String = {
+  private[queries] def funnelBaseCtesSql: String = {
     val fp = TextFunctions.md5FingerprintSql("text")
     val h = TextFunctions.md5FingerprintSql("'split:' || CAST(d.doc_id AS VARCHAR)")
     val ws = Sketches.wordsSql("text")
@@ -484,6 +484,82 @@ object LlmPipeline {
       .select(col("q_id"), col("rank").cast("long").as("rank"),
         col("vec_id"), col("cell"), col("cos"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** L6 brute-force cosine top-k builder (the ANN correctness baseline;
+    * query set = vec_id % 50 == 0, broadcast against the full table) —
+    * factored out of q38 so the L90 rank-agreement audit (q158) measures
+    * the REGISTERED baseline, not a copy.
+    */
+  private[queries] def bruteTopK(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val e = CacheScope.tracked(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        Sketches.norm(col("embedding"), Dims).as("nrm")))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    broadcast(q).join(e, col("vec_id") =!= col("q_id"))
+      .withColumn("cos", Sketches.cosineFromParts(
+        Sketches.dot(col("qe"), col("embedding"), Dims), col("qn"), col("nrm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** DuckDB twin of [[bruteTopK]]'s ranking as CTEs ending in
+    * `name(q_id, vec_id, cos, rank)` (unfiltered rank — consumers cut at
+    * their own depth). The unrolled cosine lands in a stored column
+    * before the window orders by it (the r13 mmap rule).
+    */
+  private[queries] def bruteRankedCtesSql(name: String): String = {
+    val dot = Sketches.dotSql("q.embedding", "e.embedding", Dims)
+    val qn = Sketches.normSql("q.embedding", Dims)
+    val en = Sketches.normSql("e.embedding", Dims)
+    s"""${name}_pairs AS MATERIALIZED (
+        SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+          ${Sketches.cosineSql(dot, qn, en)} AS cos
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id % 50 = 0),
+      $name AS (SELECT *, row_number() OVER
+        (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        FROM ${name}_pairs)"""
+  }
+
+  /** DuckDB twin of [[ivfTopK]] at the default dials as CTEs ending in
+    * `name(q_id, vec_id, cell, cos, rank)` (unfiltered rank) — factored
+    * out of q70's oracle for the same one-source-of-truth reason, with
+    * its staged MATERIALIZED shapes intact (see q70's scaladoc for the
+    * mmap history).
+    */
+  private[queries] def ivfRankedCtesSql(name: String): String = {
+    val ccos = Sketches.cosineSql(
+      Sketches.dotSql("e.embedding", "c.embedding", Dims),
+      Sketches.normSql("e.embedding", Dims),
+      Sketches.normSql("c.embedding", Dims))
+    val qcos = Sketches.cosineSql(
+      Sketches.dotSql("q.embedding", "e.embedding", Dims),
+      Sketches.normSql("q.embedding", Dims),
+      Sketches.normSql("e.embedding", Dims))
+    s"""${cellAsnCtesSql()},
+      ${name}_prsc AS MATERIALIZED (SELECT e.vec_id AS q_id, c.c_id,
+          $ccos AS ccos
+        FROM embeddings e CROSS JOIN c WHERE e.vec_id % 50 = 0),
+      ${name}_pr AS MATERIALIZED (SELECT q_id, c_id AS cell FROM (
+        SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+          ORDER BY ccos DESC, c_id) AS rn FROM ${name}_prsc)
+        WHERE rn <= $NProbe),
+      ${name}_cand AS (SELECT pr.q_id, a.vec_id, a.cell
+        FROM ${name}_pr pr JOIN asn a ON a.cell = pr.cell
+        WHERE a.vec_id <> pr.q_id),
+      ${name}_scored AS MATERIALIZED (
+        SELECT cand.q_id, cand.vec_id, cand.cell, $qcos AS cos
+        FROM ${name}_cand cand JOIN embeddings q ON q.vec_id = cand.q_id
+          JOIN embeddings e ON e.vec_id = cand.vec_id),
+      $name AS (SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY cos DESC, vec_id) AS rank FROM ${name}_scored)"""
   }
 
   /** Cached narrow embedding frame (id, vector, precomputed norm) — the
@@ -1083,34 +1159,10 @@ object LlmPipeline {
      * set = vec_id % 50 == 0, broadcast against the full table. */
     val q38 = GraftQuery(
       "q38_ann_brute_topk", "L6",
-      (s, d) => {
-        val e = CacheScope.tracked(Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"),
-            Sketches.norm(col("embedding"), Dims).as("nrm")))
-        val q = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
-        broadcast(q).join(e, col("vec_id") =!= col("q_id"))
-          .withColumn("cos", Sketches.cosineFromParts(
-            Sketches.dot(col("qe"), col("embedding"), Dims), col("qn"), col("nrm")))
-          .withColumn("rank", row_number().over(
-            Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
-          .filter(col("rank") <= TopK)
-          .select(col("q_id"), col("rank").cast("long").as("rank"),
-            col("vec_id"), col("cos"))
-          .orderBy(col("q_id"), col("rank"))
-      },
+      (s, d) => bruteTopK(s, d),
       Some {
-        val dot = Sketches.dotSql("q.embedding", "e.embedding", Dims)
-        val qn = Sketches.normSql("q.embedding", Dims)
-        val en = Sketches.normSql("e.embedding", Dims)
-        s"""WITH pairs AS (
-            SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
-              ${Sketches.cosineSql(dot, qn, en)} AS cos
-            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
-            WHERE q.vec_id % 50 = 0),
-          ranked AS (SELECT *, row_number() OVER
-            (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM pairs)
-          SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= $TopK
+        s"""WITH ${bruteRankedCtesSql("br")}
+          SELECT q_id, rank, vec_id, cos FROM br WHERE rank <= $TopK
           ORDER BY q_id, rank"""
       })
 
@@ -1326,14 +1378,6 @@ object LlmPipeline {
       // to measure the recall curve the defaults are chosen from
       (s, d) => ivfTopK(s, d),
       Some {
-        val ccos = Sketches.cosineSql(
-          Sketches.dotSql("e.embedding", "c.embedding", Dims),
-          Sketches.normSql("e.embedding", Dims),
-          Sketches.normSql("c.embedding", Dims))
-        val qcos = Sketches.cosineSql(
-          Sketches.dotSql("q.embedding", "e.embedding", Dims),
-          Sketches.normSql("q.embedding", Dims),
-          Sketches.normSql("e.embedding", Dims))
         // No window may ORDER BY the unrolled cosine directly: DuckDB's
         // per-partition sort state under a 64-wide ordering expression is
         // the single worst allocator-fragmentation shape in the whole
@@ -1342,24 +1386,10 @@ object LlmPipeline {
         // sf0.01), the actual root cause of the r12/r13 driver OOMs
         // (q92/q78 just inherited the exhausted map table). Shared staged
         // asn + scores STORED before every window: ~1k regions, 3× faster,
-        // value-identical (verified at sf0.01 and sf0.1).
-        s"""WITH ${cellAsnCtesSql()},
-          pr_sc AS MATERIALIZED (SELECT e.vec_id AS q_id, c.c_id,
-              $ccos AS ccos
-            FROM embeddings e CROSS JOIN c WHERE e.vec_id % 50 = 0),
-          pr AS MATERIALIZED (SELECT q_id, c_id AS cell FROM (
-            SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
-              ORDER BY ccos DESC, c_id) AS rn FROM pr_sc)
-            WHERE rn <= $NProbe),
-          cand AS (SELECT pr.q_id, a.vec_id, a.cell
-            FROM pr JOIN asn a ON a.cell = pr.cell WHERE a.vec_id <> pr.q_id),
-          scored AS MATERIALIZED (
-            SELECT cand.q_id, cand.vec_id, cand.cell, $qcos AS cos
-            FROM cand JOIN embeddings q ON q.vec_id = cand.q_id
-              JOIN embeddings e ON e.vec_id = cand.vec_id),
-          ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
-              ORDER BY cos DESC, vec_id) AS rank FROM scored)
-          SELECT q_id, rank, vec_id, cell, cos FROM ranked
+        // value-identical (verified at sf0.01 and sf0.1). The CTE chain
+        // lives in [[ivfRankedCtesSql]], shared with the L90 audit (q158).
+        s"""WITH ${ivfRankedCtesSql("ivr")}
+          SELECT q_id, rank, vec_id, cell, cos FROM ivr
           WHERE rank <= $TopK ORDER BY q_id, rank"""
       })
 

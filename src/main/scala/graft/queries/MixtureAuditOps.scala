@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Mixture-allocation and ANN-governance operators (SURVEY §2.11a,
+  * L89–L90):
+  *
+  *  - L89 budget water-filling allocation (DoReMi-lite)        → q157
+  *  - L90 ANN rank-agreement audit (exact vs IVF per depth)    → q158
+  *
+  * Both are governance-by-evidence ops: q157 turns "mix sources at
+  * these weights" into a feasible integer allocation with saturation
+  * bookkeeping; q158 turns the ANN recall story (previously spec-only,
+  * AnnRecallSpec) into an ORACLE-GATED per-depth agreement measurement
+  * between the registered exact baseline (q38's builder) and the
+  * registered IVF path (q70's builder).
+  */
+object MixtureAuditOps {
+
+  /** L89 dials: the corpus share the budget represents (60%), the
+    * number of unrolled water-filling iterations, and the planted
+    * per-source target weights w = 1 + (source index mod 7) — skewed
+    * enough that high-weight sources DEMAND more than they have and
+    * saturate at iteration 1 at every gated SF, exercising the
+    * redistribution branch (the dynamics are scale-invariant: avail and
+    * budget both scale with the corpus).
+    */
+  private[queries] val WfBudgetPct = 60L
+  private[queries] val WfIters = 3
+
+  /** L90 agreement depths (≤ q38/q70's registered TopK = 5). */
+  private[queries] val AgreeDepths = Seq(1L, 3L, 5L)
+
+  def all: Seq[GraftQuery] = {
+
+    /* L89: budget water-filling — the allocator that turns target
+     * mixture weights into a FEASIBLE per-source token allocation when
+     * some sources cannot fill their share (the DoReMi/data-mixing
+     * reality: weights come from a proxy run, availability from the
+     * corpus, and the two disagree): iteration k gives every
+     * unsaturated source demand = remaining_budget · w div Σw_active,
+     * takes min(demand, what's left of the source), marks saturations,
+     * and rolls the un-taken budget forward; 3 unrolled iterations (the
+     * oracle unrolls the same three as chained CTEs — the q141/q143
+     * fixed-iteration convention). All integer; floor dust stays in
+     * `leftover`, accounted, never silently lost. At 100 TB: avail is
+     * one map-side |sources|-row aggregate of the corpus scan;
+     * iterations run ON the |sources|-row frame (broadcast scalar
+     * reductions) — corpus cost is ONE pass regardless of iteration
+     * count. */
+    val q157 = GraftQuery(
+      "q157_budget_waterfill", "L89 L18 L49",
+      (s, d) => {
+        val av = Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("avail"))
+          .withColumn("w",
+            expr("cast(substring(source, 4) as bigint) % 7 + 1"))
+        val bt = av.agg(expr(s"(sum(avail) * $WfBudgetPct) div 100").as("b"))
+        val st0 = av.crossJoin(broadcast(bt))
+          .withColumn("alloc", lit(0L))
+          .withColumn("sat_iter", lit(0L))
+        val stN = (1 to WfIters).foldLeft(st0) { (st, k) =>
+          val sums = st.agg(
+            sum(when(col("alloc") < col("avail"), col("w")).otherwise(0L))
+              .as("sw"),
+            (first(col("b")) - sum(col("alloc"))).as("rem"))
+          st.crossJoin(broadcast(sums))
+            .withColumn("take",
+              when(col("alloc") < col("avail") && col("sw") > 0,
+                least(col("avail") - col("alloc"),
+                  expr("(rem * w) div sw"))).otherwise(lit(0L)))
+            .withColumn("alloc", col("alloc") + col("take"))
+            .withColumn("sat_iter",
+              when(col("sat_iter") === 0 && col("alloc") === col("avail"),
+                lit(k.toLong)).otherwise(col("sat_iter")))
+            .select(col("source"), col("avail"), col("w"), col("b"),
+              col("alloc"), col("sat_iter"))
+        }
+        val left = stN.agg((first(col("b")) - sum(col("alloc")))
+          .as("leftover"))
+        stN.crossJoin(broadcast(left))
+          .select(col("source"), col("w"), col("avail"),
+            col("alloc"), col("sat_iter"), col("b").as("budget"),
+            col("leftover"))
+          .orderBy(col("source"))
+      },
+      Some {
+        def iterSql(k: Int): String =
+          s"""t$k AS (SELECT
+              CAST(SUM(CASE WHEN alloc < avail THEN w ELSE 0 END) AS BIGINT)
+                AS sw,
+              (SELECT b FROM bt) - CAST(SUM(alloc) AS BIGINT) AS rem
+            FROM s${k - 1}),
+          s$k AS (SELECT source, w, avail,
+              alloc + CASE WHEN alloc < avail AND t.sw > 0
+                THEN LEAST(avail - alloc, (t.rem * w) // t.sw)
+                ELSE 0 END AS alloc,
+              CASE WHEN sat_iter = 0 AND alloc + CASE WHEN alloc < avail
+                  AND t.sw > 0 THEN LEAST(avail - alloc, (t.rem * w) // t.sw)
+                  ELSE 0 END = avail
+                THEN $k ELSE sat_iter END AS sat_iter
+            FROM s${k - 1} CROSS JOIN t$k t)"""
+        s"""WITH av AS (SELECT source,
+              CAST(substring(source, 4) AS BIGINT) % 7 + 1 AS w,
+              CAST(SUM(n_chars) AS BIGINT) AS avail
+            FROM documents GROUP BY 1),
+          bt AS (SELECT (CAST(SUM(avail) AS BIGINT) * $WfBudgetPct) // 100
+              AS b FROM av),
+          s0 AS (SELECT source, w, avail, CAST(0 AS BIGINT) AS alloc,
+              CAST(0 AS BIGINT) AS sat_iter FROM av),
+          ${(1 to WfIters).map(iterSql).mkString(",\n          ")}
+          SELECT source, w, avail, alloc, sat_iter,
+            (SELECT b FROM bt) AS budget,
+            (SELECT b FROM bt) -
+              (SELECT CAST(SUM(alloc) AS BIGINT) FROM s$WfIters) AS leftover
+          FROM s$WfIters ORDER BY source"""
+      })
+
+    /* L90: ANN rank-agreement audit — the per-depth overlap between the
+     * registered exact baseline (q38's builder) and the registered IVF
+     * path (q70's builder), as an oracle-gated query instead of a
+     * spec-only recall number: for each depth d, overlap(q) = |exact
+     * top-d ∩ IVF top-d|, reported as Σoverlap, agreement ppm
+     * (Σoverlap·1e6 div (n_queries·d)) and the count of queries in
+     * perfect agreement. Queries the IVF path misses entirely
+     * contribute zero through the inner join (never dropped from the
+     * denominator — n_queries comes from the exact side). Both engines
+     * consume the SAME factored kernels (bruteRankedCtesSql /
+     * ivfRankedCtesSql — one source of truth with q38/q70), so the gate
+     * proves the measurement, and the measurement governs the NProbe/
+     * CentroidStep dials. At 100 TB: both inputs are bounded by the
+     * q38/q70 query-budget protocol (|queries| = n/50); the audit adds
+     * one (q_id, vec_id) join and |depths|-row aggregates. */
+    val q158 = GraftQuery(
+      "q158_ann_rank_agreement", "L90 L6 L11",
+      (s, d) => {
+        import s.implicits._
+        val exact = LlmPipeline.bruteTopK(s, d)
+          .select(col("q_id"), col("vec_id"), col("rank").as("rank_e"))
+        val ivf = LlmPipeline.ivfTopK(s, d)
+          .select(col("q_id"), col("vec_id"), col("rank").as("rank_i"))
+        val depths = AgreeDepths.toDF("depth")
+        val nq = exact.select(col("q_id")).distinct()
+          .agg(count(lit(1)).as("n_queries"))
+        val ov = exact.join(ivf, Seq("q_id", "vec_id"))
+          .crossJoin(broadcast(depths))
+          .filter(col("rank_e") <= col("depth") &&
+            col("rank_i") <= col("depth"))
+          .groupBy(col("depth"), col("q_id"))
+          .agg(count(lit(1)).as("ov"))
+        broadcast(depths).join(
+            ov.groupBy(col("depth"))
+              .agg(sum(col("ov")).as("sum_overlap"),
+                sum(when(col("ov") === col("depth"), 1L).otherwise(0L))
+                  .as("n_perfect")),
+            Seq("depth"), "left")
+          .crossJoin(broadcast(nq))
+          .select(col("depth"), col("n_queries"),
+            coalesce(col("sum_overlap"), lit(0L)).as("sum_overlap"),
+            expr("coalesce(sum_overlap, 0) * 1000000 div (n_queries * depth)")
+              .as("agree_ppm"),
+            coalesce(col("n_perfect"), lit(0L)).as("n_perfect"))
+          .orderBy(col("depth"))
+      },
+      Some {
+        val depthsSql = AgreeDepths.mkString(", ")
+        s"""WITH ${LlmPipeline.bruteRankedCtesSql("br")},
+          ${LlmPipeline.ivfRankedCtesSql("ivr")},
+          dp AS (SELECT unnest([$depthsSql]) AS depth),
+          nq AS (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries
+            FROM br),
+          j AS (SELECT br.q_id, br.rank AS rank_e, ivr.rank AS rank_i
+            FROM br JOIN ivr ON ivr.q_id = br.q_id
+              AND ivr.vec_id = br.vec_id),
+          ov AS (SELECT dp.depth, j.q_id, CAST(COUNT(*) AS BIGINT) AS ov
+            FROM j CROSS JOIN dp
+            WHERE j.rank_e <= dp.depth AND j.rank_i <= dp.depth
+            GROUP BY 1, 2),
+          pd AS (SELECT depth, CAST(SUM(ov) AS BIGINT) AS sum_overlap,
+              CAST(SUM(CASE WHEN ov = depth THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_perfect
+            FROM ov GROUP BY 1)
+          SELECT CAST(dp.depth AS BIGINT) AS depth, nq.n_queries,
+            COALESCE(pd.sum_overlap, 0) AS sum_overlap,
+            COALESCE(pd.sum_overlap, 0) * 1000000
+              // (nq.n_queries * dp.depth) AS agree_ppm,
+            COALESCE(pd.n_perfect, 0) AS n_perfect
+          FROM dp LEFT JOIN pd ON pd.depth = dp.depth CROSS JOIN nq
+          ORDER BY dp.depth"""
+      })
+
+    Seq(q157, q158)
+  }
+}

@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Sketches
+
+/** Trained-filter and distribution-governance operators (SURVEY §2.11a,
+  * L86–L88) — the stage where the pipeline stops applying FIXED rules
+  * and starts applying models/policies derived from the corpus itself:
+  *
+  *  - L86 in-corpus Naive-Bayes quality classifier (train→score→gate) → q154
+  *  - L87 distribution-matching rejection sampler                      → q155
+  *  - L88 leakage-free split repair (cluster-coherent reassignment)    → q156
+  *
+  * Determinism: the NB log-likelihoods ride the integer-log2 ladder
+  * (binary-string length — the L63/L74 convention; no libm), the
+  * rejection draw is the portable hash against a Q20 fixed-point
+  * acceptance, and the split repair reuses q97's exact cluster key and
+  * the funnel's L14 split — all constants shared between engines.
+  */
+object TrainedFilterOps {
+
+  /** L86 likelihood scale: counts are compared as
+    * ilog2((c+1)·2^S div (N+V)); S = 20 keeps every gated-SF numerator
+    * ≥ 1 (the dial grows with log2(corpus words) at production scale —
+    * at S too small the ratio floors to 0 and the ladder loses
+    * resolution gracefully, identically on both engines).
+    */
+  private[queries] val NbShift = 1048576L // 2^20
+
+  /** L87 acceptance fixed point (Q20) and the length-bucket width. */
+  private[queries] val RejQ = 1048576L
+  private[queries] val RejBucketChars = 64L
+
+  def all: Seq[GraftQuery] = {
+
+    /* L86: the CCNet/fastText-shaped TRAINED quality classifier, as one
+     * self-contained train→score→evaluate pass: labels come from the
+     * established L74 plant (the %41 slice IS the positive class, so the
+     * confusion counts are exact ground truth, not annotation), training
+     * is one explode + vocab-sized aggregate (per-word class counts),
+     * the model ships back as a BROADCAST join (never a driver collect),
+     * and scoring is the per-word integer log-likelihood ratio
+     * ilog2((c_pos+1)·2^S div (N_pos+V)) − ilog2((c_neg+1)·2^S div
+     * (N_neg+V)) summed per doc — Laplace-smoothed multinomial NB on the
+     * libm-free ladder. decision: score > 0. The per-source confusion
+     * matrix (tp/fp vs the plant) gates the whole train→score loop
+     * end-to-end: a wrong count anywhere moves tp/fp/sum_score. At
+     * 100 TB: one corpus pass to train (map-side-combined vocab agg),
+     * one to score (broadcast model + per-doc re-agg) — the q88
+     * train-then-score shape with a learned per-word weight instead of
+     * a membership bit. */
+    val q154 = GraftQuery(
+      "q154_nb_quality_classifier", "L86 L23 L35",
+      (s, d) => {
+        val labeled = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            when(col("doc_id") % SampleGraphOps.EntropyPlantStride === 0,
+              lit(SampleGraphOps.LowEntropyBlock)).otherwise(col("text"))
+              .as("text"),
+            when(col("doc_id") % SampleGraphOps.EntropyPlantStride === 0,
+              1L).otherwise(0L).as("pos"))
+        val words = labeled.select(col("doc_id"), col("source"), col("pos"),
+          explode(Sketches.words(col("text"))).as("w"))
+        val model = words.groupBy(col("w"))
+          .agg(sum(col("pos")).as("cp"),
+            sum(lit(1L) - col("pos")).as("cn"))
+        val totals = model.agg(sum(col("cp")).as("np"),
+          sum(col("cn")).as("nn"), count(lit(1)).as("v"))
+        val scored = words.join(broadcast(model), Seq("w"))
+          .crossJoin(broadcast(totals))
+          .withColumn("llr",
+            (length(bin(expr(s"((cp + 1) * $NbShift) div (np + v)"))) - 1
+              ).cast("long") -
+            (length(bin(expr(s"((cn + 1) * $NbShift) div (nn + v)"))) - 1
+              ).cast("long"))
+          .groupBy(col("doc_id"), col("source"), col("pos"))
+          .agg(sum(col("llr")).as("score"))
+        scored.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("pos")).as("n_pos"),
+            sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_pred_pos"),
+            sum(when(col("pos") === 1 && col("score") > 0, 1L).otherwise(0L))
+              .as("tp"),
+            sum(when(col("pos") === 0 && col("score") > 0, 1L).otherwise(0L))
+              .as("fp"),
+            sum(col("score")).as("sum_score"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val stride = SampleGraphOps.EntropyPlantStride
+        val block = SampleGraphOps.LowEntropyBlock
+        val ws = Sketches.wordsSql("text")
+        s"""WITH lab AS (SELECT doc_id, source,
+              CASE WHEN doc_id % $stride = 0 THEN '$block' ELSE text END
+                AS text,
+              CASE WHEN doc_id % $stride = 0 THEN 1 ELSE 0 END AS pos
+            FROM documents),
+          w AS (SELECT doc_id, source, pos, unnest($ws) AS w FROM lab),
+          m AS (SELECT w, CAST(SUM(pos) AS BIGINT) AS cp,
+              CAST(SUM(1 - pos) AS BIGINT) AS cn FROM w GROUP BY 1),
+          t AS (SELECT CAST(SUM(cp) AS BIGINT) AS np,
+              CAST(SUM(cn) AS BIGINT) AS nn,
+              CAST(COUNT(*) AS BIGINT) AS v FROM m),
+          sw AS (SELECT w.doc_id, w.source, w.pos,
+              (length(format('{:b}', ((m.cp + 1) * $NbShift) // (t.np + t.v)))
+                 - 1)
+              - (length(format('{:b}', ((m.cn + 1) * $NbShift) // (t.nn + t.v)))
+                 - 1) AS llr
+            FROM w JOIN m ON m.w = w.w CROSS JOIN t),
+          sc AS (SELECT doc_id, source, pos, CAST(SUM(llr) AS BIGINT)
+              AS score FROM sw GROUP BY 1, 2, 3)
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(pos) AS BIGINT) AS n_pos,
+            CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_pred_pos,
+            CAST(SUM(CASE WHEN pos = 1 AND score > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+            CAST(SUM(CASE WHEN pos = 0 AND score > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+            CAST(SUM(score) AS BIGINT) AS sum_score
+          FROM sc GROUP BY 1 ORDER BY source"""
+      })
+
+    /* L87: distribution-matching rejection sampler — debias a corpus
+     * feature (here: the length distribution) toward a target (uniform
+     * over buckets) WITHOUT a global sort or a second pass over ranked
+     * data: per-bucket acceptance = (target·2^20) div bucket_count in
+     * Q20 fixed point (target = the min bucket count — flattening), and
+     * each doc accepts iff h64("rej:"||doc_id) mod 2^20 < acceptance —
+     * a stateless deterministic draw, reproducible under appends and
+     * across engines. The output is the governance curve: per bucket
+     * before/after counts, the acceptance dial, and the achieved
+     * deviation from target in ppm (binomial noise, measured not
+     * assumed). At 100 TB: one map-side-combined 8-row histogram, the
+     * acceptance frame broadcasts back, accept is a map-side predicate
+     * — two scans, no shuffle beyond 8-row aggregates. */
+    val q155 = GraftQuery(
+      "q155_rejection_resample", "L87 L30 L18",
+      (s, d) => {
+        val b = Tables.documents(s, d)
+          .select(col("doc_id"),
+            least(expr(s"n_chars div $RejBucketChars"), lit(7L)).as("bkt"))
+        val c = b.groupBy(col("bkt")).agg(count(lit(1)).as("n_before"))
+        val t = c.agg(min(col("n_before")).as("target"))
+        val a = c.crossJoin(broadcast(t))
+          .withColumn("acc_q20", expr(s"(target * $RejQ) div n_before"))
+        val kept = b.join(broadcast(a.select(col("bkt"), col("acc_q20"))),
+            Seq("bkt"))
+          .filter(Sketches.h64(concat(lit("rej:"),
+            col("doc_id").cast("string"))) % RejQ < col("acc_q20"))
+          .groupBy(col("bkt")).agg(count(lit(1)).as("n_after"))
+        a.join(kept, Seq("bkt"), "left")
+          .select(col("bkt"), col("n_before"), col("acc_q20"),
+            coalesce(col("n_after"), lit(0L)).as("n_after"), col("target"),
+            expr(s"abs(coalesce(n_after, 0) - target) * 1000000 div target")
+              .as("dev_ppm"))
+          .orderBy(col("bkt"))
+      },
+      Some {
+        val h = Sketches.h64Sql("'rej:' || doc_id")
+        s"""WITH b AS (SELECT doc_id,
+              LEAST(n_chars // $RejBucketChars, 7) AS bkt FROM documents),
+          c AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS n_before
+            FROM b GROUP BY 1),
+          t AS (SELECT MIN(n_before) AS target FROM c),
+          a AS (SELECT c.bkt, c.n_before,
+              (t.target * $RejQ) // c.n_before AS acc_q20, t.target
+            FROM c CROSS JOIN t),
+          k AS (SELECT b.bkt, CAST(COUNT(*) AS BIGINT) AS n_after
+            FROM b JOIN a ON a.bkt = b.bkt
+            WHERE $h % $RejQ < a.acc_q20 GROUP BY 1)
+          SELECT a.bkt, a.n_before, a.acc_q20,
+            COALESCE(k.n_after, 0) AS n_after, a.target,
+            abs(COALESCE(k.n_after, 0) - a.target) * 1000000 // a.target
+              AS dev_ppm
+          FROM a LEFT JOIN k ON k.bkt = a.bkt
+          ORDER BY a.bkt"""
+      })
+
+    /* L88: leakage-free split repair — the FIX for what the q97 audit
+     * measures: the L14 id-hash split is content-blind, so bag-of-words
+     * duplicate clusters can straddle train/val/test and leak eval
+     * content into training. Repair: every multi-doc cluster moves
+     * WHOLE to its home split (the split of its minimum-doc_id member —
+     * deterministic, and stable under re-runs because the minimum
+     * member never changes when docs are only appended); singleton
+     * clusters keep their hash split, preserving the split ratios up to
+     * the moved mass. The in-query `leaking_after` recount (≡ 0 by
+     * construction) rides every row — the oracle re-derives it, so the
+     * gate proves the repair, not just the bookkeeping. At 100 TB: one
+     * hash aggregate per cluster key, one shuffle-on-ck join back
+     * (co-located if the corpus is K8-bucketed by ck), |splits|-row
+     * output. */
+    val q156 = GraftQuery(
+      "q156_split_leakage_repair", "L88 L32 L14",
+      (s, d) => {
+        val docs = LlmPipeline.funnelFlags(s, d)
+          .select(col("doc_id"), col("split"),
+            Sketches.h64(array_join(sort_array(array_distinct(
+              Sketches.words(col("text")))), " ")).as("ck"))
+        val choice = docs.groupBy(col("ck"))
+          .agg(count(lit(1)).as("n"),
+            min(struct(col("doc_id"), col("split"))).as("m"))
+          .select(col("ck"), col("n"), col("m.split").as("home"))
+        val repaired = docs.join(choice, Seq("ck"))
+          .withColumn("new_split",
+            when(col("n") >= 2, col("home")).otherwise(col("split")))
+        val leakAfter = repaired.groupBy(col("ck"))
+          .agg(max(col("n")).as("n2"),
+            countDistinct(col("new_split")).as("ns"))
+          .filter(col("n2") >= 2 && col("ns") >= 2)
+          .agg(count(lit(1)).as("leaking_after"))
+        val before = docs.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_before"))
+        repaired.groupBy(col("new_split"))
+          .agg(count(lit(1)).as("n_after"),
+            sum(when(col("new_split") =!= col("split"), 1L).otherwise(0L))
+              .as("n_moved_in"))
+          .join(before, col("new_split") === col("split"))
+          .crossJoin(broadcast(leakAfter))
+          .select(col("new_split").as("split"), col("n_before"),
+            col("n_after"), col("n_moved_in"), col("leaking_after"))
+          .orderBy(col("split"))
+      },
+      Some {
+        val ck = Sketches.h64Sql(
+          s"array_to_string(list_sort(list_distinct(${Sketches.wordsSql("text")})), ' ')")
+        s"""WITH ${LlmPipeline.funnelBaseCtesSql},
+          docs AS (SELECT doc_id, split, $ck AS ck FROM base),
+          ch AS (SELECT ck, COUNT(*) AS n, MIN(doc_id) AS d0
+            FROM docs GROUP BY 1),
+          hm AS (SELECT c.ck, c.n, d.split AS home
+            FROM ch c JOIN docs d ON d.ck = c.ck AND d.doc_id = c.d0),
+          rp AS (SELECT d.doc_id, d.split, d.ck,
+              CASE WHEN h.n >= 2 THEN h.home ELSE d.split END AS new_split
+            FROM docs d JOIN hm h ON h.ck = d.ck),
+          la AS (SELECT CAST(COUNT(*) AS BIGINT) AS leaking_after FROM
+            (SELECT ck FROM rp GROUP BY ck
+             HAVING COUNT(*) >= 2 AND COUNT(DISTINCT new_split) >= 2)),
+          bf AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_before
+            FROM docs GROUP BY 1)
+          SELECT r.new_split AS split, bf.n_before,
+            CAST(COUNT(*) AS BIGINT) AS n_after,
+            CAST(SUM(CASE WHEN r.new_split <> r.split THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_moved_in,
+            (SELECT leaking_after FROM la) AS leaking_after
+          FROM rp r JOIN bf ON bf.split = r.new_split
+          GROUP BY 1, 2 ORDER BY split"""
+      })
+
+    Seq(q154, q155, q156)
+  }
+}

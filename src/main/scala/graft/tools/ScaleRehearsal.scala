@@ -231,7 +231,20 @@ object ScaleRehearsal {
       // term) and the bootstrap (a constant 16× map-side multiply
       // collapsed by a map-side-combined (source, replicate) aggregate)
       "q149_negative_sampling", "q150_bpe_encode_roundtrip",
-      "q151_bitext_mining", "q152_domain_quota_cap", "q153_bootstrap_ci")
+      "q151_bitext_mining", "q152_domain_quota_cap", "q153_bootstrap_ci",
+      // trained-filter tier: NB classifier (two corpus passes around a
+      // vocab-sized broadcast model — wall should track the scans),
+      // rejection sampler (two scans + 8-row aggregates) and split
+      // repair (per-cluster agg + one shuffle-on-ck join back — the
+      // funnel's own shapes plus a cluster-key join)
+      "q154_nb_quality_classifier", "q155_rejection_resample",
+      "q156_split_leakage_repair",
+      // allocation/governance: water-filling (|sources|-row iterations
+      // over one corpus pass — wall should track the scan) and the ANN
+      // rank-agreement audit (bounded by the q38/q70 query budget, which
+      // scales with n by protocol — quadratic-looking BY DESIGN like
+      // q119; at production the query count is a workload dial)
+      "q157_budget_waterfill", "q158_ann_rank_agreement")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)
