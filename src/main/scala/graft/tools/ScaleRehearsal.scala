@@ -475,6 +475,20 @@ object ScaleRehearsal {
       measured(s"q133 @${factor}x") {
         graft.SparkEntry.queries("q133_chunk_dedup_rebuild")(spark, out)
           .count()
+      },
+      // round-15 additions: the sampled-shingle similarity graph (edge
+      // count is the scaling term; the hot-bucket guard is the dial
+      // that binds here — see the 10x table's q141 note) and the
+      // cluster-coherent split repair (one per-ck aggregate + one
+      // shuffle-on-ck join — the governance op a nightly 100 TB run
+      // would execute verbatim)
+      measured(s"q141 @${factor}x") {
+        graft.SparkEntry.queries("q141_graph_centrality")(spark, out)
+          .count()
+      },
+      measured(s"q156 @${factor}x") {
+        graft.SparkEntry.queries("q156_split_leakage_repair")(spark, out)
+          .count()
       })
     spark.sparkContext.removeSparkListener(listener)
     emit("probe100", rows.map { case (l, w, r, sb) =>
