@@ -125,6 +125,36 @@ object CorpusShapingOps {
         sum(expr("bit_count(h & 15)").cast("long") * col("n_chars"))
           .as("t2"))
 
+  /** L84's deterministic skewed domain plant over any (doc_id, ...)
+    * frame — shared by q152 and the governed-release composition.
+    */
+  private[graft] def withDomain(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val h = Sketches.h64(concat(lit("dom:"), col("doc_id").cast("string")))
+    df.withColumn("dom",
+      when(h % 4 === 0, 0L).otherwise(lit(1L) + h % DomTail))
+  }
+
+  /** L84's exact salted two-level top-Cap per domain (see q152's
+    * scaladoc): emits the kept doc ids as `kept_id`. Input must carry
+    * (doc_id, n_chars, dom).
+    */
+  private[graft] def domainCapKeptIds(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val salted = docs.withColumn("salt",
+        Sketches.h64(concat(lit("salt:"), col("doc_id").cast("string")))
+          % 16)
+      .withColumn("rk1", row_number().over(
+        Window.partitionBy(col("dom"), col("salt"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rk1") <= DomCap)
+    salted.withColumn("rk", row_number().over(
+        Window.partitionBy(col("dom"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rk") <= DomCap)
+      .select(col("doc_id").as("kept_id"))
+  }
+
   def all: Seq[GraftQuery] = {
 
     /* L82: tokenizer APPLICATION — the encode pass a training pipeline
@@ -300,24 +330,10 @@ object CorpusShapingOps {
     val q152 = GraftQuery(
       "q152_domain_quota_cap", "L84 L24 L21",
       (s, d) => {
-        val h = Sketches.h64(concat(lit("dom:"), col("doc_id").cast("string")))
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), col("n_chars"))
-          .withColumn("dom",
-            when(h % 4 === 0, 0L).otherwise(lit(1L) + h % DomTail))
-        val salted = docs.withColumn("salt",
-            Sketches.h64(concat(lit("salt:"), col("doc_id").cast("string")))
-              % 16)
-          .withColumn("rk1", row_number().over(
-            Window.partitionBy(col("dom"), col("salt"))
-              .orderBy(col("n_chars").desc, col("doc_id"))))
-          .filter(col("rk1") <= DomCap)
-        val kept = salted.withColumn("rk", row_number().over(
-            Window.partitionBy(col("dom"))
-              .orderBy(col("n_chars").desc, col("doc_id"))))
-          .filter(col("rk") <= DomCap)
-          .select(col("doc_id").as("kept_id"))
-        docs.join(kept, col("doc_id") === col("kept_id"), "left")
+        val docs = withDomain(Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars")))
+        docs.join(domainCapKeptIds(docs),
+            col("doc_id") === col("kept_id"), "left")
           .withColumn("is_kept", col("kept_id").isNotNull)
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),

@@ -32,6 +32,30 @@ object TrainedFilterOps {
   private[queries] val RejQ = 1048576L
   private[queries] val RejBucketChars = 64L
 
+  /** L87's stateless accept decision over any frame carrying a Q20
+    * `acc_q20` column — accept iff h64("rej:"||doc_id) mod 2^20 falls
+    * under the acceptance. Shared by q155 and the governed release.
+    */
+  private[graft] def rejectionAccepts(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.filter(Sketches.h64(concat(lit("rej:"),
+      col("doc_id").cast("string"))) % RejQ < col("acc_q20"))
+
+  /** L88's cluster-coherent split reassignment over any
+    * (doc_id, split, ck) frame: emits the input plus `n` (cluster
+    * size) and `new_split`. Shared by q156 and the governed release.
+    */
+  private[graft] def repairSplits(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val choice = docs.groupBy(col("ck"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("doc_id"), col("split"))).as("m"))
+      .select(col("ck"), col("n"), col("m.split").as("home"))
+    docs.join(choice, Seq("ck"))
+      .withColumn("new_split",
+        when(col("n") >= 2, col("home")).otherwise(col("split")))
+  }
+
   def all: Seq[GraftQuery] = {
 
     /* L86: the CCNet/fastText-shaped TRAINED quality classifier, as one
@@ -145,10 +169,8 @@ object TrainedFilterOps {
         val t = c.agg(min(col("n_before")).as("target"))
         val a = c.crossJoin(broadcast(t))
           .withColumn("acc_q20", expr(s"(target * $RejQ) div n_before"))
-        val kept = b.join(broadcast(a.select(col("bkt"), col("acc_q20"))),
-            Seq("bkt"))
-          .filter(Sketches.h64(concat(lit("rej:"),
-            col("doc_id").cast("string"))) % RejQ < col("acc_q20"))
+        val kept = rejectionAccepts(b.join(
+            broadcast(a.select(col("bkt"), col("acc_q20"))), Seq("bkt")))
           .groupBy(col("bkt")).agg(count(lit(1)).as("n_after"))
         a.join(kept, Seq("bkt"), "left")
           .select(col("bkt"), col("n_before"), col("acc_q20"),
@@ -199,13 +221,7 @@ object TrainedFilterOps {
           .select(col("doc_id"), col("split"),
             Sketches.h64(array_join(sort_array(array_distinct(
               Sketches.words(col("text")))), " ")).as("ck"))
-        val choice = docs.groupBy(col("ck"))
-          .agg(count(lit(1)).as("n"),
-            min(struct(col("doc_id"), col("split"))).as("m"))
-          .select(col("ck"), col("n"), col("m.split").as("home"))
-        val repaired = docs.join(choice, Seq("ck"))
-          .withColumn("new_split",
-            when(col("n") >= 2, col("home")).otherwise(col("split")))
+        val repaired = repairSplits(docs)
         val leakAfter = repaired.groupBy(col("ck"))
           .agg(max(col("n")).as("n2"),
             countDistinct(col("new_split")).as("ns"))
