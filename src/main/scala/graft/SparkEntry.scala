@@ -57,7 +57,7 @@ object SparkEntry {
     Relational.all ++ Temporal.all ++ GeoQueries.all ++ Scalar.all ++
       DslQueries.all ++ LlmPipeline.all ++ LlmCuration.all ++ CorpusOps.all ++
       TextCorpusOps.all ++ SampleGraphOps.all ++ CorpusShapingOps.all ++
-      TrainedFilterOps.all ++ MixtureAuditOps.all ++
+      TrainedFilterOps.all ++ MixtureAuditOps.all ++ WebCorpusOps.all ++
       IngestQueries.all ++ RasterQueries.all ++
       SinkJoinQueries.all ++ SourceQueries.all ++ WindowFilterQueries.all ++
       ScalarPackQueries.all ++ SinkQueries.all

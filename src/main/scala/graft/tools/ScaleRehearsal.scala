@@ -244,7 +244,11 @@ object ScaleRehearsal {
       // rank-agreement audit (bounded by the q38/q70 query budget, which
       // scales with n by protocol — quadratic-looking BY DESIGN like
       // q119; at production the query count is a workload dial)
-      "q157_budget_waterfill", "q158_ann_rank_agreement")
+      "q157_budget_waterfill", "q158_ann_rank_agreement",
+      // web hygiene: URL canonicalization (map-side strings + one hash
+      // agg on the canonical key) and soft dedup (one ck aggregate +
+      // join back — the q156 shapes without the window)
+      "q159_url_canonical_dedup", "q160_soft_dedup_weights")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)
