@@ -113,8 +113,8 @@ object LlmPipeline {
     * unit of parallelism AND the bound on any per-key sort), while the
     * budget is the model's context length.
     */
-  private val PackShards = 8
-  private val PackBudget = 512
+  private[queries] val PackShards = 8
+  private[queries] val PackBudget = 512
 
   /** q77: target mixture weights per language (must cover every lang in
     * the corpus; a production run derives them from the data card). The

@@ -191,6 +191,83 @@ object MixtureAuditOps {
           ORDER BY dp.depth"""
       })
 
-    Seq(q157, q158)
+    /* L94: packing cross-contamination audit — the attention-mask
+     * question L15's sequence packing raises: when multiple docs share
+     * one training sequence, what fraction of attention pairs CROSS doc
+     * boundaries (noise unless the trainer masks them)? Per packed bin
+     * with doc token lengths t_i and T = Σt_i: cross pairs / all pairs
+     * = (T² − Σt_i²) / T², exact in ppm. The dial is the pack budget —
+     * the registered query measures BOTH the production budget and 2×
+     * (bigger windows pack more docs per sequence → more cross mass),
+     * reusing q74's exact shard/packing arithmetic so the audit
+     * measures the REGISTERED packer. At 100 TB: the L15 pass itself
+     * (per-shard cumulative window over stored ints) plus an 8-byte-key
+     * aggregate; output is |budgets|×|shards| rows. */
+    val q162 = GraftQuery(
+      "q162_packing_cross_audit", "L94 L15 L47",
+      (s, d) => {
+        import graft.functions.TextFunctions
+        val base = Tables.documents(s, d).select(
+          col("doc_id"),
+          pmod(TextFunctions.md5Fingerprint(concat(lit("shard:"),
+            col("doc_id").cast("string"))),
+            lit(LlmPipeline.PackShards.toLong)).as("shard"),
+          TextFunctions.tokenCountBpeIsh(col("text")).cast("long")
+            .as("tokens"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)
+        val perBudget = Seq(LlmPipeline.PackBudget,
+          LlmPipeline.PackBudget * 2).map { b =>
+          base
+            .withColumn("cum", sum(col("tokens")).over(w))
+            .withColumn("bin", expr(s"(cum - tokens) div $b"))
+            .groupBy(col("shard"), col("bin"))
+            .agg(sum(col("tokens")).as("tt"),
+              sum(col("tokens") * col("tokens")).as("sq"))
+            .withColumn("cross_ppm",
+              expr("(tt * tt - sq) * 1000000 div (tt * tt)"))
+            .groupBy(col("shard"))
+            .agg(count(lit(1)).as("n_bins"),
+              expr("sum(cross_ppm) div count(1)").as("avg_cross_ppm"),
+              max(col("cross_ppm")).as("max_cross_ppm"))
+            .withColumn("budget", lit(b.toLong))
+        }
+        perBudget.reduce(_ unionByName _)
+          .select(col("budget"), col("shard"), col("n_bins"),
+            col("avg_cross_ppm"), col("max_cross_ppm"))
+          .orderBy(col("budget"), col("shard"))
+      },
+      Some {
+        import graft.functions.TextFunctions
+        val h = TextFunctions.md5FingerprintSql(
+          "'shard:' || CAST(doc_id AS VARCHAR)")
+        val tok = TextFunctions.tokenCountBpeIshSql("text")
+        def budgetSql(b: Int): String =
+          s"""SELECT CAST($b AS BIGINT) AS budget, shard,
+              CAST(COUNT(*) AS BIGINT) AS n_bins,
+              CAST(SUM(cross_ppm) AS BIGINT) // COUNT(*) AS avg_cross_ppm,
+              MAX(cross_ppm) AS max_cross_ppm
+            FROM (SELECT shard, bin,
+                (tt * tt - sq) * 1000000 // (tt * tt) AS cross_ppm
+              FROM (SELECT shard, (cum - tokens) // $b AS bin,
+                  CAST(SUM(tokens) AS BIGINT) AS tt,
+                  CAST(SUM(tokens * tokens) AS BIGINT) AS sq
+                FROM c GROUP BY 1, 2))
+            GROUP BY 1, 2"""
+        s"""WITH t AS (SELECT doc_id, $h % ${LlmPipeline.PackShards}
+              AS shard, $tok AS tokens FROM documents),
+          c AS (SELECT *, CAST(SUM(tokens) OVER (PARTITION BY shard
+              ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM t)
+          ${budgetSql(LlmPipeline.PackBudget)}
+          UNION ALL
+          ${budgetSql(LlmPipeline.PackBudget * 2)}
+          ORDER BY budget, shard"""
+      })
+
+    Seq(q157, q158, q162)
   }
 }

@@ -56,6 +56,65 @@ object TrainedFilterOps {
         when(col("n") >= 2, col("home")).otherwise(col("split")))
   }
 
+  /** L86's per-doc NB frame — (doc_id, source, pos, score) — the
+    * train→score kernel factored out of q154 so the classifier-guided
+    * sampler (q161) consumes the REGISTERED model, not a copy.
+    */
+  private[graft] def nbDocScores(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val labeled = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % SampleGraphOps.EntropyPlantStride === 0,
+          lit(SampleGraphOps.LowEntropyBlock)).otherwise(col("text"))
+          .as("text"),
+        when(col("doc_id") % SampleGraphOps.EntropyPlantStride === 0,
+          1L).otherwise(0L).as("pos"))
+    val words = labeled.select(col("doc_id"), col("source"), col("pos"),
+      explode(Sketches.words(col("text"))).as("w"))
+    val model = words.groupBy(col("w"))
+      .agg(sum(col("pos")).as("cp"),
+        sum(lit(1L) - col("pos")).as("cn"))
+    val totals = model.agg(sum(col("cp")).as("np"),
+      sum(col("cn")).as("nn"), count(lit(1)).as("v"))
+    words.join(broadcast(model), Seq("w"))
+      .crossJoin(broadcast(totals))
+      .withColumn("llr",
+        (length(bin(expr(s"((cp + 1) * $NbShift) div (np + v)"))) - 1
+          ).cast("long") -
+        (length(bin(expr(s"((cn + 1) * $NbShift) div (nn + v)"))) - 1
+          ).cast("long"))
+      .groupBy(col("doc_id"), col("source"), col("pos"))
+      .agg(sum(col("llr")).as("score"))
+  }
+
+  /** DuckDB twin of [[nbDocScores]] as CTEs ending in
+    * `sc(doc_id, source, pos, score)`.
+    */
+  private[queries] def nbScoreCtesSql: String = {
+    val stride = SampleGraphOps.EntropyPlantStride
+    val block = SampleGraphOps.LowEntropyBlock
+    val ws = Sketches.wordsSql("text")
+    s"""lab AS (SELECT doc_id, source,
+          CASE WHEN doc_id % $stride = 0 THEN '$block' ELSE text END
+            AS text,
+          CASE WHEN doc_id % $stride = 0 THEN 1 ELSE 0 END AS pos
+        FROM documents),
+      w AS (SELECT doc_id, source, pos, unnest($ws) AS w FROM lab),
+      m AS (SELECT w, CAST(SUM(pos) AS BIGINT) AS cp,
+          CAST(SUM(1 - pos) AS BIGINT) AS cn FROM w GROUP BY 1),
+      t AS (SELECT CAST(SUM(cp) AS BIGINT) AS np,
+          CAST(SUM(cn) AS BIGINT) AS nn,
+          CAST(COUNT(*) AS BIGINT) AS v FROM m),
+      sw AS (SELECT w.doc_id, w.source, w.pos,
+          (length(format('{:b}', ((m.cp + 1) * $NbShift) // (t.np + t.v)))
+             - 1)
+          - (length(format('{:b}', ((m.cn + 1) * $NbShift) // (t.nn + t.v)))
+             - 1) AS llr
+        FROM w JOIN m ON m.w = w.w CROSS JOIN t),
+      sc AS (SELECT doc_id, source, pos, CAST(SUM(llr) AS BIGINT)
+          AS score FROM sw GROUP BY 1, 2, 3)"""
+  }
+
   def all: Seq[GraftQuery] = {
 
     /* L86: the CCNet/fastText-shaped TRAINED quality classifier, as one
@@ -77,30 +136,7 @@ object TrainedFilterOps {
     val q154 = GraftQuery(
       "q154_nb_quality_classifier", "L86 L23 L35",
       (s, d) => {
-        val labeled = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            when(col("doc_id") % SampleGraphOps.EntropyPlantStride === 0,
-              lit(SampleGraphOps.LowEntropyBlock)).otherwise(col("text"))
-              .as("text"),
-            when(col("doc_id") % SampleGraphOps.EntropyPlantStride === 0,
-              1L).otherwise(0L).as("pos"))
-        val words = labeled.select(col("doc_id"), col("source"), col("pos"),
-          explode(Sketches.words(col("text"))).as("w"))
-        val model = words.groupBy(col("w"))
-          .agg(sum(col("pos")).as("cp"),
-            sum(lit(1L) - col("pos")).as("cn"))
-        val totals = model.agg(sum(col("cp")).as("np"),
-          sum(col("cn")).as("nn"), count(lit(1)).as("v"))
-        val scored = words.join(broadcast(model), Seq("w"))
-          .crossJoin(broadcast(totals))
-          .withColumn("llr",
-            (length(bin(expr(s"((cp + 1) * $NbShift) div (np + v)"))) - 1
-              ).cast("long") -
-            (length(bin(expr(s"((cn + 1) * $NbShift) div (nn + v)"))) - 1
-              ).cast("long"))
-          .groupBy(col("doc_id"), col("source"), col("pos"))
-          .agg(sum(col("llr")).as("score"))
-        scored.groupBy(col("source"))
+        nbDocScores(s, d).groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("pos")).as("n_pos"),
             sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_pred_pos"),
@@ -112,28 +148,7 @@ object TrainedFilterOps {
           .orderBy(col("source"))
       },
       Some {
-        val stride = SampleGraphOps.EntropyPlantStride
-        val block = SampleGraphOps.LowEntropyBlock
-        val ws = Sketches.wordsSql("text")
-        s"""WITH lab AS (SELECT doc_id, source,
-              CASE WHEN doc_id % $stride = 0 THEN '$block' ELSE text END
-                AS text,
-              CASE WHEN doc_id % $stride = 0 THEN 1 ELSE 0 END AS pos
-            FROM documents),
-          w AS (SELECT doc_id, source, pos, unnest($ws) AS w FROM lab),
-          m AS (SELECT w, CAST(SUM(pos) AS BIGINT) AS cp,
-              CAST(SUM(1 - pos) AS BIGINT) AS cn FROM w GROUP BY 1),
-          t AS (SELECT CAST(SUM(cp) AS BIGINT) AS np,
-              CAST(SUM(cn) AS BIGINT) AS nn,
-              CAST(COUNT(*) AS BIGINT) AS v FROM m),
-          sw AS (SELECT w.doc_id, w.source, w.pos,
-              (length(format('{:b}', ((m.cp + 1) * $NbShift) // (t.np + t.v)))
-                 - 1)
-              - (length(format('{:b}', ((m.cn + 1) * $NbShift) // (t.nn + t.v)))
-                 - 1) AS llr
-            FROM w JOIN m ON m.w = w.w CROSS JOIN t),
-          sc AS (SELECT doc_id, source, pos, CAST(SUM(llr) AS BIGINT)
-              AS score FROM sw GROUP BY 1, 2, 3)
+        s"""WITH $nbScoreCtesSql
           SELECT source, COUNT(*) AS n_docs,
             CAST(SUM(pos) AS BIGINT) AS n_pos,
             CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -265,6 +280,63 @@ object TrainedFilterOps {
           GROUP BY 1, 2 ORDER BY split"""
       })
 
-    Seq(q154, q155, q156)
+    /* L93: classifier-guided sampling — the FineWeb-Edu move: instead of
+     * a hard keep/drop threshold on the trained quality score, sample
+     * each doc with probability proportional to its ORGANIC-ness
+     * (smax − score, min-max normalized to Q20 — the planted class sits
+     * at smax, so it is sampled at ~rate 0 while the most-organic doc is
+     * always kept): acceptance is the stateless h64("qs:"‖doc_id) draw
+     * against the per-doc Q20 dial, reproducible under appends. The
+     * report proves the DISTRIBUTION SHIFT, not just counts: per-source
+     * kept counts, plant-kept counts (≈0), and summed scores before vs
+     * after (kept mass must skew organic). Consumes the REGISTERED L86
+     * model via the factored [[nbDocScores]] kernel. At 100 TB: the L86
+     * passes plus one 1-row min/max broadcast and a map-side accept —
+     * no new shuffle. */
+    val q161 = GraftQuery(
+      "q161_classifier_guided_sampling", "L93 L86 L87",
+      (s, d) => {
+        val sc = nbDocScores(s, d)
+        val st = sc.agg(min(col("score")).as("smin"),
+          max(col("score")).as("smax"))
+        val a = sc.crossJoin(broadcast(st))
+          .withColumn("acc_q20", expr(
+            s"((smax - score) * $RejQ) div greatest(1, smax - smin)"))
+          .withColumn("kept", Sketches.h64(concat(lit("qs:"),
+            col("doc_id").cast("string"))) % RejQ < col("acc_q20"))
+        a.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(col("pos")).as("n_plant"),
+            sum(when(col("kept") && col("pos") === 1, 1L).otherwise(0L))
+              .as("n_plant_kept"),
+            sum(col("score")).as("sum_score"),
+            sum(when(col("kept"), col("score")).otherwise(0L))
+              .as("sum_score_kept"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val h = Sketches.h64Sql("'qs:' || doc_id")
+        s"""WITH $nbScoreCtesSql,
+          st AS (SELECT MIN(score) AS smin, MAX(score) AS smax FROM sc),
+          a AS (SELECT sc.*,
+              ((st.smax - sc.score) * $RejQ)
+                // GREATEST(1, st.smax - st.smin) AS acc_q20
+            FROM sc CROSS JOIN st),
+          k AS (SELECT a.*,
+              ($h % $RejQ) < acc_q20 AS kept FROM a)
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_kept,
+            CAST(SUM(pos) AS BIGINT) AS n_plant,
+            CAST(SUM(CASE WHEN kept AND pos = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_plant_kept,
+            CAST(SUM(score) AS BIGINT) AS sum_score,
+            CAST(SUM(CASE WHEN kept THEN score ELSE 0 END) AS BIGINT)
+              AS sum_score_kept
+          FROM k GROUP BY 1 ORDER BY source"""
+      })
+
+    Seq(q154, q155, q156, q161)
   }
 }

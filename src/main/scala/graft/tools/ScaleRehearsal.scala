@@ -248,7 +248,10 @@ object ScaleRehearsal {
       // web hygiene: URL canonicalization (map-side strings + one hash
       // agg on the canonical key) and soft dedup (one ck aggregate +
       // join back — the q156 shapes without the window)
-      "q159_url_canonical_dedup", "q160_soft_dedup_weights")
+      "q159_url_canonical_dedup", "q160_soft_dedup_weights",
+      // classifier-guided sampling (the L86 passes + a 1-row broadcast)
+      // and the packing audit (the L15 window + 8-byte-key aggregates)
+      "q161_classifier_guided_sampling", "q162_packing_cross_audit")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)

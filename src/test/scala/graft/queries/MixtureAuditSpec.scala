@@ -61,6 +61,49 @@ class MixtureAuditSpec extends SparkSpec {
     assert(out.exists(_._5 === 0L), "some source must stay unsaturated")
   }
 
+  test("q162: cross-attention bounds, deep-packing floor, single-doc zero") {
+    val rnd = new scala.util.Random(20260815L)
+    val rows = (1L to 400L).map { i =>
+      val words = 3 + rnd.nextInt(40)
+      (i, Seq.fill(words)("tok").mkString(" "), "en", "s",
+        (words * 4).toLong)
+    }
+    val dir = corpusDir2(rows)
+    val out = graft.SparkEntry.queries("q162_packing_cross_audit")(spark, dir)
+      .select("budget", "shard", "n_bins", "avg_cross_ppm", "max_cross_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val budgets = out.map(_._1).distinct.sorted
+    assert(budgets.length === 2)
+    out.foreach { case (_, _, nb, avg, mx) =>
+      assert(nb > 0 && avg >= 0 && avg <= 1000000L && mx <= 1000000L)
+      assert(avg <= mx) }
+    // short docs pack ~12-25 per 512-token window: the cross fraction
+    // must reflect deep packing (1 - 1/n shape), not collapse
+    assert(out.filter(_._1 == budgets(0)).map(_._4).max > 700000L,
+      "deep packing must show high cross-attention mass")
+
+    // boundary: when every doc exceeds the budget, each bin holds ONE
+    // doc and the cross fraction is exactly zero everywhere
+    // docs must out-size BOTH budgets (512 and 1024 tokens) so no two
+    // doc starts land in one bin
+    val big = (1L to 120L).map(i =>
+      (i, Seq.fill(1500)("tok").mkString(" "), "en", "s", 6000L))
+    val out2 = graft.SparkEntry.queries("q162_packing_cross_audit")(
+        spark, corpusDir2(big))
+      .select("avg_cross_ppm", "max_cross_ppm")
+      .as[(Long, Long)].collect()
+    assert(out2.forall(r => r._1 === 0L && r._2 === 0L),
+      "single-doc bins must carry zero cross-doc attention")
+  }
+
+  private def corpusDir2(rows: Seq[(Long, String, String, String, Long)])
+      : String = {
+    val d = Files.createTempDirectory("ma2-corpus").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    d
+  }
+
   test("q158: agreement recomputed from the registered q38/q70 outputs") {
     val sf = "/root/testdata/sf0.001"
     val exact = graft.core.CacheScope.scoped {

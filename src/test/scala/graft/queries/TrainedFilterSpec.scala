@@ -95,6 +95,32 @@ class TrainedFilterSpec extends SparkSpec {
     }
   }
 
+  test("q161: sampling follows the score; plants never kept; shift organic") {
+    val organic = Seq("the quick brown fox", "lazy dogs sleep all day",
+      "rivers run to the sea", "quick rivers sleep", "fox and dogs run")
+    val rows = (1L to 300L).map(i =>
+      (i, organic((i % organic.size).toInt), "en", s"s${i % 3}",
+        organic((i % organic.size).toInt).length.toLong))
+    val dir = corpusDir(rows)
+    val out = graft.SparkEntry.queries("q161_classifier_guided_sampling")(
+        spark, dir)
+      .select("source", "n_docs", "n_kept", "n_plant", "n_plant_kept",
+        "sum_score", "sum_score_kept")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._4).sum > 0L, "fixture must contain plant docs")
+    assert(out.map(_._5).sum === 0L,
+      "plant docs sit at smax -> acceptance ~0, never kept")
+    val (nAll, nKept) = (out.map(_._2).sum, out.map(_._3).sum)
+    assert(nKept > 0L && nKept < nAll)
+    // kept mass must skew organic: mean kept score more negative than
+    // the overall mean (organic docs score negative under the plant LLR)
+    val meanAll = out.map(_._6).sum.toDouble / nAll
+    val meanKept = out.map(_._7).sum.toDouble / nKept
+    assert(meanKept < meanAll,
+      s"kept mean $meanKept must be more organic than overall $meanAll")
+  }
+
   test("q156: conservation and zero leakage on planted cross-split dups") {
     // 400 docs; ids 10,110,210,310 share one text (a 4-doc bow cluster
     // that straddles hash splits with high probability), ids 20/120
