@@ -58,6 +58,7 @@ object SparkEntry {
       DslQueries.all ++ LlmPipeline.all ++ LlmCuration.all ++ CorpusOps.all ++
       TextCorpusOps.all ++ SampleGraphOps.all ++ CorpusShapingOps.all ++
       TrainedFilterOps.all ++ MixtureAuditOps.all ++ WebCorpusOps.all ++
+      RetrievalOps.all ++ CurriculumOps.all ++ DriftOps.all ++
       IngestQueries.all ++ RasterQueries.all ++
       SinkJoinQueries.all ++ SourceQueries.all ++ WindowFilterQueries.all ++
       ScalarPackQueries.all ++ SinkQueries.all

@@ -45,6 +45,14 @@ object Sketches {
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
+  /** floor(log2(x)) for x ≥ 1 — the libm-free integer-log ladder (L63/
+    * L86 convention): the length of the binary rendering minus one.
+    * Engine-portable bit-for-bit; both sides are pure integer ops.
+    */
+  def ilog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+  def ilog2Sql(e: String): String =
+    s"CAST((length(format('{:b}', $e)) - 1) AS BIGINT)"
+
   /** Seed-parameterized hash family: h_i(s) = h64(i || ':' || s). */
   def seeded(seed: Int, c: Column): Column = h64(concat(lit(s"$seed:"), c))
   def seededSql(seed: Int, e: String): String = h64Sql(s"'$seed:' || $e")
