@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+
+/** Streaming form of L101's binned KS drift monitor (q169): the
+  * reference-vs-current ECDF histograms accumulated over an ingest
+  * stream, with the KS readout available after every micro-batch.
+  *
+  * State is the binned histogram itself — `(source, half, bin) → count`,
+  * at most |sources|·2·32 entries, fixed by geometry not stream length.
+  * Per micro-batch the batch's histogram is built RELATIONALLY (the same
+  * map-side-combined group-by the batch operator uses; only the tiny
+  * count map crosses to the driver) and added into held state. Count
+  * addition is associative and commutative, so the accumulated histogram
+  * is EQUAL to a one-shot build over the union of all arrivals under any
+  * chunking or arrival order, and the [[ksReport]] readout over it
+  * reproduces the oracle-gated q169 rows exactly
+  * (`StreamingDriftSpec` asserts both). Like the CMS form, counting
+  * state is NOT idempotent under replay — exactly-once sinks own replay
+  * protection.
+  */
+object StreamingDrift {
+
+  import graft.queries.DriftOps.{KsBins, KsBinChars}
+
+  case class Arrival(doc_id: Long, source: String, n_chars: Long)
+
+  /** (source, half, bin) → count. */
+  type Hist = Map[(String, Long, Long), Long]
+
+  val empty: Hist = Map.empty
+
+  /** Fold one micro-batch into `h` (unmodified; a new map returns). */
+  def observeBatch(mb: Dataset[Arrival], h: Hist): Hist = {
+    val sp = mb.sparkSession
+    import sp.implicits._
+    val batch = mb.toDF()
+      .groupBy(col("source"), (col("doc_id") % 2).as("half"),
+        least(expr(s"n_chars div $KsBinChars"), lit(KsBins - 1L)).as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long, Long)].collect()
+    batch.foldLeft(h) { case (acc, (s, half, bin, c)) =>
+      val k = (s, half, bin)
+      acc + (k -> (acc.getOrElse(k, 0L) + c))
+    }
+  }
+
+  /** KS readout — the q169 arithmetic replayed over the held histogram:
+    * per source, cumulative counts over OBSERVED bins in bin order,
+    * gap = |cum_ref·10^6 div max(n_ref,1) − cum_cur·10^6 div
+    * max(n_cur,1)|, ks = max gap, ks_bin = first bin attaining it.
+    * Returns (source, n_ref, n_cur, ks_ppm, ks_bin) sorted by source.
+    */
+  def ksReport(h: Hist): Seq[(String, Long, Long, Long, Long)] = {
+    h.groupBy(_._1._1).toSeq.sortBy(_._1).map { case (src, entries) =>
+      val byBin = entries.groupBy(_._1._3).map { case (bin, es) =>
+        bin -> (es.collect { case ((_, 0L, _), c) => c }.sum,
+          es.collect { case ((_, 1L, _), c) => c }.sum)
+      }.toSeq.sortBy(_._1)
+      val nRef = byBin.map(_._2._1).sum
+      val nCur = byBin.map(_._2._2).sum
+      var (cumR, cumC) = (0L, 0L)
+      val gaps = byBin.map { case (bin, (cr, cc)) =>
+        cumR += cr; cumC += cc
+        bin -> math.abs(cumR * 1000000L / math.max(nRef, 1L) -
+          cumC * 1000000L / math.max(nCur, 1L))
+      }
+      val ks = gaps.map(_._2).max
+      val ksBin = gaps.filter(_._2 == ks).map(_._1).min
+      (src, nRef, nCur, ks, ksBin)
+    }
+  }
+}
