@@ -44,6 +44,16 @@ object GraftExtensions {
         WordShinglesExpression(children.head,
           children(1).eval().asInstanceOf[Number].intValue())
       }),
+    ("graft_grams",
+      new ExpressionInfo(classOf[WordGramsExpression].getName, "graft_grams"),
+      (children: Seq[Expression]) => {
+        // n rides as a foldable int literal
+        require(children.length == 2,
+          s"graft_grams expects (text, n), got ${children.length} args")
+        require(children(1).foldable, "graft_grams n must be literal")
+        WordGramsExpression(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      }),
     ("graft_nfc",
       new ExpressionInfo(classOf[NfcNormalizeExpression].getName, "graft_nfc"),
       (children: Seq[Expression]) => {

@@ -80,18 +80,13 @@ object RetrievalOps {
     * L15 eviction-heap note).
     */
   private[graft] def bm25Scored(s: SparkSession, d: String): DataFrame = {
-    // the split lands behind a codegen barrier so CollapseProject cannot
-    // re-inline it into every lambda reference (split × O(dl) per row —
-    // measured 15.5 s → the barrier restores one-split-per-row)
-    val w = col("w")
-    val grams = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    // non-distinct bigrams via the native graft_grams node: one split per
+    // row, fully codegen-resident (the lambda form was a CodegenFallback
+    // island whose split CollapseProject re-inlined O(dl)× per row —
+    // measured 15.5 s → 1.5 s at sf0.1)
     val gd = Tables.documents(s, d)
       .select(col("doc_id"),
-        Synthetic.barrier(Sketches.words(col("text"))).as("w"))
-      .select(col("doc_id"), grams.as("g"))
+        call_function("graft_grams", col("text"), lit(2)).as("g"))
     val post = gd
       .select(col("doc_id"), size(col("g")).cast("long").as("dl"),
         explode(col("g")).as("gram"))

@@ -84,6 +84,30 @@ class RetrievalSpec extends SparkSpec {
     out.foreach { case (id, sc) => assert(sc === score(id), s"doc $id") }
   }
 
+  test("graft_grams matches the lambda reference form (order, dups, edges)") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq("spark join spark join", "one", "", "  padded  text  ",
+      "a b", "x\ty\nz", " lead", "trail ")
+    val df = spark.createDataset(texts)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("text")
+    graft.plans.GraftExtensions.register(spark)
+    val w = col("w")
+    val reference = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val rows = df.select(col("text"),
+        call_function("graft_grams", col("text"), lit(2)).as("native"))
+      .withColumn("w", split(trim(col("text")), "\\s+"))
+      .withColumn("ref", reference)
+      .select("text", "native", "ref")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2),
+        s"text '${r.getString(0)}'")
+    }
+  }
+
   test("q164: maxsim is invariant to doc-token permutation, sensitive to token loss") {
     val rnd = new scala.util.Random(15L)
     def tok(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
