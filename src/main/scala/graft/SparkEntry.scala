@@ -59,6 +59,7 @@ object SparkEntry {
       TextCorpusOps.all ++ SampleGraphOps.all ++ CorpusShapingOps.all ++
       TrainedFilterOps.all ++ MixtureAuditOps.all ++ WebCorpusOps.all ++
       RetrievalOps.all ++ CurriculumOps.all ++ DriftOps.all ++
+      ContrastiveOps.all ++
       IngestQueries.all ++ RasterQueries.all ++
       SinkJoinQueries.all ++ SourceQueries.all ++ WindowFilterQueries.all ++
       ScalarPackQueries.all ++ SinkQueries.all
