@@ -122,6 +122,19 @@ object Sketches {
     math.max(RowsPerBand, math.ceil(math.log10(math.max(1L, n).toDouble))
       .toInt)
 
+  /** Corpus-scaled query-budget dial for the rerank/audit protocols
+    * whose query set is a stride sample of the corpus (L96 maxsim, L97
+    * matryoshka): a FIXED stride couples the query count to n, making
+    * the pair set quadratic in corpus size — by design at gated SFs
+    * (the oracle sees every pair) but a workload dial at production.
+    * stride = max(50, n div 40) holds the query budget at ~40 beyond
+    * the gated sizes; the floor keeps every gated SF (≤ 2000 vectors)
+    * at the baked %-50 protocol, so the oracle-checked queries stay
+    * hash-identical. The adaptive form is the production default,
+    * measured by ScaleRehearsal's 10× table.
+    */
+  def queryStrideFor(n: Long): Long = math.max(50L, n / 40L)
+
   /** Base hash array: md5 once per shingle. Materialize this as a column,
     * then take the k family minima over it — md5 cost is paid once.
     */

@@ -58,6 +58,9 @@ object RetrievalOps {
   private def ilog2(c: org.apache.spark.sql.Column) = Sketches.ilog2(c)
   private def ilog2Sql(e: String): String = Sketches.ilog2Sql(e)
 
+  /** The flat benchmark gram list (streaming-form spec probes). */
+  private[graft] def benchGrams: Seq[String] = BenchQueries.flatMap(_._2)
+
   /** Shared BM25 scoring chain → (qid, doc_id, score).
     *
     * One corpus pass builds the postings — per-(doc, bigram) tf plus the
@@ -144,6 +147,97 @@ object RetrievalOps {
         GROUP BY 1, 2)"""
   }
 
+  /** L96 maxsim kernel at an explicit query stride (queries =
+    * vec_id % stride == 0). The registered q164 bakes stride 50 (its
+    * oracle sees every pair); [[maxsimRerankAdaptive]] is the
+    * production default with the [[Sketches.queryStrideFor]] budget
+    * dial.
+    */
+  private[graft] def maxsimRerank(s: SparkSession, d: String,
+      stride: Long): DataFrame = {
+    val toks = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(7))).as("i"))
+      .withColumn("tok", expr("slice(embedding, i*8+1, 8)"))
+      .drop("embedding")
+    val qt = toks.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("qid"), col("i").as("qi"),
+        col("tok").as("qtok"))
+    val dt = toks.select(col("vec_id").as("did"), col("tok").as("dtok"))
+    val mx = broadcast(qt).join(dt, col("did") =!= col("qid"))
+      .withColumn("d8", Sketches.dot(col("qtok"), col("dtok"), 8))
+      .groupBy(col("qid"), col("did"), col("qi"))
+      .agg(floor(max(col("d8")) * lit(1e6)).as("mx_u"))
+    mx.groupBy(col("qid"), col("did"))
+      .agg(sum(col("mx_u")).as("score_u"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("score_u").desc, col("did"))))
+      .filter(col("rank") <= MaxSimTopK)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("did"), col("score_u"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** L97 matryoshka-audit kernel at an explicit query stride — same
+    * registered-floor/adaptive-default split as [[maxsimRerank]].
+    */
+  private[graft] def matryoshkaAgreement(s: SparkSession, d: String,
+      stride: Long): DataFrame = {
+    val dims = Seq(8, 16, 32, 64)
+    val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val withNorms = dims.foldLeft(e0)((f, p) =>
+      f.withColumn(s"n$p", Sketches.norm(col("embedding"), p)))
+    val q = withNorms.select(col("vec_id").as("qid"),
+      col("embedding").as("qe"),
+      col("n8").as("qn8"), col("n16").as("qn16"),
+      col("n32").as("qn32"), col("n64").as("qn64"))
+      .filter(col("qid") % stride === 0)
+    val pairs = dims.foldLeft(
+      broadcast(q).join(withNorms, col("vec_id") =!= col("qid")))(
+      (f, p) => f.withColumn(s"c${p}_u",
+        floor(Sketches.cosineFromParts(
+          Sketches.dot(col("qe"), col("embedding"), p),
+          col(s"qn$p"), col(s"n$p")) * lit(1e9))))
+    val rk = dims.foldLeft(
+      pairs.select(col("qid") +: col("vec_id").as("did") +:
+        dims.map(p => col(s"c${p}_u")): _*))(
+      (f, p) => f.withColumn(s"rn$p", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col(s"c${p}_u").desc, col("did")))))
+    val qs = rk.select(col("qid")).distinct()
+    val per = Seq(8, 16, 32).map { p =>
+      val ov = rk.filter(col("rn64") <= RecallK && col(s"rn$p") <= RecallK)
+        .groupBy(col("qid")).agg(count(lit(1)).as("ov"))
+      qs.join(ov, Seq("qid"), "left")
+        .select(coalesce(col("ov"), lit(0L)).as("ov"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("ov")).as("sum_overlap"),
+          min(col("ov")).as("min_overlap"))
+        .select(lit(p.toLong).as("dims"), col("n_queries"),
+          col("sum_overlap"), col("min_overlap"),
+          expr(s"sum_overlap * 1000000 div (n_queries * $RecallK)")
+            .as("mean_recall_ppm"))
+    }
+    per.reduce(_.unionByName(_)).orderBy(col("dims"))
+  }
+
+  private val strideMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Query stride resolved from the corpus row count (parquet-metadata
+    * count, memoized per immutable fixture dir; production resolves it
+    * from catalog stats).
+    */
+  private[graft] def queryStride(s: SparkSession, d: String): Long =
+    strideMemo.computeIfAbsent(d, _ => java.lang.Long.valueOf(
+      Sketches.queryStrideFor(Tables.embeddings(s, d).count()))).longValue()
+
+  /** Adaptive-default forms — the production query budget. */
+  private[graft] def maxsimRerankAdaptive(s: SparkSession,
+      d: String): DataFrame = maxsimRerank(s, d, queryStride(s, d))
+  private[graft] def matryoshkaAgreementAdaptive(s: SparkSession,
+      d: String): DataFrame = matryoshkaAgreement(s, d, queryStride(s, d))
+
   def all: Seq[GraftQuery] = {
 
     /* L95: BM25 top-k retrieval over an inverted index — the lexical
@@ -186,29 +280,7 @@ object RetrievalOps {
      * candidate set is the full corpus so the oracle sees every pair. */
     val q164 = GraftQuery(
       "q164_maxsim_rerank", "L96 L6 L27",
-      (s, d) => {
-        val toks = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"),
-            explode(sequence(lit(0), lit(7))).as("i"))
-          .withColumn("tok", expr("slice(embedding, i*8+1, 8)"))
-          .drop("embedding")
-        val qt = toks.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("qid"), col("i").as("qi"),
-            col("tok").as("qtok"))
-        val dt = toks.select(col("vec_id").as("did"), col("tok").as("dtok"))
-        val mx = broadcast(qt).join(dt, col("did") =!= col("qid"))
-          .withColumn("d8", Sketches.dot(col("qtok"), col("dtok"), 8))
-          .groupBy(col("qid"), col("did"), col("qi"))
-          .agg(floor(max(col("d8")) * lit(1e6)).as("mx_u"))
-        mx.groupBy(col("qid"), col("did"))
-          .agg(sum(col("mx_u")).as("score_u"))
-          .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
-            .orderBy(col("score_u").desc, col("did"))))
-          .filter(col("rank") <= MaxSimTopK)
-          .select(col("qid"), col("rank").cast("long").as("rank"),
-            col("did"), col("score_u"))
-          .orderBy(col("qid"), col("rank"))
-      },
+      (s, d) => maxsimRerank(s, d, 50L),
       Some {
         val dot = Sketches.dotSql("qt.tok", "dt.tok", 8)
         s"""WITH tk AS (SELECT vec_id, t.i AS i,
@@ -240,44 +312,7 @@ object RetrievalOps {
      * the audit math downstream is unchanged (the q158 protocol). */
     val q165 = GraftQuery(
       "q165_matryoshka_agreement", "L97 L90 L6",
-      (s, d) => {
-        val dims = Seq(8, 16, 32, 64)
-        val e0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-        val withNorms = dims.foldLeft(e0)((f, p) =>
-          f.withColumn(s"n$p", Sketches.norm(col("embedding"), p)))
-        val q = withNorms.select(col("vec_id").as("qid"),
-          col("embedding").as("qe"),
-          col("n8").as("qn8"), col("n16").as("qn16"),
-          col("n32").as("qn32"), col("n64").as("qn64"))
-          .filter(col("qid") % 50 === 0)
-        val pairs = dims.foldLeft(
-          broadcast(q).join(withNorms, col("vec_id") =!= col("qid")))(
-          (f, p) => f.withColumn(s"c${p}_u",
-            floor(Sketches.cosineFromParts(
-              Sketches.dot(col("qe"), col("embedding"), p),
-              col(s"qn$p"), col(s"n$p")) * lit(1e9))))
-        val rk = dims.foldLeft(
-          pairs.select(col("qid") +: col("vec_id").as("did") +:
-            dims.map(p => col(s"c${p}_u")): _*))(
-          (f, p) => f.withColumn(s"rn$p", row_number().over(
-            Window.partitionBy(col("qid"))
-              .orderBy(col(s"c${p}_u").desc, col("did")))))
-        val qs = rk.select(col("qid")).distinct()
-        val per = Seq(8, 16, 32).map { p =>
-          val ov = rk.filter(col("rn64") <= RecallK && col(s"rn$p") <= RecallK)
-            .groupBy(col("qid")).agg(count(lit(1)).as("ov"))
-          qs.join(ov, Seq("qid"), "left")
-            .select(coalesce(col("ov"), lit(0L)).as("ov"))
-            .agg(count(lit(1)).as("n_queries"),
-              sum(col("ov")).as("sum_overlap"),
-              min(col("ov")).as("min_overlap"))
-            .select(lit(p.toLong).as("dims"), col("n_queries"),
-              col("sum_overlap"), col("min_overlap"),
-              expr(s"sum_overlap * 1000000 div (n_queries * $RecallK)")
-                .as("mean_recall_ppm"))
-        }
-        per.reduce(_.unionByName(_)).orderBy(col("dims"))
-      },
+      (s, d) => matryoshkaAgreement(s, d, 50L),
       Some {
         val cos = Seq(8, 16, 32, 64).map { p =>
           val c = Sketches.cosineSql(

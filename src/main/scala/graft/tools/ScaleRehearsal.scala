@@ -35,6 +35,17 @@ import org.apache.spark.sql.functions._
   */
 object ScaleRehearsal {
 
+  /** Adaptive-stride rerank forms measured by [[run]] (the registered
+    * %-50 queries are quadratic by protocol at gated SFs — see the
+    * queries-list comment).
+    */
+  private object RetrievalAdaptive {
+    val maxsim: (SparkSession, String) => DataFrame =
+      (s, d) => graft.queries.RetrievalOps.maxsimRerankAdaptive(s, d)
+    val matryoshka: (SparkSession, String) => DataFrame =
+      (s, d) => graft.queries.RetrievalOps.matryoshkaAgreementAdaptive(s, d)
+  }
+
   private val Base = "/root/testdata/sf0.1"
   private val Out = "target/scale10"
   private val Seed = 20260814L
@@ -251,14 +262,57 @@ object ScaleRehearsal {
       "q159_url_canonical_dedup", "q160_soft_dedup_weights",
       // classifier-guided sampling (the L86 passes + a 1-row broadcast)
       // and the packing audit (the L15 window + 8-byte-key aggregates)
-      "q161_classifier_guided_sampling", "q162_packing_cross_audit")
+      "q161_classifier_guided_sampling", "q162_packing_cross_audit",
+      // round-16 additions — retrieval tier: BM25 (postings explode +
+      // vocab-sized df agg + a FIXED 4-query broadcast — wall should
+      // track the scan) and RRF fusion (BM25's scan + a 4-exemplar
+      // dense NLJ — wall tracks the scan). q164/q165 are measured as
+      // their ADAPTIVE-stride forms below: their registered %-50 query
+      // budget couples queries to n (quadratic BY DESIGN at gated SFs,
+      // where the oracle must see every pair — measured 25.7×/11.7× at
+      // 10×); Sketches.queryStrideFor is the production budget dial,
+      // the rowsPerBandFor treatment applied to the rerank protocols
+      "q163_bm25_topk", "q172_rrf_hybrid_fusion",
+      // training-order tier: Feistel shuffle (map-side column math +
+      // 32-row agg — wall should track the scan), curriculum stages
+      // (the registry's one global ntile: the single-partition sort IS
+      // the measured term; production swaps in sketch cut points),
+      // preference pairs (per-stratum windows over |sources|×8 keys)
+      "q166_feistel_epoch_shuffle", "q167_curriculum_stages",
+      "q168_preference_pairs",
+      // drift tier: binned KS + integer-log PSI (map-side histograms +
+      // 32-row windows — wall tracks the scan), MAD fence (per-source
+      // rank windows — the 20-partition sort is the scaling term)
+      "q169_ks_drift", "q170_psi_drift", "q171_mad_outliers",
+      // contrastive tier: hard negatives (n/50 anchors × scan →
+      // quadratic BY DESIGN like q38), label-noise audit (n×|labels|
+      //×Dims with |labels| fixed — wall should track the scan)
+      "q173_hard_negative_mining", "q174_label_noise_audit")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)
       val w10 = timeQuery(spark, q, Out)
       println(f"$q%-28s $w1%8.2f $w10%8.2f ${w10 / w1}%6.1f")
       (q, w1, w10)
-    } :+ {
+    } ++ Seq[(String, (SparkSession, String) => DataFrame)](
+      ("q164_maxsim(adaptive-stride)", RetrievalAdaptive.maxsim),
+      ("q165_matryoshka(adaptive-stride)", RetrievalAdaptive.matryoshka))
+      .map { case (label, fn) =>
+        def t(dir: String): Double = {
+          def once(): Double = {
+            spark.sharedState.cacheManager.clearCache()
+            val t0 = System.nanoTime()
+            graft.core.CacheScope.scoped {
+              fn(spark, dir).write.format("noop").mode("overwrite").save()
+            }
+            (System.nanoTime() - t0) / 1e9
+          }
+          once(); math.min(once(), once())
+        }
+        val w1 = t(Base); val w10 = t(Out)
+        println(f"$label%-28s $w1%8.2f $w10%8.2f ${w10 / w1}%6.1f")
+        (label, w1, w10)
+      } :+ {
       val w1 = timeShards(spark, Base)
       val w10 = timeShards(spark, Out)
       println(f"${"writeTrainingShards"}%-28s $w1%8.2f $w10%8.2f ${w10 / w1}%6.1f")
@@ -496,6 +550,19 @@ object ScaleRehearsal {
       measured(s"q156 @${factor}x") {
         graft.SparkEntry.queries("q156_split_leakage_repair")(spark, out)
           .count()
+      },
+      // round-16 additions: BM25 (the postings explode is the
+      // row-multiplicative term — the probe shows whether the
+      // map-side-combined (doc, gram) aggregate keeps the shuffle
+      // proportional to the POSTINGS, not the exploded words) and the
+      // MAD fence (two per-source rank windows at 500k rows/source-set —
+      // the order-statistic sort is the term the L59 sketch path would
+      // replace at production)
+      measured(s"q163 @${factor}x") {
+        graft.SparkEntry.queries("q163_bm25_topk")(spark, out).count()
+      },
+      measured(s"q171 @${factor}x") {
+        graft.SparkEntry.queries("q171_mad_outliers")(spark, out).count()
       })
     spark.sparkContext.removeSparkListener(listener)
     emit("probe100", rows.map { case (l, w, r, sb) =>
