@@ -238,6 +238,51 @@ object RetrievalOps {
   private[graft] def matryoshkaAgreementAdaptive(s: SparkSession,
       d: String): DataFrame = matryoshkaAgreement(s, d, queryStride(s, d))
 
+  /** Two-stage retrieval composition — the production shape the L96
+    * scaladoc promises: a cheap first stage (L95 BM25, depth
+    * `firstStageDepth`) proposes candidates, the expensive late-
+    * interaction scorer reranks ONLY those. Queries are the benchmark
+    * qids; each qid's dense form is its exemplar embedding
+    * (vec_id = qid·50, the q172 alignment), candidates join their
+    * vectors on the doc_id == vec_id alignment (docs without vectors
+    * drop out). Output: top-`MaxSimTopK` per qid by exact maxsim over
+    * the candidate set, carrying the first-stage rank as provenance.
+    * At 100 TB the candidate frame is |queries|·depth rows — the
+    * maxsim token join is broadcast-sized no matter the corpus, which
+    * is the entire point of staging. Spec-proven (RerankPipelineSpec):
+    * candidate containment, exact Scala score replay, ordering.
+    */
+  private[graft] def rerankPipeline(s: SparkSession, d: String,
+      firstStageDepth: Int = FuseDepth): DataFrame = {
+    val cand = bm25Scored(s, d)
+      .withColumn("rs", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rs") <= firstStageDepth)
+      .select(col("qid"), col("doc_id"), col("rs"))
+    val toks = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(7))).as("i"))
+      .withColumn("tok", expr("slice(embedding, i*8+1, 8)"))
+      .drop("embedding")
+    val qt = toks.filter(col("vec_id") % 50 === 0 && col("vec_id") <= 150)
+      .select(expr("vec_id div 50").as("qid"), col("i").as("qi"),
+        col("tok").as("qtok"))
+    val dt = toks.select(col("vec_id").as("doc_id"), col("tok").as("dtok"))
+    val mx = broadcast(cand).join(dt, Seq("doc_id"))
+      .join(broadcast(qt), Seq("qid"))
+      .withColumn("d8", Sketches.dot(col("qtok"), col("dtok"), 8))
+      .groupBy(col("qid"), col("doc_id"), col("rs"), col("qi"))
+      .agg(floor(max(col("d8")) * lit(1e6)).as("mx_u"))
+    mx.groupBy(col("qid"), col("doc_id"), col("rs"))
+      .agg(sum(col("mx_u")).as("score_u"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("score_u").desc, col("doc_id"))))
+      .filter(col("rank") <= MaxSimTopK)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score_u"), col("rs").as("first_stage_rank"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   def all: Seq[GraftQuery] = {
 
     /* L95: BM25 top-k retrieval over an inverted index — the lexical
