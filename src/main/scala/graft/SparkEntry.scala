@@ -30,7 +30,9 @@ import graft.queries._
   *    → StreamingAdmissionSpec; L67 streaming form (CMS counter
   *    accumulation, byte-equal to one-shot, non-idempotence pinned)
   *    → StreamingFrequencySpec; L72 streaming form (top-(k+1)
-  *    reservoir, stream==batch) → StreamingPrioritySampleSpec
+  *    reservoir, stream==batch) → StreamingPrioritySampleSpec; L109
+  *    streaming form (frozen-model class-histogram accumulation,
+  *    stream==batch q177 AUC readout) → StreamingAucSpec
   *  - S15 TTL config scan → ConfigSourceSpec
   *  - K3 PNG codec / C18 geoid bilinear / R2-R4 tile ops / S11 GTX decode
   *    → RasterSpec; multimodal binary batching → MultimodalSpec
@@ -59,7 +61,8 @@ object SparkEntry {
       TextCorpusOps.all ++ SampleGraphOps.all ++ CorpusShapingOps.all ++
       TrainedFilterOps.all ++ MixtureAuditOps.all ++ WebCorpusOps.all ++
       RetrievalOps.all ++ CurriculumOps.all ++ DriftOps.all ++
-      ContrastiveOps.all ++
+      ContrastiveOps.all ++ SpectralOps.all ++ SelectionStatsOps.all ++
+      AllocationSketchOps.all ++
       IngestQueries.all ++ RasterQueries.all ++
       SinkJoinQueries.all ++ SourceQueries.all ++ WindowFilterQueries.all ++
       ScalarPackQueries.all ++ SinkQueries.all

@@ -1,0 +1,372 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.Sketches
+
+/** Allocation and sketch-calibration operators (SURVEY §2.11a,
+  * L115–L117):
+  *
+  *  - L115 iterative proportional fitting (raking)  → q183
+  *  - L116 frequent-token subsampling               → q184
+  *  - L117 HLL-union overlap calibration            → q185
+  *
+  * Three more governance jobs of a corpus build: fitting a training
+  * mixture to TWO marginal targets at once (domain shares × length
+  * shares — the 2-D generalization of L42's one-axis temperature
+  * resample), word2vec-style frequent-token downsampling (the other
+  * classic frequency intervention next to L16's repetition filters),
+  * and calibrating the sketch-estimated cross-source overlap against
+  * the exact L29 matrix (the L38 calibrate-the-sketch pattern applied
+  * to HLL set algebra).
+  */
+object AllocationSketchOps {
+
+  /** L115 geometry: length buckets, bucket width, IPF iterations. */
+  private[queries] val IpfBucketChars = 256L
+  private[queries] val IpfBuckets = 8L
+  private[queries] val IpfIters = 5
+
+  /** L116 dials: the word2vec t threshold (10^-3, in ppm) and the
+    * acceptance fixed point (Q20).
+    */
+  private[queries] val SubsampleTppm = 1000L
+  private[queries] val SubsampleQ = 1048576L // 2^20
+
+  def all: Seq[GraftQuery] = {
+
+    /* L115: iterative proportional fitting (raking) — fit the corpus
+     * allocation to TWO marginal targets simultaneously: per-source
+     * shares (a rank ramp over the sorted source names — the
+     * temperature-tilted mixture a trainer actually requests; the
+     * fixture's sources are uniform-count, so a uniform row target
+     * would start pre-fitted and gate nothing) and per-length-bucket
+     * shares (declining in length — the short-doc preference a
+     * context-window-bound trainer has). One
+     * scaling pass per axis per iteration, the Deming–Stephan
+     * alternation: masses start at the observed cell shares (ppm of
+     * total), each row step rescales every source's cells to its
+     * target share, each column step rescales every bucket's cells to
+     * its — 5 double-iterations land within integer-resolution of both
+     * marginals on the gated fixtures, and the final row/column
+     * residuals (Σ|marginal − target| in ppm) are part of the gate, so
+     * a broken scaling step is visible as a residual jump, not just
+     * shifted cells. All arithmetic is integer ppm with truncating
+     * division (the q176 convention — Spark `div` ≡ DuckDB `//`);
+     * masses stay ≤ 10^6 so every product is Long-safe by two orders
+     * of magnitude. At 100 TB: the ONE corpus-sized pass is the cell
+     * histogram (map-side combined to |sources|·|buckets| rows); the
+     * iteration runs entirely on that cell frame with per-axis window
+     * rescales, each reading the running frame once. */
+    val q183 = GraftQuery(
+      "q183_ipf_raking", "L115 L42 L89",
+      (s, d) => {
+        val cells = Tables.documents(s, d)
+          .select(col("source"),
+            least(expr(s"n_chars div $IpfBucketChars"),
+              lit(IpfBuckets - 1L)).as("bkt"))
+          .groupBy(col("source"), col("bkt"))
+          .agg(count(lit(1)).as("n"))
+        val tt = cells.agg(sum(col("n")).as("t"))
+        val rw = cells.select(col("source")).distinct()
+          .select(col("source"), row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("source")))
+            .cast("long").as("rwgt"))
+        val rwt = rw.agg(sum(col("rwgt")).as("srw"))
+        val cb = cells.select(col("bkt")).distinct()
+          .select(col("bkt"), (lit(IpfBuckets) - col("bkt")).as("wgt"))
+        val cbt = cb.agg(sum(col("wgt")).as("sw"))
+        val m0 = cells.crossJoin(broadcast(tt)).crossJoin(broadcast(cbt))
+          .crossJoin(broadcast(rwt))
+          .join(broadcast(cb), Seq("bkt"))
+          .join(broadcast(rw), Seq("source"))
+          .select(col("source"), col("bkt"), col("n"),
+            col("rwgt"), col("srw"), col("wgt"), col("sw"),
+            expr("(n * 1000000) div t").as("m"))
+        // each half-step reads the running frame ONCE (a window sum,
+        // not an aggregate-and-join-back) so the logical plan grows
+        // linearly in IpfIters — the join-back form doubles the plan
+        // per half-step and AQE's tree walks go exponential
+        val bymSrc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+        val byBkt = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("bkt"))
+        val mN = (1 to IpfIters).foldLeft(m0) { (m, _) =>
+          m.withColumn("rs", sum(col("m")).over(bymSrc))
+            .withColumn("m",
+              expr("(m * ((rwgt * 1000000) div srw)) div greatest(rs, 1)"))
+            .drop("rs")
+            .withColumn("cs", sum(col("m")).over(byBkt))
+            .withColumn("m",
+              expr("(m * ((wgt * 1000000) div sw)) div greatest(cs, 1)"))
+            .drop("cs")
+        }
+        val fr = mN.groupBy(col("source"), col("rwgt"), col("srw"))
+          .agg(sum(col("m")).as("rs"))
+          .agg(sum(abs(col("rs") - expr("(rwgt * 1000000) div srw")))
+            .as("row_resid"))
+        val fc = mN.groupBy(col("bkt"), col("wgt"), col("sw"))
+          .agg(sum(col("m")).as("cs"))
+          .agg(sum(abs(col("cs") - expr("(wgt * 1000000) div sw")))
+            .as("col_resid"))
+        mN.crossJoin(broadcast(fr)).crossJoin(broadcast(fc))
+          .select(col("source"), col("bkt"), col("n").as("n_docs"),
+            col("m").as("m_ppm"), col("row_resid"), col("col_resid"))
+          .orderBy(col("source"), col("bkt"))
+      },
+      Some {
+        // a_k and m_k are each referenced twice (scale sum + rescale);
+        // MATERIALIZED keeps DuckDB's CTE inlining from doubling the
+        // plan per half-step (4^iters blowup, measured: q183 alone ran
+        // >120 s inlined, <0.1 s materialized) — the q92 stance
+        def iterSql(k: Int): String =
+          s"""r$k AS (SELECT source, CAST(SUM(m) AS BIGINT) AS rs
+              FROM m${k - 1} GROUP BY 1),
+          a$k AS MATERIALIZED (SELECT m.source, m.bkt, m.n, m.rwgt,
+              m.srw, m.wgt, m.sw,
+              (m.m * ((m.rwgt * 1000000) // m.srw))
+                // GREATEST(r$k.rs, 1) AS m
+            FROM m${k - 1} m JOIN r$k ON r$k.source = m.source),
+          c$k AS (SELECT bkt, CAST(SUM(m) AS BIGINT) AS cs
+              FROM a$k GROUP BY 1),
+          m$k AS MATERIALIZED (SELECT m.source, m.bkt, m.n, m.rwgt,
+              m.srw, m.wgt, m.sw,
+              (m.m * ((m.wgt * 1000000) // m.sw)) // GREATEST(c$k.cs, 1)
+                AS m
+            FROM a$k m JOIN c$k ON c$k.bkt = m.bkt)"""
+        s"""WITH cells AS (SELECT source,
+              LEAST(n_chars // $IpfBucketChars, ${IpfBuckets - 1}) AS bkt,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2),
+          tt AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cells),
+          rw AS (SELECT source, CAST(ROW_NUMBER() OVER (ORDER BY source)
+              AS BIGINT) AS rwgt
+            FROM (SELECT DISTINCT source FROM cells)),
+          rwt AS (SELECT CAST(SUM(rwgt) AS BIGINT) AS srw FROM rw),
+          cb AS (SELECT bkt, $IpfBuckets - bkt AS wgt
+            FROM (SELECT DISTINCT bkt FROM cells)),
+          cbt AS (SELECT CAST(SUM(wgt) AS BIGINT) AS sw FROM cb),
+          m0 AS (SELECT cells.source, cells.bkt, cells.n, rw.rwgt,
+              rwt.srw, cb.wgt, cbt.sw, (cells.n * 1000000) // tt.t AS m
+            FROM cells CROSS JOIN tt CROSS JOIN cbt CROSS JOIN rwt
+              JOIN cb ON cb.bkt = cells.bkt
+              JOIN rw ON rw.source = cells.source),
+          ${(1 to IpfIters).map(iterSql).mkString(",\n          ")},
+          fr AS (SELECT CAST(SUM(ABS(rs - ((rwgt * 1000000) // srw)))
+              AS BIGINT) AS row_resid
+            FROM (SELECT source, rwgt, srw, CAST(SUM(m) AS BIGINT) AS rs
+              FROM m$IpfIters GROUP BY 1, 2, 3)),
+          fc AS (SELECT CAST(SUM(ABS(cs - ((wgt * 1000000) // sw)))
+              AS BIGINT) AS col_resid
+            FROM (SELECT bkt, wgt, sw, CAST(SUM(m) AS BIGINT) AS cs
+              FROM m$IpfIters GROUP BY 1, 2, 3))
+          SELECT m.source, m.bkt, m.n AS n_docs, m.m AS m_ppm,
+            fr.row_resid, fc.col_resid
+          FROM m$IpfIters m CROSS JOIN fr CROSS JOIN fc
+          ORDER BY source, bkt"""
+      })
+
+    /* L116: frequent-token subsampling — the word2vec intervention: a
+     * token whose corpus frequency p exceeds t = 10^-3 is kept with
+     * probability sqrt(t/p) (its information content per occurrence
+     * shrinks as its frequency grows; downsampling rebalances training
+     * signal toward rare words). Deterministic form: the acceptance is
+     * floor(sqrt((t_ppm · 2^40) div p_ppm)) capped at 2^20 — the
+     * ratio is an exact integer < 2^50, exactly representable as a
+     * double, and IEEE sqrt is correctly rounded, so the Q20 dial is
+     * engine-exact; the draw is the stateless per-OCCURRENCE hash
+     * h64("ss:"‖doc‖":"‖pos) mod 2^20 (append-stable, replayable). The
+     * per-source report proves the distribution shift: total vs kept
+     * tokens, the frequent-class (p > t) occurrence mass before vs
+     * after — the only mass that shrinks — and distinct vocabulary
+     * before vs after (rare types must survive). At 100 TB: one
+     * |vocab|-row count aggregate broadcast back over a second token
+     * pass, map-side draw, one rollup — the L9/L86 two-pass shape. */
+    val q184 = GraftQuery(
+      "q184_frequent_token_subsample", "L116 L16 L9",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            posexplode(Sketches.words(col("text"))))
+          .select(col("doc_id"), col("source"),
+            (col("pos") + 1).cast("long").as("pos"), col("col").as("w"))
+        val vc = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val nt = vc.agg(sum(col("c")).as("n"))
+        val scored = toks.join(broadcast(
+            vc.crossJoin(broadcast(nt))
+              .withColumn("p_ppm", expr("(c * 1000000) div n"))
+              .withColumn("keep_q20",
+                least(lit(SubsampleQ), floor(sqrt(
+                  expr(s"($SubsampleTppm * 1099511627776) div " +
+                    "greatest(p_ppm, 1)").cast("double")))))
+              .select(col("w"), col("p_ppm"), col("keep_q20"))),
+            Seq("w"))
+          .withColumn("kept", Sketches.h64(concat(lit("ss:"),
+            col("doc_id"), lit(":"), col("pos"))) % lit(SubsampleQ)
+            < col("keep_q20"))
+          .withColumn("freq", col("p_ppm") > SubsampleTppm)
+        scored.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("freq"), 1L).otherwise(0L)).as("freq_mass"),
+            sum(when(col("freq") && col("kept"), 1L).otherwise(0L))
+              .as("freq_kept"),
+            count_distinct(col("w")).as("v_before"),
+            count_distinct(when(col("kept"), col("w"))).as("v_after"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val ws = Sketches.wordsSql("text")
+        val h = Sketches.h64Sql("'ss:' || doc_id || ':' || i")
+        s"""WITH gd AS (SELECT doc_id, source, $ws AS g FROM documents),
+          tok AS (SELECT doc_id, source, i, g[i] AS w FROM (
+            SELECT doc_id, source, g,
+              unnest(generate_series(1, len(g))) AS i FROM gd)),
+          vc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+            GROUP BY 1),
+          nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vc),
+          kd AS (SELECT w, (c * 1000000) // nt.n AS p_ppm,
+              LEAST($SubsampleQ, CAST(floor(sqrt(CAST(
+                ($SubsampleTppm * 1099511627776)
+                  // GREATEST((c * 1000000) // nt.n, 1) AS DOUBLE)))
+                AS BIGINT)) AS keep_q20
+            FROM vc CROSS JOIN nt),
+          sc AS (SELECT tok.source, tok.w, kd.p_ppm > $SubsampleTppm
+                AS freq,
+              ($h % $SubsampleQ) < kd.keep_q20 AS kept
+            FROM tok JOIN kd ON kd.w = tok.w)
+          SELECT source, COUNT(*) AS n_tokens,
+            CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_kept,
+            CAST(SUM(CASE WHEN freq THEN 1 ELSE 0 END) AS BIGINT)
+              AS freq_mass,
+            CAST(SUM(CASE WHEN freq AND kept THEN 1 ELSE 0 END)
+              AS BIGINT) AS freq_kept,
+            CAST(COUNT(DISTINCT w) AS BIGINT) AS v_before,
+            CAST(COUNT(DISTINCT CASE WHEN kept THEN w END) AS BIGINT)
+              AS v_after
+          FROM sc GROUP BY 1 ORDER BY source"""
+      })
+
+    /* L117: HLL-union overlap calibration — the L38 calibrate-the-
+     * sketch pattern applied to HLL set algebra: the exact cross-source
+     * overlap matrix (L29) is the expensive truth (a distinct-key self-
+     * join); the sketch path estimates it from per-source register
+     * vectors alone via inclusion–exclusion — est(A∩B) = est(A) +
+     * est(B) − est(A∪B), where the union sketch is the register-wise
+     * MAX of the two sources' registers (the HLL merge law, the same
+     * property the graft_hll UDAF's partial-merge relies on). The gate
+     * computes both sides per source pair and the signed error — the
+     * governance number that prices replacing the quadratic exact join
+     * with kilobyte sketches at 100 TB. Registers ride the q137
+     * integer-exact estimator arithmetic (raw estimator, capped rho,
+     * no libm); the union merge adds one |pairs|·|regs|-row aggregate
+     * over the BROADCAST per-source register frame — corpus-sized work
+     * stays in the one shingle pass both paths share. */
+    val q185 = GraftQuery(
+      "q185_hll_overlap_calibration", "L117 L69 L29 L38",
+      (s, d) => {
+        import TextCorpusOps.{HllM, HllRemBits, HllRemMask, HllRhoCap,
+          HllNumerator, hllReg, hllRhoC}
+        val w = Tables.documents(s, d)
+          .select(col("source"),
+            explode(Sketches.shingles(col("text"), LlmPipeline.ShingleN))
+              .as("w"))
+        val dw = w.distinct()
+        val regs = w.withColumn("h", Sketches.h64(col("w")))
+          .groupBy(col("source"), hllReg(col("h")).as("reg"))
+          .agg(max(hllRhoC(Sketches.h64(col("w")))).as("r"))
+        def estCols(prefix: String): Column =
+          expr(s"$HllNumerator div ((${prefix}s_hit + " +
+            s"($HllM - ${prefix}n_hit) * ${1L << HllRhoCap}) * 1000)")
+        val perSrc = regs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_hit"),
+            sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoCap - r)"))
+              .as("s_hit"))
+          .withColumn("est", estCols(""))
+          .select(col("source"), col("est"))
+        val pairs = perSrc.select(col("source").as("s1"),
+            col("est").as("est_s1"))
+          .join(perSrc.select(col("source").as("s2"),
+            col("est").as("est_s2")), col("s1") < col("s2"))
+        val merged = broadcast(pairs).join(regs,
+            col("source") === col("s1") || col("source") === col("s2"))
+          .groupBy(col("s1"), col("s2"), col("est_s1"), col("est_s2"),
+            col("reg"))
+          .agg(max(col("r")).as("r"))
+          .groupBy(col("s1"), col("s2"), col("est_s1"), col("est_s2"))
+          .agg(count(lit(1)).as("n_hit"),
+            sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoCap - r)"))
+              .as("s_hit"))
+          .withColumn("est_union", estCols(""))
+        val exact = dw.select(col("source").as("s1"), col("w"))
+          .join(dw.select(col("source").as("s2"), col("w")), Seq("w"))
+          .filter(col("s1") < col("s2"))
+          .groupBy(col("s1"), col("s2"))
+          .agg(count(lit(1)).as("n_exact"))
+        merged
+          .withColumn("est_inter",
+            col("est_s1") + col("est_s2") - col("est_union"))
+          .join(exact, Seq("s1", "s2"), "left")
+          .select(col("s1"), col("s2"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+            col("est_s1"), col("est_s2"), col("est_union"),
+            col("est_inter"),
+            (col("est_inter") - coalesce(col("n_exact"), lit(0L)))
+              .as("err"))
+          .orderBy(col("s1"), col("s2"))
+      },
+      Some {
+        import TextCorpusOps.{HllM, HllRemBits, HllRemMask, HllRhoCap,
+          HllNumerator}
+        val ws = Sketches.shinglesSql("text", LlmPipeline.ShingleN)
+        val hw = Sketches.h64Sql("w")
+        def est(nHit: String, sHit: String): String =
+          s"$HllNumerator // (($sHit + ($HllM - $nHit) " +
+            s"* ${1L << HllRhoCap}) * 1000)"
+        s"""WITH w AS (SELECT source, unnest($ws) AS w FROM documents),
+          hh AS (SELECT source, w, $hw AS h FROM w),
+          regs AS (SELECT source, h >> $HllRemBits AS reg,
+              MAX(LEAST(CASE WHEN (h & $HllRemMask) = 0
+                THEN ${HllRemBits + 1}
+                ELSE ${HllRemBits + 1}
+                  - length(format('{:b}', h & $HllRemMask)) END,
+                $HllRhoCap)) AS r
+            FROM hh GROUP BY 1, 2),
+          ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_hit,
+              CAST(SUM(1::BIGINT << ($HllRhoCap - r)) AS BIGINT) AS s_hit
+            FROM regs GROUP BY 1),
+          pe AS (SELECT source, ${est("n_hit", "s_hit")} AS est FROM ps),
+          pairs AS (SELECT a.source AS s1, b.source AS s2,
+              a.est AS est_s1, b.est AS est_s2
+            FROM pe a JOIN pe b ON a.source < b.source),
+          mr AS (SELECT p.s1, p.s2, p.est_s1, p.est_s2, regs.reg,
+              MAX(regs.r) AS r
+            FROM pairs p JOIN regs
+              ON regs.source = p.s1 OR regs.source = p.s2
+            GROUP BY 1, 2, 3, 4, 5),
+          mu AS (SELECT s1, s2, est_s1, est_s2,
+              CAST(COUNT(*) AS BIGINT) AS n_hit,
+              CAST(SUM(1::BIGINT << ($HllRhoCap - r)) AS BIGINT) AS s_hit
+            FROM mr GROUP BY 1, 2, 3, 4),
+          uu AS (SELECT s1, s2, est_s1, est_s2,
+              ${est("n_hit", "s_hit")} AS est_union FROM mu),
+          dw AS (SELECT DISTINCT source, w FROM w),
+          ex AS (SELECT a.source AS s1, b.source AS s2,
+              CAST(COUNT(*) AS BIGINT) AS n_exact
+            FROM dw a JOIN dw b ON b.w = a.w AND a.source < b.source
+            GROUP BY 1, 2)
+          SELECT uu.s1, uu.s2, COALESCE(ex.n_exact, 0) AS n_exact,
+            uu.est_s1, uu.est_s2, uu.est_union,
+            uu.est_s1 + uu.est_s2 - uu.est_union AS est_inter,
+            uu.est_s1 + uu.est_s2 - uu.est_union
+              - COALESCE(ex.n_exact, 0) AS err
+          FROM uu LEFT JOIN ex ON ex.s1 = uu.s1 AND ex.s2 = uu.s2
+          ORDER BY uu.s1, uu.s2"""
+      })
+
+    Seq(q183, q184, q185)
+  }
+}

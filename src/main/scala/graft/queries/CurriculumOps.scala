@@ -34,6 +34,12 @@ object CurriculumOps {
   private[queries] val FeistelRounds = 3
   private[queries] val Shards = 16
 
+  /** L111 HRW widths: the gate reshards 16 → 17 and proves minimal
+    * movement (every relocated doc lands on the new shard).
+    */
+  private[queries] val HrwOldShards = 16L
+  private[queries] val HrwNewShards = 17L
+
   /** L99/L100 quality scale (µ-units) and dials. */
   private[queries] val CurriculumStages = 4
   private[queries] val PrefMinGapU = 50000L // 0.05 quality gap
@@ -52,6 +58,33 @@ object CurriculumOps {
       val t = r; r = l.bitwiseXOR(f); l = t
     }
     l * lit(HalfMask + 1) + r
+  }
+
+  /** DuckDB twin of [[feistelPos]] for epochs 0 and 1, as CTEs ending
+    * in `pp(doc_id, pos0, pos1)` — factored so every consumer (q166's
+    * gate, q180's diversity audit) measures the SAME permutation: f0
+    * holds both epochs' (l, r) halves, each round CTE rewrites both
+    * epochs' halves once.
+    */
+  private[queries] def feistelCtesSql: String = {
+    val f0 = s"""f0 AS (SELECT doc_id,
+        doc_id // ${HalfMask + 1} AS l_a, doc_id % ${HalfMask + 1} AS r_a,
+        doc_id // ${HalfMask + 1} AS l_b, doc_id % ${HalfMask + 1} AS r_b
+      FROM documents)"""
+    val rounds = (1 to FeistelRounds).map { k =>
+      val ha = Sketches.h64Sql(s"'fe:0:$k:' || r_a")
+      val hb = Sketches.h64Sql(s"'fe:1:$k:' || r_b")
+      s"""f$k AS (SELECT doc_id,
+          r_a AS l_a, xor(l_a, ($ha & $HalfMask)) AS r_a,
+          r_b AS l_b, xor(l_b, ($hb & $HalfMask)) AS r_b
+        FROM f${k - 1})"""
+    }.mkString(",\n          ")
+    s"""$f0,
+      $rounds,
+      pp AS (SELECT doc_id,
+          l_a * ${HalfMask + 1} + r_a AS pos0,
+          l_b * ${HalfMask + 1} + r_b AS pos1
+        FROM f$FeistelRounds)"""
   }
 
   def all: Seq[GraftQuery] = {
@@ -95,30 +128,8 @@ object CurriculumOps {
           .orderBy(col("epoch"), col("shard"))
       },
       Some {
-        val stages = (0 to 1).flatMap { e =>
-          (1 to FeistelRounds).map { r => (e, r) }
-        }
-        // CTE ladder: f0 holds both epochs' (l, r); each round CTE
-        // rewrites both epochs' halves once
-        val f0 = s"""f0 AS (SELECT doc_id,
-            doc_id // ${HalfMask + 1} AS l_a, doc_id % ${HalfMask + 1} AS r_a,
-            doc_id // ${HalfMask + 1} AS l_b, doc_id % ${HalfMask + 1} AS r_b
-          FROM documents)"""
-        val rounds = (1 to FeistelRounds).map { k =>
-          val ha = Sketches.h64Sql(s"'fe:0:$k:' || r_a")
-          val hb = Sketches.h64Sql(s"'fe:1:$k:' || r_b")
-          s"""f$k AS (SELECT doc_id,
-              r_a AS l_a, xor(l_a, ($ha & $HalfMask)) AS r_a,
-              r_b AS l_b, xor(l_b, ($hb & $HalfMask)) AS r_b
-            FROM f${k - 1})"""
-        }.mkString(",\n          ")
         val ck = Sketches.h64Sql("doc_id || ':' || pos")
-        s"""WITH $f0,
-          $rounds,
-          pp AS (SELECT doc_id,
-              l_a * ${HalfMask + 1} + r_a AS pos0,
-              l_b * ${HalfMask + 1} + r_b AS pos1
-            FROM f$FeistelRounds),
+        s"""WITH $feistelCtesSql,
           ep AS (SELECT CAST(0 AS BIGINT) AS epoch, doc_id,
               pos0 AS pos, pos1 AS other FROM pp
             UNION ALL SELECT CAST(1 AS BIGINT), doc_id, pos1, pos0 FROM pp)
@@ -252,6 +263,140 @@ object CurriculumOps {
           ORDER BY best.source, best.bkt"""
       })
 
-    Seq(q166, q167, q168)
+    /* L111: rendezvous (highest-random-weight) shard routing — the
+     * OTHER deterministic placement primitive next to L98's Feistel:
+     * where Feistel permutes a FIXED domain, HRW answers "which shard
+     * owns this doc" under a CHANGING shard count with provably minimal
+     * movement — shard(doc, W) = argmax over s < W of h64("hrw:"‖s‖":"‖
+     * doc), so adding shard W only relocates the docs the NEW shard
+     * wins (expected n/(W+1)) and every relocated doc lands ON the new
+     * shard (no old→old churn — the property that makes resharding a
+     * 100 TB corpus store an append, not a rewrite). The gate computes
+     * the assignment at 16 and 17 shards from ONE hash frame, reports
+     * per (width, shard): population, how many docs ARRIVED relative to
+     * the 16-shard layout, and a moved-doc checksum — minimality is
+     * visible in the gated values (n_arrived ≡ 0 everywhere except the
+     * new shard) and spec-asserted. The argmax is a row_number window
+     * partitioned by doc (W rows each — ties impossible to matter:
+     * h DESC then s is a total order). At 100 TB: pure map-side hash
+     * math per doc (production evaluates the argmax as a single
+     * expression over W candidates; the explode form is the oracle-
+     * clear shape) + one 33-row aggregate. */
+    val q179 = GraftQuery(
+      "q179_rendezvous_routing", "L111 L98 L81",
+      (s, d) => {
+        val cand = Tables.documents(s, d).select(col("doc_id"))
+          .select(col("doc_id"),
+            explode(sequence(lit(0L), lit(HrwNewShards - 1L))).as("s"))
+          .withColumn("h", Sketches.h64(concat(lit("hrw:"), col("s"),
+            lit(":"), col("doc_id"))))
+        def assign(w: Long, name: String) = cand.filter(col("s") < w)
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("doc_id"))
+            .orderBy(col("h").desc, col("s"))))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("s").as(name))
+        val j = assign(HrwOldShards, "shard16")
+          .join(assign(HrwNewShards, "shard17"), Seq("doc_id"))
+        val mvck = Sketches.h64(concat(lit("mv:"),
+          col("doc_id").cast("string"))) % lit(1000003L)
+        val w16 = j.groupBy(col("shard16").as("shard"))
+          .agg(count(lit(1)).as("n_docs"))
+          .select(lit(HrwOldShards).as("width"), col("shard"),
+            col("n_docs"), lit(0L).as("n_arrived"),
+            lit(0L).as("moved_checksum"))
+        val w17 = j.groupBy(col("shard17").as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("shard17") =!= col("shard16"), 1L).otherwise(0L))
+              .as("n_arrived"),
+            sum(when(col("shard17") =!= col("shard16"), mvck)
+              .otherwise(0L)).as("moved_checksum"))
+          .select(lit(HrwNewShards).as("width"), col("shard"),
+            col("n_docs"), col("n_arrived"), col("moved_checksum"))
+        w16.unionByName(w17).orderBy(col("width"), col("shard"))
+      },
+      Some {
+        val h = Sketches.h64Sql("'hrw:' || s || ':' || doc_id")
+        val mvck = s"${Sketches.h64Sql("'mv:' || doc_id")} % 1000003"
+        def assignSql(w: Long, name: String) =
+          s"""$name AS (SELECT doc_id, s FROM (
+              SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+                ORDER BY h DESC, s) AS rn
+              FROM c WHERE s < $w) WHERE rn = 1)"""
+        s"""WITH c AS (SELECT doc_id, s, $h AS h
+            FROM documents, generate_series(0, ${HrwNewShards - 1}) t(s)),
+          ${assignSql(HrwOldShards, "a16")},
+          ${assignSql(HrwNewShards, "a17")},
+          j AS (SELECT a16.doc_id, a16.s AS shard16, a17.s AS shard17
+            FROM a16 JOIN a17 ON a17.doc_id = a16.doc_id)
+          SELECT CAST($HrwOldShards AS BIGINT) AS width,
+            shard16 AS shard, COUNT(*) AS n_docs,
+            CAST(0 AS BIGINT) AS n_arrived,
+            CAST(0 AS BIGINT) AS moved_checksum
+          FROM j GROUP BY 2
+          UNION ALL
+          SELECT CAST($HrwNewShards AS BIGINT), shard17, COUNT(*),
+            CAST(SUM(CASE WHEN shard17 <> shard16 THEN 1 ELSE 0 END)
+              AS BIGINT),
+            CAST(SUM(CASE WHEN shard17 <> shard16 THEN $mvck ELSE 0 END)
+              AS BIGINT)
+          FROM j GROUP BY 2
+          ORDER BY width, shard"""
+      })
+
+    /* L112: shard-mix diversity audit (Simpson effective source count)
+     * — does the L98 epoch shuffle actually MIX? A shard whose docs all
+     * come from one source trains on correlated batches no matter how
+     * random the order looks; the governance number is the effective
+     * number of sources per shard, eff = T² / Σ_src n_src² (the
+     * inverse Simpson index: 1 when source-pure, |sources| under a
+     * perfect mix), exact in ppm. Computed per (epoch, shard) over the
+     * REGISTERED permutation (the shared feistelPos kernel — one
+     * source of truth with q166), so a broken round function shows up
+     * here as collapsed diversity. At 100 TB: one (epoch, shard,
+     * source) map-side-combined aggregate (|shards|·|sources| rows) and
+     * a 32-row reduce; the T²·10^6 product is Long-safe to T ≈ 3·10^6
+     * docs/shard — beyond that the ppm rescale moves after a
+     * per-source-share division (same stance as q177's AUC unit). */
+    val q180 = GraftQuery(
+      "q180_shard_diversity", "L112 L98 L30",
+      (s, d) => {
+        val base = Tables.documents(s, d).select(col("doc_id"),
+            col("source"))
+          .withColumn("pos0", feistelPos(0))
+          .withColumn("pos1", feistelPos(1))
+        val ep = base.select(lit(0L).as("epoch"), col("source"),
+            col("pos0").bitwiseAND(lit(Shards - 1L)).as("shard"))
+          .unionByName(base.select(lit(1L).as("epoch"), col("source"),
+            col("pos1").bitwiseAND(lit(Shards - 1L)).as("shard")))
+        ep.groupBy(col("epoch"), col("shard"), col("source"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("epoch"), col("shard"))
+          .agg(sum(col("n")).as("t"),
+            count(lit(1)).as("n_sources"),
+            sum(col("n") * col("n")).as("sq"))
+          .withColumn("eff_ppm",
+            expr("(t * t * 1000000) div sq"))
+          .orderBy(col("epoch"), col("shard"))
+      },
+      Some {
+        s"""WITH $feistelCtesSql,
+          ep AS (SELECT CAST(0 AS BIGINT) AS epoch, d.source,
+              pp.pos0 & ${Shards - 1} AS shard
+            FROM pp JOIN documents d ON d.doc_id = pp.doc_id
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), d.source, pp.pos1 & ${Shards - 1}
+            FROM pp JOIN documents d ON d.doc_id = pp.doc_id),
+          g AS (SELECT epoch, shard, source, COUNT(*) AS n
+            FROM ep GROUP BY 1, 2, 3)
+          SELECT epoch, shard, CAST(SUM(n) AS BIGINT) AS t,
+            CAST(COUNT(*) AS BIGINT) AS n_sources,
+            CAST(SUM(n * n) AS BIGINT) AS sq,
+            (CAST(SUM(n) AS BIGINT) * CAST(SUM(n) AS BIGINT) * 1000000)
+              // CAST(SUM(n * n) AS BIGINT) AS eff_ppm
+          FROM g GROUP BY 1, 2 ORDER BY epoch, shard"""
+      })
+
+    Seq(q166, q167, q168, q179, q180)
   }
 }

@@ -268,6 +268,67 @@ object MixtureAuditOps {
           ORDER BY budget, shard"""
       })
 
-    Seq(q157, q158, q162)
+    /* L110: retrieval MRR/hit audit — the rank-position companion to
+     * L90's set-overlap agreement: where q158 asks "how much of the
+     * exact top-d does the IVF list recover", this asks "WHERE does the
+     * IVF list put the one answer that matters" — the exact top-1
+     * neighbor per query. Reciprocal rank is exact in ppm (10^6 div
+     * rank — rank fusion's q172 integerization stance), 0 when the IVF
+     * list (depth = TopK) misses the exact top-1 entirely, and the
+     * per-query frame carries the IVF rank as provenance (−1 = absent).
+     * Both engines consume the SAME factored kernels as q38/q70/q158
+     * (bruteTopK/ivfTopK ↔ bruteRankedCtesSql/ivfRankedCtesSql), so
+     * the gate proves the measurement that justifies serving from the
+     * IVF index. Summary columns (n_queries, Σrr, hit@1, hit@TopK)
+     * broadcast onto every row. At 100 TB: both inputs bounded by the
+     * q38/q70 query-budget protocol; the audit adds one |queries|-row
+     * left join and a 1-row aggregate. */
+    val q178 = GraftQuery(
+      "q178_retrieval_mrr", "L110 L90 L6 L11",
+      (s, d) => {
+        val top1 = LlmPipeline.bruteTopK(s, d)
+          .filter(col("rank") === 1)
+          .select(col("q_id"), col("vec_id").as("top1"))
+        val ivf = LlmPipeline.ivfTopK(s, d)
+          .select(col("q_id"), col("vec_id").as("top1"),
+            col("rank").as("rank_ivf"))
+        val per = top1.join(ivf, Seq("q_id", "top1"), "left")
+          .select(col("q_id"), col("top1"),
+            coalesce(col("rank_ivf"), lit(-1L)).as("rank_ivf"))
+          .withColumn("rr_ppm",
+            when(col("rank_ivf") > 0, expr("1000000 div rank_ivf"))
+              .otherwise(lit(0L)))
+        val sm = per.agg(count(lit(1)).as("n_queries"),
+          sum(col("rr_ppm")).as("sum_rr_ppm"),
+          sum(when(col("rank_ivf") === 1, 1L).otherwise(0L)).as("n_hit1"),
+          sum(when(col("rank_ivf") > 0, 1L).otherwise(0L)).as("n_hitk"))
+        per.crossJoin(broadcast(sm))
+          .orderBy(col("q_id"))
+      },
+      Some {
+        s"""WITH ${LlmPipeline.bruteRankedCtesSql("br")},
+          ${LlmPipeline.ivfRankedCtesSql("ivr")},
+          e1 AS (SELECT q_id, vec_id AS top1 FROM br WHERE rank = 1),
+          j AS (SELECT e1.q_id, e1.top1,
+              COALESCE(ivr.rank, -1) AS rank_ivf
+            FROM e1 LEFT JOIN ivr ON ivr.q_id = e1.q_id
+              AND ivr.vec_id = e1.top1 AND ivr.rank <= ${LlmPipeline.TopK}),
+          p AS (SELECT q_id, top1, rank_ivf,
+              CASE WHEN rank_ivf > 0 THEN 1000000 // rank_ivf
+                ELSE 0 END AS rr_ppm
+            FROM j),
+          sm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+              CAST(SUM(rr_ppm) AS BIGINT) AS sum_rr_ppm,
+              CAST(SUM(CASE WHEN rank_ivf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_hit1,
+              CAST(SUM(CASE WHEN rank_ivf > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_hitk
+            FROM p)
+          SELECT p.q_id, p.top1, p.rank_ivf, p.rr_ppm, sm.n_queries,
+            sm.sum_rr_ppm, sm.n_hit1, sm.n_hitk
+          FROM p CROSS JOIN sm ORDER BY q_id"""
+      })
+
+    Seq(q157, q158, q162, q178)
   }
 }

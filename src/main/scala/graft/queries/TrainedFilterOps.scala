@@ -337,6 +337,69 @@ object TrainedFilterOps {
           FROM k GROUP BY 1 ORDER BY source"""
       })
 
-    Seq(q154, q155, q156, q161)
+    /* L109: exact ROC-AUC of the trained classifier (Mann–Whitney form)
+     * — the threshold-free companion to the L78 PR sweep: AUC is the
+     * probability a random positive (plant) outscores a random negative,
+     * computed exactly from the REGISTERED L86 scores (the nbDocScores
+     * kernel — same model q154/q161 gate) via the rank-sum identity.
+     * The scalable shape is a HISTOGRAM cumulative, never a global
+     * per-doc sort: scores collapse to per-(source, score) counts
+     * (|distinct scores| rows — the NB integer ladder keeps this small),
+     * a cumulative window over those rows yields the negatives-below
+     * count, and U2 = Σ_s np(s)·(2·nn_below(s) + nn(s)) — twice the
+     * Mann–Whitney U with the tie term (np·nn at equal scores counts
+     * half) folded in at integer precision. auc_ppm = U2·10^6 div
+     * (2·np·nn); a source with no plants (or all plants) reports −1
+     * rather than dividing by zero. All quantities are non-negative
+     * integers, so div/`//` agree without floor adjustment. At 100 TB:
+     * the L86 passes plus one map-side-combined histogram and a window
+     * over |distinct scores| rows per source — no new corpus-sized
+     * shuffle; the ·10^6 rescale happens after the per-source reduce,
+     * so the only quadratic-in-n product is np·nn (a production corpus
+     * computes auc in a wider unit or per shard first). */
+    val q177 = GraftQuery(
+      "q177_classifier_auc", "L109 L86 L78",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = nbDocScores(s, d)
+          .groupBy(col("source"), col("score"))
+          .agg(sum(col("pos")).as("np"),
+            sum(lit(1L) - col("pos")).as("nn"))
+        val w = Window.partitionBy(col("source")).orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        h.withColumn("nn_below", sum(col("nn")).over(w) - col("nn"))
+          .groupBy(col("source"))
+          .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+            count(lit(1)).as("n_scores"),
+            sum(col("np") * (col("nn_below") * 2 + col("nn"))).as("u2"))
+          .withColumn("auc_ppm",
+            when(col("n_pos") * col("n_neg") > 0,
+              expr("(u2 * 1000000) div (2 * n_pos * n_neg)"))
+              .otherwise(lit(-1L)))
+          .select(col("source"), col("n_pos"), col("n_neg"),
+            col("n_scores"), col("u2"), col("auc_ppm"))
+          .orderBy(col("source"))
+      },
+      Some {
+        s"""WITH $nbScoreCtesSql,
+          h AS (SELECT source, score, CAST(SUM(pos) AS BIGINT) AS np,
+              CAST(SUM(1 - pos) AS BIGINT) AS nn
+            FROM sc GROUP BY 1, 2),
+          c AS (SELECT *, CAST(SUM(nn) OVER (PARTITION BY source
+              ORDER BY score ROWS UNBOUNDED PRECEDING) AS BIGINT) - nn
+              AS nn_below FROM h),
+          au AS (SELECT source, CAST(SUM(np) AS BIGINT) AS n_pos,
+              CAST(SUM(nn) AS BIGINT) AS n_neg,
+              CAST(COUNT(*) AS BIGINT) AS n_scores,
+              CAST(SUM(np * (2 * nn_below + nn)) AS BIGINT) AS u2
+            FROM c GROUP BY 1)
+          SELECT source, n_pos, n_neg, n_scores, u2,
+            CASE WHEN n_pos * n_neg > 0
+              THEN (u2 * 1000000) // (2 * n_pos * n_neg)
+              ELSE -1 END AS auc_ppm
+          FROM au ORDER BY source"""
+      })
+
+    Seq(q154, q155, q156, q161, q177)
   }
 }

@@ -287,7 +287,33 @@ object ScaleRehearsal {
       // contrastive tier: hard negatives (n/50 anchors × scan →
       // quadratic BY DESIGN like q38), label-noise audit (n×|labels|
       //×Dims with |labels| fixed — wall should track the scan)
-      "q173_hard_negative_mining", "q174_label_noise_audit")
+      "q173_hard_negative_mining", "q174_label_noise_audit",
+      // selection/spectral tier: DSIR (one gram pass + two fixed
+      // 2^10-bucket aggregates broadcast back — wall should track the
+      // scan), dominant component (Dims² products per vector in
+      // codegen, shuffle fixed at 4096 rows — wall tracks the scan's
+      // CPU), classifier AUC (the L86 passes + a |distinct scores|
+      // histogram window), retrieval MRR (bounded by the q38/q70 query
+      // budget — quadratic BY DESIGN like q158)
+      "q175_dsir_importance_resampling", "q176_dominant_component",
+      "q177_classifier_auc", "q178_retrieval_mrr",
+      // shard governance: HRW routing (a W-row argmax window per doc —
+      // wall should track the scan), Simpson shard diversity (the
+      // Feistel math + a (epoch, shard, source) map-side agg),
+      // Good–Turing (one trigram pass + frequency-of-frequencies
+      // rollup) and the k-anonymity audit (cells, not docs, in the
+      // rollup)
+      "q179_rendezvous_routing", "q180_shard_diversity",
+      "q181_good_turing_unseen", "q182_kanon_small_cells",
+      // allocation/sketch tier: IPF raking (one cell histogram, the
+      // iteration on |sources|·|buckets| rows — wall should track the
+      // scan), frequent-token subsample (two token passes + a |vocab|
+      // aggregate — wall tracks the gram work), HLL overlap calibration
+      // (the exact side is the quadratic truth the sketch replaces —
+      // superlinear BY DESIGN like q78's verify; the sketch side's
+      // |pairs|·|regs| merge is constant)
+      "q183_ipf_raking", "q184_frequent_token_subsample",
+      "q185_hll_overlap_calibration")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)

@@ -1,0 +1,119 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** L109/L110 semantics beyond the oracles: the AUC replayed by brute
+  * O(n²) pair counting (including the tie midrank term, exercised on a
+  * fixture where a negative doc shares the plant's exact text), and the
+  * MRR replayed from the registered exact/IVF rankings.
+  */
+class EvalMetricsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(q: String, d: String) =
+    graft.core.CacheScope.scoped {
+      graft.SparkEntry.queries(q)(spark, d).collect()
+    }
+
+  test("q177: AUC replays by O(n^2) pair counting on the fixture") {
+    val sc = graft.core.CacheScope.scoped {
+      TrainedFilterOps.nbDocScores(spark, dir)
+        .select("source", "pos", "score")
+        .as[(String, Long, Long)].collect()
+    }
+    val out = run("q177_classifier_auc", dir).map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(out.nonEmpty)
+    sc.groupBy(_._1).foreach { case (src, rows) =>
+      val pos = rows.filter(_._2 == 1L).map(_._3)
+      val neg = rows.filter(_._2 == 0L).map(_._3)
+      // U2 = over all (pos, neg) pairs: 2 per win, 1 per tie
+      val u2 = pos.iterator.map { p =>
+        neg.iterator.map { n =>
+          if (p > n) 2L else if (p == n) 1L else 0L
+        }.sum
+      }.sum
+      val (np, nn, ns, u2q, auc) = out(src)
+      assert(np === pos.length.toLong && nn === neg.length.toLong)
+      assert(ns === rows.map(_._3).distinct.length.toLong)
+      assert(u2q === u2, s"$src: histogram U2 must equal pair-count U2")
+      val expectAuc =
+        if (np * nn > 0) (u2 * 1000000L) / (2 * np * nn) else -1L
+      assert(auc === expectAuc, s"$src auc")
+    }
+  }
+
+  test("q177: the tie midrank term counts half on a planted tie fixture") {
+    // doc 0 is the %41 plant (scored on the low-entropy block); doc 7
+    // carries the SAME text as a negative -> identical NB score ->
+    // a genuine pos-vs-neg tie crosses the midrank path
+    val d = Files.createTempDirectory("auc-docs").toString
+    val block = "ha ha ha ha ha ha ha ha ha ha ha ha ha ha ha ha"
+    val rows = Seq(
+      (0L, "ignored by the plant rewrite", "en", "s", 10L),
+      (7L, block, "en", "s", 10L),
+      (1L, "alpha beta gamma delta", "en", "s", 10L),
+      (2L, "epsilon zeta eta theta", "en", "s", 10L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val out = run("q177_classifier_auc", d)
+    assert(out.length === 1)
+    val r = out.head
+    val (np, nn, u2, auc) =
+      (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))
+    assert(np === 1L && nn === 3L)
+    // replay: collect the scores and pair-count
+    val sc = graft.core.CacheScope.scoped {
+      TrainedFilterOps.nbDocScores(spark, d)
+        .select("doc_id", "pos", "score").as[(Long, Long, Long)].collect()
+    }
+    val p = sc.filter(_._2 == 1L).map(_._3)
+    val n = sc.filter(_._2 == 0L).map(_._3)
+    val u2Replay = p.iterator.map(pp => n.iterator.map(nn0 =>
+      if (pp > nn0) 2L else if (pp == nn0) 1L else 0L).sum).sum
+    assert(u2 === u2Replay)
+    // the tie doc shares the plant's text, so at least one exact tie
+    // exists and U2 must be odd (an even U2 means no midrank credit)
+    assert(n.contains(p.head), "fixture must produce a pos/neg score tie")
+    assert(u2 % 2 === 1L, "tie must contribute exactly 1 (half a win)")
+    assert(auc === (u2 * 1000000L) / (2 * np * nn))
+  }
+
+  test("q178: MRR replays from the registered exact and IVF rankings") {
+    val out = run("q178_retrieval_mrr", dir).map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.nonEmpty)
+    val exact = graft.core.CacheScope.scoped {
+      LlmPipeline.bruteTopK(spark, dir)
+        .select("q_id", "rank", "vec_id").as[(Long, Long, Long)].collect()
+    }
+    val ivf = graft.core.CacheScope.scoped {
+      LlmPipeline.ivfTopK(spark, dir)
+        .select("q_id", "rank", "vec_id").as[(Long, Long, Long)].collect()
+    }
+    val top1 = exact.filter(_._2 == 1L).map(r => r._1 -> r._3).toMap
+    val ivfRank = ivf.map(r => (r._1, r._3) -> r._2).toMap
+    assert(out.length === top1.size)
+    var sumRr = 0L; var hit1 = 0L; var hitk = 0L
+    out.foreach { case (qid, (t1, rk, rr, nq, srr, h1, hk)) =>
+      assert(t1 === top1(qid), s"qid $qid exact top1")
+      val expectRk = ivfRank.getOrElse((qid, t1), -1L)
+      assert(rk === expectRk, s"qid $qid ivf rank of the exact top1")
+      val expectRr = if (expectRk > 0) 1000000L / expectRk else 0L
+      assert(rr === expectRr)
+      sumRr += expectRr
+      if (expectRk == 1L) hit1 += 1
+      if (expectRk > 0L) hitk += 1
+      assert(nq === top1.size.toLong)
+    }
+    val (_, _, _, nq, srr, h1, hk) = out.head._2
+    assert(srr === sumRr && h1 === hit1 && hk === hitk)
+  }
+}
