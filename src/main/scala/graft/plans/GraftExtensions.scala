@@ -203,6 +203,18 @@ object GraftExtensions {
         BottomKSketchAgg(children(0),
           children(1).eval().asInstanceOf[Number].intValue(),
           children(2).eval().toString)
+      }),
+    ("graft_gram",
+      new ExpressionInfo(classOf[GramMatrixAgg].getName, "graft_gram"),
+      (children: Seq[Expression]) => {
+        // dims and quantum ride as foldable literals
+        require(children.length == 3,
+          s"graft_gram expects (vec, dims, quantum), got ${children.length} args")
+        require(children(1).foldable && children(2).foldable,
+          "graft_gram dims and quantum must be literal")
+        GramMatrixAgg(children(0),
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].longValue())
       }))
 
   /** Imperative registration for externally-created sessions: functions go

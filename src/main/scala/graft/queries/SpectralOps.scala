@@ -1,9 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{CacheScope, Tables}
+import graft.core.Tables
 
 /** Spectral corpus statistics (SURVEY §2.11a, L108):
   *
@@ -26,9 +25,9 @@ import graft.core.{CacheScope, Tables}
   * everywhere in a spectral iteration, so the division convention is
   * pinned: Spark's `div` and DuckDB's `//` BOTH truncate toward zero
   * (measured − the "floor divide" reading of `//` is wrong), so the
-  * plain integral-divide operator is engine-exact as-is; [[fdiv]]
-  * merely routes the DataFrame side to the same IntegralDivide node
-  * the SQL `div` keyword parses to.
+  * plain integral-divide operator is engine-exact as-is — and Scala
+  * Long `/` shares the same truncate-toward-zero convention, so the
+  * driver-side iteration stays engine-exact too.
   */
 object SpectralOps {
 
@@ -55,27 +54,22 @@ object SpectralOps {
 
   private[queries] val PowerIters = 3
 
-  /** Floor division with a POSITIVE divisor, identical on both
-    * engines: Spark's `div` truncates toward zero, so subtract the
-    * (always non-negative) `pmod` remainder first — the result is
-    * exactly floor(a/b), matching DuckDB's `//`.
-    */
-  private[queries] def fdiv(a: Column, b: Column): Column =
-    call_function("div", a, b)
-
   def all: Seq[GraftQuery] = {
 
     /* L108: dominant principal component by power iteration — the
      * anisotropy audit. One corpus pass builds the exact integer Gram
-     * matrix (two nested posexplodes over the SAME row's array: the
-     * Dims² per-vector products are inherent to any Gram computation
-     * and run inside codegen; the aggregate map-side-combines, so the
-     * only shuffle is Dims² = 4096 rows regardless of corpus size —
-     * no self-join, no all-pairs). Three power-iteration steps then
-     * run on the 4096-row frame: w = G·v (a Dims-row broadcast join +
-     * Dims-row aggregate), v' = floor(w·2^7 / max|w|) — every iterate
-     * an exact integer vector, so a single flipped bit anywhere in
-     * the chain diverges the gate. The output reports, per dimension:
+     * matrix with the native `graft_gram` TypedImperativeAggregate
+     * (per-vector quantize + outer-product accumulate into a Dims²
+     * Long buffer; map-side combined, so the only thing crossing the
+     * wire is one 32 KB buffer per partition — no row-multiplicative
+     * explode, no self-join, no all-pairs). Three power-iteration
+     * steps then run ON THE DRIVER over the collected matrix —
+     * 32 KB of codebook-sized state, the refineCodebook stance:
+     * w = G·v, v' = floor(w·2^7 / max|w|) — every iterate an exact
+     * integer vector (Scala Long division truncates toward zero
+     * exactly like Spark `div` / DuckDB `//`), so a single flipped
+     * bit anywhere in the chain diverges the gate. The output
+     * reports, per dimension:
      * the damped Gram diagonal, all three iterates, the final matvec,
      * and (broadcast onto every row) the Rayleigh quotient of the
      * last iterate plus its share of the total variance (rq ≤ trace
@@ -85,59 +79,55 @@ object SpectralOps {
     val q176 = GraftQuery(
       "q176_dominant_component", "L108 L76 L46",
       (s, d) => {
-        val comp = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"))
-          .select(col("vec_id"), col("embedding"),
-            posexplode(col("embedding")))
-          .select(col("vec_id"), col("embedding"),
-            (col("pos") + 1).cast("long").as("i"),
-            floor(col("col").cast("double") * lit(CompQ)).as("qi"))
-          .select(col("vec_id"), col("i"), col("qi"),
-            posexplode(col("embedding")))
-          .select(col("i"), col("qi"),
-            (col("pos") + 1).cast("long").as("j"),
-            floor(col("col").cast("double") * lit(CompQ)).as("qj"))
-        val n = Tables.embeddings(s, d).agg(count(lit(1)).as("n"))
-        val gram = CacheScope.tracked(
-          comp.groupBy(col("i"), col("j"))
-            .agg(sum(col("qi") * col("qj")).as("g"))
-            .crossJoin(broadcast(n))
-            .select(col("i"), col("j"),
-              fdiv(col("g"), col("n") * lit(GramDamp)).as("gn")))
-        def matvec(v: DataFrame): DataFrame = gram
-          .join(broadcast(v.select(col("i").as("j"), col("v"))), Seq("j"))
-          .groupBy(col("i")).agg(sum(col("gn") * col("v")).as("w"))
-        def renorm(w: DataFrame): DataFrame = {
-          val m = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("m"))
-          w.crossJoin(broadcast(m))
-            .select(col("i"), fdiv(col("w") * lit(VQ), col("m")).as("v"))
+        // one corpus pass: the native graft_gram aggregate quantizes
+        // each component (floor(v·10^6), bit-identical to the cast+
+        // floor column form) and accumulates the Dims² outer product
+        // into its buffer — nothing row-multiplicative ever
+        // materializes (the declarative two-posexplode form pushed
+        // |corpus|·Dims² rows into the aggregate; measured 32 s of
+        // the q176 wall at sf0.1, ~1 s native)
+        val gramRow = Tables.embeddings(s, d)
+          .agg(expr(s"graft_gram(embedding, $Dims, $CompQ)").as("g"),
+            count(lit(1)).as("n"))
+          .select(col("g"), col("n")).head()
+        val n = gramRow.getLong(1)
+        val raw = gramRow.getSeq[Long](0)
+        // everything after the corpus pass runs on the collected
+        // 32 KB matrix ON THE DRIVER (the refineCodebook codebook-
+        // sized-state stance): Dims-row matvecs as Spark jobs cost
+        // ~100 ms of scheduling each and the iterate cross-references
+        // grow the logical plan exponentially (measured: 470 KB plan,
+        // 104 broadcasts, 2.7 s; driver math ≈ corpus-pass wall).
+        // Scala Long `/` truncates toward zero exactly like Spark
+        // `div` and DuckDB `//`, so every iterate stays engine-exact.
+        val gn = Array.tabulate(Dims * Dims)(k => raw(k) / (n * GramDamp))
+        def matvecA(v: Array[Long]): Array[Long] =
+          Array.tabulate(Dims) { i =>
+            var acc = 0L
+            var j = 0
+            while (j < Dims) { acc += gn(i * Dims + j) * v(j); j += 1 }
+            acc
+          }
+        def renormA(w: Array[Long]): Array[Long] = {
+          val m = math.max(w.map(math.abs).max, 1L)
+          w.map(x => x * VQ / m)
         }
-        val v0 = gram.select(col("i")).distinct()
-          .select(col("i"), lit(VQ).as("v"))
-        val iterates = (1 to PowerIters).scanLeft(v0) { (v, _) =>
-          renorm(matvec(v))
-        }.tail // v1, v2, v3
+        val iterates = (1 to PowerIters)
+          .scanLeft(Array.fill(Dims)(VQ)) { (v, _) => renormA(matvecA(v)) }
+          .tail // v1, v2, v3
         val v3 = iterates.last
-        val w4 = matvec(v3)
-        val ray = v3.join(w4, Seq("i"))
-          .agg(sum(col("v") * col("w")).as("num"),
-            sum(col("v") * col("v")).as("den"))
-        val trace = gram.filter(col("i") === col("j"))
-          .agg(sum(col("gn")).as("trace_q"))
-        val diag = gram.filter(col("i") === col("j"))
-          .select(col("i").as("pos"), col("gn").as("g_diag"))
-        val named = iterates.zipWithIndex.map { case (v, k) =>
-          v.select(col("i").as("pos"), col("v").as(s"v${k + 1}"))
-        }
-        named.foldLeft(diag)((acc, v) => acc.join(v, Seq("pos")))
-          .join(w4.select(col("i").as("pos"), col("w").as("w4")), Seq("pos"))
-          .crossJoin(broadcast(ray))
-          .crossJoin(broadcast(trace))
-          .withColumn("rq", fdiv(col("num"), greatest(col("den"), lit(1L))))
-          .select(col("pos"), col("g_diag"), col("v1"), col("v2"),
-            col("v3"), col("w4"), col("rq"), col("trace_q"),
-            fdiv(col("rq") * lit(1000000L),
-              greatest(col("trace_q"), lit(1L))).as("var_ppm"))
+        val w4 = matvecA(v3)
+        val num = (0 until Dims).map(i => v3(i) * w4(i)).sum
+        val den = (0 until Dims).map(i => v3(i) * v3(i)).sum
+        val rq = num / math.max(den, 1L)
+        val traceQ = (0 until Dims).map(i => gn(i * Dims + i)).sum
+        val varPpm = rq * 1000000L / math.max(traceQ, 1L)
+        import s.implicits._
+        (0 until Dims).map { i =>
+          (i + 1L, gn(i * Dims + i), iterates(0)(i), iterates(1)(i),
+            iterates(2)(i), w4(i), rq, traceQ, varPpm)
+        }.toDF("pos", "g_diag", "v1", "v2", "v3", "w4", "rq",
+          "trace_q", "var_ppm")
           .orderBy(col("pos"))
       },
       Some {

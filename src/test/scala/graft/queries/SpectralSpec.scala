@@ -108,4 +108,33 @@ class SpectralSpec extends SparkSpec {
       s"planted corpus must be >90% one-directional " +
         s"(${out.head.getLong(8)} ppm)")
   }
+
+  test("graft_gram: merge-tree independent and equal to the column form") {
+    // the UDAF's partial buffers must add associatively: any
+    // partitioning yields the same matrix, and it must equal the
+    // declarative floor(cast*quantum) explode it replaced bit-for-bit
+    val base = graft.core.CacheScope.scoped {
+      graft.core.Tables.embeddings(spark, dir).select("embedding")
+    }
+    import org.apache.spark.sql.functions._
+    def gram(parts: Int): Seq[Long] = base.repartition(parts)
+      .agg(expr("graft_gram(embedding, 64, 1000000)").as("g"))
+      .head().getSeq[Long](0)
+    val g1 = gram(1)
+    assert(g1 === gram(7))
+    assert(g1 === gram(32))
+    val exploded = base
+      .select(posexplode(col("embedding")))
+      .select(col("pos").as("i"),
+        floor(col("col").cast("double") * 1000000L).as("qi"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val byRow = exploded.grouped(64).toSeq
+    val expect = Array.ofDim[Long](64 * 64)
+    byRow.foreach { row =>
+      val q = row.sortBy(_._1).map(_._2)
+      for (i <- 0 until 64; j <- 0 until 64)
+        expect(i * 64 + j) += q(i) * q(j)
+    }
+    assert(g1 === expect.toSeq)
+  }
 }
