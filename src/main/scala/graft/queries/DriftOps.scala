@@ -7,15 +7,18 @@ import graft.core.Tables
 import graft.functions.{Sketches, TextFunctions}
 
 /** Corpus drift / robust-statistics operators (SURVEY §2.11a,
-  * L101–L103):
+  * L101–L103, L118):
   *
   *  - L101 binned two-sample KS drift statistic → q169
   *  - L102 integer-log PSI drift                → q170
   *  - L103 median/MAD robust outlier filter     → q171
+  *  - L118 binned Wasserstein-1 (EMD) drift     → q186
   *
   * The monitoring layer of a continuously-rebuilt corpus: detect when
   * today's snapshot's feature distributions have drifted from the
-  * reference build (KS on a binned ECDF, PSI per bin), and robustly
+  * reference build (KS = worst ECDF gap, PSI = log-weighted per-bin
+  * divergence, W1 = total displaced mass × distance — the three
+  * standard drift reads over ONE shared histogram), and robustly
   * trim feature outliers without assuming normality (median/MAD
   * instead of mean/stddev — one giant document can't move the fence).
   *
@@ -256,6 +259,81 @@ object DriftOps {
           FROM f GROUP BY 1 ORDER BY source"""
       })
 
-    Seq(q169, q170, q171)
+    /* L118: binned Wasserstein-1 (earth-mover) drift — the third leg
+     * of the drift triple: KS (q169) reads the WORST ECDF gap, PSI
+     * (q170) a log-weighted per-bin divergence, W1 the TOTAL displaced
+     * probability mass × distance — the number mixture-matching
+     * actually minimizes, and the only one of the three that scales
+     * with HOW FAR mass moved, not just that it moved. On the shared
+     * 32-bin histogram the identity is exact: W1 = Σ over bin
+     * positions of |F_ref(b) − F_cur(b)| (unit bin width). Absent
+     * bins carry the previous gap, so instead of densifying the
+     * histogram the sum weights each OBSERVED bin's gap by its run
+     * length to the next observed bin (lead(bin) − bin, last one
+     * closing at KsBins) — identical values, no synthetic rows.
+     * Report per source: both sizes, emd_ppm_bins (Σ gap·run, ppm ×
+     * bin units) and w1_ppm (div KsBins — the mean ECDF gap, a
+     * support-free [0, 10^6] number comparable across features).
+     * At 100 TB: the same one map-side-combined histogram as q169;
+     * the window and rollup run on 32·|sources| rows. */
+    val q186 = GraftQuery(
+      "q186_emd_drift", "L118 L101 L30",
+      (s, d) => {
+        val b = Tables.documents(s, d).select(col("source"),
+          (col("doc_id") % 2).as("half"),
+          least(expr(s"n_chars div $KsBinChars"), lit(KsBins - 1L)).as("bin"))
+        val h = b.groupBy(col("source"), col("bin"))
+          .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("cr"),
+            sum(when(col("half") === 1, 1L).otherwise(0L)).as("cc"))
+        val wcum = Window.partitionBy(col("source")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wlead = Window.partitionBy(col("source")).orderBy(col("bin"))
+        val tot = h.groupBy(col("source"))
+          .agg(sum(col("cr")).as("n_ref"), sum(col("cc")).as("n_cur"))
+        h.withColumn("cum_r", sum(col("cr")).over(wcum))
+          .withColumn("cum_c", sum(col("cc")).over(wcum))
+          .withColumn("run",
+            lead(col("bin"), 1, KsBins).over(wlead) - col("bin"))
+          .join(tot, Seq("source"))
+          .withColumn("gap_ppm", abs(
+            expr("cum_r * 1000000 div greatest(n_ref, 1) " +
+              "- cum_c * 1000000 div greatest(n_cur, 1)")))
+          .groupBy(col("source"))
+          .agg(min(col("n_ref")).as("n_ref"), min(col("n_cur")).as("n_cur"),
+            sum(col("gap_ppm") * col("run")).as("emd_ppm_bins"))
+          .withColumn("w1_ppm", expr(s"emd_ppm_bins div $KsBins"))
+          .orderBy(col("source"))
+      },
+      Some {
+        s"""WITH b AS (SELECT source, doc_id % 2 AS half,
+              LEAST(n_chars // $KsBinChars, ${KsBins - 1}) AS bin
+            FROM documents),
+          h AS (SELECT source, bin,
+              CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS cr,
+              CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS cc
+            FROM b GROUP BY 1, 2),
+          t AS (SELECT *,
+              CAST(SUM(cr) OVER (PARTITION BY source ORDER BY bin
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_r,
+              CAST(SUM(cc) OVER (PARTITION BY source ORDER BY bin
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c,
+              CAST(LEAD(bin, 1, $KsBins) OVER (PARTITION BY source
+                ORDER BY bin) - bin AS BIGINT) AS run
+            FROM h),
+          tot AS (SELECT source, CAST(SUM(cr) AS BIGINT) AS n_ref,
+              CAST(SUM(cc) AS BIGINT) AS n_cur FROM h GROUP BY 1),
+          g AS (SELECT t.source, tot.n_ref, tot.n_cur, t.run,
+              abs(t.cum_r * 1000000 // GREATEST(tot.n_ref, 1)
+                - t.cum_c * 1000000 // GREATEST(tot.n_cur, 1)) AS gap_ppm
+            FROM t JOIN tot ON tot.source = t.source)
+          SELECT source, MIN(n_ref) AS n_ref, MIN(n_cur) AS n_cur,
+            CAST(SUM(gap_ppm * run) AS BIGINT) AS emd_ppm_bins,
+            CAST(SUM(gap_ppm * run) AS BIGINT) // $KsBins AS w1_ppm
+          FROM g GROUP BY 1 ORDER BY source"""
+      })
+
+    Seq(q169, q170, q171, q186)
   }
 }

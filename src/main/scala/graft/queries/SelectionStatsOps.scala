@@ -299,6 +299,75 @@ object SelectionStatsOps {
           FROM f GROUP BY 1 ORDER BY source"""
       })
 
-    Seq(q175, q181, q182)
+    /* L119: Zipf-slope corpus health — the companion read to L113's
+     * unseen mass: natural language keeps a log-log rank-frequency
+     * slope near −1 (Zipf's law); template/boilerplate floods flatten
+     * it toward 0 (few types eat everything) and word-salad/random
+     * corpora steepen or shred it. The fit is exact-integer least
+     * squares on the ilog2 ladder (the L63 stance — libm-free):
+     * points (x, y) = (ilog2(rank), ilog2(count)) over the per-source
+     * vocabulary ranked by (count DESC, word), slope_ppm =
+     * (n·Σxy − Σx·Σy)·10^6 div (n·Σx² − (Σx)², ≥ 1-guarded),
+     * intercept_ppm = (Σy·10^6 − slope_ppm·Σx) div n — derived FROM
+     * the integerized slope so both engines compose identically.
+     * At 100 TB: one gram pass → per-(source, word) counts (map-side
+     * combined); the rank window runs on the |vocab|-row frame (the
+     * L63/L68 stance) and the fit is a |sources|-row rollup. */
+    val q187 = GraftQuery(
+      "q187_zipf_slope", "L119 L113 L63",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(col("source"),
+            explode(Sketches.words(col("text"))).as("w"))
+          .groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("c"))
+        val ranked = counts
+          .withColumn("r", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("source"))
+              .orderBy(col("c").desc, col("w"))).cast("long"))
+          .select(col("source"), col("c"),
+            Sketches.ilog2(col("r")).as("x"),
+            Sketches.ilog2(col("c")).as("y"))
+        ranked.groupBy(col("source"))
+          .agg(count(lit(1)).as("v"), sum(col("c")).as("n_tokens"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("slope_ppm",
+            expr("((v * sxy - sx * sy) * 1000000) " +
+              "div greatest(v * sxx - sx * sx, 1)"))
+          .withColumn("intercept_ppm",
+            expr("(sy * 1000000 - slope_ppm * sx) div v"))
+          .select(col("source"), col("v"), col("n_tokens"),
+            col("slope_ppm"), col("intercept_ppm"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val ws = Sketches.wordsSql("text")
+        val lx = Sketches.ilog2Sql("r")
+        val ly = Sketches.ilog2Sql("c")
+        s"""WITH w AS (SELECT source, unnest($ws) AS w FROM documents),
+          vc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM w GROUP BY 1, 2),
+          rk AS (SELECT source, c, CAST(row_number() OVER
+              (PARTITION BY source ORDER BY c DESC, w) AS BIGINT) AS r
+            FROM vc),
+          pt AS (SELECT source, c, $lx AS x, $ly AS y FROM rk),
+          ag AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v,
+              CAST(SUM(c) AS BIGINT) AS n_tokens,
+              CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+              CAST(SUM(x * y) AS BIGINT) AS sxy,
+              CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM pt GROUP BY 1),
+          sl AS (SELECT *, ((v * sxy - sx * sy) * 1000000)
+              // GREATEST(v * sxx - sx * sx, 1) AS slope_ppm
+            FROM ag)
+          SELECT source, v, n_tokens, slope_ppm,
+            (sy * 1000000 - slope_ppm * sx) // v AS intercept_ppm
+          FROM sl ORDER BY source"""
+      })
+
+    Seq(q175, q181, q182, q187)
   }
 }

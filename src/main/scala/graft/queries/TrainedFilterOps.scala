@@ -400,6 +400,80 @@ object TrainedFilterOps {
           FROM au ORDER BY source"""
       })
 
-    Seq(q154, q155, q156, q161, q177)
+    /* L120: reliability-diagram calibration audit + ECE — the third
+     * read on the trained filter, orthogonal to both gates it joins:
+     * q161's PR sweep prices a THRESHOLD, q177's AUC scores the
+     * RANKING, this one asks whether the scores MEAN what they claim —
+     * does a doc scored "90% positive" come up positive 90% of the
+     * time? (An over-confident quality filter silently narrows the
+     * corpus; calibration is the number that catches it before the
+     * threshold is chosen.) The NB score is log₂ odds on the ilog2
+     * ladder, so the implied probability needs no libm: σ₂(s) =
+     * 2^s/(1+2^s) is an EXACT RATIONAL — conf_ppm = (2^s·10^6) div
+     * (2^s+1) for s ≥ 0, 10^6 div (1+2^−s) below, |s| capped at 20
+     * bits where the ppm ladder saturates anyway. Docs bucket by
+     * confidence decile; per (source, bin): n, n_pos, mean confidence
+     * vs observed positive rate (both ppm), and per source the
+     * expected calibration error ECE = Σ_b n_b·|conf_b − acc_b| div n
+     * broadcast onto every row (the q178 summary stance). At 100 TB:
+     * the L86 passes + one map-side column (two shifts, a division)
+     * + a ≤10·|sources|-row rollup — no new corpus-sized shuffle. */
+    val q188 = GraftQuery(
+      "q188_calibration_ece", "L120 L109 L86",
+      (s, d) => {
+        val conf = nbDocScores(s, d)
+          .withColumn("conf_ppm", expr(
+            "CASE WHEN score >= 0 THEN " +
+              "(shiftleft(CAST(1 AS BIGINT), CAST(LEAST(score, 20) AS INT))" +
+              " * 1000000) div " +
+              "(shiftleft(CAST(1 AS BIGINT), CAST(LEAST(score, 20) AS INT))" +
+              " + 1) " +
+              "ELSE 1000000 div (1 + shiftleft(CAST(1 AS BIGINT), " +
+              "CAST(LEAST(-score, 20) AS INT))) END"))
+          .withColumn("bin", least(expr("conf_ppm div 100000"), lit(9L)))
+        val bins = conf.groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+            sum(col("conf_ppm")).as("sum_conf"))
+          .withColumn("conf_mean_ppm", expr("sum_conf div n"))
+          .withColumn("acc_ppm", expr("(n_pos * 1000000) div n"))
+        val ece = bins.groupBy(col("source"))
+          .agg(sum(col("n")).as("n_docs"),
+            sum(col("n") * abs(col("conf_mean_ppm") - col("acc_ppm")))
+              .as("werr"))
+          .select(col("source"), expr("werr div n_docs").as("ece_ppm"))
+        bins.join(broadcast(ece), Seq("source"))
+          .select(col("source"), col("bin"), col("n"), col("n_pos"),
+            col("conf_mean_ppm"), col("acc_ppm"), col("ece_ppm"))
+          .orderBy(col("source"), col("bin"))
+      },
+      Some {
+        s"""WITH $nbScoreCtesSql,
+          cf AS (SELECT source, pos,
+              CASE WHEN score >= 0 THEN
+                ((1::BIGINT << CAST(LEAST(score, 20) AS INT)) * 1000000)
+                  // ((1::BIGINT << CAST(LEAST(score, 20) AS INT)) + 1)
+              ELSE 1000000 // (1 + (1::BIGINT
+                << CAST(LEAST(-score, 20) AS INT))) END AS conf_ppm
+            FROM sc),
+          cb AS (SELECT source, LEAST(conf_ppm // 100000, 9) AS bin,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(pos) AS BIGINT) AS n_pos,
+              CAST(SUM(conf_ppm) AS BIGINT) AS sum_conf
+            FROM cf GROUP BY 1, 2),
+          bb AS (SELECT source, bin, n, n_pos,
+              sum_conf // n AS conf_mean_ppm,
+              (n_pos * 1000000) // n AS acc_ppm
+            FROM cb),
+          ec AS (SELECT source,
+              CAST(SUM(n * abs(conf_mean_ppm - acc_ppm)) AS BIGINT)
+                // CAST(SUM(n) AS BIGINT) AS ece_ppm
+            FROM bb GROUP BY 1)
+          SELECT bb.source, bb.bin, bb.n, bb.n_pos, bb.conf_mean_ppm,
+            bb.acc_ppm, ec.ece_ppm
+          FROM bb JOIN ec ON ec.source = bb.source
+          ORDER BY bb.source, bb.bin"""
+      })
+
+    Seq(q154, q155, q156, q161, q177, q188)
   }
 }

@@ -71,4 +71,34 @@ object StreamingDrift {
       (src, nRef, nCur, ks, ksBin)
     }
   }
+
+  /** W1 readout — the q186 arithmetic over the SAME held histogram
+    * (the whole point of monitoring on a shared sketch: one state,
+    * every drift read). Each observed bin's gap is weighted by its
+    * run length to the next observed bin (absent bins carry the
+    * gap), the last run closing at KsBins. Returns
+    * (source, n_ref, n_cur, emd_ppm_bins, w1_ppm) sorted by source.
+    */
+  def emdReport(h: Hist): Seq[(String, Long, Long, Long, Long)] = {
+    h.groupBy(_._1._1).toSeq.sortBy(_._1).map { case (src, entries) =>
+      val byBin = entries.groupBy(_._1._3).map { case (bin, es) =>
+        bin -> (es.collect { case ((_, 0L, _), c) => c }.sum,
+          es.collect { case ((_, 1L, _), c) => c }.sum)
+      }.toSeq.sortBy(_._1)
+      val nRef = byBin.map(_._2._1).sum
+      val nCur = byBin.map(_._2._2).sum
+      var (cumR, cumC) = (0L, 0L)
+      val gaps = byBin.map { case (bin, (cr, cc)) =>
+        cumR += cr; cumC += cc
+        bin -> math.abs(cumR * 1000000L / math.max(nRef, 1L) -
+          cumC * 1000000L / math.max(nCur, 1L))
+      }
+      val runs = byBin.map(_._1) match {
+        case bins => bins.zip(bins.drop(1) :+ KsBins.toLong)
+          .map { case (b, nb) => nb - b }
+      }
+      val emd = gaps.map(_._2).zip(runs).map { case (g, r) => g * r }.sum
+      (src, nRef, nCur, emd, emd / KsBins)
+    }
+  }
 }

@@ -313,7 +313,12 @@ object ScaleRehearsal {
       // superlinear BY DESIGN like q78's verify; the sketch side's
       // |pairs|·|regs| merge is constant)
       "q183_ipf_raking", "q184_frequent_token_subsample",
-      "q185_hll_overlap_calibration")
+      "q185_hll_overlap_calibration",
+      // round-15 drift/health/calibration tier: EMD (the q169
+      // histogram + a lead window — wall should track the scan),
+      // Zipf slope (one word pass + a |vocab| rank window), ECE
+      // (the L86 passes + map-side shift math)
+      "q186_emd_drift", "q187_zipf_slope", "q188_calibration_ece")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)

@@ -63,6 +63,60 @@ class DriftSpec extends SparkSpec {
       .foreach(r => assert(r.getLong(3) >= 0L, s"psi_sum sign: $r"))
   }
 
+  test("q186: EMD is 0 at identity and weights carried gaps by run length") {
+    // identity → every cumulative pair equal → W1 0.
+    // shift: even docs bin 0 (ref side), odd docs bin 31 (cur side) —
+    // only bins 0 and 31 are OBSERVED, but the 10^6 gap at bin 0
+    // persists through the 30 absent bins; the run weighting must
+    // count it 31 times (bins 0..30), then 0 at bin 31:
+    // emd = 31·10^6, w1 = 31·10^6 div 32
+    val same = (0L until 100L).map(i =>
+      (i, s"t$i", "en", "same", 32L * (i / 2)))
+    val shift = (100L until 200L).map(i =>
+      (i, s"t$i", "en", "shift", if (i % 2 == 0) 5L else 5000L))
+    val out = run("q186_emd_drift", docsDir(same ++ shift))
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(out("same") === ((50L, 50L, 0L, 0L)))
+    assert(out("shift") === ((50L, 50L, 31000000L, 968750L)))
+  }
+
+  test("q186: replays in Scala on the fixture; mean gap never exceeds KS") {
+    val docs = graft.core.CacheScope.scoped {
+      graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "source", "n_chars")
+        .as[(Long, String, Long)].collect()
+    }
+    val expect = docs.groupBy(_._2).map { case (src, rows) =>
+      val binned = rows.map(r =>
+        (r._1 % 2, math.min(r._3 / 32L, 31L)))
+      val bins = binned.map(_._2).distinct.sorted
+      val nR = binned.count(_._1 == 0L).toLong
+      val nC = binned.count(_._1 == 1L).toLong
+      var (cumR, cumC) = (0L, 0L)
+      val gaps = bins.map { b =>
+        cumR += binned.count(x => x._1 == 0L && x._2 == b)
+        cumC += binned.count(x => x._1 == 1L && x._2 == b)
+        b -> math.abs(cumR * 1000000L / math.max(nR, 1L)
+          - cumC * 1000000L / math.max(nC, 1L))
+      }
+      val runs = bins.zip(bins.drop(1) :+ 32L).map(p => p._2 - p._1)
+      val emd = gaps.map(_._2).zip(runs).map(p => p._1 * p._2).sum
+      src -> (nR, nC, emd, emd / 32L)
+    }
+    val out = run("q186_emd_drift", "/root/testdata/sf0.001")
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(out === expect)
+    // structural cross-gate vs q169: w1 is the MEAN ECDF gap, KS the
+    // MAX — mean ≤ max per source, on the same histogram
+    val ks = run("q169_ks_drift", "/root/testdata/sf0.001")
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    out.foreach { case (src, (_, _, _, w1)) =>
+      assert(w1 <= ks(src), s"$src: w1 $w1 > ks ${ks(src)}")
+    }
+  }
+
   test("q171: the MAD fence drops exactly the planted pathological doc") {
     // nine docs at length 100 (median 100, MAD 0 → fence 1) plus one
     // at 100000: dev 99900 > 1 → dropped; a tenth at 101 (dev 1) kept

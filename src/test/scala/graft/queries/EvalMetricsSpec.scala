@@ -116,4 +116,73 @@ class EvalMetricsSpec extends SparkSpec {
     val (_, _, _, nq, srr, h1, hk) = out.head._2
     assert(srr === sumRr && h1 === hit1 && hk === hitk)
   }
+
+  test("q188: confidence, bins, and ECE replay from the registered scores") {
+    val sc = graft.core.CacheScope.scoped {
+      TrainedFilterOps.nbDocScores(spark, dir)
+        .select("source", "pos", "score")
+        .as[(String, Long, Long)].collect()
+    }
+    def conf(s: Long): Long =
+      if (s >= 0L) {
+        val p = 1L << math.min(s, 20L).toInt
+        p * 1000000L / (p + 1L)
+      } else 1000000L / (1L + (1L << math.min(-s, 20L).toInt))
+    val expect = sc.map { case (src, pos, s) =>
+      (src, math.min(conf(s) / 100000L, 9L), pos, conf(s))
+    }.groupBy(r => (r._1, r._2)).map { case ((src, bin), rows) =>
+      val n = rows.length.toLong
+      (src, bin) -> (n, rows.map(_._3).sum,
+        rows.map(_._4).sum / n, rows.map(_._3).sum * 1000000L / n)
+    }
+    val eces = expect.groupBy(_._1._1).map { case (src, bs) =>
+      val nTot = bs.values.map(_._1).sum
+      src -> bs.values.map { case (n, _, cm, acc) =>
+        n * math.abs(cm - acc)
+      }.sum / nTot
+    }
+    val out = run("q188_calibration_ece", dir)
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      val (n, np, cm, acc) = expect(k)
+      assert(r.getLong(2) === n, s"$k n")
+      assert(r.getLong(3) === np, s"$k n_pos")
+      assert(r.getLong(4) === cm, s"$k conf_mean")
+      assert(r.getLong(5) === acc, s"$k acc")
+      assert(r.getLong(6) === eces(k._1), s"$k ece")
+      // reliability sanity: both axes live on the ppm probability scale
+      assert(cm >= 0L && cm <= 1000000L && acc >= 0L && acc <= 1000000L)
+    }
+    assert(out.length === expect.size)
+  }
+
+  test("q188: a planted overconfident twin drives ECE off zero") {
+    // the q177 tie fixture: doc 7 carries the SAME text as the plant,
+    // so the model assigns both its maximal confidence — the shared
+    // top bin then holds one positive and one negative (acc 500000
+    // against conf ≈ 10^6), the textbook overconfidence picture, and
+    // ECE must move off zero (on the clean fixture perfect separation
+    // truncates ECE to 0 — this is the discriminating branch)
+    val d = Files.createTempDirectory("ece-docs").toString
+    val block = "ha ha ha ha ha ha ha ha ha ha ha ha ha ha ha ha"
+    val rows = Seq(
+      (0L, "ignored by the plant rewrite", "en", "s", 10L),
+      (7L, block, "en", "s", 10L),
+      (1L, "alpha beta gamma delta", "en", "s", 10L),
+      (2L, "epsilon zeta eta theta", "en", "s", 10L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val out = run("q188_calibration_ece", d)
+    assert(out.nonEmpty)
+    // the bin holding the positive also holds its negative twin (same
+    // text → same score → same bin), so its observed rate sits strictly
+    // below its mean confidence — and ECE must move off zero
+    val posBin = out.filter(_.getLong(3) > 0L).head
+    assert(posBin.getLong(2) > posBin.getLong(3),
+      "the twin (a negative) shares the positive's bin")
+    assert(posBin.getLong(5) < posBin.getLong(4).max(500000L),
+      "observed rate must undershoot claimed confidence")
+    assert(posBin.getLong(6) > 0L, "overconfident twin must move ECE")
+  }
 }

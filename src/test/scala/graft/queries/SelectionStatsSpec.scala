@@ -126,4 +126,38 @@ class SelectionStatsSpec extends SparkSpec {
       }.sum)
     }
   }
+
+  test("q187: the Zipf fit replays; every fixture source slopes downward") {
+    val vc = docs().flatMap { case (_, src, text) =>
+      text.trim.split("\\s+").toSeq.map(src -> _)
+    }.groupBy(identity).map { case ((src, w), rs) =>
+      (src, w, rs.length.toLong)
+    }.toSeq
+    val expect = vc.groupBy(_._1).map { case (src, rows) =>
+      val ranked = rows.sortBy(r => (-r._3, r._2)).zipWithIndex
+        .map { case ((_, _, c), i) => (ilog2(i + 1L), ilog2(c), c) }
+      val n = ranked.length.toLong
+      val sx = ranked.map(_._1).sum
+      val sy = ranked.map(_._2).sum
+      val sxy = ranked.map(r => r._1 * r._2).sum
+      val sxx = ranked.map(r => r._1 * r._1).sum
+      val slope = (n * sxy - sx * sy) * 1000000L /
+        math.max(n * sxx - sx * sx, 1L)
+      val icept = (sy * 1000000L - slope * sx) / n
+      src -> (n, ranked.map(_._3).sum, slope, icept)
+    }
+    val out = run("q187_zipf_slope").map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(out === expect)
+    // the corpus-health read: rank-frequency curves never RISE, and
+    // the bulk of sources strictly decline (the ilog2 ladder flattens
+    // a near-uniform vocabulary to slope 0 — one fixture source sits
+    // there; a positive slope anywhere would mean the fit broke)
+    out.foreach { case (src, (_, _, slope, _)) =>
+      assert(slope <= 0L, s"$src: rank-frequency slope must not rise")
+    }
+    assert(out.count(_._2._3 < 0L) > out.size / 2,
+      "most sources must slope strictly downward")
+  }
 }

@@ -63,5 +63,13 @@ class StreamingDriftSpec extends SparkSpec {
         .as[(String, Long, Long, Long, Long)].collect().toSeq
     }
     assert(StreamingDrift.ksReport(st) === batchRows)
+
+    // ONE held state, every drift read: the W1 readout over the same
+    // accumulated histogram reproduces the oracle-gated q186 rows
+    val emdRows = graft.core.CacheScope.scoped {
+      graft.SparkEntry.queries("q186_emd_drift")(spark, sf)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+    }
+    assert(StreamingDrift.emdReport(st) === emdRows)
   }
 }
