@@ -7,11 +7,13 @@ import graft.core.Tables
 import graft.functions.Sketches
 
 /** Allocation and sketch-calibration operators (SURVEY §2.11a,
-  * L115–L117):
+  * L115–L117, L121, L123):
   *
   *  - L115 iterative proportional fitting (raking)  → q183
   *  - L116 frequent-token subsampling               → q184
   *  - L117 HLL-union overlap calibration            → q185
+  *  - L121 capture–recapture distinct calibration   → q189
+  *  - L123 data-constrained epoch planner           → q191
   *
   * Three more governance jobs of a corpus build: fitting a training
   * mixture to TWO marginal targets at once (domain shares × length
@@ -367,6 +369,130 @@ object AllocationSketchOps {
           ORDER BY uu.s1, uu.s2"""
       })
 
-    Seq(q183, q184, q185)
+    /* L121: capture–recapture distinct-count calibration — the
+     * Lincoln–Petersen estimator applied to the dedup ledger: two
+     * INDEPENDENT deterministic samples of the text-fingerprint
+     * universe (salts "cr1"/"cr2", rate 1/8 each — independence comes
+     * from the salts, which is what separates this from plain hash
+     * sampling), m = |S1 ∩ S2|, N̂ = |S1|·|S2| div max(m, 1). The
+     * estimate is gated against the EXACT distinct count (the truth a
+     * 100 TB build prices out — same stance as q185's HLL calibration,
+     * but the estimator needs only two sample counts and an overlap,
+     * which a pipeline often already has lying around as shard
+     * samples). Per source: n_docs, n_distinct (exact), n_s1, n_s2,
+     * m, the estimate and its signed error; the dup-rate read
+     * (1 − distinct/total, in ppm) rides both sides. At 100 TB: the
+     * fingerprint distinct is the dedup pass the corpus already runs
+     * (8-byte keys); the samples are map-side hash flags on that
+     * frame and everything after is a |sources|-row rollup. */
+    val q189 = GraftQuery(
+      "q189_capture_recapture", "L121 L38 L2",
+      (s, d) => {
+        val fps = Tables.documents(s, d)
+          .select(col("source"), Sketches.h64(col("text")).as("fp"))
+          .groupBy(col("source"), col("fp"))
+          .agg(count(lit(1)).as("copies"))
+          .withColumn("s1",
+            Sketches.h64(concat(lit("cr1:"), col("fp"))) % 8 === 0)
+          .withColumn("s2",
+            Sketches.h64(concat(lit("cr2:"), col("fp"))) % 8 === 0)
+        fps.groupBy(col("source"))
+          .agg(sum(col("copies")).as("n_docs"),
+            count(lit(1)).as("n_distinct"),
+            sum(when(col("s1"), 1L).otherwise(0L)).as("n_s1"),
+            sum(when(col("s2"), 1L).otherwise(0L)).as("n_s2"),
+            sum(when(col("s1") && col("s2"), 1L).otherwise(0L)).as("m"))
+          .withColumn("est_distinct",
+            expr("(n_s1 * n_s2) div greatest(m, 1)"))
+          .withColumn("err", col("est_distinct") - col("n_distinct"))
+          .withColumn("dup_ppm", expr(
+            "((n_docs - n_distinct) * 1000000) div n_docs"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val hf = Sketches.h64Sql("text")
+        val h1 = Sketches.h64Sql("'cr1:' || fp")
+        val h2 = Sketches.h64Sql("'cr2:' || fp")
+        s"""WITH fp AS (SELECT source, $hf AS fp,
+              CAST(COUNT(*) AS BIGINT) AS copies
+            FROM documents GROUP BY 1, 2),
+          fl AS (SELECT source, copies,
+              ($h1 % 8 = 0) AS s1, ($h2 % 8 = 0) AS s2 FROM fp),
+          ag AS (SELECT source, CAST(SUM(copies) AS BIGINT) AS n_docs,
+              CAST(COUNT(*) AS BIGINT) AS n_distinct,
+              CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_s1,
+              CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_s2,
+              CAST(SUM(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS m
+            FROM fl GROUP BY 1)
+          SELECT source, n_docs, n_distinct, n_s1, n_s2, m,
+            (n_s1 * n_s2) // GREATEST(m, 1) AS est_distinct,
+            (n_s1 * n_s2) // GREATEST(m, 1) - n_distinct AS err,
+            ((n_docs - n_distinct) * 1000000) // n_docs AS dup_ppm
+          FROM ag ORDER BY source"""
+      })
+
+    /* L123: data-constrained epoch planner — the read that turns the
+     * mixture REQUEST (the q183 rank-ramp target) plus the corpus's
+     * per-source token supply into a training plan: demand_s =
+     * budget·share_s, epochs over the source = demand div supply in
+     * Q10 fixed point, and any source pushed past 4 epochs is flagged
+     * (the data-constrained-scaling regime where repeating data stops
+     * buying loss — rebalance the mixture or accept the discount).
+     * Budget = half the corpus's total tokens (the dial a real plan
+     * sweeps); token supply is the L9 BPE-ish count. The plan is a
+     * governance TABLE, not a sampler — L42/L87 execute whatever plan
+     * this prices. At 100 TB: one map-side token-count pass (the L9
+     * column) into a |sources|-row rollup; the planner math runs on
+     * |sources| rows. */
+    val q191 = GraftQuery(
+      "q191_epoch_planner", "L123 L42 L9",
+      (s, d) => {
+        val sup = Tables.documents(s, d)
+          .select(col("source"),
+            graft.functions.TextFunctions.tokenCountBpeIsh(col("text"))
+              .cast("long").as("toks"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("supply"))
+        val rw = sup.select(col("source")).distinct()
+          .select(col("source"), row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("source")))
+            .cast("long").as("rwgt"))
+        val tot = sup.agg(sum(col("supply")).as("t"))
+        val srw = rw.agg(sum(col("rwgt")).as("srw"))
+        sup.join(broadcast(rw), Seq("source"))
+          .crossJoin(broadcast(tot)).crossJoin(broadcast(srw))
+          .withColumn("share_ppm", expr("(rwgt * 1000000) div srw"))
+          .withColumn("demand", expr("((t div 2) * share_ppm) div 1000000"))
+          .withColumn("epochs_q10",
+            expr("(demand * 1024) div greatest(supply, 1)"))
+          .withColumn("constrained", col("epochs_q10") > 4L * 1024L)
+          .select(col("source"), col("n_docs"), col("supply"),
+            col("share_ppm"), col("demand"), col("epochs_q10"),
+            col("constrained"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val toks = graft.functions.TextFunctions.tokenCountBpeIshSql("text")
+        s"""WITH sup AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CAST($toks AS BIGINT)) AS BIGINT) AS supply
+            FROM documents GROUP BY 1),
+          rw AS (SELECT source, CAST(ROW_NUMBER() OVER (ORDER BY source)
+              AS BIGINT) AS rwgt FROM (SELECT DISTINCT source FROM sup)),
+          tt AS (SELECT CAST(SUM(supply) AS BIGINT) AS t FROM sup),
+          sr AS (SELECT CAST(SUM(rwgt) AS BIGINT) AS srw FROM rw),
+          pl AS (SELECT sup.source, sup.n_docs, sup.supply,
+              (rw.rwgt * 1000000) // sr.srw AS share_ppm,
+              ((tt.t // 2) * ((rw.rwgt * 1000000) // sr.srw)) // 1000000
+                AS demand
+            FROM sup JOIN rw ON rw.source = sup.source
+              CROSS JOIN tt CROSS JOIN sr)
+          SELECT source, n_docs, supply, share_ppm, demand,
+            (demand * 1024) // GREATEST(supply, 1) AS epochs_q10,
+            (demand * 1024) // GREATEST(supply, 1) > 4096 AS constrained
+          FROM pl ORDER BY source"""
+      })
+
+    Seq(q183, q184, q185, q189, q191)
   }
 }

@@ -474,6 +474,76 @@ object TrainedFilterOps {
           ORDER BY bb.source, bb.bin"""
       })
 
-    Seq(q154, q155, q156, q161, q177, q188)
+    /* L122: permutation null-control for the classifier eval — the
+     * negative control every eval harness owes its reader: re-run the
+     * exact q177 AUC machinery over the SAME registered scores but
+     * with labels REPLACED by a deterministic hash pseudo-label at the
+     * plant rate (h64("null:"‖doc_id) % stride == 0 — independent of
+     * the text, so no signal exists by construction). A healthy
+     * harness scores ≈ ½; a null AUC pinned at 0/10^6 (label leak into
+     * the score path) or exactly ½ with zero variance (degenerate
+     * histogram) means the EVAL is broken, not the model — the control
+     * that catches it before anyone trusts q177/q188. Report per
+     * source: null class sizes, auc_null_ppm, and |auc − ½| in ppm;
+     * the spec additionally pins real-labels AUC > null AUC per
+     * source. Same cost shape as q177: the L86 passes + a histogram
+     * window — the null label is one map-side hash column. */
+    val q190 = GraftQuery(
+      "q190_auc_null_control", "L122 L109 L86",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val stride = SampleGraphOps.EntropyPlantStride
+        val h = nbDocScores(s, d)
+          .withColumn("npos", when(Sketches.h64(concat(lit("null:"),
+            col("doc_id"))) % lit(stride) === 0, 1L).otherwise(0L))
+          .groupBy(col("source"), col("score"))
+          .agg(sum(col("npos")).as("np"),
+            sum(lit(1L) - col("npos")).as("nn"))
+        val w = Window.partitionBy(col("source")).orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        h.withColumn("nn_below", sum(col("nn")).over(w) - col("nn"))
+          .groupBy(col("source"))
+          .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+            sum(col("np") * (col("nn_below") * 2 + col("nn"))).as("u2"))
+          .withColumn("auc_null_ppm",
+            when(col("n_pos") * col("n_neg") > 0,
+              expr("(u2 * 1000000) div (2 * n_pos * n_neg)"))
+              .otherwise(lit(-1L)))
+          .withColumn("dev_ppm",
+            when(col("auc_null_ppm") >= 0,
+              abs(col("auc_null_ppm") - 500000L)).otherwise(lit(-1L)))
+          .select(col("source"), col("n_pos"), col("n_neg"),
+            col("u2"), col("auc_null_ppm"), col("dev_ppm"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val stride = SampleGraphOps.EntropyPlantStride
+        val hn = Sketches.h64Sql("'null:' || doc_id")
+        s"""WITH $nbScoreCtesSql,
+          nl AS (SELECT source, score,
+              CASE WHEN $hn % $stride = 0 THEN 1 ELSE 0 END AS npos
+            FROM sc),
+          h AS (SELECT source, score, CAST(SUM(npos) AS BIGINT) AS np,
+              CAST(SUM(1 - npos) AS BIGINT) AS nn
+            FROM nl GROUP BY 1, 2),
+          c AS (SELECT *, CAST(SUM(nn) OVER (PARTITION BY source
+              ORDER BY score ROWS UNBOUNDED PRECEDING) AS BIGINT) - nn
+              AS nn_below FROM h),
+          au AS (SELECT source, CAST(SUM(np) AS BIGINT) AS n_pos,
+              CAST(SUM(nn) AS BIGINT) AS n_neg,
+              CAST(SUM(np * (2 * nn_below + nn)) AS BIGINT) AS u2
+            FROM c GROUP BY 1),
+          fin AS (SELECT source, n_pos, n_neg, u2,
+              CASE WHEN n_pos * n_neg > 0
+                THEN (u2 * 1000000) // (2 * n_pos * n_neg)
+                ELSE -1 END AS auc_null_ppm
+            FROM au)
+          SELECT source, n_pos, n_neg, u2, auc_null_ppm,
+            CASE WHEN auc_null_ppm >= 0 THEN abs(auc_null_ppm - 500000)
+              ELSE -1 END AS dev_ppm
+          FROM fin ORDER BY source"""
+      })
+
+    Seq(q154, q155, q156, q161, q177, q188, q190)
   }
 }

@@ -318,7 +318,13 @@ object ScaleRehearsal {
       // histogram + a lead window — wall should track the scan),
       // Zipf slope (one word pass + a |vocab| rank window), ECE
       // (the L86 passes + map-side shift math)
-      "q186_emd_drift", "q187_zipf_slope", "q188_calibration_ece")
+      "q186_emd_drift", "q187_zipf_slope", "q188_calibration_ece",
+      // governance-control tier: capture-recapture (the dedup distinct
+      // pass + map-side sample flags), AUC null control (the q177
+      // shape with a hash relabel), epoch planner (one token-count
+      // rollup + |sources|-row math)
+      "q189_capture_recapture", "q190_auc_null_control",
+      "q191_epoch_planner")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)

@@ -165,4 +165,78 @@ class AllocationSketchSpec extends SparkSpec {
     assert(out.exists(_.getLong(2) > 0L),
       "fixture has no overlapping pair — the calibration gates nothing")
   }
+
+  test("q189: Lincoln–Petersen replays; a planted duplicate mass is priced") {
+    // the gated fixture carries no exact-dup texts, so plant one: 800
+    // distinct texts + 200 copies in one source — dup_ppm must read
+    // 200000 exactly, and the estimator must land near the distinct
+    // count (the salts are fixed, so "near" is a deterministic number
+    // the replay reproduces exactly; the ±bound proves it's calibrated,
+    // not wild)
+    import org.apache.spark.sql.functions.col
+    val d = java.nio.file.Files.createTempDirectory("cr-docs").toString
+    val rows = (0L until 800L).map(i =>
+      (i, s"unique text body number $i", "en", "s", 20L)) ++
+      (800L until 1000L).map(i =>
+        (i, s"unique text body number ${i % 200}", "en", "s", 20L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val out = graft.core.CacheScope.scoped {
+      graft.SparkEntry.queries("q189_capture_recapture")(spark, d).collect()
+    }
+    assert(out.length === 1)
+    val r = out.head
+    // replay from first principles
+    val fps = rows.map(_._2).distinct.map(Sketches.h64Scala)
+    val s1 = fps.filter(f => Sketches.h64Scala(s"cr1:$f") % 8 == 0)
+    val s2 = fps.filter(f => Sketches.h64Scala(s"cr2:$f") % 8 == 0)
+    val m = s1.toSet.intersect(s2.toSet).size.toLong
+    val est = s1.length.toLong * s2.length.toLong / math.max(m, 1L)
+    assert(r.getLong(1) === 1000L && r.getLong(2) === 800L)
+    assert(r.getLong(3) === s1.length.toLong)
+    assert(r.getLong(4) === s2.length.toLong)
+    assert(r.getLong(5) === m)
+    assert(r.getLong(6) === est && r.getLong(7) === est - 800L)
+    assert(r.getLong(8) === 200000L, "dup rate must read 20% exactly")
+    assert(m > 0L, "800 distinct at 1/8 × 1/8 must overlap — salts broke")
+    assert(math.abs(est - 800L) < 400L,
+      s"estimator wildly off on a clean universe (est $est)")
+  }
+
+  test("q191: the plan replays; a starved top-share source is flagged") {
+    import org.apache.spark.sql.functions.col
+    // source names sort "a-big" < "zz-tiny", so the rank ramp hands
+    // zz-tiny the TOP share while it holds almost no tokens — the
+    // data-constrained flag must fire there and only there
+    val d = java.nio.file.Files.createTempDirectory("plan-docs").toString
+    val big = (0L until 200L).map(i =>
+      (i, Seq.fill(40)("w").mkString(" "), "en", "a-big", 80L))
+    val tiny = (1000L until 1002L).map(i =>
+      (i, "w w", "en", "zz-tiny", 3L))
+    (big ++ tiny).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val out = graft.core.CacheScope.scoped {
+      graft.SparkEntry.queries("q191_epoch_planner")(spark, d).collect()
+    }.map(r => r.getString(0) -> (r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    val supBig = out("a-big")._1
+    val supTiny = out("zz-tiny")._1
+    val t = supBig + supTiny
+    // shares: ramp 1,2 over srw 3
+    assert(out("a-big")._2 === 1000000L / 3L)
+    assert(out("zz-tiny")._2 === 2000000L / 3L)
+    Seq("a-big" -> supBig, "zz-tiny" -> supTiny).foreach { case (s0, sup) =>
+      val share = out(s0)._2
+      val demand = (t / 2L) * share / 1000000L
+      assert(out(s0)._3 === demand, s"$s0 demand")
+      assert(out(s0)._4 === demand * 1024L / math.max(sup, 1L), s"$s0 epochs")
+    }
+    assert(!out("a-big")._5, "the supplied source must not flag")
+    assert(out("zz-tiny")._5,
+      "a top-share source with no tokens must flag data-constrained")
+    // and on the real fixture nothing flags (supply comfortably covers
+    // the half-budget mixture) — the flag is a branch, not a constant
+    val fixture = run("q191_epoch_planner")
+    assert(fixture.forall(!_.getBoolean(6)))
+  }
 }

@@ -185,4 +185,45 @@ class EvalMetricsSpec extends SparkSpec {
       "observed rate must undershoot claimed confidence")
     assert(posBin.getLong(6) > 0L, "overconfident twin must move ECE")
   }
+
+  test("q190: the null control replays and never beats the real labels") {
+    val sc = graft.core.CacheScope.scoped {
+      TrainedFilterOps.nbDocScores(spark, dir)
+        .select("doc_id", "source", "score")
+        .as[(Long, String, Long)].collect()
+    }
+    val stride = SampleGraphOps.EntropyPlantStride
+    val out = run("q190_auc_null_control", dir).map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    sc.groupBy(_._2).foreach { case (src, rows) =>
+      val lbl = rows.map { case (id, _, s) =>
+        (if (graft.functions.Sketches.h64Scala(s"null:$id")
+          % stride == 0) 1L else 0L, s)
+      }
+      val pos = lbl.filter(_._1 == 1L).map(_._2)
+      val neg = lbl.filter(_._1 == 0L).map(_._2)
+      val u2 = pos.iterator.map(p => neg.iterator.map(n =>
+        if (p > n) 2L else if (p == n) 1L else 0L).sum).sum
+      val (np, nn, u2q, auc, dev) = out(src)
+      assert(np === pos.length.toLong && nn === neg.length.toLong)
+      assert(u2q === u2, s"$src u2")
+      val expAuc = if (np * nn > 0) u2 * 1000000L / (2 * np * nn) else -1L
+      assert(auc === expAuc)
+      assert(dev === (if (expAuc >= 0) math.abs(expAuc - 500000L) else -1L))
+    }
+    // the harness-honesty invariant: hash labels carry no signal, so
+    // the REAL labels' AUC dominates the null wherever both exist
+    val real = run("q177_classifier_auc", dir)
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    var compared = 0
+    out.foreach { case (src, (_, _, _, aucNull, _)) =>
+      if (aucNull >= 0L && real(src) >= 0L) {
+        compared += 1
+        assert(real(src) >= aucNull,
+          s"$src: null labels outscored the real plant ($aucNull vs ${real(src)})")
+      }
+    }
+    assert(compared > 0, "no source had both AUCs defined — control inert")
+  }
 }
