@@ -48,10 +48,19 @@ object Sketches {
   /** floor(log2(x)) for x ≥ 1 — the libm-free integer-log ladder (L63/
     * L86 convention): the length of the binary rendering minus one.
     * Engine-portable bit-for-bit; both sides are pure integer ops.
+    *
+    * The domain is ENFORCED, not assumed: the argument is clamped to
+    * ≥ 1 inside both forms, because below 1 the two engines silently
+    * diverge (Spark `bin(-7)` renders 64 two's-complement chars →
+    * 63, DuckDB `format('{:b}', -7)` renders '-111' → 3) — a future
+    * signed caller would pass gates on one engine and drift on the
+    * other (ADVICE r15). Every current call site passes ≥ 1, so the
+    * clamp changes no gated value.
     */
-  def ilog2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+  def ilog2(c: Column): Column =
+    (length(bin(greatest(c, lit(1L)))) - 1).cast("long")
   def ilog2Sql(e: String): String =
-    s"CAST((length(format('{:b}', $e)) - 1) AS BIGINT)"
+    s"CAST((length(format('{:b}', GREATEST($e, 1))) - 1) AS BIGINT)"
 
   /** Seed-parameterized hash family: h_i(s) = h64(i || ':' || s). */
   def seeded(seed: Int, c: Column): Column = h64(concat(lit(s"$seed:"), c))

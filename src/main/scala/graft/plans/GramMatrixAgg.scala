@@ -28,7 +28,8 @@ import org.apache.spark.sql.types._
   * result bit-identical to the exploded form and to the DuckDB oracle's
   * unnest join (`SpectralSpec` pins the replay).
   *
-  * The buffer serializes as raw little-endian longs (no header: unlike
+  * The buffer serializes as raw big-endian longs — java.nio.ByteBuffer's
+  * default order, used verbatim on both sides of the round-trip (no header: unlike
   * the CMS bytes, this buffer never leaves the aggregate — the output
   * is an ARRAY<BIGINT> in row-major order, consumed by posexplode
   * immediately).

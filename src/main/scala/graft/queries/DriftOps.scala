@@ -124,9 +124,14 @@ object DriftOps {
      * proportions Laplace-smoothed ((c+1)·10^6 div (n+bins) ≥ 1, so
      * the ladder is always defined) — ln replaced by floor(log2) (the
      * L63 convention), preserving PSI's sign structure (both factors
-     * move together) while staying libm-free and engine-exact. Bins
-     * empty on both sides contribute 0 (p = q), so aggregating only
-     * OBSERVED bins is exact. At 100 TB: one map-side-combined
+     * move together) while staying libm-free and engine-exact. The
+     * histogram is DENSIFIED to all 16 bins before scoring: with
+     * Laplace smoothing an absent bin's term is NOT zero whenever
+     * nr ≠ nc (p = 10^6 div (nr+16) vs q = 10^6 div (nc+16) differ,
+     * and can even straddle an ilog2 step), so observed-bins-only
+     * would undercount the defined 16-bin PSI (ADVICE r15); the dense
+     * frame is 16·|sources| rows — free. n_bins_hit still reports the
+     * OBSERVED bin count. At 100 TB: one map-side-combined
      * 16·|sources|-row histogram, pure column math after. */
     val q170 = GraftQuery(
       "q170_psi_drift", "L102 L63 L9",
@@ -141,7 +146,14 @@ object DriftOps {
             sum(when(col("half") === 1, 1L).otherwise(0L)).as("cc"))
         val tot = h.groupBy(col("source"))
           .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"))
-        h.join(tot, Seq("source"))
+        val dense = h.select(col("source")).distinct()
+          .select(col("source"),
+            explode(sequence(lit(0L), lit(PsiBins - 1L))).as("bin"))
+          .join(h, Seq("source", "bin"), "left")
+          .select(col("source"),
+            coalesce(col("cr"), lit(0L)).as("cr"),
+            coalesce(col("cc"), lit(0L)).as("cc"))
+        dense.join(tot, Seq("source"))
           .withColumn("p_ppm", expr(s"(cr + 1) * 1000000 div (nr + $PsiBins)"))
           .withColumn("q_ppm", expr(s"(cc + 1) * 1000000 div (nc + $PsiBins)"))
           .withColumn("term", (col("p_ppm") - col("q_ppm")) *
@@ -149,7 +161,8 @@ object DriftOps {
           .groupBy(col("source"))
           .agg(min(col("nr")).as("n_ref"), min(col("nc")).as("n_cur"),
             sum(col("term")).as("psi_sum"),
-            count(lit(1)).as("n_bins_hit"))
+            sum(when(col("cr") + col("cc") > 0, 1L).otherwise(0L))
+              .as("n_bins_hit"))
           .orderBy(col("source"))
       },
       Some {
@@ -168,14 +181,20 @@ object DriftOps {
             FROM b GROUP BY 1, 2),
           tot AS (SELECT source, CAST(SUM(cr) AS BIGINT) AS nr,
               CAST(SUM(cc) AS BIGINT) AS nc FROM h GROUP BY 1),
-          p AS (SELECT h.source,
-              (h.cr + 1) * 1000000 // (tot.nr + $PsiBins) AS p_ppm,
-              (h.cc + 1) * 1000000 // (tot.nc + $PsiBins) AS q_ppm,
+          dense AS (SELECT s.source, r.range AS bin,
+              COALESCE(h.cr, 0) AS cr, COALESCE(h.cc, 0) AS cc
+            FROM (SELECT DISTINCT source FROM h) s
+            CROSS JOIN range($PsiBins) r
+            LEFT JOIN h ON h.source = s.source AND h.bin = r.range),
+          p AS (SELECT dense.source, dense.cr, dense.cc,
+              (dense.cr + 1) * 1000000 // (tot.nr + $PsiBins) AS p_ppm,
+              (dense.cc + 1) * 1000000 // (tot.nc + $PsiBins) AS q_ppm,
               tot.nr, tot.nc
-            FROM h JOIN tot ON tot.source = h.source)
+            FROM dense JOIN tot ON tot.source = dense.source)
           SELECT source, MIN(nr) AS n_ref, MIN(nc) AS n_cur,
             CAST(SUM((p_ppm - q_ppm) * ($lp - $lq)) AS BIGINT) AS psi_sum,
-            COUNT(*) AS n_bins_hit
+            CAST(SUM(CASE WHEN cr + cc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_bins_hit
           FROM p GROUP BY 1 ORDER BY source"""
       })
 

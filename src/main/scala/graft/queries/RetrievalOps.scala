@@ -70,8 +70,14 @@ object RetrievalOps {
     * idf · tf-saturation in integers:
     *
     *   idf    = ilog2(((N − df + 1) · 2^20) div (df + 1))
-    *   tfn    = (tf·(k1+1)·2^10) div (tf·2^10 + k1·((1−b)·2^10
-    *                + (b·2^10·dl) div avgdl))      [all Q10]
+    *   tfn    = (tf·(k1+1)_Q10·2^20) div (tf·2^20
+    *                + k1_Q10·((1−b)_Q10 + (b_Q10·dl) div avgdl))
+    *            — numerator Q30 over denominator Q20 → tfn is Q10:
+    *            1024 at (tf=1, dl=avgdl), saturating to (k1+1) = 2252
+    *            as tf grows (both denominator terms share the Q20
+    *            scale; an earlier cut left the tf term at Q10, which
+    *            underweighted tf 1024× and effectively disabled
+    *            saturation — ADVICE r15)
     *   score  = Σ_terms idf · tfn
     *
     * At 100 TB: the postings aggregate is map-side combined on
@@ -108,7 +114,7 @@ object RetrievalOps {
       .withColumn("idf",
         ilog2(expr(s"((n - df + 1) * $IdfShift) div (df + 1)")))
       .withColumn("tfn", expr(
-        s"(tf * ${BmK1 + BmQ} * $BmQ) div (tf * $BmQ + " +
+        s"(tf * ${BmK1 + BmQ} * $BmQ * $BmQ) div (tf * $BmQ * $BmQ + " +
           s"$BmK1 * (($BmQ - $BmB) + ($BmB * dl) div (sdl div n)))"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("idf") * col("tfn")).as("score"))
@@ -122,7 +128,8 @@ object RetrievalOps {
     val vals = BenchQueries.flatMap { case (q, ts) =>
       ts.map(t => s"($q, '$t')") }.mkString(", ")
     val idf = ilog2Sql(s"((tot.n - st.df + 1) * $IdfShift) // (st.df + 1)")
-    val tfn = s"(post.tf * ${BmK1 + BmQ} * $BmQ) // (post.tf * $BmQ + " +
+    val tfn = s"(post.tf * ${BmK1 + BmQ} * $BmQ * $BmQ) // " +
+      s"(post.tf * $BmQ * $BmQ + " +
       s"$BmK1 * (($BmQ - $BmB) + ($BmB * post.dl) // (tot.sdl // tot.n)))"
     s"""gd AS (SELECT doc_id,
           CASE WHEN len($ws) >= 2 THEN
@@ -231,6 +238,15 @@ object RetrievalOps {
   private[graft] def queryStride(s: SparkSession, d: String): Long =
     strideMemo.computeIfAbsent(d, _ => java.lang.Long.valueOf(
       Sketches.queryStrideFor(Tables.embeddings(s, d).count()))).longValue()
+
+  /** Drop every memoized stride. The memo key is the directory PATH, so
+    * a dir whose contents are regenerated at a different scale within
+    * one JVM (ScaleRehearsal rewrites `target/scaleN` between modes)
+    * would otherwise keep serving the stale stride and mis-size the
+    * adaptive query budget (ADVICE r15) — any in-process fixture
+    * rebuild must call this right after writing.
+    */
+  private[graft] def resetStrideMemo(): Unit = strideMemo.clear()
 
   /** Adaptive-default forms — the production query budget. */
   private[graft] def maxsimRerankAdaptive(s: SparkSession,

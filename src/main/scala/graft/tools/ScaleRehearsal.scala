@@ -151,6 +151,9 @@ object ScaleRehearsal {
       val n = spark.read.parquet(s"$Out/$t.parquet").count()
       println(s"[scale-gen] $t: $n rows")
     }
+    // the stride memo is keyed by dir path — this rewrite just changed
+    // what that path holds, so stale entries must go (ADVICE r15)
+    graft.queries.RetrievalOps.resetStrideMemo()
   }
 
   private def timeQuery(spark: SparkSession, name: String, dir: String): Double = {

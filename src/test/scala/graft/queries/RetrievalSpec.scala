@@ -77,8 +77,8 @@ class RetrievalSpec extends SparkSpec {
       val g = allGrams(id)
       val tf = g.count(_ == "spark join").toLong
       val dl = g.size.toLong
-      val tfn = (tf * 2252L * 1024L) /
-        (tf * 1024L + 1228L * ((1024L - 768L) + (768L * dl) / avgdl))
+      val tfn = (tf * 2252L * 1024L * 1024L) /
+        (tf * 1024L * 1024L + 1228L * ((1024L - 768L) + (768L * dl) / avgdl))
       idf * tfn
     }
     out.foreach { case (id, sc) => assert(sc === score(id), s"doc $id") }
