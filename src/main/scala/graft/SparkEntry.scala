@@ -62,7 +62,7 @@ object SparkEntry {
       TrainedFilterOps.all ++ MixtureAuditOps.all ++ WebCorpusOps.all ++
       RetrievalOps.all ++ CurriculumOps.all ++ DriftOps.all ++
       ContrastiveOps.all ++ SpectralOps.all ++ SelectionStatsOps.all ++
-      AllocationSketchOps.all ++
+      AllocationSketchOps.all ++ CorpusAnalysisOps.all ++
       IngestQueries.all ++ RasterQueries.all ++
       SinkJoinQueries.all ++ SourceQueries.all ++ WindowFilterQueries.all ++
       ScalarPackQueries.all ++ SinkQueries.all
