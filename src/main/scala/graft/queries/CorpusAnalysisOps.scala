@@ -7,21 +7,25 @@ import graft.core.Tables
 import graft.functions.Sketches
 
 /** Corpus-analysis and index-planning operators (SURVEY §2.11a,
-  * L124–L128):
+  * L124–L130):
   *
   *  - L124 Heaps'-law vocabulary growth          → q192
   *  - L125 Cohen's-kappa filter agreement        → q193
   *  - L126 PMI collocation mining                → q194
   *  - L127 conformal filter-threshold calibration → q195
   *  - L128 postings-compression planner (Elias γ) → q196
+  *  - L129 OOV-rate vocabulary-budget curve      → q197
+  *  - L130 consistent-hash-ring vnode dial       → q198
   *
   * The analysis layer that prices the NEXT corpus build: is more data
   * from a source still adding new vocabulary (Heaps slope), do the
   * trained and heuristic quality filters agree beyond chance (kappa),
   * which word pairs behave as units (PMI — tokenizer/vocab planning),
   * what filter threshold carries a finite-sample coverage guarantee
-  * (split conformal), and how many bits the L95 inverted index costs
-  * under gap compression (Elias-gamma planner).
+  * (split conformal), how many bits the L95 inverted index costs
+  * under gap compression (Elias-gamma planner), what OOV rate each
+  * tokenizer vocabulary budget buys per source, and how many virtual
+  * nodes the shard ring needs before its load spread settles.
   *
   * Determinism: every statistic rides the shared integer ladders —
   * ilog2 for logs (L63 convention, clamped domain), ppm/Q10/Q20 fixed
@@ -48,6 +52,23 @@ object CorpusAnalysisOps {
     * ratio 1/16, organic fixture docs sit near 1).
     */
   private[queries] val KappaDivQ20 = 524288L // 2^19
+
+  /** L129 vocabulary budgets to price, and the single rank cut that
+    * serves all of them (any word outside the top `max` is OOV for
+    * every budget — the cut keeps the global rank window post-limit).
+    */
+  private[queries] val OovBudgets = Seq(256L, 1024L, 4096L)
+  private[queries] val OovMaxBudget = 4096
+
+  /** L130 ring geometry: shard count, the max vnodes-per-shard probed,
+    * and the dial points. Ring coordinates are quantized to 8-doc-hash
+    * steps with the shard id as the low bits — a TOTAL order both
+    * engines compute identically, so coincident hashes can't diverge
+    * the owner.
+    */
+  private[queries] val RingShards = 8L
+  private[queries] val RingMaxVnodes = 16L
+  private[queries] val RingDials = Seq(1L, 4L, 16L)
 
   def all: Seq[GraftQuery] = {
 
@@ -479,6 +500,165 @@ object CorpusAnalysisOps {
           FROM bk ORDER BY df_bucket"""
       })
 
-    Seq(q192, q193, q194, q195, q196)
+    /* L129: OOV-rate vocabulary-budget curve — the tokenizer-planning
+     * companion to L50's fertility profile and L128's index planner:
+     * for each candidate vocabulary budget V, what fraction of each
+     * source's TOKEN mass falls outside the global top-V words (the
+     * mass a V-entry word vocabulary would shatter into bytes/unks).
+     * Per-source matters because a budget tuned on the majority source
+     * quietly starves the others — the L35 argument at the tokenizer
+     * layer. One global rank serves every budget: words are cut to the
+     * top-4096 by (count, word) FIRST (TakeOrdered — the q135
+     * post-limit stance, so the global rank window never sees the full
+     * vocabulary), per-(source, word) token counts left-join that
+     * broadcast list, and each budget is one conditional sum (rank
+     * NULL or > V → OOV). At 100 TB: one word pass → two map-side-
+     * combined vocab aggregates, a broadcast join, a |sources|-row
+     * rollup emitted once per budget. */
+    val q197 = GraftQuery(
+      "q197_oov_budget_curve", "L129 L50 L35",
+      (s, d) => {
+        val w = Tables.documents(s, d).select(col("source"),
+          explode(Sketches.words(col("text"))).as("w"))
+        val top = w.groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w")).limit(OovMaxBudget)
+          .withColumn("rk", row_number().over(Window
+            .orderBy(col("c").desc, col("w"))).cast("long"))
+          .select(col("w"), col("rk"))
+        val sw = w.groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("cs"))
+          .join(broadcast(top), Seq("w"), "left")
+        val sums = sum(col("cs")).as("n_tokens") +: OovBudgets.map(v =>
+          sum(when(col("rk").isNull || col("rk") > v, col("cs"))
+            .otherwise(0L)).as(s"oov_$v"))
+        sw.groupBy(col("source")).agg(sums.head, sums.tail: _*)
+          .select(col("source"), col("n_tokens"),
+            explode(array(OovBudgets.map(v =>
+              struct(lit(v).as("vocab_budget"),
+                col(s"oov_$v").as("oov_tokens"))): _*)).as("x"))
+          .select(col("source"), col("x.vocab_budget").as("vocab_budget"),
+            col("n_tokens"), col("x.oov_tokens").as("oov_tokens"))
+          .withColumn("oov_ppm",
+            expr("(oov_tokens * 1000000) div n_tokens"))
+          .orderBy(col("source"), col("vocab_budget"))
+      },
+      Some {
+        val ws = Sketches.wordsSql("text")
+        val sums = OovBudgets.map(v =>
+          s"""CAST(SUM(CASE WHEN rk IS NULL OR rk > $v THEN cs ELSE 0
+              END) AS BIGINT) AS oov_$v""").mkString(",\n              ")
+        val branches = OovBudgets.map(v =>
+          s"""SELECT source, CAST($v AS BIGINT) AS vocab_budget,
+              n_tokens, oov_$v AS oov_tokens,
+              (oov_$v * 1000000) // n_tokens AS oov_ppm FROM ag""")
+          .mkString("\n          UNION ALL\n          ")
+        s"""WITH w AS (SELECT source, unnest($ws) AS w FROM documents),
+          top AS (SELECT w, CAST(row_number() OVER
+              (ORDER BY c DESC, w) AS BIGINT) AS rk
+            FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM w
+              GROUP BY 1 ORDER BY c DESC, w LIMIT $OovMaxBudget)),
+          sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cs
+            FROM w GROUP BY 1, 2),
+          j AS (SELECT sw.source, sw.cs, top.rk
+            FROM sw LEFT JOIN top ON top.w = sw.w),
+          ag AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS n_tokens,
+              $sums
+            FROM j GROUP BY 1)
+          $branches
+          ORDER BY source, vocab_budget"""
+      })
+
+    /* L130: consistent-hash-ring vnode dial — the load-spread planning
+     * read on ring placement (the L81 hash-ring primitive turned into
+     * an infra dial): with one vnode per shard the ring's 8 arcs are
+     * wildly uneven (arc length is an order statistic of 8 uniforms);
+     * every added vnode subdivides the arcs and the per-shard load
+     * spread tightens toward uniform — THE reason rings ship vnodes.
+     * Geometry: shard s places vnodes at r(s, v) = (h64("ring:"‖s‖":"‖
+     * v) div 8)·8 + s — position quantized to 8 steps, shard id in the
+     * low bits, a TOTAL order so two engines can't disagree on
+     * coincident hashes; a doc at pd = (h64("pos:"‖id) div 8)·8 is
+     * owned by the first vnode clockwise (min r ≥ pd, wrapping to the
+     * global min — the two-tier min is exactly the ring lookup). The
+     * nested dials share one pass: vnode sets v < V nest, so each V is
+     * a pair of conditional mins over the same 128-row broadcast
+     * frame. Report per (vnodes, shard): population and share, zero
+     * shards densified in. At 100 TB: the vnode table is 8·16 rows
+     * broadcast, ownership is a map-side fold per doc (production
+     * evaluates it as one expression; the cross-join form is the
+     * oracle-clear shape), and the rollup is 24 rows. */
+    val q198 = GraftQuery(
+      "q198_ring_vnode_dial", "L130 L111 L81",
+      (s, d) => {
+        val vn = s.range(RingShards).select(col("id").as("sh"))
+          .crossJoin(s.range(RingMaxVnodes).select(col("id").as("v")))
+          .withColumn("h", Sketches.h64(concat(lit("ring:"), col("sh"),
+            lit(":"), col("v"))))
+          .select(col("v"), expr(s"(h div 8) * 8 + sh").as("r"))
+        val dp = Tables.documents(s, d)
+          .select(col("doc_id"),
+            Sketches.h64(concat(lit("pos:"), col("doc_id"))).as("h"))
+          .select(col("doc_id"), expr("(h div 8) * 8").as("pd"))
+        val ownCols = RingDials.map(vv => coalesce(
+          min(when(col("v") < vv && col("r") >= col("pd"), col("r"))),
+          min(when(col("v") < vv, col("r")))).as(s"o_$vv"))
+        val owners = dp.crossJoin(broadcast(vn))
+          .groupBy(col("doc_id"))
+          .agg(ownCols.head, ownCols.tail: _*)
+        val long = owners.select(explode(array(RingDials.map(vv =>
+            struct(lit(vv).as("vnodes"),
+              (col(s"o_$vv") % RingShards).as("shard"))): _*)).as("x"))
+          .select(col("x.vnodes").as("vnodes"), col("x.shard").as("shard"))
+        val grid = s.range(RingShards).select(col("id").as("shard"))
+          .crossJoin(s.range(1).select(explode(array(
+            RingDials.map(v => lit(v)): _*)).as("vnodes")))
+        val tot = long.groupBy(col("vnodes")).agg(count(lit(1)).as("n"))
+        grid.join(long.groupBy(col("vnodes"), col("shard"))
+            .agg(count(lit(1)).as("n_docs")), Seq("vnodes", "shard"), "left")
+          .select(col("vnodes"), col("shard"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+          .join(broadcast(tot), Seq("vnodes"))
+          .withColumn("share_ppm", expr("(n_docs * 1000000) div n"))
+          .select(col("vnodes"), col("shard"), col("n_docs"),
+            col("share_ppm"))
+          .orderBy(col("vnodes"), col("shard"))
+      },
+      Some {
+        val hr = Sketches.h64Sql("'ring:' || sh || ':' || v.range")
+        val hp = Sketches.h64Sql("'pos:' || doc_id")
+        val owns = RingDials.map(vv =>
+          s"""COALESCE(MIN(CASE WHEN v < $vv AND r >= pd THEN r END),
+              MIN(CASE WHEN v < $vv THEN r END)) AS o_$vv""")
+          .mkString(",\n              ")
+        val unpiv = RingDials.map(vv =>
+          s"SELECT CAST($vv AS BIGINT) AS vnodes, o_$vv % $RingShards " +
+            "AS shard FROM own").mkString("\n            UNION ALL\n            ")
+        val dials = RingDials.map(v => s"($v)").mkString(", ")
+        s"""WITH vn AS (SELECT v.range AS v,
+              (($hr) // 8) * 8 + sh AS r
+            FROM (SELECT range AS sh FROM range($RingShards))
+            CROSS JOIN range($RingMaxVnodes) v),
+          dp AS (SELECT doc_id, (($hp) // 8) * 8 AS pd FROM documents),
+          own AS (SELECT doc_id,
+              $owns
+            FROM dp CROSS JOIN vn GROUP BY 1),
+          lo AS ($unpiv),
+          ld AS (SELECT vnodes, shard, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM lo GROUP BY 1, 2),
+          tot AS (SELECT vnodes, CAST(SUM(n_docs) AS BIGINT) AS n
+            FROM ld GROUP BY 1),
+          grid AS (SELECT CAST(d.vnodes AS BIGINT) AS vnodes,
+              s.range AS shard
+            FROM (VALUES $dials) d(vnodes) CROSS JOIN range($RingShards) s)
+          SELECT grid.vnodes, grid.shard,
+            CAST(COALESCE(ld.n_docs, 0) AS BIGINT) AS n_docs,
+            (COALESCE(ld.n_docs, 0) * 1000000) // tot.n AS share_ppm
+          FROM grid LEFT JOIN ld ON ld.vnodes = grid.vnodes
+              AND ld.shard = grid.shard
+            JOIN tot ON tot.vnodes = grid.vnodes
+          ORDER BY grid.vnodes, grid.shard"""
+      })
+
+    Seq(q192, q193, q194, q195, q196, q197, q198)
   }
 }

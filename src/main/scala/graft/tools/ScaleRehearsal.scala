@@ -327,7 +327,20 @@ object ScaleRehearsal {
       // shape with a hash relabel), epoch planner (one token-count
       // rollup + |sources|-row math)
       "q189_capture_recapture", "q190_auc_null_control",
-      "q191_epoch_planner")
+      "q191_epoch_planner",
+      // round-16 corpus-analysis tier: Heaps growth (one word pass +
+      // per-source rank — the rank is the scaling term at rehearsal
+      // scale, a scan property at production), kappa (the L86 passes +
+      // a count-distinct word pass), PMI (one word + one bigram pass,
+      // vocab-keyed joins), conformal (the L86 passes + a per-source
+      // rank window over calibration negatives), index planner (the
+      // L95 postings agg + a per-gram lag window), OOV curve (two
+      // vocab aggs + a broadcast top-4096 join), ring dial (a 128-row
+      // broadcast fold per doc — wall should track the scan)
+      "q192_heaps_vocab_growth", "q193_kappa_filter_agreement",
+      "q194_pmi_collocations", "q195_conformal_threshold",
+      "q196_postings_size_planner", "q197_oov_budget_curve",
+      "q198_ring_vnode_dial")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)

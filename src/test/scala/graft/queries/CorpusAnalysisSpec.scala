@@ -187,6 +187,74 @@ class CorpusAnalysisSpec extends SparkSpec {
     assert(out === expected, s"planner replay: $out vs $expected")
   }
 
+  test("q197: OOV mass replays exactly against a Scala ranking of the planted vocabulary") {
+    // "top": two words with count 150 each (global ranks 1-2);
+    // "tail": 300 singleton words — the 256 budget keeps 254 of them
+    // (after aa/bb), the larger budgets keep all.
+    val top = (0L until 50L).map(i => (i, "aa bb aa bb aa bb", "en", "top", 8L))
+    val tail = (100L until 130L).map { i =>
+      val words = (0 until 10).map(j => s"t${i}w$j").mkString(" ")
+      (i, words, "en", "tail", 8L)
+    }
+    val rows = run("q197_oov_budget_curve", docsDir(top ++ tail))
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // Scala replay of the global (count DESC, word ASC) ranking
+    val counts = (top ++ tail).flatMap(_._2.split(" "))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ranked = counts.toSeq.sortBy { case (w, c) => (-c, w) }
+      .take(4096).zipWithIndex.map { case ((w, _), i) => w -> (i + 1L) }
+      .toMap
+    for (src <- Seq("top", "tail"); v <- Seq(256L, 1024L, 4096L)) {
+      val toks = (if (src == "top") top else tail).flatMap(_._2.split(" "))
+      val oov = toks.count(w => ranked.get(w).forall(_ > v)).toLong
+      val n = toks.size.toLong
+      assert(rows((src, v)) === ((n, oov, oov * 1000000L / n)),
+        s"($src, $v): ${rows((src, v))} vs ($n, $oov)")
+    }
+    // the curve is monotone in the budget by construction
+    assert(rows(("tail", 256L))._2 > 0L, "the 256 budget must shed tail mass")
+    assert(rows(("tail", 4096L))._2 === 0L, "4096 covers the whole vocabulary")
+  }
+
+  test("q198: ring ownership replays exactly and the vnode dial tightens the spread") {
+    val docs = (0L until 200L).map(i => (i, s"d$i", "en", "s", 4L))
+    val rows = run("q198_ring_vnode_dial", docsDir(docs))
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.size === 24, "3 dials x 8 shards, zero shards densified in")
+    // Scala replay of the quantized ring
+    import graft.functions.Sketches.h64Scala
+    val vn = for (sh <- 0L until 8L; v <- 0L until 16L)
+      yield (v, (h64Scala(s"ring:$sh:$v") / 8L) * 8L + sh)
+    def owner(docId: Long, dial: Long): Long = {
+      val pd = (h64Scala(s"pos:$docId") / 8L) * 8L
+      val cand = vn.filter(_._1 < dial).map(_._2)
+      val ge = cand.filter(_ >= pd)
+      (if (ge.nonEmpty) ge.min else cand.min) % 8L
+    }
+    for (dial <- Seq(1L, 4L, 16L)) {
+      val loads = docs.map(d => owner(d._1, dial))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = docs.size.toLong
+      (0L until 8L).foreach { sh =>
+        val expectN = loads.getOrElse(sh, 0L)
+        assert(rows((dial, sh)) === ((expectN, expectN * 1000000L / n)),
+          s"dial $dial shard $sh")
+      }
+    }
+    // the dial's purpose, pinned on the real fixture: more vnodes ->
+    // tighter spread between the heaviest and lightest shard
+    val real = run("q198_ring_vnode_dial", "/root/testdata/sf0.001")
+      .map(r => (r.getLong(0), r.getLong(2)))
+    def spread(dial: Long): Long = {
+      val ns = real.filter(_._1 == dial).map(_._2)
+      ns.max - ns.min
+    }
+    assert(spread(16L) < spread(1L),
+      s"vnodes must tighten the spread: ${spread(1L)} -> ${spread(16L)}")
+  }
+
   test("q196: on the real fixture the densest bucket compresses harder than singletons") {
     val rows = run("q196_postings_size_planner", "/root/testdata/sf0.001")
       .map(r => r.getLong(0) -> r.getLong(5)).sortBy(_._1)
