@@ -4,9 +4,10 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 
-/** Spectral corpus statistics (SURVEY §2.11a, L108):
+/** Spectral corpus statistics (SURVEY §2.11a, L108, L131):
   *
   *  - L108 dominant principal component (power iteration) → q176
+  *  - L131 effective rank (participation ratio)           → q199
   *
   * The embedding-space health check a training-data pipeline runs
   * before relying on cosine geometry: anisotropy. Embedding corpora
@@ -53,6 +54,15 @@ object SpectralOps {
   private[queries] val VQ = 128L
 
   private[queries] val PowerIters = 3
+
+  /** L131 requantization: PR needs trace² and Σm², so the damped Gram
+    * (|gn| ≤ 10^9 by the GramDamp bound) is cut by another 2^10 before
+    * squaring — trace(m)² ≤ (64·10^6)² ≈ 4·10^15 and Σm² ≤
+    * 4096·(10^6)² ≈ 4·10^15, both far inside Long. The statistic is
+    * DEFINED on the requantized matrix (both engines compute the same
+    * double truncating division).
+    */
+  private[queries] val PrReQ = 1024L
 
   def all: Seq[GraftQuery] = {
 
@@ -169,6 +179,71 @@ object SpectralOps {
           WHERE g.i = g.j ORDER BY pos"""
       })
 
-    Seq(q176)
+    /* L131: effective rank by participation ratio — the whole-spectrum
+     * companion to q176's dominant-eigenvalue share: PR = trace(G)² /
+     * trace(G²) = (Σλ)²/Σλ² counts how many dimensions the embedding
+     * corpus ACTUALLY uses (64 for isotropic, →1 as one direction eats
+     * the variance) WITHOUT computing any eigenvector — for a
+     * symmetric G, trace(G²) is just Σ_ij G_ij², so both numbers fall
+     * out of the same Gram cells the q176 pass already produces. Per
+     * LABEL, because per-class collapse (one class's vectors bunching
+     * onto a line) is invisible in the global number. The ladder:
+     * m = (raw div (n·GramDamp)) div 2^10 (the PrReQ bound keeps both
+     * squares Long-safe at any corpus size), pr_q10 = trace(m)²·2^10
+     * div max(Σm², 1), eff_rank_ppm = pr_q10·10^6 div (Dims·2^10).
+     * At 100 TB: one map-side-combined graft_gram pass per label (the
+     * 32 KB-buffer shape), then pure column math on 4096·|labels|
+     * posexploded cells — no driver collect, no iteration. */
+    val q199 = GraftQuery(
+      "q199_effective_rank", "L131 L108 L46",
+      (s, d) => {
+        val g = Tables.embeddings(s, d).groupBy(col("label"))
+          .agg(expr(s"graft_gram(embedding, $Dims, $CompQ)").as("g"),
+            count(lit(1)).as("n"))
+        g.select(col("label"), col("n"),
+            posexplode(col("g")).as(Seq("k", "raw")))
+          .withColumn("m",
+            expr(s"(raw div (n * $GramDamp)) div $PrReQ"))
+          .withColumn("isdiag", expr(s"(k div $Dims) = (k % $Dims)"))
+          .groupBy(col("label"), col("n"))
+          .agg(sum(when(col("isdiag"), col("m")).otherwise(0L))
+            .as("trace_m"),
+            sum(col("m") * col("m")).as("frob_m"))
+          .withColumn("pr_q10",
+            expr(s"(trace_m * trace_m * $PrReQ) div greatest(frob_m, 1)"))
+          .withColumn("eff_rank_ppm",
+            expr(s"(pr_q10 * 1000000) div ${Dims * PrReQ}"))
+          .select(col("label"), col("n").as("n_vectors"), col("trace_m"),
+            col("frob_m"), col("pr_q10"), col("eff_rank_ppm"))
+          .orderBy(col("label"))
+      },
+      Some {
+        val qa = s"CAST(floor(CAST(embedding[a.i] AS DOUBLE) * $CompQ)" +
+          " AS BIGINT)"
+        val qb = s"CAST(floor(CAST(embedding[b.j] AS DOUBLE) * $CompQ)" +
+          " AS BIGINT)"
+        s"""WITH nl AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+              FROM embeddings GROUP BY 1),
+          g AS MATERIALIZED (SELECT e.label, a.i, b.j,
+              (CAST(SUM($qa * $qb) AS BIGINT)
+                // (nl.n * $GramDamp)) // $PrReQ AS m
+            FROM embeddings e JOIN nl ON nl.label = e.label,
+              generate_series(1, $Dims) a(i),
+              generate_series(1, $Dims) b(j)
+            GROUP BY 1, 2, 3, nl.n),
+          ag AS (SELECT label,
+              CAST(SUM(CASE WHEN i = j THEN m ELSE 0 END) AS BIGINT)
+                AS trace_m,
+              CAST(SUM(m * m) AS BIGINT) AS frob_m
+            FROM g GROUP BY 1),
+          pr AS (SELECT *, (trace_m * trace_m * $PrReQ)
+              // GREATEST(frob_m, 1) AS pr_q10
+            FROM ag)
+          SELECT pr.label, nl.n AS n_vectors, trace_m, frob_m, pr_q10,
+            (pr_q10 * 1000000) // ${Dims * PrReQ} AS eff_rank_ppm
+          FROM pr JOIN nl ON nl.label = pr.label ORDER BY pr.label"""
+      })
+
+    Seq(q176, q199)
   }
 }

@@ -340,7 +340,10 @@ object ScaleRehearsal {
       "q192_heaps_vocab_growth", "q193_kappa_filter_agreement",
       "q194_pmi_collocations", "q195_conformal_threshold",
       "q196_postings_size_planner", "q197_oov_budget_curve",
-      "q198_ring_vnode_dial")
+      "q198_ring_vnode_dial",
+      // effective rank: one graft_gram pass per label + 4096·|labels|
+      // cells of column math — wall should track the scan's CPU
+      "q199_effective_rank")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)

@@ -14,6 +14,26 @@ class SpectralSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("q199: PR reads exactly 1 dim on a collapsed class, all 64 on a one-hot basis") {
+    // label 0: 64 copies of e_1 — one direction owns the variance,
+    // pr_q10 must be exactly 1024 (1.0 dims).
+    // label 1: one vector per axis — an isotropic diagonal Gram,
+    // pr_q10 must be exactly 64*1024 (every dim participating).
+    def oneHot(axis: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == axis) 1.0f else 0.0f)
+    val collapsed = (0L until 64L).map(i => (i, oneHot(0), 0L))
+    val basis = (100L until 164L).map(i => (i, oneHot((i % 64L).toInt), 1L))
+    val d = java.nio.file.Files.createTempDirectory("spectral-emb").toString
+    (collapsed ++ basis).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    val out = graft.core.CacheScope.scoped {
+      graft.SparkEntry.queries("q199_effective_rank")(spark, d).collect()
+    }.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out(0L) === ((64L, 1024L, 15625L)), s"collapsed class: $out")
+    assert(out(1L) === ((64L, 65536L, 1000000L)), s"one-hot basis: $out")
+  }
+
   test("q176: the iteration replays in Scala and aligns with the eigenvector") {
     val emb = graft.core.CacheScope.scoped {
       graft.core.Tables.embeddings(spark, dir)
