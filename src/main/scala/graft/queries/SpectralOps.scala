@@ -33,10 +33,10 @@ import graft.core.Tables
 object SpectralOps {
 
   /** Embedding width (the L6/L27 constant). */
-  private[queries] val Dims = 64
+  private[graft] val Dims = 64
 
   /** Component quantum: floor(v·10^6) (the q105/q174 ladder). */
-  private[queries] val CompQ = 1000000L
+  private[graft] val CompQ = 1000000L
 
   /** Gram damping: gn = Σ q_i·q_j div (n·GramDamp). Keeps every
     * downstream product Long-safe: |gn| ≤ CompQ²/GramDamp = 10^9,
@@ -48,7 +48,7 @@ object SpectralOps {
     * accumulates DECIMAL — the iteration below is unchanged either
     * way.
     */
-  private[queries] val GramDamp = 1024L
+  private[graft] val GramDamp = 1024L
 
   /** Iterate amplitude: each normalized iterate lives in [-2^7, 2^7]. */
   private[queries] val VQ = 128L
@@ -62,7 +62,7 @@ object SpectralOps {
     * DEFINED on the requantized matrix (both engines compute the same
     * double truncating division).
     */
-  private[queries] val PrReQ = 1024L
+  private[graft] val PrReQ = 1024L
 
   def all: Seq[GraftQuery] = {
 
