@@ -63,6 +63,7 @@ object SparkEntry {
       RetrievalOps.all ++ CurriculumOps.all ++ DriftOps.all ++
       ContrastiveOps.all ++ SpectralOps.all ++ SelectionStatsOps.all ++
       AllocationSketchOps.all ++ CorpusAnalysisOps.all ++
+      ConcentrationOps.all ++
       IngestQueries.all ++ RasterQueries.all ++
       SinkJoinQueries.all ++ SourceQueries.all ++ WindowFilterQueries.all ++
       ScalarPackQueries.all ++ SinkQueries.all

@@ -28,6 +28,39 @@ object WebCorpusOps {
     */
   private[queries] val UrlBaseMod = 97L
 
+  /** L92's cluster kernel factored out of q160 so downstream audits
+    * (the q202 effective-sample-size read) consume the REGISTERED
+    * weighting, not a copy: every doc joined with the size of its
+    * exact canonical-bag cluster (L2/q97's key). Frame:
+    * (doc_id, source, n_chars, csz). At 100 TB: one hash aggregate on
+    * the cluster key + one join back (co-located under a ck-bucketed
+    * K8 layout).
+    */
+  private[graft] def clusterSizes(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        Sketches.h64(array_join(sort_array(array_distinct(
+          Sketches.words(col("text")))), " ")).as("ck"))
+    val cl = docs.groupBy(col("ck")).agg(count(lit(1)).as("csz"))
+    docs.join(cl, Seq("ck"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("csz"))
+  }
+
+  /** DuckDB twin of [[clusterSizes]] as CTEs ending in
+    * `cj(doc_id, source, n_chars, csz)`.
+    */
+  private[queries] def clusterCtesSql: String = {
+    val ck = Sketches.h64Sql(
+      s"array_to_string(list_sort(list_distinct(${Sketches.wordsSql("text")})), ' ')")
+    s"""docs AS (SELECT doc_id, source, n_chars, $ck AS ck
+          FROM documents),
+      cl AS (SELECT ck, CAST(COUNT(*) AS BIGINT) AS csz
+        FROM docs GROUP BY 1),
+      cj AS (SELECT d.doc_id, d.source, d.n_chars, cl.csz
+        FROM docs d JOIN cl ON cl.ck = d.ck)"""
+  }
+
   def all: Seq[GraftQuery] = {
 
     /* L91: URL canonicalization dedup — the first dedup of a web corpus
@@ -153,12 +186,7 @@ object WebCorpusOps {
     val q160 = GraftQuery(
       "q160_soft_dedup_weights", "L92 L2 L21",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), col("n_chars"),
-            Sketches.h64(array_join(sort_array(array_distinct(
-              Sketches.words(col("text")))), " ")).as("ck"))
-        val cl = docs.groupBy(col("ck")).agg(count(lit(1)).as("csz"))
-        docs.join(cl, Seq("ck"))
+        clusterSizes(s, d)
           .withColumn("w_ppm", expr("1000000 div csz"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
@@ -170,15 +198,10 @@ object WebCorpusOps {
           .orderBy(col("source"))
       },
       Some {
-        val ck = Sketches.h64Sql(
-          s"array_to_string(list_sort(list_distinct(${Sketches.wordsSql("text")})), ' ')")
-        s"""WITH docs AS (SELECT doc_id, source, n_chars, $ck AS ck
-              FROM documents),
-          cl AS (SELECT ck, CAST(COUNT(*) AS BIGINT) AS csz
-            FROM docs GROUP BY 1),
-          j AS (SELECT d.source, d.n_chars, cl.csz,
-              1000000 // cl.csz AS w_ppm
-            FROM docs d JOIN cl ON cl.ck = d.ck)
+        s"""WITH $clusterCtesSql,
+          j AS (SELECT source, n_chars, csz,
+              1000000 // csz AS w_ppm
+            FROM cj)
           SELECT source, COUNT(*) AS n_docs,
             CAST(SUM(CASE WHEN csz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
               AS n_in_multi_clusters,

@@ -343,7 +343,14 @@ object ScaleRehearsal {
       "q198_ring_vnode_dial",
       // effective rank: one graft_gram pass per label + 4096·|labels|
       // cells of column math — wall should track the scan's CPU
-      "q199_effective_rank")
+      "q199_effective_rank",
+      // round-16 corpus-economics tier: Gini (a source-partitioned rank
+      // window — wall should track the scan), burstiness (one word pass
+      // + a vocab rollup + top-16), ESS (the q160 cluster passes +
+      // |sources|-row math), collision audit (vocab agg + 3·|vocab|
+      // explode — vocab-sized, not corpus-sized)
+      "q200_mass_concentration", "q201_term_burstiness",
+      "q202_ess_soft_dedup", "q203_hash_collision_audit")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)
