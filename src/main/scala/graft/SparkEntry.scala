@@ -32,7 +32,9 @@ import graft.queries._
   *    → StreamingFrequencySpec; L72 streaming form (top-(k+1)
   *    reservoir, stream==batch) → StreamingPrioritySampleSpec; L109
   *    streaming form (frozen-model class-histogram accumulation,
-  *    stream==batch q177 AUC readout) → StreamingAucSpec
+  *    stream==batch q177 AUC readout) → StreamingAucSpec; L133
+  *    streaming form (per-term dispersion triples, stream==batch q201
+  *    VMR readout) → StreamingBurstinessSpec
   *  - S15 TTL config scan → ConfigSourceSpec
   *  - K3 PNG codec / C18 geoid bilinear / R2-R4 tile ops / S11 GTX decode
   *    → RasterSpec; multimodal binary batching → MultimodalSpec
@@ -63,7 +65,8 @@ object SparkEntry {
       RetrievalOps.all ++ CurriculumOps.all ++ DriftOps.all ++
       ContrastiveOps.all ++ SpectralOps.all ++ SelectionStatsOps.all ++
       AllocationSketchOps.all ++ CorpusAnalysisOps.all ++
-      ConcentrationOps.all ++
+      ConcentrationOps.all ++ PlannerCalibrationOps.all ++
+      DistributionOps.all ++
       IngestQueries.all ++ RasterQueries.all ++
       SinkJoinQueries.all ++ SourceQueries.all ++ WindowFilterQueries.all ++
       ScalarPackQueries.all ++ SinkQueries.all

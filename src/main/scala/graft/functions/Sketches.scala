@@ -62,6 +62,75 @@ object Sketches {
   def ilog2Sql(e: String): String =
     s"CAST((length(format('{:b}', GREATEST($e, 1))) - 1) AS BIGINT)"
 
+  /** Fractional log2 in Q10 fixed point for x ≥ 1 (clamped like
+    * [[ilog2]]): e·2^10 + mantissa-linear fraction, where the fraction
+    * interpolates the mantissa linearly within the octave —
+    * (x·2^10) div 2^e − 2^10, computed with the numerator or the
+    * denominator shifted depending on e so every intermediate stays
+    * under 2^63 at ANY input. Exact on powers of two, monotone
+    * everywhere, max error vs true log2 = 0.0861 bits (the standard
+    * fast-log trick) — a DEFINED ladder both engines and the Scala
+    * replay compute bit-identically, for order-of-magnitude planners
+    * (L136) where the ilog2 floor is too coarse.
+    */
+  def log2q10(c: Column): Column = {
+    val x = greatest(c, lit(1L))
+    val e = (length(bin(x)) - 1).cast("long")
+    // x ≥ 0 and the divisor is 2^k, so integer division IS a right
+    // shift — dynamic shift amounts go through call_function (the
+    // public shiftright only takes a literal count)
+    val frac = when(e <= 52,
+      call_function("shiftright", shiftleft(x, 10), e.cast("int")))
+      .otherwise(call_function("shiftright", x, (e - 10L).cast("int")))
+    (e * 1024L + (frac.cast("long") - 1024L)).cast("long")
+  }
+  def log2q10Sql(e: String): String = {
+    val x = s"GREATEST($e, 1)"
+    val ex = s"CAST((length(format('{:b}', $x)) - 1) AS BIGINT)"
+    s"""($ex * 1024 + (CASE WHEN $ex <= 52
+        THEN ($x * 1024) // (CAST(1 AS BIGINT) << CAST($ex AS INT))
+        ELSE $x // (CAST(1 AS BIGINT) << CAST($ex - 10 AS INT))
+        END) - 1024)"""
+  }
+  /** JVM twin of [[log2q10]] for spec replays. */
+  def log2q10Scala(v: Long): Long = {
+    val x = math.max(v, 1L)
+    val e = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val frac = if (e <= 52) (x << 10) / (1L << e) else x >> (e - 10)
+    e * 1024L + frac - 1024L
+  }
+
+  /** Exact integer square root floor(√x) for 0 ≤ x < 2^62 (clamped
+    * below at 0): IEEE double sqrt is correctly rounded and the
+    * int→double conversion error keeps the float guess within 1 of
+    * the true floor at this domain, so ONE ±1 correction step makes
+    * it exact — and therefore engine-independent (both sides compute
+    * the same mathematical function, not the same rounding accident).
+    * The correction squares (guess+1) ≤ 2^31+1, safely under 2^63.
+    * Powers the ^(3/4) negative-sampling ladder (L142 — nested:
+    * isqrt(isqrt(c³)) = floor(c^(3/4))) and the temperature dial
+    * (L143 — isqrt = τ=2, nested = τ=4).
+    */
+  def isqrt(c: Column): Column = {
+    val x = greatest(c, lit(0L))
+    val g = floor(sqrt(x.cast("double"))).cast("long")
+    when((g + 1) * (g + 1) <= x, g + 1)
+      .when(g * g > x, g - 1)
+      .otherwise(g)
+  }
+  def isqrtSql(e: String): String = {
+    val x = s"GREATEST($e, 0)"
+    val g = s"CAST(floor(sqrt(CAST($x AS DOUBLE))) AS BIGINT)"
+    s"""(CASE WHEN ($g + 1) * ($g + 1) <= $x THEN $g + 1
+        WHEN $g * $g > $x THEN $g - 1 ELSE $g END)"""
+  }
+  /** JVM twin of [[isqrt]] for spec replays. */
+  def isqrtScala(v: Long): Long = {
+    val x = math.max(v, 0L)
+    val g = math.floor(math.sqrt(x.toDouble)).toLong
+    if ((g + 1) * (g + 1) <= x) g + 1 else if (g * g > x) g - 1 else g
+  }
+
   /** Seed-parameterized hash family: h_i(s) = h64(i || ':' || s). */
   def seeded(seed: Int, c: Column): Column = h64(concat(lit(s"$seed:"), c))
   def seededSql(seed: Int, e: String): String = h64Sql(s"'$seed:' || $e")

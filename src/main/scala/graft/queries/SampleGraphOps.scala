@@ -96,7 +96,7 @@ object SampleGraphOps {
     * its governance curve (q146) so signal and sweep can never diverge.
     * `pos` is the planted-positive label (1 on the plant slice).
     */
-  private def entropyPerDoc(s: SparkSession, d: String): DataFrame = {
+  private[queries] def entropyPerDoc(s: SparkSession, d: String): DataFrame = {
     val src = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         when(col("doc_id") % EntropyPlantStride === 0,
@@ -124,7 +124,7 @@ object SampleGraphOps {
   /** DuckDB twin of [[entropyPerDoc]] as CTEs ending in
     * `h(doc_id, source, hp, pos)`.
     */
-  private def entropyCtesSql: String =
+  private[queries] def entropyCtesSql: String =
     s"""src AS (SELECT doc_id, source,
           CASE WHEN doc_id % $EntropyPlantStride = 0
             THEN '$LowEntropyBlock' ELSE text END AS text

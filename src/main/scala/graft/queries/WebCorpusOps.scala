@@ -29,12 +29,13 @@ object WebCorpusOps {
   private[queries] val UrlBaseMod = 97L
 
   /** L92's cluster kernel factored out of q160 so downstream audits
-    * (the q202 effective-sample-size read) consume the REGISTERED
-    * weighting, not a copy: every doc joined with the size of its
-    * exact canonical-bag cluster (L2/q97's key). Frame:
-    * (doc_id, source, n_chars, csz). At 100 TB: one hash aggregate on
-    * the cluster key + one join back (co-located under a ck-bucketed
-    * K8 layout).
+    * (the q202 effective-sample-size read, the q208 provenance
+    * attribution) consume the REGISTERED weighting, not a copy: every
+    * doc joined with its exact canonical-bag cluster key (L2/q97's
+    * key) and that cluster's size. Frame:
+    * (doc_id, source, n_chars, ck, csz). At 100 TB: one hash
+    * aggregate on the cluster key + one join back (co-located under a
+    * ck-bucketed K8 layout).
     */
   private[graft] def clusterSizes(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
@@ -44,11 +45,12 @@ object WebCorpusOps {
           Sketches.words(col("text")))), " ")).as("ck"))
     val cl = docs.groupBy(col("ck")).agg(count(lit(1)).as("csz"))
     docs.join(cl, Seq("ck"))
-      .select(col("doc_id"), col("source"), col("n_chars"), col("csz"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("ck"),
+        col("csz"))
   }
 
   /** DuckDB twin of [[clusterSizes]] as CTEs ending in
-    * `cj(doc_id, source, n_chars, csz)`.
+    * `cj(doc_id, source, n_chars, ck, csz)`.
     */
   private[queries] def clusterCtesSql: String = {
     val ck = Sketches.h64Sql(
@@ -57,7 +59,7 @@ object WebCorpusOps {
           FROM documents),
       cl AS (SELECT ck, CAST(COUNT(*) AS BIGINT) AS csz
         FROM docs GROUP BY 1),
-      cj AS (SELECT d.doc_id, d.source, d.n_chars, cl.csz
+      cj AS (SELECT d.doc_id, d.source, d.n_chars, d.ck, cl.csz
         FROM docs d JOIN cl ON cl.ck = d.ck)"""
   }
 

@@ -350,7 +350,21 @@ object ScaleRehearsal {
       // |sources|-row math), collision audit (vocab agg + 3·|vocab|
       // explode — vocab-sized, not corpus-sized)
       "q200_mass_concentration", "q201_term_burstiness",
-      "q202_ess_soft_dedup", "q203_hash_collision_audit")
+      "q202_ess_soft_dedup", "q203_hash_collision_audit",
+      // planner/calibration tier: compute planner (a word-count pass +
+      // grid math), b-bit calibration (the q103 candidate shape — two
+      // extra agreement sums), Spearman (the L86+L74 passes + two
+      // source-partitioned rank windows), cartography (the L86 passes
+      // with 8 sums + two doc-level rank windows)
+      "q204_compute_optimal_plan", "q205_bbit_minhash_calibration",
+      "q206_signal_rank_agreement", "q207_cartography_quadrants",
+      // distribution-shaping tier: provenance (the cluster passes +
+      // a |sources|²-row rollup), conditional entropy (one bigram
+      // pass + a (source, word) marginal), negative-sampling table
+      // (one vocab agg + broadcast scalars), temperature curve (one
+      // word-count rollup + 3·|sources|-row windows)
+      "q208_dup_provenance", "q209_conditional_entropy",
+      "q210_negative_sampling_table", "q211_temperature_dial_curve")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)
