@@ -66,7 +66,7 @@ object SparkEntry {
       ContrastiveOps.all ++ SpectralOps.all ++ SelectionStatsOps.all ++
       AllocationSketchOps.all ++ CorpusAnalysisOps.all ++
       ConcentrationOps.all ++ PlannerCalibrationOps.all ++
-      DistributionOps.all ++
+      DistributionOps.all ++ ComparativeOps.all ++
       IngestQueries.all ++ RasterQueries.all ++
       SinkJoinQueries.all ++ SourceQueries.all ++ WindowFilterQueries.all ++
       ScalarPackQueries.all ++ SinkQueries.all

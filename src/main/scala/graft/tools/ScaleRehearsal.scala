@@ -364,7 +364,13 @@ object ScaleRehearsal {
       // (one vocab agg + broadcast scalars), temperature curve (one
       // word-count rollup + 3·|sources|-row windows)
       "q208_dup_provenance", "q209_conditional_entropy",
-      "q210_negative_sampling_table", "q211_temperature_dial_curve")
+      "q210_negative_sampling_table", "q211_temperature_dial_curve",
+      // comparative-audit tier: bake-off (two broadcast folds per doc
+      // — wall should track the scan), lexical matrix (one vocab agg
+      // + a |sources|·64-row self-join), length audit (the L86 passes
+      // + a doc-keyed n_chars join)
+      "q212_routing_bakeoff", "q213_lexical_overlap_matrix",
+      "q214_length_quality_audit")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)
