@@ -370,7 +370,13 @@ object ScaleRehearsal {
       // + a |sources|·64-row self-join), length audit (the L86 passes
       // + a doc-keyed n_chars join)
       "q212_routing_bakeoff", "q213_lexical_overlap_matrix",
-      "q214_length_quality_audit")
+      "q214_length_quality_audit",
+      // maintenance/eval tier: compaction planner (one events scan +
+      // |F|-row math), containment calibration (the q103 candidate
+      // shape + size joins), nDCG (both registered ANN rankings —
+      // the brute side is quadratic BY DESIGN like q158/q178)
+      "q215_compaction_planner", "q216_containment_calibration",
+      "q217_ndcg_retrieval_audit")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)
