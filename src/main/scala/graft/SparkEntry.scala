@@ -67,7 +67,7 @@ object SparkEntry {
       AllocationSketchOps.all ++ CorpusAnalysisOps.all ++
       ConcentrationOps.all ++ PlannerCalibrationOps.all ++
       DistributionOps.all ++ ComparativeOps.all ++
-      CompactionEvalOps.all ++
+      CompactionEvalOps.all ++ HealthAuditOps.all ++
       IngestQueries.all ++ RasterQueries.all ++
       SinkJoinQueries.all ++ SourceQueries.all ++ WindowFilterQueries.all ++
       ScalarPackQueries.all ++ SinkQueries.all

@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.Sketches
+
+/** Pipeline-health audit operators (SURVEY §2.11a, L150–L152):
+  *
+  *  - L150 dedup-bias audit                 → q218
+  *  - L151 embedding-norm health profile    → q219
+  *  - L152 near-dup transitivity audit      → q220
+  *
+  * Three audits of assumptions the pipeline's own stages quietly
+  * make: that deduplication removes a REPRESENTATIVE slice of the
+  * corpus (it usually does not — duplicated content skews toward
+  * boilerplate, so dedup shifts the surviving quality/length mix,
+  * and the bias should be measured, not assumed); that embedding
+  * batches are healthy (collapsed or exploded vector norms are the
+  * classic symptom of a bad encoder run, invisible to the spectral
+  * reads L108/L131 which normalize by the Gram scale); and that
+  * near-duplicate similarity is transitive enough for L19's
+  * connected-components clustering to be sound (components merge
+  * docs connected through middles — the audit measures how often
+  * a wedge's endpoints actually meet the verify threshold).
+  *
+  * Determinism: classes and medians ride (value, id) total orders,
+  * norms floor to integer micro-units before any aggregation (the
+  * q103 floor-sum convention), and the transitivity verdicts reuse
+  * the registered verify's own float-jaccard comparison.
+  */
+object HealthAuditOps {
+
+  /** L150 cluster-size class boundaries. */
+  private[queries] val SmallClusterMax = 3L
+
+  /** L151 outlier fence: a norm is flagged when it is more than 2×
+    * the label median or less than half of it (in micro-units).
+    */
+  private[queries] val NormFenceNum = 2L
+
+  def all: Seq[GraftQuery] = {
+
+    /* L150: dedup-bias audit — what KIND of documents does dedup
+     * remove? The L1/L92 stages drop or downweight duplicate-cluster
+     * members as if they were a uniform sample of the corpus; in real
+     * web data duplicated content skews toward boilerplate (short,
+     * low-quality, few sources), so deduplication silently shifts the
+     * surviving distribution. The audit classes every doc by its
+     * exact-cluster size (unique / small 2–3 / large 4+, the
+     * registered q160/q202 kernel) and reports each class's count,
+     * source breadth, trained-quality mean (the registered L86
+     * score) and length mean — the measured evidence for whether a
+     * dedup pass needs a quality-reweighting companion (L92) or not.
+     * At 100 TB: the cluster and score kernels' own passes + one
+     * doc-keyed join + a 3-row rollup. */
+    val q218 = GraftQuery(
+      "q218_dedup_bias_audit", "L150 L92 L86 L36",
+      (s, d) => {
+        val cs = WebCorpusOps.clusterSizes(s, d)
+          .select(col("doc_id"), col("n_chars"),
+            when(col("csz") === 1, "unique")
+              .when(col("csz") <= SmallClusterMax, "small")
+              .otherwise("large").as("dup_class"))
+        val sc = TrainedFilterOps.nbDocScores(s, d)
+          .select(col("doc_id"), col("source"), col("pos"), col("score"))
+        cs.join(sc, Seq("doc_id"))
+          .groupBy(col("dup_class"))
+          .agg(count(lit(1)).as("n_docs"),
+            count_distinct(col("source")).as("n_sources"),
+            sum(col("pos")).as("n_plant"),
+            expr("sum(score) div count(1)").as("avg_score"),
+            expr("sum(n_chars) div count(1)").as("avg_chars"))
+          .orderBy(col("dup_class"))
+      },
+      Some {
+        s"""WITH ${WebCorpusOps.clusterCtesSql},
+          ${TrainedFilterOps.nbScoreCtesSql},
+          cl2 AS (SELECT cj.doc_id, cj.n_chars,
+              CASE WHEN cj.csz = 1 THEN 'unique'
+                WHEN cj.csz <= $SmallClusterMax THEN 'small'
+                ELSE 'large' END AS dup_class
+            FROM cj),
+          jo AS (SELECT cl2.dup_class, cl2.n_chars, sc.source,
+              sc.pos, sc.score
+            FROM cl2 JOIN sc ON sc.doc_id = cl2.doc_id)
+          SELECT dup_class, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+            CAST(SUM(pos) AS BIGINT) AS n_plant,
+            CAST(SUM(score) AS BIGINT) // COUNT(*) AS avg_score,
+            CAST(SUM(n_chars) AS BIGINT) // COUNT(*) AS avg_chars
+          FROM jo GROUP BY 1 ORDER BY dup_class"""
+      })
+
+    /* L151: embedding-norm health profile — the encoder-run health
+     * read the spectral audits can't see: L108/L131 normalize by the
+     * Gram scale, so a batch of collapsed (near-zero) or exploded
+     * vectors shifts the spectrum they analyze without tripping them.
+     * Vector norms floor to integer micro-units (the q103 floor-sum
+     * convention — the float part is the engine-parity-established
+     * left-associated dot + IEEE sqrt), then everything is integer:
+     * per label, count, mean, exact median (the (norm_u, vec_id)
+     * order statistic) and the 2×-fence outlier count. At 100 TB:
+     * one embeddings scan; the rank window partitions by label;
+     * production swaps the L59 quantile sketch for the median (the
+     * q171 stance). */
+    val q219 = GraftQuery(
+      "q219_embedding_norm_health", "L151 L103 L131",
+      (s, d) => {
+        val n = Tables.embeddings(s, d)
+          .select(col("label").cast("long").as("label"),
+            col("vec_id"),
+            floor(Sketches.norm(col("embedding"), LlmPipeline.Dims) *
+              lit(1e6)).cast("long").as("nu"))
+        val ranked = n
+          .withColumn("rk", row_number().over(Window
+            .partitionBy(col("label"))
+            .orderBy(col("nu"), col("vec_id"))).cast("long"))
+          .withColumn("nn", count(lit(1))
+            .over(Window.partitionBy(col("label"))).cast("long"))
+        val med = ranked.groupBy(col("label"))
+          .agg(max(when(col("rk") === expr("(nn + 1) div 2"),
+            col("nu"))).as("med_u"))
+        ranked.join(broadcast(med), Seq("label"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            expr("sum(nu) div count(1)").as("mean_norm_u"),
+            max(col("med_u")).as("median_norm_u"),
+            min(col("nu")).as("min_norm_u"),
+            max(col("nu")).as("max_norm_u"),
+            sum(when(col("nu") > col("med_u") * NormFenceNum ||
+              col("nu") * NormFenceNum < col("med_u"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy(col("label"))
+      },
+      Some {
+        val nrm = Sketches.normSql("embedding", LlmPipeline.Dims)
+        s"""WITH nu AS (SELECT CAST(label AS BIGINT) AS label, vec_id,
+              CAST(floor(($nrm) * 1e6) AS BIGINT) AS nu
+            FROM embeddings),
+          rk AS (SELECT *,
+              CAST(row_number() OVER (PARTITION BY label
+                ORDER BY nu, vec_id) AS BIGINT) AS rk,
+              CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS nn
+            FROM nu),
+          md AS (SELECT label,
+              MAX(CASE WHEN rk = (nn + 1) // 2 THEN nu END) AS med_u
+            FROM rk GROUP BY 1)
+          SELECT rk.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+            CAST(SUM(rk.nu) AS BIGINT) // COUNT(*) AS mean_norm_u,
+            CAST(MAX(md.med_u) AS BIGINT) AS median_norm_u,
+            CAST(MIN(rk.nu) AS BIGINT) AS min_norm_u,
+            CAST(MAX(rk.nu) AS BIGINT) AS max_norm_u,
+            CAST(SUM(CASE WHEN rk.nu > md.med_u * $NormFenceNum
+              OR rk.nu * $NormFenceNum < md.med_u THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_outliers
+          FROM rk JOIN md ON md.label = rk.label
+          GROUP BY 1 ORDER BY rk.label"""
+      })
+
+    /* L152: near-dup transitivity audit — L19's connected-components
+     * clustering treats near-duplication as transitive: if a~b and
+     * b~c the component merges all three, whether or not a~c holds.
+     * Similarity is NOT transitive in general (two edits in different
+     * directions compound), and how often the assumption fails on
+     * THIS corpus is exactly the semantic slack of every
+     * cluster-level decision (L21 keeper choice, L92 weights, L57
+     * histograms). The audit enumerates the wedges of the REGISTERED
+     * verified-pair graph (q36's kernel at its baked geometry),
+     * re-verifies every induced endpoint pair with the same exact
+     * shingle Jaccard and the same 0.8 threshold, and reports wedge
+     * and closure counts. At 100 TB: edges are verified near-dups
+     * (sparse by construction — banding + the hot-bucket guard);
+     * wedges are Σ deg² over that sparse graph, and the re-verify
+     * joins shingle rows for induced pairs only. */
+    val q220 = GraftQuery(
+      "q220_transitivity_audit", "L152 L19 L4",
+      (s, d) => {
+        val ex = LlmPipeline.shingleRows(s, d)
+        val sig = LlmPipeline.signaturesOf(ex)
+        val cand = LlmPipeline.lshCandidates(
+          LlmPipeline.lshBands(sig, "trans_hot_buckets"))
+        val edges = LlmPipeline.jaccardVerify(ex, cand)
+          .select(col("doc_a"), col("doc_b"))
+        val sym = edges.select(col("doc_a").as("m"), col("doc_b").as("e"))
+          .unionByName(edges.select(col("doc_b").as("m"),
+            col("doc_a").as("e")))
+        val wedges = sym.as("s1")
+          .join(sym.as("s2"), col("s1.m") === col("s2.m") &&
+            col("s1.e") < col("s2.e"))
+          .select(col("s1.e").as("a"), col("s2.e").as("b"))
+        val induced = wedges.distinct()
+        val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        val inter = induced
+          .join(ex.as("ea"), col("a") === col("ea.doc_id"))
+          .join(ex.as("eb"),
+            col("b") === col("eb.doc_id") && col("ea.s") === col("eb.s"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("inter"))
+        val verdicts = induced
+          .join(inter, Seq("a", "b"), "left")
+          .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+          .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+          .withColumn("j",
+            coalesce(col("inter"), lit(0L)).cast("double") /
+              (col("sza") + col("szb") - coalesce(col("inter"), lit(0L))))
+          .withColumn("closed",
+            when(col("j") >= LlmPipeline.JaccardThreshold, 1L)
+              .otherwise(0L))
+        val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+        val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
+        verdicts.agg(count(lit(1)).as("n_induced_pairs"),
+            sum(col("closed")).as("n_closed"))
+          .crossJoin(broadcast(nEdges))
+          .crossJoin(broadcast(nWedges))
+          .withColumn("closure_ppm", expr(
+            "(n_closed * 1000000) div greatest(n_induced_pairs, 1)"))
+          .select(col("n_edges"), col("n_wedges"),
+            col("n_induced_pairs"), col("n_closed"),
+            col("closure_ppm"))
+      },
+      Some {
+        s"""WITH ${LlmPipeline.sigCtesSql},
+          ${LlmPipeline.bandCandCtesSql},
+          ed AS (SELECT c.a AS doc_a, c.b AS doc_b
+            FROM cand c JOIN sh sa ON sa.doc_id = c.a
+              JOIN sh sb ON sb.doc_id = c.b
+            WHERE ${Sketches.jaccardSql("sa.sh", "sb.sh")}
+              >= ${LlmPipeline.JaccardThreshold}e0),
+          sym AS (SELECT doc_a AS m, doc_b AS e FROM ed
+            UNION ALL SELECT doc_b, doc_a FROM ed),
+          wg AS (SELECT s1.e AS a, s2.e AS b
+            FROM sym s1 JOIN sym s2
+              ON s2.m = s1.m AND s1.e < s2.e),
+          ind AS (SELECT DISTINCT a, b FROM wg),
+          vd AS (SELECT ind.a, ind.b,
+              CASE WHEN ${Sketches.jaccardSql("sa.sh", "sb.sh")}
+                >= ${LlmPipeline.JaccardThreshold}e0 THEN 1 ELSE 0 END
+                AS closed
+            FROM ind JOIN sh sa ON sa.doc_id = ind.a
+              JOIN sh sb ON sb.doc_id = ind.b),
+          ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_induced_pairs,
+              CAST(SUM(closed) AS BIGINT) AS n_closed FROM vd),
+          ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM ed),
+          nw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_wedges FROM wg)
+          SELECT ne.n_edges, nw.n_wedges, ag.n_induced_pairs,
+            ag.n_closed,
+            (ag.n_closed * 1000000)
+              // GREATEST(ag.n_induced_pairs, 1) AS closure_ppm
+          FROM ag CROSS JOIN ne CROSS JOIN nw"""
+      })
+
+    Seq(q218, q219, q220)
+  }
+}

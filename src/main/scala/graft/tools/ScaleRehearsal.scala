@@ -376,7 +376,13 @@ object ScaleRehearsal {
       // shape + size joins), nDCG (both registered ANN rankings —
       // the brute side is quadratic BY DESIGN like q158/q178)
       "q215_compaction_planner", "q216_containment_calibration",
-      "q217_ndcg_retrieval_audit")
+      "q217_ndcg_retrieval_audit",
+      // health-audit tier: dedup bias (the cluster + NB kernel passes
+      // + a 3-row rollup), norm health (one embeddings scan + a
+      // label-partitioned rank window), transitivity (the verified
+      // graph's wedges — sparse-graph Σdeg² + induced-pair verify)
+      "q218_dedup_bias_audit", "q219_embedding_norm_health",
+      "q220_transitivity_audit")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)
@@ -652,6 +658,26 @@ object ScaleRehearsal {
       },
       measured(s"q171 @${factor}x") {
         graft.SparkEntry.queries("q171_mad_outliers")(spark, out).count()
+      },
+      // round-16 additions: the b-bit calibration (the full LSH
+      // candidate pipeline + sig re-joins — candidate volume under the
+      // adaptive band dial is the scaling term), the Spearman
+      // agreement (the L86 + L74 kernel passes + two source-
+      // partitioned rank windows at 100× doc count — the window sort
+      // is what the L43 sample protocol would bound at production),
+      // and the conditional entropy (one native bigram pass + the
+      // (source, word) marginal join — postings-shaped shuffle)
+      measured(s"q205 @${factor}x") {
+        graft.SparkEntry.queries("q205_bbit_minhash_calibration")(
+          spark, out).count()
+      },
+      measured(s"q206 @${factor}x") {
+        graft.SparkEntry.queries("q206_signal_rank_agreement")(
+          spark, out).count()
+      },
+      measured(s"q209 @${factor}x") {
+        graft.SparkEntry.queries("q209_conditional_entropy")(
+          spark, out).count()
       })
     spark.sparkContext.removeSparkListener(listener)
     emit("probe100", rows.map { case (l, w, r, sb) =>
