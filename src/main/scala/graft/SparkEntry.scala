@@ -68,6 +68,7 @@ object SparkEntry {
       ConcentrationOps.all ++ PlannerCalibrationOps.all ++
       DistributionOps.all ++ ComparativeOps.all ++
       CompactionEvalOps.all ++ HealthAuditOps.all ++
+      TransferSizingOps.all ++
       IngestQueries.all ++ RasterQueries.all ++
       SinkJoinQueries.all ++ SourceQueries.all ++ WindowFilterQueries.all ++
       ScalarPackQueries.all ++ SinkQueries.all

@@ -45,6 +45,47 @@ object CorpusAnalysisOps {
     * statistic.
     */
   private[queries] val ConfNum = 9L
+
+  /** L127's calibration-half clean-doc counts per source, over the
+    * L86 score frame — factored so the q221 transfer matrix consumes
+    * the REGISTERED protocol, not a copy.
+    */
+  private[queries] def conformalCalSizes(
+      sc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sc.filter(col("doc_id") % 2 === 0 && col("pos") === 0)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_cal"))
+
+  /** L127's per-source conformal threshold — the ⌈ConfNum/ConfDen·
+    * (n+1)⌉-th smallest clean calibration score under (score, doc_id)
+    * order; sources without that order statistic carry no row.
+    * Frame: (source, n_cal, tau).
+    */
+  private[queries] def conformalTaus(sc: org.apache.spark.sql.DataFrame,
+      n: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sc.filter(col("doc_id") % 2 === 0 && col("pos") === 0)
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("source"))
+        .orderBy(col("score"), col("doc_id"))).cast("long"))
+      .join(n, Seq("source"))
+      .filter(col("rn") ===
+        expr(s"($ConfNum * (n_cal + 1) + $ConfDen - 1) div $ConfDen"))
+      .select(col("source"), col("n_cal"), col("score").as("tau"))
+
+  /** DuckDB twin of the τ protocol as CTEs (requires `sc` from
+    * nbScoreCtesSql in scope) ending in `tau(source, n_cal, tau)`.
+    */
+  private[queries] def conformalTauCtesSql: String =
+    s"""cal AS (SELECT source, doc_id, score FROM sc
+          WHERE doc_id % 2 = 0 AND pos = 0),
+      n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_cal
+        FROM cal GROUP BY 1),
+      rkd AS (SELECT cal.source, cal.score, n.n_cal,
+          CAST(row_number() OVER (PARTITION BY cal.source
+            ORDER BY cal.score, cal.doc_id) AS BIGINT) AS rn
+        FROM cal JOIN n ON n.source = cal.source),
+      tau AS (SELECT source, n_cal, score AS tau FROM rkd
+        WHERE rn = ($ConfNum * (n_cal + 1) + $ConfDen - 1)
+          // $ConfDen)"""
   private[queries] val ConfDen = 10L
 
   /** L125 rater-B diversity threshold: distinct-word ratio below 1/2
@@ -365,16 +406,8 @@ object CorpusAnalysisOps {
       "q195_conformal_threshold", "L127 L86 L78",
       (s, d) => {
         val sc = TrainedFilterOps.nbDocScores(s, d)
-        val cal = sc.filter(col("doc_id") % 2 === 0 && col("pos") === 0)
-        val n = cal.groupBy(col("source")).agg(count(lit(1)).as("n_cal"))
-        val tau = cal
-          .withColumn("rn", row_number().over(Window
-            .partitionBy(col("source"))
-            .orderBy(col("score"), col("doc_id"))).cast("long"))
-          .join(n, Seq("source"))
-          .filter(col("rn") ===
-            expr(s"($ConfNum * (n_cal + 1) + $ConfDen - 1) div $ConfDen"))
-          .select(col("source"), col("n_cal"), col("score").as("tau"))
+        val n = conformalCalSizes(sc)
+        val tau = conformalTaus(sc, n)
         val test = sc.filter(col("doc_id") % 2 === 1)
         test.join(n, Seq("source"), "left")
           .join(tau.select(col("source"), col("tau")), Seq("source"), "left")
@@ -396,17 +429,7 @@ object CorpusAnalysisOps {
       },
       Some {
         s"""WITH ${TrainedFilterOps.nbScoreCtesSql},
-          cal AS (SELECT source, doc_id, score FROM sc
-            WHERE doc_id % 2 = 0 AND pos = 0),
-          n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_cal
-            FROM cal GROUP BY 1),
-          rkd AS (SELECT cal.source, cal.score, n.n_cal,
-              CAST(row_number() OVER (PARTITION BY cal.source
-                ORDER BY cal.score, cal.doc_id) AS BIGINT) AS rn
-            FROM cal JOIN n ON n.source = cal.source),
-          tau AS (SELECT source, n_cal, score AS tau FROM rkd
-            WHERE rn = ($ConfNum * (n_cal + 1) + $ConfDen - 1)
-              // $ConfDen),
+          $conformalTauCtesSql,
           th AS (SELECT sc.source, sc.pos, sc.score, tau.tau, n.n_cal
             FROM sc LEFT JOIN tau ON tau.source = sc.source
               LEFT JOIN n ON n.source = sc.source

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.Sketches
+
+/** Governance-closure operators (SURVEY §2.11a, L153–L154):
+  *
+  *  - L153 threshold-transfer matrix       → q221
+  *  - L154 sketch-capacity planner         → q222
+  *
+  * Two reads that close loops other tiers opened: L127 hands every
+  * source a conformal threshold with a finite-sample guarantee — but
+  * pipelines constantly REUSE a threshold tuned on one source for
+  * another (a new source arrives mid-quarter; a dashboard hardcodes
+  * last month's τ), and the guarantee does not transfer; the matrix
+  * measures exactly how wrong each cross-application is. And the
+  * sketch tier (L64 Bloom, L67 CMS, L69 HLL) ships fixed-geometry
+  * sketches whose dials someone must SIZE for the corpus at hand;
+  * the planner derives the classic sizing formulas from the corpus's
+  * own key universe, in the same documented-Q10-constant ladders as
+  * every other planner (L123/L136/L147).
+  *
+  * Determinism: the matrix consumes the REGISTERED τ protocol
+  * (CorpusAnalysisOps.conformalTaus) and the planner is pure integer
+  * arithmetic with Q10 floors of 1/ln2, e, and 1.04.
+  */
+object TransferSizingOps {
+
+  /** L154 dial grids: Bloom false-positive exponents (p = 2^-b), CMS
+    * error exponents (ε = 2^-e, δ fixed at 2^-10 → depth 7 =
+    * ⌈10·ln 2⌉), HLL relative-error targets in per-mille.
+    * Q10 floors: 1/ln2 = 1.4427 → 1477; e = 2.71828 → 2783;
+    * 1.04 → 1040 per-mille.
+    */
+  private[queries] val BloomFpExps = Seq(10L, 16L, 20L)
+  private[queries] val CmsErrExps = Seq(10L, 14L)
+  private[queries] val HllErrPm = Seq(10L, 20L)
+  private[queries] val InvLn2Q10 = 1477L
+  private[queries] val EQ10 = 2783L
+  private[queries] val CmsDepthFixed = 7L
+
+  def all: Seq[GraftQuery] = {
+
+    /* L153: threshold-transfer matrix — the conformal guarantee is
+     * per-source: L127's τ_s bounds the clean flag rate ON SOURCE s.
+     * Pipelines reuse thresholds across sources anyway (new sources
+     * inherit an old τ; a global dashboard pins one number), and the
+     * guarantee silently evaporates. The matrix applies every
+     * source's REGISTERED τ (the q195 kernel, consumed not copied) to
+     * every source's test-half clean docs: the diagonal reproduces
+     * q195's own coverage (the spec pins the equality), off-diagonal
+     * cells measure what cross-application actually flags — a column
+     * far from ~10% means that source's score distribution is shifted
+     * and inherited thresholds misfire on it. At 100 TB: the L86
+     * passes + a |sources|-row broadcast τ table folded over the
+     * test half map-side (the q198 broadcast-fold stance), rollup
+     * ≤ |sources|² rows. */
+    val q221 = GraftQuery(
+      "q221_threshold_transfer_matrix", "L153 L127 L86 L35",
+      (s, d) => {
+        val sc = TrainedFilterOps.nbDocScores(s, d)
+        val taus = CorpusAnalysisOps.conformalTaus(sc,
+          CorpusAnalysisOps.conformalCalSizes(sc))
+          .select(col("source").as("tau_source"), col("tau"))
+        sc.filter(col("doc_id") % 2 === 1 && col("pos") === 0)
+          .crossJoin(broadcast(taus))
+          .groupBy(col("tau_source"), col("source").as("apply_source"))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("score") > col("tau"), 1L).otherwise(0L))
+              .as("n_flagged"))
+          .withColumn("flag_ppm",
+            expr("(n_flagged * 1000000) div greatest(n_test, 1)"))
+          .orderBy(col("tau_source"), col("apply_source"))
+      },
+      Some {
+        s"""WITH ${TrainedFilterOps.nbScoreCtesSql},
+          ${CorpusAnalysisOps.conformalTauCtesSql},
+          ts AS (SELECT source AS tau_source, tau FROM tau),
+          te AS (SELECT source AS apply_source, score FROM sc
+            WHERE doc_id % 2 = 1 AND pos = 0),
+          mx AS (SELECT ts.tau_source, te.apply_source,
+              CAST(COUNT(*) AS BIGINT) AS n_test,
+              CAST(SUM(CASE WHEN te.score > ts.tau THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged
+            FROM te CROSS JOIN ts GROUP BY 1, 2)
+          SELECT tau_source, apply_source, n_test, n_flagged,
+            (n_flagged * 1000000) // GREATEST(n_test, 1) AS flag_ppm
+          FROM mx ORDER BY tau_source, apply_source"""
+      })
+
+    /* L154: sketch-capacity planner — the sizing table for the sketch
+     * family the pipeline already runs, derived from the corpus's own
+     * exact-dedup key universe (distinct h64(text) — what the L31/L64
+     * ledger stores): Bloom at false-positive 2^-b needs
+     * m = n·b/ln2 bits with k = b hashes (the optimal k IS log2(1/p)
+     * — exactly, which is why the grid is in exponents); CMS at error
+     * ε = 2^-e needs width ⌈e/ε⌉ (Euler's e, Q10-floored) and depth
+     * ⌈ln(1/δ)⌉ = 7 at the house δ = 2^-10; HLL at relative error σ
+     * needs (1.04/σ)² registers rounded UP to a power of two (the
+     * register addressing demands it). One governance table pricing
+     * bytes-per-guarantee before anyone allocates executor memory —
+     * the L123/L136/L147 planner stance aimed at the sketch tier
+     * itself. At 100 TB: one distinct-count aggregate; planner math
+     * on 7 rows. */
+    val q222 = GraftQuery(
+      "q222_sketch_capacity_planner", "L154 L64 L67 L69",
+      (s, d) => {
+        val n = Tables.documents(s, d)
+          .select(Sketches.h64(col("text")).as("fp"))
+          .agg(count_distinct(col("fp")).as("n_keys"))
+        val bloom = BloomFpExps.map(b =>
+          struct(lit("bloom").as("sketch"), lit(b).as("dial"),
+            expr(s"(n_keys * $b * $InvLn2Q10) div 1024").as("p1"),
+            lit(b).as("p2"),
+            expr(s"((n_keys * $b * $InvLn2Q10) div 1024 + 7) div 8")
+              .as("bytes")))
+        val cms = CmsErrExps.map(e =>
+          struct(lit("cms").as("sketch"), lit(e).as("dial"),
+            expr(s"($EQ10 * ${1L << e} + 1023) div 1024").as("p1"),
+            lit(CmsDepthFixed).as("p2"),
+            expr(s"((($EQ10 * ${1L << e} + 1023) div 1024) * " +
+              s"$CmsDepthFixed) * 8").as("bytes")))
+        val hll = HllErrPm.map { pm =>
+          val mReq = (1040L / pm) * (1040L / pm)
+          val log2 = 64L - java.lang.Long.numberOfLeadingZeros(mReq - 1L)
+          struct(lit("hll").as("sketch"), lit(pm).as("dial"),
+            lit(1L << log2).as("p1"), lit(log2).as("p2"),
+            lit(1L << log2).as("bytes"))
+        }
+        n.select(col("n_keys"),
+            explode(array(bloom ++ cms ++ hll: _*)).as("x"))
+          .select(col("x.sketch").as("sketch"), col("x.dial").as("dial"),
+            col("n_keys"), col("x.p1").as("p1"), col("x.p2").as("p2"),
+            col("x.bytes").as("bytes"))
+          .orderBy(col("sketch"), col("dial"))
+      },
+      Some {
+        val fp = Sketches.h64Sql("text")
+        val bloomRows = BloomFpExps.map(b =>
+          s"""SELECT 'bloom' AS sketch, CAST($b AS BIGINT) AS dial,
+              n_keys,
+              (n_keys * $b * $InvLn2Q10) // 1024 AS p1,
+              CAST($b AS BIGINT) AS p2,
+              ((n_keys * $b * $InvLn2Q10) // 1024 + 7) // 8 AS bytes
+            FROM nk""").mkString("\n          UNION ALL\n          ")
+        val cmsRows = CmsErrExps.map(e =>
+          s"""SELECT 'cms' AS sketch, CAST($e AS BIGINT) AS dial,
+              n_keys,
+              ($EQ10 * ${1L << e} + 1023) // 1024 AS p1,
+              CAST($CmsDepthFixed AS BIGINT) AS p2,
+              ((($EQ10 * ${1L << e} + 1023) // 1024) * $CmsDepthFixed)
+                * 8 AS bytes
+            FROM nk""").mkString("\n          UNION ALL\n          ")
+        val hllRows = HllErrPm.map { pm =>
+          val mReq = (1040L / pm) * (1040L / pm)
+          val log2 = 64L - java.lang.Long.numberOfLeadingZeros(mReq - 1L)
+          s"""SELECT 'hll' AS sketch, CAST($pm AS BIGINT) AS dial,
+              n_keys, CAST(${1L << log2} AS BIGINT) AS p1,
+              CAST($log2 AS BIGINT) AS p2,
+              CAST(${1L << log2} AS BIGINT) AS bytes
+            FROM nk"""
+        }.mkString("\n          UNION ALL\n          ")
+        s"""WITH nk AS (SELECT CAST(COUNT(DISTINCT $fp) AS BIGINT)
+              AS n_keys FROM documents)
+          SELECT * FROM (
+          $bloomRows
+          UNION ALL
+          $cmsRows
+          UNION ALL
+          $hllRows)
+          ORDER BY sketch, dial"""
+      })
+
+    Seq(q221, q222)
+  }
+}

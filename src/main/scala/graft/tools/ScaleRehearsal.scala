@@ -382,7 +382,10 @@ object ScaleRehearsal {
       // label-partitioned rank window), transitivity (the verified
       // graph's wedges — sparse-graph Σdeg² + induced-pair verify)
       "q218_dedup_bias_audit", "q219_embedding_norm_health",
-      "q220_transitivity_audit")
+      "q220_transitivity_audit",
+      // governance-closure tier: transfer matrix (the L86 passes + a
+      // broadcast τ fold), sketch planner (one distinct-count agg)
+      "q221_threshold_transfer_matrix", "q222_sketch_capacity_planner")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)
