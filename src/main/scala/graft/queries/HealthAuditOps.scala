@@ -251,6 +251,75 @@ object HealthAuditOps {
           FROM ag CROSS JOIN ne CROSS JOIN nw"""
       })
 
-    Seq(q218, q219, q220)
+    /* L155: split-balance audit — the L14 deterministic split
+     * PROMISES 80/10/10 in expectation, per source, but each source
+     * realizes a finite-sample draw of the salted hash, and a small
+     * or unlucky source can land far enough off target to starve its
+     * own val/test cells (every per-source eval downstream divides by
+     * them). The audit applies the REGISTERED split ladder (the
+     * funnel's "split:"-salted hash and eval-slice exclusion,
+     * LlmPipeline's own constants) and reports per (source, split)
+     * realized share vs target with the signed deviation — the
+     * finite-sample coverage read on the split the funnel actually
+     * ships (q80 gates the split's VALUES; this prices its BALANCE).
+     * At 100 TB: one map-side hash column into a ≤3·|sources|-row
+     * rollup. */
+    val q223 = GraftQuery(
+      "q223_split_balance_audit", "L155 L14 L88",
+      (s, d) => {
+        val h = pmod(graft.functions.TextFunctions.md5Fingerprint(
+          concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+        val tp = LlmPipeline.TrainPct
+        val vp = LlmPipeline.ValPct
+        Tables.documents(s, d)
+          .filter(col("doc_id") % 97 =!= 0)
+          .select(col("source"),
+            when(h < tp, "train").when(h < tp + vp, "val")
+              .otherwise("test").as("split"))
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("n_source", sum(col("n_docs")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("source"))))
+          .withColumn("share_ppm",
+            expr("(n_docs * 1000000) div greatest(n_source, 1)"))
+          .withColumn("target_ppm", expr(
+            s"CAST(CASE split WHEN 'train' THEN ${tp * 10000L} " +
+              s"WHEN 'val' THEN ${vp * 10000L} " +
+              s"ELSE ${(100 - tp - vp) * 10000L} END AS BIGINT)"))
+          .withColumn("dev_ppm", expr("share_ppm - target_ppm"))
+          .select(col("source"), col("split"), col("n_docs"),
+            col("n_source"), col("share_ppm"), col("target_ppm"),
+            col("dev_ppm"))
+          .orderBy(col("source"), col("split"))
+      },
+      Some {
+        val h = graft.functions.TextFunctions.md5FingerprintSql(
+          "'split:' || CAST(doc_id AS VARCHAR)")
+        val tp = LlmPipeline.TrainPct
+        val vp = LlmPipeline.ValPct
+        s"""WITH sp AS (SELECT source,
+              CASE WHEN $h % 100 < $tp THEN 'train'
+                WHEN $h % 100 < ${tp + vp} THEN 'val'
+                ELSE 'test' END AS split
+            FROM documents WHERE doc_id % 97 <> 0),
+          ag AS (SELECT source, split, CAST(COUNT(*) AS BIGINT)
+              AS n_docs FROM sp GROUP BY 1, 2),
+          ns AS (SELECT *, CAST(SUM(n_docs) OVER (PARTITION BY source)
+              AS BIGINT) AS n_source FROM ag)
+          SELECT source, split, n_docs, n_source,
+            (n_docs * 1000000) // GREATEST(n_source, 1) AS share_ppm,
+            CAST(CASE split WHEN 'train' THEN ${tp * 10000L}
+              WHEN 'val' THEN ${vp * 10000L}
+              ELSE ${(100 - tp - vp) * 10000L} END AS BIGINT)
+              AS target_ppm,
+            (n_docs * 1000000) // GREATEST(n_source, 1) -
+              CASE split WHEN 'train' THEN ${tp * 10000L}
+                WHEN 'val' THEN ${vp * 10000L}
+                ELSE ${(100 - tp - vp) * 10000L} END AS dev_ppm
+          FROM ns ORDER BY source, split"""
+      })
+
+    Seq(q218, q219, q220, q223)
   }
 }

@@ -105,8 +105,8 @@ object LlmPipeline {
     * re-running dedup or resharding never migrates documents across
     * splits.
     */
-  private val TrainPct = 80
-  private val ValPct = 10
+  private[queries] val TrainPct = 80
+  private[queries] val ValPct = 10
 
   /** q74: contiguous-fill sequence packing — shard count and per-window
     * token budget. At 100 TB PackShards scales with the corpus (it is the

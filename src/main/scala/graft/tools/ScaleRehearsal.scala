@@ -385,7 +385,9 @@ object ScaleRehearsal {
       "q220_transitivity_audit",
       // governance-closure tier: transfer matrix (the L86 passes + a
       // broadcast τ fold), sketch planner (one distinct-count agg)
-      "q221_threshold_transfer_matrix", "q222_sketch_capacity_planner")
+      "q221_threshold_transfer_matrix", "q222_sketch_capacity_planner",
+      // split-balance audit: one map-side hash column + rollup
+      "q223_split_balance_audit")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)

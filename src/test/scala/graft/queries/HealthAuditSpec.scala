@@ -105,6 +105,36 @@ class HealthAuditSpec extends SparkSpec {
     }
   }
 
+  test("q223: the split-balance audit replays hash-for-hash") {
+    val all = docs().filter(_._1 % 97L != 0L)
+    // md5Fingerprint and h64 share one construction; h64Scala is the twin
+    val split = all.map { case (id, src, _, _) =>
+      val h = Sketches.h64Scala(s"split:$id") % 100L
+      (src, if (h < 80L) "train" else if (h < 90L) "val" else "test")
+    }
+    val bySrc = split.groupBy(_._1)
+    val expected = bySrc.flatMap { case (src, rows) =>
+      val n = rows.size.toLong
+      rows.groupBy(_._2).map { case (sp, rs) =>
+        val share = rs.size.toLong * 1000000L / n
+        val target = sp match {
+          case "train" => 800000L; case "val" => 100000L
+          case _ => 100000L
+        }
+        (src, sp) -> (rs.size.toLong, n, share, target, share - target)
+      }
+    }
+    val out = run("q223_split_balance_audit").map(r =>
+      (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out === expected)
+    // per-source shares sum to ~1 (ppm floor slack < 3)
+    out.groupBy(_._1._1).foreach { case (src, rows) =>
+      val tot = rows.values.map(_._3).sum
+      assert(tot >= 999997L && tot <= 1000000L, s"$src shares sum")
+    }
+  }
+
   test("q220: wedge and closure accounting replays from the verified graph") {
     // the registered verified-pair graph, read back from the engine
     val edges = graft.core.CacheScope.scoped {
