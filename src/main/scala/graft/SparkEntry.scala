@@ -68,7 +68,7 @@ object SparkEntry {
       ConcentrationOps.all ++ PlannerCalibrationOps.all ++
       DistributionOps.all ++ ComparativeOps.all ++
       CompactionEvalOps.all ++ HealthAuditOps.all ++
-      TransferSizingOps.all ++
+      TransferSizingOps.all ++ SketchSwapOps.all ++
       IngestQueries.all ++ RasterQueries.all ++
       SinkJoinQueries.all ++ SourceQueries.all ++ WindowFilterQueries.all ++
       ScalarPackQueries.all ++ SinkQueries.all

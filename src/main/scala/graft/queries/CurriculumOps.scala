@@ -45,6 +45,28 @@ object CurriculumOps {
   private[queries] val PrefMinGapU = 50000L // 0.05 quality gap
   private[queries] val PrefBucketChars = 128L
 
+  /** L99's per-doc staging frame (doc_id, text, q_u, toks) — factored
+    * so the L156 sketched form (q224) consumes the REGISTERED quality
+    * and token ladders, not a copy.
+    */
+  private[queries] def stageBase(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .withColumn("q_u",
+        floor(TextFunctions.qualityScoreColumn(col("text")) * lit(1e6)))
+      .withColumn("toks",
+        TextFunctions.tokenCountBpeIsh(col("text")).cast("long"))
+
+  /** DuckDB twin of [[stageBase]] as a CTE `sq(doc_id, q_u, toks)`. */
+  private[queries] def stageBaseCtesSql: String = {
+    val quality = TextFunctions.qualityScoreSql("text")
+    val toks = TextFunctions.tokenCountBpeIshSql("text")
+    s"""sq AS (SELECT doc_id,
+          CAST(floor(($quality) * 1000000) AS BIGINT) AS q_u,
+          CAST($toks AS BIGINT) AS toks
+        FROM documents)"""
+  }
+
   /** Feistel position of `doc_id` for `epoch` — L' = R,
     * R' = L xor (h64("fe:epoch:round:" || R) & HalfMask), 3 rounds;
     * pos = L·2^HalfBits + R. Pure column math, no state, no shuffle.
@@ -159,11 +181,7 @@ object CurriculumOps {
     val q167 = GraftQuery(
       "q167_curriculum_stages", "L99 L9 L30",
       (s, d) => {
-        val q = Tables.documents(s, d).select(col("doc_id"), col("text"))
-          .withColumn("q_u",
-            floor(TextFunctions.qualityScoreColumn(col("text")) * lit(1e6)))
-          .withColumn("toks",
-            TextFunctions.tokenCountBpeIsh(col("text")).cast("long"))
+        val q = stageBase(s, d)
           .withColumn("stage", ntile(CurriculumStages).over(
             Window.orderBy(col("q_u"), col("doc_id"))).cast("long"))
         q.groupBy(col("stage"))
@@ -176,13 +194,8 @@ object CurriculumOps {
           .orderBy(col("stage"))
       },
       Some {
-        val quality = TextFunctions.qualityScoreSql("text")
-        val toks = TextFunctions.tokenCountBpeIshSql("text")
         val ck = Sketches.h64Sql("doc_id || '@' || stage")
-        s"""WITH sq AS (SELECT doc_id,
-              CAST(floor(($quality) * 1000000) AS BIGINT) AS q_u,
-              CAST($toks AS BIGINT) AS toks
-            FROM documents),
+        s"""WITH $stageBaseCtesSql,
           st AS (SELECT doc_id, q_u, toks,
               CAST(ntile($CurriculumStages) OVER
                 (ORDER BY q_u, doc_id) AS BIGINT) AS stage

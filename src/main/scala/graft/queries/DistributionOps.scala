@@ -95,7 +95,12 @@ object DistributionOps {
      * bigram process, H(Y|X) = Σ c_xy·(log2 c_x − log2 c_xy)/N vs the
      * unigram baseline H(Y) = Σ c_x·(log2 N − log2 c_x)/N (both over
      * the first-word marginal so the ratio is apples-to-apples), and
-     * predictability = 1 − H(Y|X)/H(Y). Template floods and
+     * predictability = max(0, 1 − H(Y|X)/H(Y)) — FLOORED at 0 on both
+     * engines: the baseline is the FIRST-word marginal, and H(Y|X) can
+     * exceed it on corpora where one dominant first word fans out to
+     * many distinct continuations, so the raw ratio is not structurally
+     * bounded below (ADVICE r16); the floor makes the [0, 10^6] range a
+     * law, not a fixture accident. Template floods and
      * boilerplate push predictability toward 1 (the next word is
      * nearly determined); word salad pushes it toward 0 — the
      * corpus-health read BEHIND the L16/L26 filters, on the same
@@ -133,8 +138,8 @@ object DistributionOps {
           .withColumn("h_cond_q10", expr("sc div nb"))
           .withColumn("h_unigram_q10", expr("su div nb"))
           .withColumn("predictability_ppm", expr(
-            "1000000 - (h_cond_q10 * 1000000) div " +
-              "greatest(h_unigram_q10, 1)"))
+            "greatest(1000000 - (h_cond_q10 * 1000000) div " +
+              "greatest(h_unigram_q10, 1), 0)"))
           .select(col("source"), col("nb").as("n_bigrams"),
             col("n_first_types"), col("h_unigram_q10"),
             col("h_cond_q10"), col("predictability_ppm"))
@@ -174,8 +179,8 @@ object DistributionOps {
               JOIN tot ON tot.source = sc.source)
           SELECT source, nb AS n_bigrams, n_first_types,
             h_unigram_q10, h_cond_q10,
-            1000000 - (h_cond_q10 * 1000000)
-              // GREATEST(h_unigram_q10, 1) AS predictability_ppm
+            GREATEST(1000000 - (h_cond_q10 * 1000000)
+              // GREATEST(h_unigram_q10, 1), 0) AS predictability_ppm
           FROM ag ORDER BY source"""
       })
 

@@ -36,10 +36,11 @@ object DriftOps {
   private[graft] val KsBinChars = 32L
 
   /** L102 dials: 16 token-count bins of width 16, Laplace-smoothed
-    * proportions in ppm.
+    * proportions in ppm (shared with the streaming readout,
+    * [[graft.streaming.StreamingDrift.psiReport]]).
     */
-  private[queries] val PsiBins = 16
-  private[queries] val PsiBinToks = 16L
+  private[graft] val PsiBins = 16
+  private[graft] val PsiBinToks = 16L
 
   /** L103 fence: |x − median| ≤ max(3·MAD, 1). */
   private[queries] val MadK = 3L

@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.Sketches
 
-/** Pipeline-health audit operators (SURVEY §2.11a, L150–L152):
+/** Pipeline-health audit operators (SURVEY §2.11a, L150–L152 + L155):
   *
   *  - L150 dedup-bias audit                 → q218
   *  - L151 embedding-norm health profile    → q219
   *  - L152 near-dup transitivity audit      → q220
+  *  - L155 split-balance audit              → q223
   *
-  * Three audits of assumptions the pipeline's own stages quietly
+  * Audits of assumptions the pipeline's own stages quietly
   * make: that deduplication removes a REPRESENTATIVE slice of the
   * corpus (it usually does not — duplicated content skews toward
   * boilerplate, so dedup shifts the surviving quality/length mix,
@@ -39,6 +40,37 @@ object HealthAuditOps {
     * the label median or less than half of it (in micro-units).
     */
   private[queries] val NormFenceNum = 2L
+
+  /** L152 per-node degree cap for the wedge build: the upstream
+    * hot-bucket guard bounds BUCKET size (10k), not verified-graph
+    * DEGREE — a mirror-heavy corpus can hold a 10k-member verified
+    * dup clique below that cap, whose Σdeg² wedge enumeration is
+    * ~10⁸ rows (ADVICE r16). Each node keeps its d smallest
+    * neighbors by id (a deterministic total order — edges are
+    * unique pairs), so wedges are ≤ |nodes|·d²/2 by construction;
+    * capped_nodes rides the gate as the coverage dial.
+    */
+  private[queries] val WedgeDegreeCap = 64L
+
+  /** L151's per-vector norm frame (label, vec_id, nu µ-units) —
+    * factored so the L159 sketched form (q227) consumes the
+    * REGISTERED norm ladder, not a copy.
+    */
+  private[queries] def normFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label").cast("long").as("label"),
+        col("vec_id"),
+        floor(Sketches.norm(col("embedding"), LlmPipeline.Dims) *
+          lit(1e6)).cast("long").as("nu"))
+
+  /** DuckDB twin of [[normFrame]] as a CTE `nu(label, vec_id, nu)`. */
+  private[queries] def normFrameCtesSql: String = {
+    val nrm = Sketches.normSql("embedding", LlmPipeline.Dims)
+    s"""nu AS (SELECT CAST(label AS BIGINT) AS label, vec_id,
+          CAST(floor(($nrm) * 1e6) AS BIGINT) AS nu
+        FROM embeddings)"""
+  }
 
   def all: Seq[GraftQuery] = {
 
@@ -108,11 +140,7 @@ object HealthAuditOps {
     val q219 = GraftQuery(
       "q219_embedding_norm_health", "L151 L103 L131",
       (s, d) => {
-        val n = Tables.embeddings(s, d)
-          .select(col("label").cast("long").as("label"),
-            col("vec_id"),
-            floor(Sketches.norm(col("embedding"), LlmPipeline.Dims) *
-              lit(1e6)).cast("long").as("nu"))
+        val n = normFrame(s, d)
         val ranked = n
           .withColumn("rk", row_number().over(Window
             .partitionBy(col("label"))
@@ -135,10 +163,7 @@ object HealthAuditOps {
           .orderBy(col("label"))
       },
       Some {
-        val nrm = Sketches.normSql("embedding", LlmPipeline.Dims)
-        s"""WITH nu AS (SELECT CAST(label AS BIGINT) AS label, vec_id,
-              CAST(floor(($nrm) * 1e6) AS BIGINT) AS nu
-            FROM embeddings),
+        s"""WITH $normFrameCtesSql,
           rk AS (SELECT *,
               CAST(row_number() OVER (PARTITION BY label
                 ORDER BY nu, vec_id) AS BIGINT) AS rk,
@@ -172,8 +197,11 @@ object HealthAuditOps {
      * shingle Jaccard and the same 0.8 threshold, and reports wedge
      * and closure counts. At 100 TB: edges are verified near-dups
      * (sparse by construction — banding + the hot-bucket guard);
-     * wedges are Σ deg² over that sparse graph, and the re-verify
-     * joins shingle rows for induced pairs only. */
+     * wedges are Σ deg² over that sparse graph UNDER the per-node
+     * degree cap ([[WedgeDegreeCap]] smallest neighbors by id —
+     * deterministic, reported via capped_nodes so a capped audit is
+     * visibly a sample, not a census), and the re-verify joins
+     * shingle rows for induced pairs only. */
     val q220 = GraftQuery(
       "q220_transitivity_audit", "L152 L19 L4",
       (s, d) => {
@@ -186,8 +214,19 @@ object HealthAuditOps {
         val sym = edges.select(col("doc_a").as("m"), col("doc_b").as("e"))
           .unionByName(edges.select(col("doc_b").as("m"),
             col("doc_a").as("e")))
-        val wedges = sym.as("s1")
-          .join(sym.as("s2"), col("s1.m") === col("s2.m") &&
+        val symc = sym
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("m")).orderBy(col("e"))))
+          .filter(col("rn") <= WedgeDegreeCap)
+          .select(col("m"), col("e"))
+        val nCapped = sym.groupBy(col("m"))
+          .agg(count(lit(1)).as("deg"))
+          .agg(sum(when(col("deg") > WedgeDegreeCap, 1L).otherwise(0L))
+            .as("capped_nodes"))
+          .select(coalesce(col("capped_nodes"), lit(0L))
+            .as("capped_nodes"))
+        val wedges = symc.as("s1")
+          .join(symc.as("s2"), col("s1.m") === col("s2.m") &&
             col("s1.e") < col("s2.e"))
           .select(col("s1.e").as("a"), col("s2.e").as("b"))
         val induced = wedges.distinct()
@@ -214,11 +253,12 @@ object HealthAuditOps {
             sum(col("closed")).as("n_closed"))
           .crossJoin(broadcast(nEdges))
           .crossJoin(broadcast(nWedges))
+          .crossJoin(broadcast(nCapped))
           .withColumn("closure_ppm", expr(
             "(n_closed * 1000000) div greatest(n_induced_pairs, 1)"))
           .select(col("n_edges"), col("n_wedges"),
             col("n_induced_pairs"), col("n_closed"),
-            col("closure_ppm"))
+            col("closure_ppm"), col("capped_nodes"))
       },
       Some {
         s"""WITH ${LlmPipeline.sigCtesSql},
@@ -230,8 +270,15 @@ object HealthAuditOps {
               >= ${LlmPipeline.JaccardThreshold}e0),
           sym AS (SELECT doc_a AS m, doc_b AS e FROM ed
             UNION ALL SELECT doc_b, doc_a FROM ed),
+          symr AS (SELECT m, e,
+              row_number() OVER (PARTITION BY m ORDER BY e) AS rn
+            FROM sym),
+          symc AS (SELECT m, e FROM symr WHERE rn <= $WedgeDegreeCap),
+          cn AS (SELECT CAST(COALESCE(SUM(CASE WHEN deg > $WedgeDegreeCap
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS capped_nodes
+            FROM (SELECT m, COUNT(*) AS deg FROM sym GROUP BY 1)),
           wg AS (SELECT s1.e AS a, s2.e AS b
-            FROM sym s1 JOIN sym s2
+            FROM symc s1 JOIN symc s2
               ON s2.m = s1.m AND s1.e < s2.e),
           ind AS (SELECT DISTINCT a, b FROM wg),
           vd AS (SELECT ind.a, ind.b,
@@ -247,8 +294,9 @@ object HealthAuditOps {
           SELECT ne.n_edges, nw.n_wedges, ag.n_induced_pairs,
             ag.n_closed,
             (ag.n_closed * 1000000)
-              // GREATEST(ag.n_induced_pairs, 1) AS closure_ppm
-          FROM ag CROSS JOIN ne CROSS JOIN nw"""
+              // GREATEST(ag.n_induced_pairs, 1) AS closure_ppm,
+            cn.capped_nodes
+          FROM ag CROSS JOIN ne CROSS JOIN nw CROSS JOIN cn"""
       })
 
     /* L155: split-balance audit — the L14 deterministic split

@@ -234,7 +234,13 @@ object PlannerCalibrationOps {
      * first; entropy ascending = most repetitive first) over the SAME
      * labeled view, ranked by (value, doc_id) total orders, and
      * ρ = 1 − 6·Σd²/(n(n²−1)) rides a Q20 ladder with the q201-style
-     * two-branch rescale so no source size overflows it. At 100 TB:
+     * two-branch rescale. Domain bound: the rescale protects only the
+     * NUMERATOR — den = n(n²−1) itself (and Σd² ~ n³/3 with it)
+     * overflows BIGINT once a single source exceeds ~2^21 docs, and
+     * DuckDB raises where Java wraps, so the twins diverge in failure
+     * mode beyond that. Per-source n < 2^21 is the operator's stated
+     * domain; at production the L43 fixed-size inspection sample keeps
+     * n at the sample size, far inside it. At 100 TB:
      * production ranks the L43 fixed-size inspection sample per
      * source; this gated form is the exact oracle of that protocol
      * (the q171 stance). The two rank windows partition by source. */

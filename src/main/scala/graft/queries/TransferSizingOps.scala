@@ -19,8 +19,10 @@ import graft.functions.Sketches
   * sketch tier (L64 Bloom, L67 CMS, L69 HLL) ships fixed-geometry
   * sketches whose dials someone must SIZE for the corpus at hand;
   * the planner derives the classic sizing formulas from the corpus's
-  * own key universe, in the same documented-Q10-constant ladders as
-  * every other planner (L123/L136/L147).
+  * own key universe — estimated by the tier's OWN graft_hll sketch,
+  * with the exact count riding only as the truth/error column — in
+  * the same documented-Q10-constant ladders as every other planner
+  * (L123/L136/L147).
   *
   * Determinism: the matrix consumes the REGISTERED τ protocol
   * (CorpusAnalysisOps.conformalTaus) and the planner is pure integer
@@ -53,7 +55,12 @@ object TransferSizingOps {
      * q195's own coverage (the spec pins the equality), off-diagonal
      * cells measure what cross-application actually flags — a column
      * far from ~10% means that source's score distribution is shifted
-     * and inherited thresholds misfire on it. At 100 TB: the L86
+     * and inherited thresholds misfire on it. The tau_source axis is
+     * TOTAL (ADVICE r16): a source whose calibration half is too small
+     * to yield a τ still appears, as has_tau = 0 rows flagging nothing
+     * (q195's own conservative branch — score > NULL never fires), so
+     * a matrix reader can tell "source has no threshold" from "source
+     * not in corpus". At 100 TB: the L86
      * passes + a |sources|-row broadcast τ table folded over the
      * test half map-side (the q198 broadcast-fold stance), rollup
      * ≤ |sources|² rows. */
@@ -61,31 +68,42 @@ object TransferSizingOps {
       "q221_threshold_transfer_matrix", "L153 L127 L86 L35",
       (s, d) => {
         val sc = TrainedFilterOps.nbDocScores(s, d)
-        val taus = CorpusAnalysisOps.conformalTaus(sc,
-          CorpusAnalysisOps.conformalCalSizes(sc))
-          .select(col("source").as("tau_source"), col("tau"))
+        val taus = sc.select(col("source").as("tau_source")).distinct()
+          .join(CorpusAnalysisOps.conformalTaus(sc,
+            CorpusAnalysisOps.conformalCalSizes(sc))
+            .select(col("source").as("tau_source"), col("tau")),
+            Seq("tau_source"), "left")
+          .withColumn("has_tau",
+            when(col("tau").isNotNull, 1L).otherwise(0L))
         sc.filter(col("doc_id") % 2 === 1 && col("pos") === 0)
           .crossJoin(broadcast(taus))
-          .groupBy(col("tau_source"), col("source").as("apply_source"))
+          .groupBy(col("tau_source"), col("has_tau"),
+            col("source").as("apply_source"))
           .agg(count(lit(1)).as("n_test"),
             sum(when(col("score") > col("tau"), 1L).otherwise(0L))
               .as("n_flagged"))
           .withColumn("flag_ppm",
             expr("(n_flagged * 1000000) div greatest(n_test, 1)"))
+          .select(col("tau_source"), col("has_tau"), col("apply_source"),
+            col("n_test"), col("n_flagged"), col("flag_ppm"))
           .orderBy(col("tau_source"), col("apply_source"))
       },
       Some {
         s"""WITH ${TrainedFilterOps.nbScoreCtesSql},
           ${CorpusAnalysisOps.conformalTauCtesSql},
-          ts AS (SELECT source AS tau_source, tau FROM tau),
+          ts AS (SELECT s.tau_source, tau.tau,
+              CAST(CASE WHEN tau.tau IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS has_tau
+            FROM (SELECT DISTINCT source AS tau_source FROM sc) s
+            LEFT JOIN tau ON tau.source = s.tau_source),
           te AS (SELECT source AS apply_source, score FROM sc
             WHERE doc_id % 2 = 1 AND pos = 0),
-          mx AS (SELECT ts.tau_source, te.apply_source,
+          mx AS (SELECT ts.tau_source, ts.has_tau, te.apply_source,
               CAST(COUNT(*) AS BIGINT) AS n_test,
               CAST(SUM(CASE WHEN te.score > ts.tau THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_flagged
-            FROM te CROSS JOIN ts GROUP BY 1, 2)
-          SELECT tau_source, apply_source, n_test, n_flagged,
+            FROM te CROSS JOIN ts GROUP BY 1, 2, 3)
+          SELECT tau_source, has_tau, apply_source, n_test, n_flagged,
             (n_flagged * 1000000) // GREATEST(n_test, 1) AS flag_ppm
           FROM mx ORDER BY tau_source, apply_source"""
       })
@@ -102,19 +120,41 @@ object TransferSizingOps {
      * register addressing demands it). One governance table pricing
      * bytes-per-guarantee before anyone allocates executor memory —
      * the L123/L136/L147 planner stance aimed at the sketch tier
-     * itself. At 100 TB: one distinct-count aggregate; planner math
-     * on 7 rows. */
+     * itself. SELF-CONSISTENT sizing (ADVICE r16): the key-universe
+     * input n is the planner's OWN tier's graft_hll estimate (the
+     * q137 64-register integer estimator over the same fp — fp is
+     * already the portable 60-bit hash, so it feeds the registers
+     * directly), because a planner whose premise is "exact distincts
+     * don't scale" cannot itself ride one; the exact count stays in
+     * the gate as the truth/error columns (the L38 price-the-sketch
+     * stance aimed at the planner itself). At 100 TB: one map-side
+     * register pass + a 64-row aggregate for the estimate; the exact
+     * distinct aggregate exists only to measure the error, and a
+     * production run can drop it. Planner math on 7 rows. */
     val q222 = GraftQuery(
-      "q222_sketch_capacity_planner", "L154 L64 L67 L69",
+      "q222_sketch_capacity_planner", "L154 L64 L67 L69 L38",
       (s, d) => {
-        val n = Tables.documents(s, d)
+        import TextCorpusOps.{HllM, HllRhoCap, HllNumerator, hllReg,
+          hllRhoC}
+        val fp = Tables.documents(s, d)
           .select(Sketches.h64(col("text")).as("fp"))
-          .agg(count_distinct(col("fp")).as("n_keys"))
+        val est = fp.groupBy(hllReg(col("fp")).as("reg"))
+          .agg(max(hllRhoC(col("fp"))).as("r"))
+          .agg(count(lit(1)).as("n_hit"),
+            sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoCap - r)"))
+              .as("s_hit"))
+          .withColumn("n_est", expr(s"$HllNumerator div ((s_hit + " +
+            s"($HllM - n_hit) * ${1L << HllRhoCap}) * 1000)"))
+          .select(col("n_est"))
+        val n = fp.agg(count_distinct(col("fp")).as("n_exact"))
+          .crossJoin(broadcast(est))
+          .withColumn("est_err_ppm", expr(
+            "abs(n_est - n_exact) * 1000000 div greatest(n_exact, 1)"))
         val bloom = BloomFpExps.map(b =>
           struct(lit("bloom").as("sketch"), lit(b).as("dial"),
-            expr(s"(n_keys * $b * $InvLn2Q10) div 1024").as("p1"),
+            expr(s"(n_est * $b * $InvLn2Q10) div 1024").as("p1"),
             lit(b).as("p2"),
-            expr(s"((n_keys * $b * $InvLn2Q10) div 1024 + 7) div 8")
+            expr(s"((n_est * $b * $InvLn2Q10) div 1024 + 7) div 8")
               .as("bytes")))
         val cms = CmsErrExps.map(e =>
           struct(lit("cms").as("sketch"), lit(e).as("dial"),
@@ -129,25 +169,28 @@ object TransferSizingOps {
             lit(1L << log2).as("p1"), lit(log2).as("p2"),
             lit(1L << log2).as("bytes"))
         }
-        n.select(col("n_keys"),
+        n.select(col("n_est"), col("n_exact"), col("est_err_ppm"),
             explode(array(bloom ++ cms ++ hll: _*)).as("x"))
           .select(col("x.sketch").as("sketch"), col("x.dial").as("dial"),
-            col("n_keys"), col("x.p1").as("p1"), col("x.p2").as("p2"),
+            col("n_est"), col("n_exact"), col("est_err_ppm"),
+            col("x.p1").as("p1"), col("x.p2").as("p2"),
             col("x.bytes").as("bytes"))
           .orderBy(col("sketch"), col("dial"))
       },
       Some {
+        import TextCorpusOps.{HllM, HllRemBits, HllRemMask, HllRhoCap,
+          HllNumerator}
         val fp = Sketches.h64Sql("text")
         val bloomRows = BloomFpExps.map(b =>
           s"""SELECT 'bloom' AS sketch, CAST($b AS BIGINT) AS dial,
-              n_keys,
-              (n_keys * $b * $InvLn2Q10) // 1024 AS p1,
+              n_est, n_exact, est_err_ppm,
+              (n_est * $b * $InvLn2Q10) // 1024 AS p1,
               CAST($b AS BIGINT) AS p2,
-              ((n_keys * $b * $InvLn2Q10) // 1024 + 7) // 8 AS bytes
+              ((n_est * $b * $InvLn2Q10) // 1024 + 7) // 8 AS bytes
             FROM nk""").mkString("\n          UNION ALL\n          ")
         val cmsRows = CmsErrExps.map(e =>
           s"""SELECT 'cms' AS sketch, CAST($e AS BIGINT) AS dial,
-              n_keys,
+              n_est, n_exact, est_err_ppm,
               ($EQ10 * ${1L << e} + 1023) // 1024 AS p1,
               CAST($CmsDepthFixed AS BIGINT) AS p2,
               ((($EQ10 * ${1L << e} + 1023) // 1024) * $CmsDepthFixed)
@@ -157,13 +200,31 @@ object TransferSizingOps {
           val mReq = (1040L / pm) * (1040L / pm)
           val log2 = 64L - java.lang.Long.numberOfLeadingZeros(mReq - 1L)
           s"""SELECT 'hll' AS sketch, CAST($pm AS BIGINT) AS dial,
-              n_keys, CAST(${1L << log2} AS BIGINT) AS p1,
+              n_est, n_exact, est_err_ppm,
+              CAST(${1L << log2} AS BIGINT) AS p1,
               CAST($log2 AS BIGINT) AS p2,
               CAST(${1L << log2} AS BIGINT) AS bytes
             FROM nk"""
         }.mkString("\n          UNION ALL\n          ")
-        s"""WITH nk AS (SELECT CAST(COUNT(DISTINCT $fp) AS BIGINT)
-              AS n_keys FROM documents)
+        s"""WITH f AS (SELECT $fp AS fp FROM documents),
+          regs AS (SELECT fp >> $HllRemBits AS reg,
+              MAX(LEAST(CASE WHEN (fp & $HllRemMask) = 0
+                THEN ${HllRemBits + 1}
+                ELSE ${HllRemBits + 1}
+                  - length(format('{:b}', fp & $HllRemMask)) END,
+                $HllRhoCap)) AS r
+            FROM f GROUP BY 1),
+          pe AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit,
+              CAST(SUM(1::BIGINT << ($HllRhoCap - r)) AS BIGINT) AS s_hit
+            FROM regs),
+          ee AS (SELECT $HllNumerator // ((s_hit + ($HllM - n_hit)
+              * ${1L << HllRhoCap}) * 1000) AS n_est FROM pe),
+          nk AS (SELECT ee.n_est,
+              CAST(COUNT(DISTINCT f.fp) AS BIGINT) AS n_exact,
+              abs(ee.n_est - CAST(COUNT(DISTINCT f.fp) AS BIGINT))
+                * 1000000 // GREATEST(COUNT(DISTINCT f.fp), 1)
+                AS est_err_ppm
+            FROM f CROSS JOIN ee GROUP BY 1)
           SELECT * FROM (
           $bloomRows
           UNION ALL

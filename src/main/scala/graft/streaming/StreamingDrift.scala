@@ -3,9 +3,10 @@ package graft.streaming
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.functions._
 
-/** Streaming form of L101's binned KS drift monitor (q169): the
-  * reference-vs-current ECDF histograms accumulated over an ingest
-  * stream, with the KS readout available after every micro-batch.
+/** Streaming form of the drift triple — L101 KS (q169), L118 W1
+  * (q186) off one held n_chars histogram, and L102 PSI (q170) off a
+  * second held token-count histogram at the q170 bin geometry — with
+  * every readout available after any micro-batch.
   *
   * State is the binned histogram itself — `(source, half, bin) → count`,
   * at most |sources|·2·32 entries, fixed by geometry not stream length.
@@ -22,9 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object StreamingDrift {
 
-  import graft.queries.DriftOps.{KsBins, KsBinChars}
+  import graft.queries.DriftOps.{KsBins, KsBinChars, PsiBins, PsiBinToks}
 
   case class Arrival(doc_id: Long, source: String, n_chars: Long)
+
+  /** PSI arrival — the L102 feature (BPE-ish token count) instead of
+    * n_chars; its own held histogram at the q170 geometry (16 bins of
+    * 16 tokens): one fixed-size state per monitored FEATURE, ≤
+    * |sources|·2·16 entries regardless of stream length.
+    */
+  case class PsiArrival(doc_id: Long, source: String, toks: Long)
 
   /** (source, half, bin) → count. */
   type Hist = Map[(String, Long, Long), Long]
@@ -43,6 +51,57 @@ object StreamingDrift {
     batch.foldLeft(h) { case (acc, (s, half, bin, c)) =>
       val k = (s, half, bin)
       acc + (k -> (acc.getOrElse(k, 0L) + c))
+    }
+  }
+
+  /** Fold one PSI micro-batch into `h` — same relational build as
+    * [[observeBatch]], at the q170 bin geometry.
+    */
+  def observePsiBatch(mb: Dataset[PsiArrival], h: Hist): Hist = {
+    val sp = mb.sparkSession
+    import sp.implicits._
+    val batch = mb.toDF()
+      .groupBy(col("source"), (col("doc_id") % 2).as("half"),
+        least(expr(s"toks div $PsiBinToks"), lit(PsiBins - 1L)).as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long, Long)].collect()
+    batch.foldLeft(h) { case (acc, (s, half, bin, c)) =>
+      val k = (s, half, bin)
+      acc + (k -> (acc.getOrElse(k, 0L) + c))
+    }
+  }
+
+  /** PSI readout — the q170 arithmetic replayed over the held PSI
+    * histogram: per source, DENSIFY to all 16 bins (with Laplace
+    * smoothing an absent bin's term is not zero when n_ref ≠ n_cur),
+    * p_ppm = (c_ref+1)·10^6 div (n_ref+16) vs q_ppm likewise, term =
+    * (p−q)·(ilog2 p − ilog2 q), psi_sum = Σ terms, n_bins_hit =
+    * observed bins. Returns (source, n_ref, n_cur, psi_sum,
+    * n_bins_hit) sorted by source — the oracle-gated q170 rows
+    * exactly (`StreamingDriftSpec` asserts it), completing the drift
+    * triple (KS/W1/PSI) in streaming form from held per-feature
+    * histograms.
+    */
+  def psiReport(h: Hist): Seq[(String, Long, Long, Long, Long)] = {
+    def ilog2(x: Long): Long =
+      63L - java.lang.Long.numberOfLeadingZeros(math.max(x, 1L))
+    h.groupBy(_._1._1).toSeq.sortBy(_._1).map { case (src, entries) =>
+      val byBin = entries.groupBy(_._1._3).map { case (bin, es) =>
+        bin -> (es.collect { case ((_, 0L, _), c) => c }.sum,
+          es.collect { case ((_, 1L, _), c) => c }.sum)
+      }
+      val nRef = byBin.values.map(_._1).sum
+      val nCur = byBin.values.map(_._2).sum
+      var psi = 0L
+      var hit = 0L
+      (0L until PsiBins.toLong).foreach { bin =>
+        val (cr, cc) = byBin.getOrElse(bin, (0L, 0L))
+        if (cr + cc > 0L) hit += 1L
+        val p = (cr + 1L) * 1000000L / (nRef + PsiBins)
+        val q = (cc + 1L) * 1000000L / (nCur + PsiBins)
+        psi += (p - q) * (ilog2(p) - ilog2(q))
+      }
+      (src, nRef, nCur, psi, hit)
     }
   }
 

@@ -387,7 +387,13 @@ object ScaleRehearsal {
       // broadcast τ fold), sketch planner (one distinct-count agg)
       "q221_threshold_transfer_matrix", "q222_sketch_capacity_planner",
       // split-balance audit: one map-side hash column + rollup
-      "q223_split_balance_audit")
+      "q223_split_balance_audit",
+      // sketch-swap tier: each is one-or-two bottom-k hash aggregates
+      // + the exact form's own map-side fold — wall should track the
+      // underlying scan, NOT the exact forms' rank windows
+      "q224_curriculum_stages_sketched", "q225_mad_outliers_sketched",
+      "q226_conformal_threshold_sketched", "q227_norm_health_sketched",
+      "q228_mass_concentration_sketched")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)
@@ -682,6 +688,26 @@ object ScaleRehearsal {
       },
       measured(s"q209 @${factor}x") {
         graft.SparkEntry.queries("q209_conditional_entropy")(
+          spark, out).count()
+      },
+      // round-17 additions (VERDICT r16 #4/#5): the transitivity audit
+      // — the suite's most expensive query — whose wedge growth the
+      // r17 per-node degree cap (64) now bounds by construction: the
+      // probe measures the capped Σdeg² where an uncapped mirror-heavy
+      // corpus would be quadratic; and the containment/minhash
+      // calibration pair, which share q205's banded candidate kernel
+      // but had no probe of their own (their extra term is the exact
+      // intersect re-join per candidate)
+      measured(s"q220 @${factor}x") {
+        graft.SparkEntry.queries("q220_transitivity_audit")(
+          spark, out).count()
+      },
+      measured(s"q216 @${factor}x") {
+        graft.SparkEntry.queries("q216_containment_calibration")(
+          spark, out).count()
+      },
+      measured(s"q103 @${factor}x") {
+        graft.SparkEntry.queries("q103_minhash_calibration")(
           spark, out).count()
       })
     spark.sparkContext.removeSparkListener(listener)

@@ -108,6 +108,37 @@ class SketchesSpec extends SparkSpec {
     assert(banded >= 0.9, s"banded recall $banded should recover planted twins")
   }
 
+  test("integer-ladder domain guards: ilog2/log2q10/isqrt clamp 0/negative identically") {
+    // VERDICT r16 #7: the belts live INSIDE the twins (greatest(x,1) /
+    // greatest(x,0)), so a future caller passing a signed value cannot
+    // diverge the engines silently. The Column forms must equal the
+    // plain-Scala twins on the full signed edge set — below the clamp
+    // (where Spark's bin() renders 64 two's-complement chars and would
+    // otherwise yield 63) and across both log2q10 shift branches.
+    val edges = Seq(Long.MinValue + 1, -1048576L, -7L, -1L, 0L, 1L, 2L,
+      3L, 1023L, 1024L, 1025L, (1L << 52) - 1L, 1L << 52, (1L << 52) + 1L,
+      (1L << 60) + 12345L)
+    val df = edges.toDF("x")
+    val got = df.select(col("x"),
+        Sketches.ilog2(col("x")).as("i"),
+        Sketches.log2q10(col("x")).as("l"),
+        Sketches.isqrt(col("x")).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def ilog2Scala(v: Long): Long =
+      63L - java.lang.Long.numberOfLeadingZeros(math.max(v, 1L))
+    edges.foreach { v =>
+      val (i, l, sq) = got(v)
+      assert(i === ilog2Scala(v), s"ilog2($v)")
+      assert(l === Sketches.log2q10Scala(v), s"log2q10($v)")
+      assert(sq === Sketches.isqrtScala(v), s"isqrt($v)")
+    }
+    // clamp semantics: everything at or below the floor maps to the
+    // floor's value — 0/negatives cannot reach the engines' divergent
+    // negative-rendering paths
+    assert(got(-7L)._1 === 0L && got(0L)._2 === 0L && got(-1L)._3 === 0L)
+  }
+
   test("fixed-order cosine: self-similarity is exactly 1 for unit-consistent input") {
     val v = (1 to 64).map(_.toDouble / 8).toArray
     val df = Seq((1, v)).toDF("id", "e")

@@ -86,7 +86,7 @@ class DistributionSpec extends SparkSpec {
       val hu = su / nb
       val hc = sc / nb
       src -> (nb, cx.size.toLong, hu, hc,
-        1000000L - hc * 1000000L / math.max(hu, 1L))
+        math.max(1000000L - hc * 1000000L / math.max(hu, 1L), 0L))
     }
     val out = run("q209_conditional_entropy").map(r =>
       r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
@@ -95,6 +95,8 @@ class DistributionSpec extends SparkSpec {
     out.values.foreach { case (_, _, hu, hc, p) =>
       assert(hc >= 0L && hc <= hu,
         "conditioning can only reduce the ladder entropy here")
+      // a LAW since the r17 floor: predictability clamps at 0 (the raw
+      // 1 − H(Y|X)/H(X) ratio is not structurally bounded below)
       assert(p >= 0L && p <= 1000000L, "predictability is a fraction")
     }
   }

@@ -143,8 +143,12 @@ class HealthAuditSpec extends SparkSpec {
         .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
     }
     val sym = edges ++ edges.map(e => (e._2, e._1))
-    val wedges = sym.groupBy(_._1).values.flatMap { rs =>
-      val es = rs.map(_._2).toSeq
+    // the r17 degree cap: each node keeps its 64 smallest neighbors by
+    // id before wedge enumeration; cappedNodes is the coverage dial
+    val byNode = sym.groupBy(_._1)
+    val cappedNodes = byNode.values.count(_.size > 64).toLong
+    val wedges = byNode.values.flatMap { rs =>
+      val es = rs.map(_._2).toSeq.sorted.take(64)
       for (a <- es; b <- es; if a < b) yield (a, b)
     }.toSeq
     val induced = wedges.distinct
@@ -166,5 +170,6 @@ class HealthAuditSpec extends SparkSpec {
     assert(row.getLong(3) === closed, "closed")
     assert(row.getLong(4) ===
       closed * 1000000L / math.max(induced.size.toLong, 1L))
+    assert(row.getLong(5) === cappedNodes, "capped_nodes")
   }
 }

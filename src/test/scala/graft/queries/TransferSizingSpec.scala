@@ -4,8 +4,11 @@ import graft.SparkSpec
 
 /** L153–L154 semantics beyond the oracles: the transfer matrix's
   * diagonal must reproduce the registered conformal coverage
-  * (cross-query consistency — both consume the same τ protocol), and
-  * the capacity planner's sizing laws must hold row by row.
+  * (cross-query consistency — both consume the same τ protocol), its
+  * tau_source axis must be TOTAL (τ-less sources present as
+  * has_tau = 0 rows that flag nothing — the q195 conservative
+  * branch), and the capacity planner's sizing laws must hold row by
+  * row off the HLL estimate with the exact count as the error gauge.
   */
 class TransferSizingSpec extends SparkSpec {
 
@@ -16,51 +19,79 @@ class TransferSizingSpec extends SparkSpec {
       graft.SparkEntry.queries(q)(spark, dir).collect()
     }
 
-  test("q221: the diagonal reproduces q195's own coverage; matrix is total") {
+  test("q221: diagonal reproduces q195's coverage; axis is total incl. no-τ rows") {
     val conf = run("q195_conformal_threshold").map { r =>
       r.getString(0) -> (r.getLong(2), // has_tau
         r.getLong(8))                  // neg_flag_ppm
     }.toMap
+    // (tau_source, apply_source) -> (has_tau, n_test, n_flagged, flag_ppm)
     val mx = run("q221_threshold_transfer_matrix").map(r =>
-      (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3),
-        r.getLong(4))).toMap
+      (r.getString(0), r.getString(2)) -> (r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
     assert(mx.nonEmpty)
     val tauSources = mx.keys.map(_._1).toSet
     val applySources = mx.keys.map(_._2).toSet
-    // every τ-holding source rows the FULL apply set (cross join)
+    // TOTALITY: every CORPUS source rows the matrix as tau_source —
+    // including the ones whose calibration half yields no τ (ADVICE
+    // r16), and including sources q195 itself cannot row (its output
+    // groups the test half, so calibration-only sources are invisible
+    // there). The apply axis is narrower by construction: it holds
+    // only sources with test-half clean docs (doc_id parity maps odd
+    // sources to the test half at this fixture).
+    val allSources = graft.core.CacheScope.scoped {
+      graft.core.Tables.documents(spark, dir)
+        .select("source").distinct()
+        .collect().map(_.getString(0)).toSet
+    }
+    assert(tauSources === allSources, "tau_source axis covers all sources")
+    assert(applySources.subsetOf(tauSources))
+    assert(conf.keySet.subsetOf(tauSources))
     tauSources.foreach { ts =>
       assert(applySources.forall(as => mx.contains((ts, as))),
         s"$ts must price every apply source")
     }
-    // sources without a τ contribute no row as tau_source
     conf.foreach { case (src, (hasTau, negFlag)) =>
-      assert(tauSources.contains(src) === (hasTau == 1L),
-        s"$src τ presence")
+      applySources.foreach { as =>
+        val (mxHasTau, _, nFlagged, _) = mx((src, as))
+        assert(mxHasTau === hasTau, s"$src has_tau must match q195")
+        // the conservative branch: a NULL τ flags NOTHING, anywhere
+        if (hasTau == 0L)
+          assert(nFlagged === 0L, s"no-τ source $src must flag nothing")
+      }
       if (hasTau == 1L)
-        assert(mx((src, src))._3 === negFlag,
+        assert(mx((src, src))._4 === negFlag,
           s"$src diagonal must equal q195's neg_flag_ppm")
     }
+    // the fixture actually exercises the no-τ branch at this SF
+    assert(conf.values.exists(_._1 == 0L),
+      "sf0.001 must contain a τ-less source or the totality test is vacuous")
   }
 
-  test("q222: sizing laws hold row by row against the replayed formulas") {
+  test("q222: sizing laws hold row by row off the HLL estimate") {
+    // (sketch, dial) -> (n_est, n_exact, est_err_ppm, p1, p2, bytes)
     val rows = run("q222_sketch_capacity_planner").map(r =>
       (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5))).toMap
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
     assert(rows.size === 7)
-    val n = rows.values.head._1
-    assert(rows.values.forall(_._1 == n), "one key universe")
-    // Bloom: m = n·b/ln2 (Q10 floor), k = b, bytes = ceil(m/8)
+    val (nEst, nExact, errPpm, _, _, _) = rows.values.head
+    assert(rows.values.forall(v => v._1 == nEst && v._2 == nExact &&
+      v._3 == errPpm), "one key universe")
+    // the error column is the measured |est − exact| in ppm of exact
+    assert(errPpm ===
+      math.abs(nEst - nExact) * 1000000L / math.max(nExact, 1L))
+    // sizing rides the ESTIMATE (self-consistency), not the exact count
+    // Bloom: m = n_est·b/ln2 (Q10 floor), k = b, bytes = ceil(m/8)
     Seq(10L, 16L, 20L).foreach { b =>
-      val (_, m, k, bytes) = rows(("bloom", b))
-      assert(m === n * b * 1477L / 1024L, s"bloom m at $b")
+      val (_, _, _, m, k, bytes) = rows(("bloom", b))
+      assert(m === nEst * b * 1477L / 1024L, s"bloom m at $b")
       assert(k === b, s"bloom k at $b")
       assert(bytes === (m + 7L) / 8L, s"bloom bytes at $b")
     }
     // bloom bytes grow with the guarantee
-    assert(rows(("bloom", 20L))._4 > rows(("bloom", 10L))._4)
+    assert(rows(("bloom", 20L))._6 > rows(("bloom", 10L))._6)
     // CMS: width = ceil(e/eps) on the Q10 ladder, depth 7
     Seq(10L, 14L).foreach { e =>
-      val (_, w, dpt, bytes) = rows(("cms", e))
+      val (_, _, _, w, dpt, bytes) = rows(("cms", e))
       assert(w === (2783L * (1L << e) + 1023L) / 1024L, s"cms w at $e")
       assert(w >= (1L << e) * 2L, "width covers e/eps > 2/eps")
       assert(dpt === 7L)
@@ -68,7 +99,7 @@ class TransferSizingSpec extends SparkSpec {
     }
     // HLL: registers = next pow2 of (1.04/sigma)^2
     Seq(10L, 20L).foreach { pm =>
-      val (_, m, lg, bytes) = rows(("hll", pm))
+      val (_, _, _, m, lg, bytes) = rows(("hll", pm))
       val req = (1040L / pm) * (1040L / pm)
       assert(m === bytes && (m & (m - 1)) === 0L, s"hll pow2 at $pm")
       assert(m >= req && m < req * 2L, s"hll tight pow2 at $pm")

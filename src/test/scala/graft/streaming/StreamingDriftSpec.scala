@@ -72,4 +72,46 @@ class StreamingDriftSpec extends SparkSpec {
     }
     assert(StreamingDrift.emdReport(st) === emdRows)
   }
+
+  test("PSI state: chunking invariance + stream == batch q170 readout") {
+    implicit val sqlCtx = spark.sqlContext
+    // the q170 feature ladder (BPE-ish token counts), as arrivals
+    val rows = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCountBpeIsh(col("text"))
+          .cast("long").as("toks"))
+      .as[StreamingDrift.PsiArrival].collect()
+    assert(rows.length === 500)
+
+    val oneShot = StreamingDrift.observePsiBatch(
+      spark.createDataset(rows.toSeq), StreamingDrift.empty)
+
+    val chunks = {
+      val (a, rest) = rows.reverse.splitAt(rows.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 4)
+      Seq(a.toSeq, b.toSeq, c.toSeq)
+    }
+    var st = StreamingDrift.empty
+    val stream = MemoryStream[StreamingDrift.PsiArrival]
+    val q = stream.toDS().writeStream
+      .foreachBatch {
+        (mb: org.apache.spark.sql.Dataset[StreamingDrift.PsiArrival],
+            _: Long) =>
+          st = StreamingDrift.observePsiBatch(mb, st)
+          ()
+      }
+      .start()
+    chunks.foreach { ch => stream.addData(ch); q.processAllAvailable() }
+    q.stop()
+
+    assert(st === oneShot, "accumulated PSI state must equal one-shot build")
+
+    // the readout completes the drift triple in streaming form: it
+    // reproduces the oracle-gated q170 rows exactly
+    val batchRows = graft.core.CacheScope.scoped {
+      graft.SparkEntry.queries("q170_psi_drift")(spark, sf)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+    }
+    assert(StreamingDrift.psiReport(st) === batchRows)
+  }
 }
