@@ -1,17 +1,22 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.Sketches
+import graft.functions.{Sketches, TextFunctions}
 
-/** Sketch-swap closure operators (SURVEY §2.11a, L156–L160):
+/** Sketch-swap closure operators (SURVEY §2.11a, L156–L164):
   *
   *  - L156 sketched curriculum stage cuts      → q224
   *  - L157 sketched median/MAD fence           → q225
   *  - L158 sketched conformal threshold        → q226
   *  - L159 sketched embedding-norm median      → q227
   *  - L160 sketched Lorenz/Gini concentration  → q228
+  *  - L161 bottom-k quantile accuracy ladder   → q229
+  *  - L162 stage-cut swap-degradation audit    → q230
+  *  - L163 unbinned sample drift (KS + W1)     → q231
+  *  - L164 sketch-ledger roll-forward          → q232
   *
   * Five exact-oracle operators (q167 curriculum ntile, q171 MAD
   * fences, q195 conformal τ, q219 norm medians, q200 Gini) documented
@@ -71,6 +76,21 @@ object SketchSwapOps {
     */
   private[queries] val ScoreBias = 1L << 30
 
+  /** L161/L162 accuracy-ladder grids: the k dials priced against the
+    * exact forms. Each grid tops out at a k ≥ every gated group size,
+    * so the ladder carries its own zero-error control row — the same
+    * in-query self-evidence stance as q131's no-false-negative proof.
+    */
+  private[queries] val QuantileKGrid = Seq(16, 64, 256)
+  private[queries] val StageKGrid = Seq(64, 512, SwapK)
+
+  /** L164 ledger capacity: deliberately SMALLER than every gated
+    * group (16 < 25 docs/source at sf0.001), so the roll-forward
+    * equality the gate proves is the real merge law at work — not the
+    * k ≥ n degenerate case where everything is retained anyway.
+    */
+  private[queries] val LedgerK = 16
+
   /** Sample index for exact-form rank `r` over group size `n`:
     * greatest(1, (r·sample_n) div n) — equals r when sample_n = n.
     * Columns `sample`, `sample_n`, and the named rank/size must be in
@@ -88,7 +108,7 @@ object SketchSwapOps {
     * order. `sfx` disambiguates when one oracle chains two sketches.
     */
   private def sampleCtesSql(salt: String, srcCte: String,
-      sfx: String = ""): String = {
+      sfx: String = "", k: Int = SwapK): String = {
     val h = s"CAST(('0x' || substr(md5('bk:$salt:' || " +
       "CAST(key AS VARCHAR)), 1, 15)) AS BIGINT)"
     s"""hk$sfx AS (SELECT grp, key, $h AS h FROM $srcCte),
@@ -96,7 +116,7 @@ object SketchSwapOps {
           ORDER BY h, key) AS rn_bk
         FROM hk$sfx),
       sm$sfx AS (SELECT grp, list(key ORDER BY key) AS sample
-        FROM rk_bk$sfx WHERE rn_bk <= $SwapK GROUP BY 1)"""
+        FROM rk_bk$sfx WHERE rn_bk <= $k GROUP BY 1)"""
   }
 
   def all: Seq[GraftQuery] = {
@@ -491,6 +511,414 @@ object SketchSwapOps {
           FROM ag ORDER BY source"""
       })
 
-    Seq(q224, q225, q226, q227, q228)
+    /* L161: bottom-k quantile accuracy ladder — prices the swap the
+     * rest of this tier performs: what does the bottom-k median
+     * actually cost at PRODUCTION k (k < n), in both value and rank
+     * space? Per (source, k ∈ {16, 64, 256}), all three sketches off
+     * ONE aggregate pass over the L9 token-count keys: sk_p50 = the
+     * sample's nearest-rank median, exact_p50 = the window-form order
+     * statistic (the truth column — at 100 TB this audit itself runs
+     * on the L43 inspection sample), value_err = |sk − exact|, and
+     * rank_realized = the sketched median's TRUE rank in the full key
+     * order (a broadcast fold, no second window), so rank_err_ppm =
+     * |rank − (n+1)/2|·10^6/n measures the estimator in the space its
+     * sqrt(p(1−p)/k) guarantee lives in. k = 256 ≥ every gated group
+     * → the ladder carries its own zero-error control rows. The L38
+     * price-the-sketch stance aimed at the L59 sketch itself. */
+    val q229 = GraftQuery(
+      "q229_bottomk_accuracy_ladder", "L161 L59 L38 L30",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            TextFunctions.tokenCountBpeIsh(col("text")).cast("long")
+              .as("tok"))
+          .withColumn("key", col("tok") * lit(IdDomain) + col("doc_id"))
+        val aggs = count(lit(1)).as("n") +: QuantileKGrid.map(k =>
+          call_function("graft_bottomk", col("key"), lit(k),
+            lit(s"q229:$k")).as(s"s$k"))
+        val sk = base.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+        val skKeys = QuantileKGrid.map { k =>
+          sk.select(col("source"), lit(k.toLong).as("k"), col("n"),
+              col(s"s$k").as("sample"))
+            .withColumn("sample_n", size(col("sample")).cast("long"))
+            .withColumn("sk_key", expr(idxExpr("(n + 1) div 2", "n")))
+            .withColumn("sk_p50", expr(s"sk_key div $IdDomain"))
+            .select(col("source"), col("k"), col("n"), col("sk_key"),
+              col("sk_p50"))
+        }.reduce(_ unionByName _)
+        val exact = base
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("source")).orderBy(col("key"))).cast("long"))
+          .join(sk.select(col("source"), col("n")), Seq("source"))
+          .filter(col("rn") === expr("(n + 1) div 2"))
+          .select(col("source"), col("tok").as("exact_p50"))
+        base.join(broadcast(skKeys), Seq("source"))
+          .groupBy(col("source"), col("k"))
+          .agg(min(col("n")).as("n_docs"),
+            min(col("sk_p50")).as("sk_p50"),
+            sum(when(col("key") <= col("sk_key"), 1L).otherwise(0L))
+              .as("rank_realized"))
+          .join(broadcast(exact), Seq("source"))
+          .withColumn("value_err", abs(col("sk_p50") - col("exact_p50")))
+          .withColumn("rank_err_ppm", expr(
+            "abs(rank_realized - (n_docs + 1) div 2) * 1000000 " +
+              "div n_docs"))
+          .select(col("source"), col("k"), col("n_docs"),
+            col("exact_p50"), col("sk_p50"), col("value_err"),
+            col("rank_realized"), col("rank_err_ppm"))
+          .orderBy(col("source"), col("k"))
+      },
+      Some {
+        val toks = TextFunctions.tokenCountBpeIshSql("text")
+        val chains = QuantileKGrid.map(k =>
+          sampleCtesSql(s"q229:$k", "ky", s"_$k", k))
+          .mkString(",\n          ")
+        val skRows = QuantileKGrid.map { k =>
+          val idx = idxSql("(cnt.n + 1) // 2", "cnt.n")
+            .replace("sample", s"sm_$k.sample")
+          s"""SELECT sm_$k.grp, CAST($k AS BIGINT) AS k, cnt.n,
+              $idx AS sk_key
+            FROM sm_$k JOIN cnt ON cnt.grp = sm_$k.grp"""
+        }.mkString("\n          UNION ALL\n          ")
+        s"""WITH tk AS (SELECT source, doc_id,
+              CAST($toks AS BIGINT) AS tok
+            FROM documents),
+          ky AS (SELECT source AS grp, doc_id, tok,
+              tok * $IdDomain + doc_id AS key
+            FROM tk),
+          cnt AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n
+            FROM ky GROUP BY 1),
+          $chains,
+          sk AS ($skRows),
+          skv AS (SELECT grp, k, n, sk_key,
+              sk_key // $IdDomain AS sk_p50
+            FROM sk),
+          ex AS (SELECT j.grp, j.tok AS exact_p50
+            FROM (SELECT grp, tok, row_number() OVER (PARTITION BY grp
+                ORDER BY key) AS rn FROM ky) j
+              JOIN cnt ON cnt.grp = j.grp
+            WHERE j.rn = (cnt.n + 1) // 2),
+          rk AS (SELECT ky.grp, skv.k,
+              CAST(MIN(skv.n) AS BIGINT) AS n_docs,
+              CAST(MIN(skv.sk_p50) AS BIGINT) AS sk_p50,
+              CAST(SUM(CASE WHEN ky.key <= skv.sk_key THEN 1 ELSE 0 END)
+                AS BIGINT) AS rank_realized
+            FROM ky JOIN skv ON skv.grp = ky.grp GROUP BY 1, 2)
+          SELECT rk.grp AS source, rk.k, rk.n_docs, ex.exact_p50,
+            rk.sk_p50, abs(rk.sk_p50 - ex.exact_p50) AS value_err,
+            rk.rank_realized,
+            abs(rk.rank_realized - (rk.n_docs + 1) // 2) * 1000000
+              // rk.n_docs AS rank_err_ppm
+          FROM rk JOIN ex ON ex.grp = rk.grp
+          ORDER BY rk.grp, rk.k"""
+      })
+
+    /* L162: stage-cut swap-degradation audit — the q224 swap priced
+     * END TO END: how many documents land in a DIFFERENT curriculum
+     * stage when the cuts come from a k-sample instead of the exact
+     * ntile? Per (k ∈ {64, 512, 8192}, stage): the exact population,
+     * the sketched population, the agreement count, agree_ppm. The
+     * k = 8192 rows are the control (k ≥ n → cuts identical → total
+     * agreement, the same in-query self-evidence as q131); the small-k
+     * rows are the honest answer to "what does a production-sized
+     * sketch cost HERE" — only boundary-adjacent docs can move, so
+     * disagreement concentrates near the cut quantiles and the
+     * per-stage populations stay near n/4. One aggregate pass carries
+     * all three sketches; assignment is the same broadcast-cuts
+     * map-side comparison q224 ships. */
+    val q230 = GraftQuery(
+      "q230_stage_swap_degradation", "L162 L156 L99 L38",
+      (s, d) => {
+        val nStages = CurriculumOps.CurriculumStages.toLong
+        val base = CurriculumOps.stageBase(s, d)
+          .withColumn("key", col("q_u") * lit(IdDomain) + col("doc_id"))
+        val exact = base.withColumn("stage",
+          ntile(CurriculumOps.CurriculumStages).over(
+            Window.orderBy(col("q_u"), col("doc_id"))).cast("long"))
+        val aggs = count(lit(1)).as("n") +: StageKGrid.map(k =>
+          call_function("graft_bottomk", col("key"), lit(k),
+            lit(s"q230:$k")).as(s"s$k"))
+        val sk = base.agg(aggs.head, aggs.tail: _*)
+        val cutRows = StageKGrid.map { k =>
+          val cutCols = (1L until nStages).map { t =>
+            val cum = s"($t * (n div $nStages) + least($t, n % $nStages))"
+            expr(idxExpr(cum, "n")).as(s"c$t")
+          }
+          sk.select(col("n"), col(s"s$k").as("sample"))
+            .withColumn("sample_n", size(col("sample")).cast("long"))
+            .select(lit(k.toLong).as("k") +: cutCols: _*)
+        }.reduce(_ unionByName _)
+        val st = exact.crossJoin(broadcast(cutRows))
+          .withColumn("stage_sk", (1L until nStages)
+            .map(t => when(col("key") > col(s"c$t"), 1L).otherwise(0L))
+            .foldLeft(lit(1L))(_ + _))
+        val a = st.groupBy(col("k"), col("stage"))
+          .agg(count(lit(1)).as("n_exact"),
+            sum(when(col("stage_sk") === col("stage"), 1L).otherwise(0L))
+              .as("n_agree"))
+        val b = st.groupBy(col("k"), col("stage_sk").as("stage"))
+          .agg(count(lit(1)).as("n_sketched"))
+        a.join(b, Seq("k", "stage"), "full_outer")
+          .select(col("k"), col("stage"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+            coalesce(col("n_sketched"), lit(0L)).as("n_sketched"),
+            coalesce(col("n_agree"), lit(0L)).as("n_agree"))
+          .withColumn("agree_ppm",
+            expr("(n_agree * 1000000) div greatest(n_exact, 1)"))
+          .orderBy(col("k"), col("stage"))
+      },
+      Some {
+        val nStages = CurriculumOps.CurriculumStages.toLong
+        val chains = StageKGrid.map(k =>
+          sampleCtesSql(s"q230:$k", "ky", s"_$k", k))
+          .mkString(",\n          ")
+        val cutRows = StageKGrid.map { k =>
+          val sels = (1L until nStages).map { t =>
+            val cum = s"($t * (nn.n // $nStages) + LEAST($t, nn.n % $nStages))"
+            idxSql(cum, "nn.n").replace("sample", s"sm_$k.sample") +
+              s" AS c$t"
+          }.mkString(", ")
+          s"SELECT CAST($k AS BIGINT) AS k, $sels FROM sm_$k, nn"
+        }.mkString("\n          UNION ALL\n          ")
+        val stageSum = (1L until nStages)
+          .map(t => s"(CASE WHEN key > c$t THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH ${CurriculumOps.stageBaseCtesSql},
+          ky AS (SELECT 0 AS grp, doc_id, q_u,
+              q_u * $IdDomain + doc_id AS key
+            FROM sq),
+          nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ky),
+          st0 AS (SELECT doc_id, key,
+              CAST(ntile(${CurriculumOps.CurriculumStages}) OVER
+                (ORDER BY q_u, doc_id) AS BIGINT) AS stage
+            FROM ky),
+          $chains,
+          ct AS ($cutRows),
+          st AS (SELECT st0.doc_id, st0.stage, ct.k,
+              CAST(1 + $stageSum AS BIGINT) AS stage_sk
+            FROM st0 CROSS JOIN ct),
+          a AS (SELECT k, stage, CAST(COUNT(*) AS BIGINT) AS n_exact,
+              CAST(SUM(CASE WHEN stage_sk = stage THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree
+            FROM st GROUP BY 1, 2),
+          b AS (SELECT k, stage_sk AS stage,
+              CAST(COUNT(*) AS BIGINT) AS n_sketched
+            FROM st GROUP BY 1, 2)
+          SELECT COALESCE(a.k, b.k) AS k,
+            COALESCE(a.stage, b.stage) AS stage,
+            COALESCE(a.n_exact, 0) AS n_exact,
+            COALESCE(b.n_sketched, 0) AS n_sketched,
+            COALESCE(a.n_agree, 0) AS n_agree,
+            (COALESCE(a.n_agree, 0) * 1000000)
+              // GREATEST(COALESCE(a.n_exact, 0), 1) AS agree_ppm
+          FROM a FULL OUTER JOIN b ON b.k = a.k AND b.stage = a.stage
+          ORDER BY k, stage"""
+      })
+
+    /* L163: unbinned sample drift — the L59 sketch married to the
+     * drift tier: per (source, half) one bottom-k sample of the
+     * (n_chars, doc_id) keys, then the TWO-SAMPLE KS and W1 computed
+     * on the raw sample ECDFs — no histogram, so unlike q169/q186
+     * there is no binning floor on resolution: at k ≥ half size this
+     * is the EXACT unbinned statistic (strictly sharper than the
+     * 32-bin forms — a shift smaller than one bin is invisible to
+     * q169 and visible here), and at production k the DKW bound
+     * sqrt(ln(2/δ)/2k) prices each sample ECDF. The gap integrates
+     * over OBSERVED distinct values with run-length weighting (the
+     * q186 trick in raw value space — absent values carry the gap),
+     * so W1 lands in exact ppm·char units. At 100 TB: two bottom-k
+     * hash aggregates; the cumsum/lead windows run over ≤ 2k distinct
+     * values per source, never the corpus. */
+    val q231 = GraftQuery(
+      "q231_unbinned_sample_drift", "L163 L59 L101 L118",
+      (s, d) => {
+        val sk = Tables.documents(s, d)
+          .select(col("source"), (col("doc_id") % 2).as("half"),
+            (col("n_chars") * lit(IdDomain) + col("doc_id")).as("key"))
+          .groupBy(col("source"), col("half"))
+          .agg(call_function("graft_bottomk", col("key"), lit(SwapK),
+            lit("q231")).as("sample"))
+        val vals = sk.select(col("source"), col("half"),
+            explode(col("sample")).as("key"))
+          .select(col("source"), col("half"),
+            expr(s"key div $IdDomain").as("v"))
+        val h = vals.groupBy(col("source"), col("v"))
+          .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("cr"),
+            sum(when(col("half") === 1, 1L).otherwise(0L)).as("cc"))
+        val tot = h.groupBy(col("source"))
+          .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"))
+        val w = Window.partitionBy(col("source")).orderBy(col("v"))
+        val g = h
+          .withColumn("cumr", sum(col("cr")).over(w))
+          .withColumn("cumc", sum(col("cc")).over(w))
+          .withColumn("nv", lead(col("v"), 1).over(w))
+          .join(broadcast(tot), Seq("source"))
+          .withColumn("gap", abs(
+            expr("cumr * 1000000 div greatest(nr, 1)") -
+              expr("cumc * 1000000 div greatest(nc, 1)")))
+          .withColumn("run", coalesce(col("nv") - col("v"), lit(0L)))
+        val ks = g.groupBy(col("source"))
+          .agg(min(col("nr")).as("n_ref"), min(col("nc")).as("n_cur"),
+            max(col("gap")).as("ks_ppm"),
+            sum(col("gap") * col("run")).as("w1_ppm_chars"))
+        val at = g.join(ks.select(col("source"),
+            col("ks_ppm").as("gap")), Seq("source", "gap"))
+          .groupBy(col("source")).agg(min(col("v")).as("ks_at"))
+        ks.join(at, Seq("source"))
+          .select(col("source"), col("n_ref"), col("n_cur"),
+            col("ks_ppm"), col("ks_at"), col("w1_ppm_chars"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val hh = "CAST(('0x' || substr(md5('bk:q231:' || " +
+          "CAST(key AS VARCHAR)), 1, 15)) AS BIGINT)"
+        s"""WITH ky AS (SELECT source, doc_id % 2 AS half,
+              n_chars * $IdDomain + doc_id AS key
+            FROM documents),
+          hk AS (SELECT source, half, key, $hh AS h FROM ky),
+          rk AS (SELECT source, half, key,
+              row_number() OVER (PARTITION BY source, half
+                ORDER BY h, key) AS rn
+            FROM hk),
+          vv AS (SELECT source, half, key // $IdDomain AS v
+            FROM rk WHERE rn <= $SwapK),
+          h2 AS (SELECT source, v,
+              CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS cr,
+              CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS cc
+            FROM vv GROUP BY 1, 2),
+          tot AS (SELECT source, CAST(SUM(cr) AS BIGINT) AS nr,
+              CAST(SUM(cc) AS BIGINT) AS nc FROM h2 GROUP BY 1),
+          g AS (SELECT h2.source, h2.v,
+              abs(CAST(SUM(h2.cr) OVER (PARTITION BY h2.source
+                  ORDER BY h2.v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  * 1000000 // GREATEST(tot.nr, 1)
+                - CAST(SUM(h2.cc) OVER (PARTITION BY h2.source
+                  ORDER BY h2.v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  * 1000000 // GREATEST(tot.nc, 1)) AS gap,
+              COALESCE(LEAD(h2.v) OVER (PARTITION BY h2.source
+                ORDER BY h2.v) - h2.v, 0) AS run,
+              tot.nr, tot.nc
+            FROM h2 JOIN tot ON tot.source = h2.source),
+          ks AS (SELECT source, CAST(MIN(nr) AS BIGINT) AS n_ref,
+              CAST(MIN(nc) AS BIGINT) AS n_cur,
+              CAST(MAX(gap) AS BIGINT) AS ks_ppm,
+              CAST(SUM(gap * run) AS BIGINT) AS w1_ppm_chars
+            FROM g GROUP BY 1)
+          SELECT ks.source, ks.n_ref, ks.n_cur, ks.ks_ppm,
+            CAST(MIN(g.v) AS BIGINT) AS ks_at, ks.w1_ppm_chars
+          FROM ks JOIN g ON g.source = ks.source AND g.gap = ks.ks_ppm
+          GROUP BY 1, 2, 3, 4, 6 ORDER BY ks.source"""
+      })
+
+    /* L164: sketch-ledger roll-forward — the nightly-incremental
+     * stance (q96/q123's batch-vs-corpus pattern) applied to the L59
+     * sketch itself: yesterday's per-source bottom-k ARTIFACT (the
+     * kilobyte sample a K7 store would persist) merged with today's
+     * raw batch must equal the sketch built from the full corpus —
+     * WITHOUT rescanning yesterday. That is the bottom-k merge law
+     * (multiset union → k smallest under (hash, key); the hash is a
+     * pure function of the value, so the persisted sample is
+     * sufficient state), and the gate PROVES it in-query per source:
+     * match = 1 row for row, at k = 16 < every gated group so the
+     * equality is the law, not retention (the q131 self-evidence
+     * stance). Day split rides doc_id parity (the q169 convention for
+     * "yesterday vs today"). At 100 TB: the nightly pass scans only
+     * the day's batch + |sources| kilobyte samples; the full-corpus
+     * side exists only to prove the equality at gate scale. */
+    val q232 = GraftQuery(
+      "q232_sketch_ledger_rollforward", "L164 L59 L31 L64",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("source"), (col("doc_id") % 2).as("day"),
+            (col("n_chars") * lit(IdDomain) + col("doc_id")).as("key"))
+        val ledger = base.filter(col("day") === 0)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_day0"),
+            call_function("graft_bottomk", col("key"), lit(LedgerK),
+              lit("q232")).as("s0"))
+        val day1 = base.filter(col("day") === 1)
+          .select(col("source"), col("key"))
+        val rolled = ledger
+          .select(col("source"), explode(col("s0")).as("key"))
+          .unionByName(day1)
+          .groupBy(col("source"))
+          .agg(call_function("graft_bottomk", col("key"), lit(LedgerK),
+            lit("q232")).as("rolled"))
+        val full = base.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_all"),
+            call_function("graft_bottomk", col("key"), lit(LedgerK),
+              lit("q232")).as("ful"))
+        val n1 = day1.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_day1"))
+        ledger.select(col("source"), col("n_day0"))
+          .join(n1, Seq("source"), "full_outer")
+          .join(rolled, Seq("source"))
+          .join(full, Seq("source"))
+          .select(col("source"),
+            coalesce(col("n_day0"), lit(0L)).as("n_day0"),
+            coalesce(col("n_day1"), lit(0L)).as("n_day1"),
+            col("n_all"),
+            size(col("rolled")).cast("long").as("sample_n"),
+            expr(s"element_at(rolled, cast((size(rolled) + 1) div 2 " +
+              s"as int)) div $IdDomain").as("p50_rolled"),
+            expr(s"element_at(ful, cast((size(ful) + 1) div 2 " +
+              s"as int)) div $IdDomain").as("p50_full"),
+            when(col("rolled") === col("ful"), 1L).otherwise(0L)
+              .as("is_match"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val hh = "CAST(('0x' || substr(md5('bk:q232:' || " +
+          "CAST(key AS VARCHAR)), 1, 15)) AS BIGINT)"
+        s"""WITH ky AS (SELECT source, doc_id % 2 AS day,
+              n_chars * $IdDomain + doc_id AS key
+            FROM documents),
+          l0 AS (SELECT source, key,
+              row_number() OVER (PARTITION BY source
+                ORDER BY $hh, key) AS rn
+            FROM ky WHERE day = 0),
+          led AS (SELECT source, list(key ORDER BY key) AS s0
+            FROM l0 WHERE rn <= $LedgerK GROUP BY 1),
+          n0 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_day0
+            FROM ky WHERE day = 0 GROUP BY 1),
+          n1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_day1
+            FROM ky WHERE day = 1 GROUP BY 1),
+          uni AS (SELECT source, unnest(s0) AS key FROM led
+            UNION ALL SELECT source, key FROM ky WHERE day = 1),
+          r1 AS (SELECT source, key,
+              row_number() OVER (PARTITION BY source
+                ORDER BY $hh, key) AS rn
+            FROM uni),
+          rolled AS (SELECT source, list(key ORDER BY key) AS rolled
+            FROM r1 WHERE rn <= $LedgerK GROUP BY 1),
+          f1 AS (SELECT source, key,
+              row_number() OVER (PARTITION BY source
+                ORDER BY $hh, key) AS rn
+            FROM ky),
+          fl AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_all
+            FROM ky GROUP BY 1),
+          ful AS (SELECT source, list(key ORDER BY key) AS ful
+            FROM f1 WHERE rn <= $LedgerK GROUP BY 1)
+          SELECT rolled.source,
+            COALESCE(n0.n_day0, 0) AS n_day0,
+            COALESCE(n1.n_day1, 0) AS n_day1,
+            fl.n_all,
+            CAST(len(rolled.rolled) AS BIGINT) AS sample_n,
+            rolled.rolled[(len(rolled.rolled) + 1) // 2] // $IdDomain
+              AS p50_rolled,
+            ful.ful[(len(ful.ful) + 1) // 2] // $IdDomain AS p50_full,
+            CAST(CASE WHEN rolled.rolled = ful.ful THEN 1 ELSE 0 END
+              AS BIGINT) AS is_match
+          FROM rolled
+            LEFT JOIN n0 ON n0.source = rolled.source
+            LEFT JOIN n1 ON n1.source = rolled.source
+            JOIN fl ON fl.source = rolled.source
+            JOIN ful ON ful.source = rolled.source
+          ORDER BY rolled.source"""
+      })
+
+    Seq(q224, q225, q226, q227, q228, q229, q230, q231, q232)
   }
 }

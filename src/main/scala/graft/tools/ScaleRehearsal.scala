@@ -393,7 +393,20 @@ object ScaleRehearsal {
       // underlying scan, NOT the exact forms' rank windows
       "q224_curriculum_stages_sketched", "q225_mad_outliers_sketched",
       "q226_conformal_threshold_sketched", "q227_norm_health_sketched",
-      "q228_mass_concentration_sketched")
+      "q228_mass_concentration_sketched",
+      // swap-pricing pair: the accuracy ladder (3 sketches in one agg
+      // pass + a broadcast rank fold) and the stage-degradation audit
+      // (3 sketches + the q224 broadcast-cuts assignment; its exact
+      // ntile side is the one remaining global sort — by design, it
+      // IS the truth column)
+      "q229_bottomk_accuracy_ladder", "q230_stage_swap_degradation",
+      // unbinned drift: two bottom-k aggs + windows over distinct
+      // sampled values only
+      "q231_unbinned_sample_drift",
+      // ledger roll-forward: three bottom-k aggs (ledger, rolled,
+      // full); the full-corpus side is the gate's proof, not the
+      // production path
+      "q232_sketch_ledger_rollforward")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)

@@ -61,6 +61,152 @@ class SketchSwapSpec extends SparkSpec {
       rows("q200_mass_concentration"))
   }
 
+  test("q229: control rows exact; the k=16 sketch replays hash-for-hash in Scala") {
+    // (source, k) -> (n, exact_p50, sk_p50, value_err, rank, rank_err_ppm)
+    val out = rows("q229_bottomk_accuracy_ladder").map(r =>
+      (r(0).asInstanceOf[String], r(1).asInstanceOf[Long]) ->
+        (r(2).asInstanceOf[Long], r(3).asInstanceOf[Long],
+          r(4).asInstanceOf[Long], r(5).asInstanceOf[Long],
+          r(6).asInstanceOf[Long], r(7).asInstanceOf[Long])).toMap
+    assert(out.nonEmpty && out.keys.map(_._2).toSet === Set(16L, 64L, 256L))
+    // control: whenever k >= n the sketched median IS the exact one
+    out.foreach { case ((src, k), (n, _, _, vErr, rank, rErr)) =>
+      if (k >= n) {
+        assert(vErr === 0L, s"$src k=$k control value")
+        assert(rank === (n + 1) / 2 && rErr === 0L, s"$src k=$k control rank")
+      }
+    }
+    // independent replay of the REAL sketch (k = 16 < n): recompute the
+    // bottom-16 sample and its nearest-rank median in plain Scala from
+    // the engine's own token frame, per source
+    import org.apache.spark.sql.functions._
+    val base = graft.core.CacheScope.scoped {
+      graft.core.Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"),
+          graft.functions.TextFunctions.tokenCountBpeIsh(col("text"))
+            .cast("long").as("tok"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    }
+    base.groupBy(_._1).foreach { case (src, docs) =>
+      val keys = docs.map { case (_, id, tok) => tok * 1048576L + id }
+      val n = keys.length.toLong
+      val sample = keys
+        .sortBy(v => (graft.plans.BottomKSketchAgg.hash("q229:16", v), v))
+        .take(16).sorted
+      val idx = math.max(1L, ((n + 1) / 2) * sample.length / n)
+      val expectP50 = sample(idx.toInt - 1) / 1048576L
+      val expectRank = keys.count(_ <= sample(idx.toInt - 1)).toLong
+      val (nn, _, skP50, _, rank, rErr) = out((src, 16L))
+      assert(nn === n)
+      assert(skP50 === expectP50, s"$src sketched median replay")
+      assert(rank === expectRank, s"$src realized rank replay")
+      assert(rErr === math.abs(expectRank - (n + 1) / 2) * 1000000L / n)
+    }
+  }
+
+  test("q230: k=8192 control agrees totally; populations conserved per k") {
+    val out = rows("q230_stage_swap_degradation").map(r =>
+      (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]) ->
+        (r(2).asInstanceOf[Long], r(3).asInstanceOf[Long],
+          r(4).asInstanceOf[Long], r(5).asInstanceOf[Long])).toMap
+    val ks = out.keys.map(_._1).toSet
+    assert(ks === Set(64L, 512L, 8192L))
+    // control: at k >= n the cuts are the exact ntile boundaries
+    out.filter(_._1._1 == 8192L).foreach {
+      case ((_, st), (ne, nsk, na, ppm)) =>
+        assert(ne === nsk && na === ne && ppm === 1000000L,
+          s"stage $st control must agree totally")
+    }
+    // conservation: both assignments partition the corpus at every k
+    val total = out.filter(_._1._1 == 8192L).values.map(_._1).sum
+    ks.foreach { k =>
+      val rowsK = out.filter(_._1._1 == k).values
+      assert(rowsK.map(_._1).sum === total, s"k=$k exact partition")
+      assert(rowsK.map(_._2).sum === total, s"k=$k sketched partition")
+      rowsK.foreach { case (ne, _, na, ppm) =>
+        assert(na <= ne && ppm <= 1000000L)
+      }
+    }
+  }
+
+  test("q231: exact unbinned KS/W1 replay; unbinned dominates the binned q169") {
+    import org.apache.spark.sql.functions._
+    // plain-Scala replay of the exact statistic (k >= half size here,
+    // so the samples ARE the halves)
+    val base = graft.core.CacheScope.scoped {
+      graft.core.Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    }
+    val expected = base.groupBy(_._1).map { case (src, docs) =>
+      val ref = docs.filter(_._2 % 2 == 0).map(_._3)
+      val cur = docs.filter(_._2 % 2 == 1).map(_._3)
+      val (nr, nc) = (ref.length.toLong, cur.length.toLong)
+      val vs = (ref ++ cur).distinct.sorted
+      var (cumR, cumC) = (0L, 0L)
+      val gaps = vs.map { v =>
+        cumR += ref.count(_ == v); cumC += cur.count(_ == v)
+        v -> math.abs(cumR * 1000000L / math.max(nr, 1L) -
+          cumC * 1000000L / math.max(nc, 1L))
+      }
+      val ks = gaps.map(_._2).max
+      val ksAt = gaps.filter(_._2 == ks).map(_._1).min
+      val runs = vs.zip(vs.drop(1)).map { case (a, b) => b - a } :+ 0L
+      val w1 = gaps.map(_._2).zip(runs).map { case (g, r) => g * r }.sum
+      src -> (nr, nc, ks, ksAt, w1)
+    }
+    val out = rows("q231_unbinned_sample_drift").map(r =>
+      r(0).asInstanceOf[String] -> (r(1).asInstanceOf[Long],
+        r(2).asInstanceOf[Long], r(3).asInstanceOf[Long],
+        r(4).asInstanceOf[Long], r(5).asInstanceOf[Long])).toMap
+    assert(out === expected)
+    // resolution dominance: the unbinned KS can only see MORE than the
+    // 32-bin q169 form (binning merges ECDF steps, never sharpens them)
+    val binned = rows("q169_ks_drift").map(r =>
+      r(0).asInstanceOf[String] -> r(3).asInstanceOf[Long]).toMap
+    binned.foreach { case (src, ksBinned) =>
+      assert(out(src)._3 >= ksBinned, s"$src unbinned >= binned KS")
+    }
+  }
+
+  test("q232: roll-forward equals full rebuild at k < n, replayed in Scala") {
+    import org.apache.spark.sql.functions._
+    val out = rows("q232_sketch_ledger_rollforward").map(r =>
+      r(0).asInstanceOf[String] -> (r(1).asInstanceOf[Long],
+        r(2).asInstanceOf[Long], r(3).asInstanceOf[Long],
+        r(4).asInstanceOf[Long], r(5).asInstanceOf[Long],
+        r(6).asInstanceOf[Long], r(7).asInstanceOf[Long])).toMap
+    assert(out.nonEmpty)
+    // the merge law holds for EVERY source, and not vacuously: at
+    // least one source's full population exceeds k = 16 (so the sketch
+    // truly truncated) — with this fixture every source does
+    out.foreach { case (src, (n0, n1, nAll, sn, p50r, p50f, m)) =>
+      assert(m === 1L, s"$src roll-forward must equal full rebuild")
+      assert(p50r === p50f)
+      assert(n0 + n1 === nAll)
+      assert(sn === math.min(nAll, 16L), s"$src sample size")
+    }
+    assert(out.values.forall(_._3 > 16L), "every source truncates at k=16")
+    // independent Scala replay of one source's roll-forward
+    val base = graft.core.CacheScope.scoped {
+      graft.core.Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    }
+    def bk(keys: Seq[Long]): Seq[Long] = keys
+      .sortBy(v => (graft.plans.BottomKSketchAgg.hash("q232", v), v))
+      .take(16).sorted
+    base.groupBy(_._1).foreach { case (src, docs) =>
+      val keys = docs.map { case (_, id, c) => (id, c * 1048576L + id) }
+      val led = bk(keys.filter(_._1 % 2 == 0).map(_._2))
+      val rolled = bk(led ++ keys.filter(_._1 % 2 == 1).map(_._2))
+      val full = bk(keys.map(_._2))
+      assert(rolled === full, s"$src merge law replay")
+      val expectP50 = rolled((rolled.length + 1) / 2 - 1) / 1048576L
+      assert(out(src)._5 === expectP50, s"$src p50 replay")
+    }
+  }
+
   test("k < n protocol: deterministic sample, in-bounds nearest-rank index") {
     // plain-Scala replay of the bottom-k protocol at k = 16 over 100
     // distinct keys: the sample is a pure function of the salted md5

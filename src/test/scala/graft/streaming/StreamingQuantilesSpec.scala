@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Streaming bottom-k quantiles (L59 streaming form): the accumulated
+  * per-source sample must equal a one-shot build under any chunking or
+  * arrival order (bottom-k-by-hash merge is associative, commutative,
+  * and for the sample half replay-idempotent), and the readout must
+  * reproduce the oracle-gated q124 rows exactly.
+  */
+class StreamingQuantilesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  import spark.implicits._
+
+  private def arrivals(): Array[StreamingQuantiles.Arrival] =
+    graft.core.CacheScope.scoped {
+      graft.core.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.tokenCountBpeIsh(col("text"))
+            .cast("long").as("tok"))
+        .as[StreamingQuantiles.Arrival].collect()
+    }
+
+  test("chunking invariance + stream == batch q124 readout") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = arrivals()
+    assert(rows.length === 500)
+
+    val oneShot = StreamingQuantiles.observeBatch(
+      spark.createDataset(rows.toSeq), StreamingQuantiles.empty)
+
+    // micro-batched, newest-first uneven chunks
+    val chunks = {
+      val (a, rest) = rows.reverse.splitAt(rows.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 4)
+      Seq(a.toSeq, b.toSeq, c.toSeq)
+    }
+    var st = StreamingQuantiles.empty
+    val stream = MemoryStream[StreamingQuantiles.Arrival]
+    val q = stream.toDS().writeStream
+      .foreachBatch {
+        (mb: org.apache.spark.sql.Dataset[StreamingQuantiles.Arrival],
+            _: Long) =>
+          st = StreamingQuantiles.observeBatch(mb, st)
+          ()
+      }
+      .start()
+    chunks.foreach { ch => stream.addData(ch); q.processAllAvailable() }
+    q.stop()
+
+    assert(st === oneShot, "accumulated sample must equal one-shot build")
+
+    // replay NON-idempotence is pinned, not assumed: the sample is a
+    // multiset of row draws, so re-observing the corpus doubles the
+    // copies of duplicated values — an under-full group's sample
+    // visibly grows (this fixture's sources hold 25 rows < k = 64).
+    // Exactly-once sinks own replay protection.
+    val replayed = StreamingQuantiles.observeBatch(
+      spark.createDataset(rows.toSeq), st)
+    assert(replayed.view.mapValues(_._1).toMap ===
+      st.view.mapValues(_._1 * 2).toMap, "counts double on replay")
+    assert(replayed.view.mapValues(_._2.length).toMap ===
+      st.view.mapValues(v =>
+        math.min(v._2.length * 2, StreamingQuantiles.K)).toMap,
+      "every copy of every draw re-enters the buffer")
+
+    // the readout reproduces the oracle-gated batch operator
+    val batchRows = graft.core.CacheScope.scoped {
+      graft.SparkEntry.queries("q124_sketched_quantiles")(spark, sf)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    }
+    assert(StreamingQuantiles.report(st) === batchRows)
+  }
+}
