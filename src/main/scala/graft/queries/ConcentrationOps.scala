@@ -63,9 +63,10 @@ object ConcentrationOps {
      * contribute rank-sum × mass): gini_ppm = (2·Σ rk·x − (n+1)·Σx)·
      * 10^6 div (n·Σx) — the exact mean-difference form — plus the two
      * operational quantile shares (bottom-half and top-decile mass).
-     * At 100 TB: production computes the same statistic on the L59
-     * quantile-sketch histogram (binned Lorenz); this gated form is its
-     * exact oracle — the q171/q195 stance. The per-source rank is one
+     * At 100 TB: production folds the same statistic over the L59
+     * bottom-k sample — REGISTERED as q228 (L160, the sample Gini,
+     * spec-pinned equal to this query at the gated fixtures); this
+     * gated form is its exact oracle. The per-source rank is one
      * window over source-partitioned data (well-distributed; no global
      * sort), and the rollup is |sources| rows. */
     val q200 = GraftQuery(

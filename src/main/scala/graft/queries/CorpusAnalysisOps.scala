@@ -399,9 +399,10 @@ object CorpusAnalysisOps {
      * n_cal, tau, test-half clean flag rate (the coverage audit), and
      * the plant-half flag count (the power read). At 100 TB: the L86
      * passes + one per-source rank window over calibration negatives
-     * (sources are numerous → well-distributed; production swaps the
-     * L59 quantile sketch, this gated form is its exact oracle — the
-     * q171 stance). */
+     * (sources are numerous → well-distributed; the sketch-τ
+     * production form is REGISTERED as q226 (L158, spec-pinned equal
+     * at the gated fixtures incl. the no-τ branch); this gated form
+     * is its exact oracle). */
     val q195 = GraftQuery(
       "q195_conformal_threshold", "L127 L86 L78",
       (s, d) => {

@@ -174,10 +174,12 @@ object CurriculumOps {
      * train on) and a membership checksum. Monotone non-overlapping
      * quality ranges are by construction of the ntile — the gate
      * catches a broken cut or tie-handling divergence as a range or
-     * checksum mismatch. The global ntile is the oracle-exact form; at
-     * 100 TB stage boundaries come from a quantile sketch (the L59
-     * bottom-k machinery) and assignment is a map-side comparison
-     * against 3 broadcast cut points — the scaladoc'd scale path. */
+     * checksum mismatch. The global ntile is the oracle-exact form; the
+     * 100 TB path is REGISTERED as q224 (L156 — cuts from the L59
+     * bottom-k sketch, assignment a map-side comparison against 3
+     * broadcast cut points, spec-pinned equal to this query at the
+     * gated fixtures) and its degradation at small k is priced by
+     * q230. */
     val q167 = GraftQuery(
       "q167_curriculum_stages", "L99 L9 L30",
       (s, d) => {

@@ -207,10 +207,11 @@ object DriftOps {
      * engine-portable with no interpolation convention), fence =
      * max(3·MAD, 1) so a zero-MAD stratum still keeps its median
      * ties. Reports the fence and what it dropped (count + id
-     * checksum). The rank windows partition by source; at 100 TB the
-     * two medians come from a per-source quantile sketch (L59) and the
-     * fence applies map-side — the gated form is the sketch's exact
-     * oracle. */
+     * checksum). The rank windows partition by source; the 100 TB path
+     * is REGISTERED as q225 (L157 — both medians from per-source L59
+     * sketches, fence applied map-side, spec-pinned equal to this
+     * query at the gated fixtures); this gated form is the sketch's
+     * exact oracle. */
     val q171 = GraftQuery(
       "q171_mad_outliers", "L103 L59 L30",
       (s, d) => {

@@ -134,9 +134,9 @@ object HealthAuditOps {
      * left-associated dot + IEEE sqrt), then everything is integer:
      * per label, count, mean, exact median (the (norm_u, vec_id)
      * order statistic) and the 2×-fence outlier count. At 100 TB:
-     * one embeddings scan; the rank window partitions by label;
-     * production swaps the L59 quantile sketch for the median (the
-     * q171 stance). */
+     * one embeddings scan; the rank window partitions by label; the
+     * sketch-median production form is REGISTERED as q227 (L159,
+     * spec-pinned equal at the gated fixtures). */
     val q219 = GraftQuery(
       "q219_embedding_norm_health", "L151 L103 L131",
       (s, d) => {
