@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{Sketches, TextFunctions}
 
-/** Sketch-swap closure operators (SURVEY §2.11a, L156–L164):
+/** Sketch-swap closure operators (SURVEY §2.11a, L156–L165):
   *
   *  - L156 sketched curriculum stage cuts      → q224
   *  - L157 sketched median/MAD fence           → q225
@@ -17,6 +17,7 @@ import graft.functions.{Sketches, TextFunctions}
   *  - L162 stage-cut swap-degradation audit    → q230
   *  - L163 unbinned sample drift (KS + W1)     → q231
   *  - L164 sketch-ledger roll-forward          → q232
+  *  - L165 sketch-error budget planner         → q233
   *
   * Five exact-oracle operators (q167 curriculum ntile, q171 MAD
   * fences, q195 conformal τ, q219 norm medians, q200 Gini) documented
@@ -117,6 +118,104 @@ object SketchSwapOps {
         FROM hk$sfx),
       sm$sfx AS (SELECT grp, list(key ORDER BY key) AS sample
         FROM rk_bk$sfx WHERE rn_bk <= $k GROUP BY 1)"""
+  }
+
+  /** L161's measured frame — per (source, k ∈ [[QuantileKGrid]]) the
+    * sketched median vs the exact one, in value and rank space —
+    * factored so the L165 error-budget planner (q233) prices the SAME
+    * measurement q229 gates, not a copy. Columns: (source, k, n_docs,
+    * exact_p50, sk_p50, value_err, rank_realized, rank_err_ppm);
+    * unordered (callers order).
+    */
+  private[queries] def accuracyLadder(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        TextFunctions.tokenCountBpeIsh(col("text")).cast("long")
+          .as("tok"))
+      .withColumn("key", col("tok") * lit(IdDomain) + col("doc_id"))
+    val aggs = count(lit(1)).as("n") +: QuantileKGrid.map(k =>
+      call_function("graft_bottomk", col("key"), lit(k),
+        lit(s"q229:$k")).as(s"s$k"))
+    val sk = base.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+    val skKeys = QuantileKGrid.map { k =>
+      sk.select(col("source"), lit(k.toLong).as("k"), col("n"),
+          col(s"s$k").as("sample"))
+        .withColumn("sample_n", size(col("sample")).cast("long"))
+        .withColumn("sk_key", expr(idxExpr("(n + 1) div 2", "n")))
+        .withColumn("sk_p50", expr(s"sk_key div $IdDomain"))
+        .select(col("source"), col("k"), col("n"), col("sk_key"),
+          col("sk_p50"))
+    }.reduce(_ unionByName _)
+    val exact = base
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("source")).orderBy(col("key"))).cast("long"))
+      .join(sk.select(col("source"), col("n")), Seq("source"))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("source"), col("tok").as("exact_p50"))
+    base.join(broadcast(skKeys), Seq("source"))
+      .groupBy(col("source"), col("k"))
+      .agg(min(col("n")).as("n_docs"),
+        min(col("sk_p50")).as("sk_p50"),
+        sum(when(col("key") <= col("sk_key"), 1L).otherwise(0L))
+          .as("rank_realized"))
+      .join(broadcast(exact), Seq("source"))
+      .withColumn("value_err", abs(col("sk_p50") - col("exact_p50")))
+      .withColumn("rank_err_ppm", expr(
+        "abs(rank_realized - (n_docs + 1) div 2) * 1000000 " +
+          "div n_docs"))
+      .select(col("source"), col("k"), col("n_docs"),
+        col("exact_p50"), col("sk_p50"), col("value_err"),
+        col("rank_realized"), col("rank_err_ppm"))
+  }
+
+  /** DuckDB twin of [[accuracyLadder]] as a CTE chain ending in
+    * `acc(source, k, n_docs, exact_p50, sk_p50, value_err,
+    * rank_realized, rank_err_ppm)`.
+    */
+  private[queries] def accuracyCtesSql: String = {
+    val toks = TextFunctions.tokenCountBpeIshSql("text")
+    val chains = QuantileKGrid.map(k =>
+      sampleCtesSql(s"q229:$k", "ky", s"_$k", k))
+      .mkString(",\n          ")
+    val skRows = QuantileKGrid.map { k =>
+      val idx = idxSql("(cnt.n + 1) // 2", "cnt.n")
+        .replace("sample", s"sm_$k.sample")
+      s"""SELECT sm_$k.grp, CAST($k AS BIGINT) AS k, cnt.n,
+          $idx AS sk_key
+        FROM sm_$k JOIN cnt ON cnt.grp = sm_$k.grp"""
+    }.mkString("\n          UNION ALL\n          ")
+    s"""tk AS (SELECT source, doc_id,
+          CAST($toks AS BIGINT) AS tok
+        FROM documents),
+      ky AS (SELECT source AS grp, doc_id, tok,
+          tok * $IdDomain + doc_id AS key
+        FROM tk),
+      cnt AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ky GROUP BY 1),
+      $chains,
+      sk AS ($skRows),
+      skv AS (SELECT grp, k, n, sk_key,
+          sk_key // $IdDomain AS sk_p50
+        FROM sk),
+      ex AS (SELECT j.grp, j.tok AS exact_p50
+        FROM (SELECT grp, tok, row_number() OVER (PARTITION BY grp
+            ORDER BY key) AS rn FROM ky) j
+          JOIN cnt ON cnt.grp = j.grp
+        WHERE j.rn = (cnt.n + 1) // 2),
+      rk AS (SELECT ky.grp, skv.k,
+          CAST(MIN(skv.n) AS BIGINT) AS n_docs,
+          CAST(MIN(skv.sk_p50) AS BIGINT) AS sk_p50,
+          CAST(SUM(CASE WHEN ky.key <= skv.sk_key THEN 1 ELSE 0 END)
+            AS BIGINT) AS rank_realized
+        FROM ky JOIN skv ON skv.grp = ky.grp GROUP BY 1, 2),
+      acc AS (SELECT rk.grp AS source, rk.k, rk.n_docs, ex.exact_p50,
+          rk.sk_p50, abs(rk.sk_p50 - ex.exact_p50) AS value_err,
+          rk.rank_realized,
+          abs(rk.rank_realized - (rk.n_docs + 1) // 2) * 1000000
+            // rk.n_docs AS rank_err_ppm
+        FROM rk JOIN ex ON ex.grp = rk.grp)"""
   }
 
   def all: Seq[GraftQuery] = {
@@ -527,90 +626,12 @@ object SketchSwapOps {
      * price-the-sketch stance aimed at the L59 sketch itself. */
     val q229 = GraftQuery(
       "q229_bottomk_accuracy_ladder", "L161 L59 L38 L30",
-      (s, d) => {
-        val base = Tables.documents(s, d)
-          .select(col("source"), col("doc_id"),
-            TextFunctions.tokenCountBpeIsh(col("text")).cast("long")
-              .as("tok"))
-          .withColumn("key", col("tok") * lit(IdDomain) + col("doc_id"))
-        val aggs = count(lit(1)).as("n") +: QuantileKGrid.map(k =>
-          call_function("graft_bottomk", col("key"), lit(k),
-            lit(s"q229:$k")).as(s"s$k"))
-        val sk = base.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
-        val skKeys = QuantileKGrid.map { k =>
-          sk.select(col("source"), lit(k.toLong).as("k"), col("n"),
-              col(s"s$k").as("sample"))
-            .withColumn("sample_n", size(col("sample")).cast("long"))
-            .withColumn("sk_key", expr(idxExpr("(n + 1) div 2", "n")))
-            .withColumn("sk_p50", expr(s"sk_key div $IdDomain"))
-            .select(col("source"), col("k"), col("n"), col("sk_key"),
-              col("sk_p50"))
-        }.reduce(_ unionByName _)
-        val exact = base
-          .withColumn("rn", row_number().over(Window
-            .partitionBy(col("source")).orderBy(col("key"))).cast("long"))
-          .join(sk.select(col("source"), col("n")), Seq("source"))
-          .filter(col("rn") === expr("(n + 1) div 2"))
-          .select(col("source"), col("tok").as("exact_p50"))
-        base.join(broadcast(skKeys), Seq("source"))
-          .groupBy(col("source"), col("k"))
-          .agg(min(col("n")).as("n_docs"),
-            min(col("sk_p50")).as("sk_p50"),
-            sum(when(col("key") <= col("sk_key"), 1L).otherwise(0L))
-              .as("rank_realized"))
-          .join(broadcast(exact), Seq("source"))
-          .withColumn("value_err", abs(col("sk_p50") - col("exact_p50")))
-          .withColumn("rank_err_ppm", expr(
-            "abs(rank_realized - (n_docs + 1) div 2) * 1000000 " +
-              "div n_docs"))
-          .select(col("source"), col("k"), col("n_docs"),
-            col("exact_p50"), col("sk_p50"), col("value_err"),
-            col("rank_realized"), col("rank_err_ppm"))
-          .orderBy(col("source"), col("k"))
-      },
+      (s, d) => accuracyLadder(s, d).orderBy(col("source"), col("k")),
       Some {
-        val toks = TextFunctions.tokenCountBpeIshSql("text")
-        val chains = QuantileKGrid.map(k =>
-          sampleCtesSql(s"q229:$k", "ky", s"_$k", k))
-          .mkString(",\n          ")
-        val skRows = QuantileKGrid.map { k =>
-          val idx = idxSql("(cnt.n + 1) // 2", "cnt.n")
-            .replace("sample", s"sm_$k.sample")
-          s"""SELECT sm_$k.grp, CAST($k AS BIGINT) AS k, cnt.n,
-              $idx AS sk_key
-            FROM sm_$k JOIN cnt ON cnt.grp = sm_$k.grp"""
-        }.mkString("\n          UNION ALL\n          ")
-        s"""WITH tk AS (SELECT source, doc_id,
-              CAST($toks AS BIGINT) AS tok
-            FROM documents),
-          ky AS (SELECT source AS grp, doc_id, tok,
-              tok * $IdDomain + doc_id AS key
-            FROM tk),
-          cnt AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n
-            FROM ky GROUP BY 1),
-          $chains,
-          sk AS ($skRows),
-          skv AS (SELECT grp, k, n, sk_key,
-              sk_key // $IdDomain AS sk_p50
-            FROM sk),
-          ex AS (SELECT j.grp, j.tok AS exact_p50
-            FROM (SELECT grp, tok, row_number() OVER (PARTITION BY grp
-                ORDER BY key) AS rn FROM ky) j
-              JOIN cnt ON cnt.grp = j.grp
-            WHERE j.rn = (cnt.n + 1) // 2),
-          rk AS (SELECT ky.grp, skv.k,
-              CAST(MIN(skv.n) AS BIGINT) AS n_docs,
-              CAST(MIN(skv.sk_p50) AS BIGINT) AS sk_p50,
-              CAST(SUM(CASE WHEN ky.key <= skv.sk_key THEN 1 ELSE 0 END)
-                AS BIGINT) AS rank_realized
-            FROM ky JOIN skv ON skv.grp = ky.grp GROUP BY 1, 2)
-          SELECT rk.grp AS source, rk.k, rk.n_docs, ex.exact_p50,
-            rk.sk_p50, abs(rk.sk_p50 - ex.exact_p50) AS value_err,
-            rk.rank_realized,
-            abs(rk.rank_realized - (rk.n_docs + 1) // 2) * 1000000
-              // rk.n_docs AS rank_err_ppm
-          FROM rk JOIN ex ON ex.grp = rk.grp
-          ORDER BY rk.grp, rk.k"""
+        s"""WITH $accuracyCtesSql
+          SELECT source, k, n_docs, exact_p50, sk_p50, value_err,
+            rank_realized, rank_err_ppm
+          FROM acc ORDER BY source, k"""
       })
 
     /* L162: stage-cut swap-degradation audit — the q224 swap priced
@@ -919,6 +940,61 @@ object SketchSwapOps {
           ORDER BY rolled.source"""
       })
 
-    Seq(q224, q225, q226, q227, q228, q229, q230, q231, q232)
+    /* L165: sketch-error budget planner — the L154 bytes-per-guarantee
+     * stance aimed at the bottom-k tier itself, CLOSED against
+     * measurement: a rank statistic off a k-sample carries standard
+     * error ≈ sqrt(p(1−p)/k) in rank space — at the median (p = 1/2)
+     * that is 1/(2√k), so the per-k error budget is eps_se_ppm =
+     * 10^6 div (2·isqrt(k)) (exact on the grid's perfect squares:
+     * 125000 / 62500 / 31250 ppm at k = 16/64/256) and the planner's
+     * memory price is the aggregate's own geometry (16 bytes per held
+     * pair steady, 2k pairs transient before compaction — the
+     * BottomKSketchAgg buffer contract). The MEASURED side is the
+     * registered q229 ladder (consumed, not copied): per k, the worst
+     * source's realized rank error vs the 1σ and 3σ budgets, and
+     * within_3se as the calibration verdict — theory and measurement
+     * priced in one gated table, the q146/q188 audit stance aimed at
+     * the sketch's own guarantee. At 100 TB: the q229 passes + a
+     * 3-row rollup. */
+    val q233 = GraftQuery(
+      "q233_sketch_error_budget", "L165 L161 L59 L38",
+      (s, d) => {
+        accuracyLadder(s, d)
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_groups"),
+            min(col("n_docs")).as("min_group"),
+            max(col("rank_err_ppm")).as("max_measured_ppm"))
+          .withColumn("sqk", Sketches.isqrt(col("k")))
+          .withColumn("eps_se_ppm", expr("1000000 div (2 * sqk)"))
+          .withColumn("eps_3se_ppm", col("eps_se_ppm") * 3L)
+          .withColumn("within_3se",
+            when(col("max_measured_ppm") <= col("eps_3se_ppm"), 1L)
+              .otherwise(0L))
+          .withColumn("bytes_steady", col("k") * 16L)
+          .withColumn("bytes_transient", col("k") * 32L)
+          .select(col("k"), col("n_groups"), col("min_group"),
+            col("eps_se_ppm"), col("eps_3se_ppm"),
+            col("max_measured_ppm"), col("within_3se"),
+            col("bytes_steady"), col("bytes_transient"))
+          .orderBy(col("k"))
+      },
+      Some {
+        val iq = Sketches.isqrtSql("k")
+        s"""WITH $accuracyCtesSql,
+          ag AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_groups,
+              CAST(MIN(n_docs) AS BIGINT) AS min_group,
+              CAST(MAX(rank_err_ppm) AS BIGINT) AS max_measured_ppm
+            FROM acc GROUP BY 1),
+          pl AS (SELECT *, 1000000 // (2 * $iq) AS eps_se_ppm
+            FROM ag)
+          SELECT k, n_groups, min_group, eps_se_ppm,
+            eps_se_ppm * 3 AS eps_3se_ppm, max_measured_ppm,
+            CAST(CASE WHEN max_measured_ppm <= eps_se_ppm * 3 THEN 1
+              ELSE 0 END AS BIGINT) AS within_3se,
+            k * 16 AS bytes_steady, k * 32 AS bytes_transient
+          FROM pl ORDER BY k"""
+      })
+
+    Seq(q224, q225, q226, q227, q228, q229, q230, q231, q232, q233)
   }
 }

@@ -406,7 +406,9 @@ object ScaleRehearsal {
       // ledger roll-forward: three bottom-k aggs (ledger, rolled,
       // full); the full-corpus side is the gate's proof, not the
       // production path
-      "q232_sketch_ledger_rollforward")
+      "q232_sketch_ledger_rollforward",
+      // error-budget planner: the q229 passes + a 3-row rollup
+      "q233_sketch_error_budget")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)

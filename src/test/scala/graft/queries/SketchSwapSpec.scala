@@ -207,6 +207,33 @@ class SketchSwapSpec extends SparkSpec {
     }
   }
 
+  test("q233: budget rollup is consistent with q229; theory columns replay") {
+    val acc = rows("q229_bottomk_accuracy_ladder").map(r =>
+      (r(1).asInstanceOf[Long], r(7).asInstanceOf[Long]))
+    val out = rows("q233_sketch_error_budget").map(r =>
+      r(0).asInstanceOf[Long] -> (r(1).asInstanceOf[Long],
+        r(3).asInstanceOf[Long], r(4).asInstanceOf[Long],
+        r(5).asInstanceOf[Long], r(6).asInstanceOf[Long],
+        r(7).asInstanceOf[Long], r(8).asInstanceOf[Long])).toMap
+    assert(out.keySet === Set(16L, 64L, 256L))
+    out.foreach { case (k, (nG, se, se3, maxM, within, bS, bT)) =>
+      // theory replay: eps_se = 10^6/(2*isqrt(k)) — exact on this grid
+      val sq = math.sqrt(k.toDouble).toLong
+      assert(sq * sq === k, "grid is perfect squares")
+      assert(se === 1000000L / (2L * sq) && se3 === 3L * se)
+      assert(bS === 16L * k && bT === 32L * k)
+      // measured rollup: the worst q229 source at this k, exactly
+      val expect = acc.filter(_._1 == k).map(_._2).max
+      assert(maxM === expect, s"k=$k worst measured error")
+      assert(within === (if (maxM <= se3) 1L else 0L))
+      assert(nG === acc.count(_._1 == k).toLong)
+    }
+    // at this fixture the sketch is calibrated: every k within 3σ, and
+    // the control k (>= every group) measures zero
+    assert(out.values.forall(_._5 == 1L), "all k within the 3σ budget")
+    assert(out(256L)._4 === 0L, "control k measures zero error")
+  }
+
   test("k < n protocol: deterministic sample, in-bounds nearest-rank index") {
     // plain-Scala replay of the bottom-k protocol at k = 16 over 100
     // distinct keys: the sample is a pure function of the salted md5
