@@ -55,6 +55,47 @@ object Bench {
       wall > 1.0 && cpuMs >= 0 && (cpuMs + gcMs) < wall * 500.0
   }
 
+  /** Freeze-signature drift detector (VERDICT r17 #1). A host freeze
+    * spanning the cold pass AND both steady passes defeats every
+    * existing counter: no inversion (cold froze too), no low-CPU verdict
+    * (the process kept its threads), no t_start gap (the freeze was
+    * INSIDE the passes). r17's q60 measured 12.05 s steady with 178 ms
+    * of JIT and 0 GC — a 12 s pass the JVM did essentially no work for —
+    * and the round's number of record carried ~45% of such inflation
+    * with clean counters. The one signal left is a per-query CLEAN
+    * REFERENCE: steady > 2× the committed clean-run ledger value (plus
+    * a 0.5 s absolute slack so sub-second queries' scheduling-floor
+    * noise never trips it) while the steady passes' JIT+GC deltas are
+    * near zero (< 10% of the wall, floored at 500 ms) is the freeze
+    * signature — a genuine regression burns JIT on new code shapes or
+    * GC on new volume. Suspects are
+    * RE-PROBED once at suite end and the min participates only in
+    * `steady_total_adjusted`; the raw protocol `steady_total` stays the
+    * headline, so the artifact carries both the protocol number and its
+    * drift-adjusted twin plus the repaired-query list — a reader can see
+    * the inflation instead of chasing a phantom regression. False
+    * positives are harmless: the re-probe of a genuinely slow query
+    * measures the same slow value and the min changes nothing.
+    */
+  def driftSuspect(steadySec: Double, refSec: Double,
+      jitSteadyMs: Long, gcSteadyMs: Long): Boolean =
+    refSec > 0.0 && steadySec > refSec * 2.0 + 0.5 &&
+      (jitSteadyMs + gcSteadyMs).toDouble <
+        math.max(500.0, steadySec * 100.0)
+
+  /** Per-query clean-reference ledger: a flat {"name": steadySec} JSON
+    * map committed at the repo root, updated ONLY from clean runs
+    * (tools/bench_ref_update.py gates on the artifact's own counters).
+    * Absent file → empty map → the drift re-probe silently disables.
+    */
+  def loadRef(path: String = "bench_ref.json"): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -219,6 +260,34 @@ object Bench {
         r
       }
     }
+    // Drift re-probe (VERDICT r17 #1, see driftSuspect): runs AFTER the
+    // inversion repairs, so only freezes that escaped every other
+    // counter reach here. The probe feeds steady_total_adjusted ONLY —
+    // the raw protocol headline is untouched.
+    val refLedger = loadRef()
+    if (refLedger.isEmpty)
+      System.err.println(
+        "[bench] no bench_ref.json ledger - drift re-probe disabled")
+    val driftProbes: Map[String, Double] = results.flatMap { r =>
+      val suspect = refLedger.get(r.name).exists(rf => driftSuspect(
+        r.steady, rf, r.jitSteadyMs,
+        math.min(r.steady1.gcMs, r.steady2.gcMs)))
+      if (!suspect) None
+      else try {
+        val p = once(r.name, qfns(r.name))
+        System.err.println(f"[bench] ${r.name}%-28s drift-probe=${p.wall}%6.2fs" +
+          f" (steady ${r.steady}%.2fs vs ref ${refLedger(r.name)}%.2fs)")
+        Some(r.name -> p.wall)
+      } catch { case e: Throwable =>
+        // a failing probe must not un-measure the query
+        System.err.println(s"[bench] ${r.name} drift-probe FAILED (keeping steady): ${e.getMessage}")
+        None
+      }
+    }.toMap
+    def adjustedSteady(r: QueryRun): Double =
+      driftProbes.get(r.name).fold(r.steady)(p => math.min(r.steady, p))
+    val driftRepaired = results
+      .filter(r => adjustedSteady(r) < r.steady - 1e-9).map(_.name)
     // The driver captures only the last ~2000 chars of MERGED output and
     // parses the JSON line it finds there; sbt appends a ~73-char
     // "[success]" line after ours. Round 4's single ~9 KB line was
@@ -249,6 +318,7 @@ object Bench {
       .map("\"" + _.name + "\"").mkString("[", ",", "]")
     val total = results.map(_.cold.wall).sum
     val steadyTotal = results.map(_.steady).sum
+    val steadyAdjTotal = results.map(adjustedSteady).sum
     val steadyFirstTotal = results.map(_.steady1.wall).sum
     val bestTotal = results.map(_.best).sum
     // WITHIN-pass stall adjudication (r10 verdict item #1): every pass
@@ -312,6 +382,9 @@ object Bench {
          |"jit_steady_ms":${jsonL(results.map(r => r.name -> r.jitSteadyMs))},
          |"codecache_mb":${jsonL(results.map(r => r.name -> r.codeCacheMb))},
          |"cold_stall_suspects":$coldSuspects,
+         |"drift_probe":${json(driftProbes.toSeq, 6)},
+         |"drift_repaired":${jsonS(driftRepaired)},
+         |"steady_total_adjusted":$steadyAdjTotal,
          |"low_cpu_passes":${jsonS(lowCpuPasses)},
          |"steady_over_cold":${jsonS(invertedQueries)},
          |"suite_cpu_s":${num(suiteCpuS, 1)},"suite_gc_s":${num(suiteGcS, 1)},
@@ -371,7 +444,15 @@ object Bench {
          else s""","steady_over_cold":${jsonS(invertedQueries.take(8))}""")
       s""","low_cpu_n":${lowCpuPasses.size},"inv_n":${invertedQueries.size},"inv_left_n":$invLeft,"suite_cpu_s":${num(suiteCpuS, 1)},"suite_gc_s":${num(suiteGcS, 1)}$lists"""
     }
-    val totalsExtra = s""","cold_total":${num(total, 2)},"best_total":${num(bestTotal, 2)},"max_tstart_gap":${num(maxTstartGap, 2)}$stallExtra$failedExtra"""
+    // the drift-adjusted twin rides every totals-bearing rung beside the
+    // raw protocol number (VERDICT r17 #1): equal totals + drift_n 0 =
+    // the run self-certifies as freeze-free; a gap names its queries
+    val driftExtra = {
+      val names = if (driftRepaired.isEmpty) ""
+        else s""","drift_repaired":${jsonS(driftRepaired.take(8))}"""
+      s""","steady_total_adjusted":${num(steadyAdjTotal, 2)},"drift_n":${driftProbes.size}$names"""
+    }
+    val totalsExtra = s""","cold_total":${num(total, 2)},"best_total":${num(bestTotal, 2)},"max_tstart_gap":${num(maxTstartGap, 2)}$driftExtra$stallExtra$failedExtra"""
     // short-key fallback: at 72 queries the full-name dp1 map alone is
     // ~1900 chars (measured 1902 on the first 72-query run — it no longer
     // fits), so before surrendering the per-query map entirely, emit it
@@ -397,7 +478,7 @@ object Bench {
         Seq(lineShort(s"""$totalsExtra,"seed":$seed$suspectExtra"""),
           lineShort(totalsExtra))
       else Seq.empty) ++ Seq(
-      s"""{"metric":"steady_total","value":${num(steadyTotal, 2)},"unit":"sec","cold_total":${num(total, 2)},"best_total":${num(bestTotal, 2)},"max_tstart_gap":${num(maxTstartGap, 2)},"low_cpu_n":${lowCpuPasses.size},"inv_n":${invertedQueries.size}$failedExtra,"sf":$sfNum}""")
+      s"""{"metric":"steady_total","value":${num(steadyTotal, 2)},"unit":"sec","steady_total_adjusted":${num(steadyAdjTotal, 2)},"drift_n":${driftProbes.size},"cold_total":${num(total, 2)},"best_total":${num(bestTotal, 2)},"max_tstart_gap":${num(maxTstartGap, 2)},"low_cpu_n":${lowCpuPasses.size},"inv_n":${invertedQueries.size}$failedExtra,"sf":$sfNum}""")
     // stop() before the final line so no shutdown logging can land after
     // it in the merged stream — but guarded: a throwing shutdown listener
     // must not cost the driver its one parseable output either

@@ -61,6 +61,13 @@ object Sketches {
     (length(bin(greatest(c, lit(1L)))) - 1).cast("long")
   def ilog2Sql(e: String): String =
     s"CAST((length(format('{:b}', GREATEST($e, 1))) - 1) AS BIGINT)"
+  /** JVM twin of [[ilog2]] for spec replays and streaming readouts —
+    * the single point of truth for the floor-log2 ladder off-engine
+    * (ADVICE r17: StreamingDrift and SketchesSpec each carried a
+    * private copy that could drift from the Column/SQL forms).
+    */
+  def ilog2Scala(v: Long): Long =
+    63L - java.lang.Long.numberOfLeadingZeros(math.max(v, 1L))
 
   /** Fractional log2 in Q10 fixed point for x ≥ 1 (clamped like
     * [[ilog2]]): e·2^10 + mantissa-linear fraction, where the fraction

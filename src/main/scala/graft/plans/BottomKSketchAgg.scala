@@ -80,7 +80,8 @@ case class BottomKSketchAgg(
     if (v != null) {
       val value = v.asInstanceOf[Number].longValue()
       buf += ((BottomKSketchAgg.hash(salt, value), value))
-      if (buf.length >= 2 * k) compact(buf)
+      if (buf.length >= BottomKSketchAgg.TransientPairsFactor * k)
+        compact(buf)
     }
     buf
   }
@@ -98,7 +99,7 @@ case class BottomKSketchAgg(
 
   override def serialize(buf: Buf): Array[Byte] = {
     val kept = compact(buf)
-    val bb = ByteBuffer.allocate(kept.length * 16)
+    val bb = ByteBuffer.allocate(kept.length * BottomKSketchAgg.BytesPerPair)
     kept.foreach { case (h, v) => bb.putLong(h); bb.putLong(v) }
     bb.array()
   }
@@ -106,7 +107,8 @@ case class BottomKSketchAgg(
   override def deserialize(bytes: Array[Byte]): Buf = {
     val bb = ByteBuffer.wrap(bytes)
     val buf = createAggregationBuffer()
-    while (bb.remaining() >= 16) buf += ((bb.getLong, bb.getLong))
+    while (bb.remaining() >= BottomKSketchAgg.BytesPerPair)
+      buf += ((bb.getLong, bb.getLong))
     buf
   }
 
@@ -125,6 +127,22 @@ case class BottomKSketchAgg(
 }
 
 object BottomKSketchAgg {
+
+  /** Serialized buffer geometry, exported as the ONE source of truth the
+    * q233 error-budget planner prices memory against (VERDICT r17 #6 —
+    * the planner previously restated these as free-standing literals, so
+    * a layout change would have silently re-priced the wrong geometry):
+    * [[serialize]] writes two 8-byte longs per kept (hash, value) pair.
+    */
+  val BytesPerPair: Int = 16
+
+  /** Transient buffer bound: [[BottomKSketchAgg.update]] compacts once
+    * the buffer reaches `TransientPairsFactor * k` pairs, so at most
+    * 2k pairs are ever held before compaction — the planner's
+    * `bytes_transient = k * BytesPerPair * TransientPairsFactor`.
+    */
+  val TransientPairsFactor: Int = 2
+
   /** The engine's portable hash over the decimal string form:
     * `md5("bk:<salt>:<value>")` low-60-bit prefix — identical to DuckDB's
     * `CAST('0x' || substr(md5('bk:<salt>:' || CAST(v AS VARCHAR)), 1, 15)

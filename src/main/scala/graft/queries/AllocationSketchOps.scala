@@ -271,7 +271,7 @@ object AllocationSketchOps {
       "q185_hll_overlap_calibration", "L117 L69 L29 L38",
       (s, d) => {
         import TextCorpusOps.{HllM, HllRemBits, HllRemMask, HllRhoCap,
-          HllNumerator, hllReg, hllRhoC}
+          HllNumerator, hllReg, hllRhoC, hllLcCol, hllLcUsed}
         val w = Tables.documents(s, d)
           .select(col("source"),
             explode(Sketches.shingles(col("text"), LlmPipeline.ShingleN))
@@ -280,20 +280,29 @@ object AllocationSketchOps {
         val regs = w.withColumn("h", Sketches.h64(col("w")))
           .groupBy(col("source"), hllReg(col("h")).as("reg"))
           .agg(max(hllRhoC(Sketches.h64(col("w")))).as("r"))
-        def estCols(prefix: String): Column =
-          expr(s"$HllNumerator div ((${prefix}s_hit + " +
-            s"($HllM - ${prefix}n_hit) * ${1L << HllRhoCap}) * 1000)")
-        val perSrc = regs.groupBy(col("source"))
+        // the TWO-REGIME estimator (VERDICT r17 #2): the set-algebra
+        // reads inherit the same linear-counting branch as q137, so a
+        // small source (or a small union) is no longer read through
+        // the raw estimator's biased small-range regime
+        def estCols(df: org.apache.spark.sql.DataFrame,
+            out: String): org.apache.spark.sql.DataFrame = df
+          .withColumn("est_raw", expr(s"$HllNumerator div ((s_hit + " +
+            s"($HllM - n_hit) * ${1L << HllRhoCap}) * 1000)"))
+          .withColumn("v0", lit(HllM.toLong) - col("n_hit"))
+          .withColumn(out, when(
+            hllLcUsed(HllM, col("est_raw"), col("v0")) === 1L,
+            hllLcCol(HllM, col("v0"))).otherwise(col("est_raw")))
+          .drop("est_raw", "v0", "n_hit", "s_hit")
+        val perSrc = estCols(regs.groupBy(col("source"))
           .agg(count(lit(1)).as("n_hit"),
             sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoCap - r)"))
-              .as("s_hit"))
-          .withColumn("est", estCols(""))
+              .as("s_hit")), "est")
           .select(col("source"), col("est"))
         val pairs = perSrc.select(col("source").as("s1"),
             col("est").as("est_s1"))
           .join(perSrc.select(col("source").as("s2"),
             col("est").as("est_s2")), col("s1") < col("s2"))
-        val merged = broadcast(pairs).join(regs,
+        val merged = estCols(broadcast(pairs).join(regs,
             col("source") === col("s1") || col("source") === col("s2"))
           .groupBy(col("s1"), col("s2"), col("est_s1"), col("est_s2"),
             col("reg"))
@@ -301,8 +310,7 @@ object AllocationSketchOps {
           .groupBy(col("s1"), col("s2"), col("est_s1"), col("est_s2"))
           .agg(count(lit(1)).as("n_hit"),
             sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoCap - r)"))
-              .as("s_hit"))
-          .withColumn("est_union", estCols(""))
+              .as("s_hit")), "est_union")
         val exact = dw.select(col("source").as("s1"), col("w"))
           .join(dw.select(col("source").as("s2"), col("w")), Seq("w"))
           .filter(col("s1") < col("s2"))
@@ -322,12 +330,16 @@ object AllocationSketchOps {
       },
       Some {
         import TextCorpusOps.{HllM, HllRemBits, HllRemMask, HllRhoCap,
-          HllNumerator}
+          HllNumerator, hllLcSql}
         val ws = Sketches.shinglesSql("text", LlmPipeline.ShingleN)
         val hw = Sketches.h64Sql("w")
-        def est(nHit: String, sHit: String): String =
-          s"$HllNumerator // (($sHit + ($HllM - $nHit) " +
-            s"* ${1L << HllRhoCap}) * 1000)"
+        def est(nHit: String, sHit: String): String = {
+          val raw = s"($HllNumerator // (($sHit + ($HllM - $nHit) " +
+            s"* ${1L << HllRhoCap}) * 1000))"
+          s"(CASE WHEN ($HllM - $nHit) > 0 AND $raw * 2 <= ${5 * HllM} " +
+            s"THEN ${hllLcSql(HllM, s"($HllM - $nHit)")} " +
+            s"ELSE $raw END)"
+        }
         s"""WITH w AS (SELECT source, unnest($ws) AS w FROM documents),
           hh AS (SELECT source, w, $hw AS h FROM w),
           regs AS (SELECT source, h >> $HllRemBits AS reg,

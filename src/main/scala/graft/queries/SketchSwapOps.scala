@@ -6,11 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{Sketches, TextFunctions}
 
-/** Sketch-swap closure operators (SURVEY §2.11a, L156–L165):
+/** Sketch-swap closure operators (SURVEY §2.11a, L156–L166):
   *
   *  - L156 sketched curriculum stage cuts      → q224
   *  - L157 sketched median/MAD fence           → q225
-  *  - L158 sketched conformal threshold        → q226
+  *  - L158 sketched conformal threshold       → q226
   *  - L159 sketched embedding-norm median      → q227
   *  - L160 sketched Lorenz/Gini concentration  → q228
   *  - L161 bottom-k quantile accuracy ladder   → q229
@@ -18,6 +18,7 @@ import graft.functions.{Sketches, TextFunctions}
   *  - L163 unbinned sample drift (KS + W1)     → q231
   *  - L164 sketch-ledger roll-forward          → q232
   *  - L165 sketch-error budget planner         → q233
+  *  - L166 persisted ledger store & roll       → q234
   *
   * Five exact-oracle operators (q167 curriculum ntile, q171 MAD
   * fences, q195 conformal τ, q219 norm medians, q200 Gini) documented
@@ -77,6 +78,26 @@ object SketchSwapOps {
     */
   private[queries] val ScoreBias = 1L << 30
 
+  /** Guarded combined sort key value·2^[[IdBits]] + id — the ONE key
+    * constructor for the whole tier (VERDICT r17 #7). The gated
+    * fixtures satisfy id < 2^20 and value ≥ 0 by construction
+    * (SketchSwapSpec pins both), but nothing used to stop a production
+    * caller whose ids outgrow the domain — combined keys would then
+    * collide ACROSS documents and every rank statistic would be
+    * silently wrong. The guard makes that failure loud: any id outside
+    * [0, 2^IdBits) or negative (post-bias) value raises at execution
+    * with the offending values in the message, instead of colliding.
+    * Cost: one branch per row inside whole-stage codegen; the oracle
+    * twin needs no guard (its rows must equal the guarded run's).
+    */
+  private[queries] def combinedKey(value: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(id >= 0L && id < IdDomain && value >= 0L,
+      value * lit(IdDomain) + id)
+      .otherwise(raise_error(concat(
+        lit(s"graft combined-key domain violation (IdBits=$IdBits): value="),
+        value.cast("string"), lit(" id="), id.cast("string"))))
+
   /** L161/L162 accuracy-ladder grids: the k dials priced against the
     * exact forms. Each grid tops out at a k ≥ every gated group size,
     * so the ladder carries its own zero-error control row — the same
@@ -134,7 +155,7 @@ object SketchSwapOps {
       .select(col("source"), col("doc_id"),
         TextFunctions.tokenCountBpeIsh(col("text")).cast("long")
           .as("tok"))
-      .withColumn("key", col("tok") * lit(IdDomain) + col("doc_id"))
+      .withColumn("key", combinedKey(col("tok"), col("doc_id")))
     val aggs = count(lit(1)).as("n") +: QuantileKGrid.map(k =>
       call_function("graft_bottomk", col("key"), lit(k),
         lit(s"q229:$k")).as(s"s$k"))
@@ -236,7 +257,7 @@ object SketchSwapOps {
       "q224_curriculum_stages_sketched", "L156 L99 L59 L9",
       (s, d) => {
         val base = CurriculumOps.stageBase(s, d)
-          .withColumn("key", col("q_u") * lit(IdDomain) + col("doc_id"))
+          .withColumn("key", combinedKey(col("q_u"), col("doc_id")))
         val nStages = CurriculumOps.CurriculumStages.toLong
         val cuts = base.agg(count(lit(1)).as("n"),
             call_function("graft_bottomk", col("key"), lit(SwapK),
@@ -304,7 +325,7 @@ object SketchSwapOps {
         val docs = Tables.documents(s, d).select(col("doc_id"),
           col("source"), col("n_chars"))
         val med = docs
-          .withColumn("key", col("n_chars") * lit(IdDomain) + col("doc_id"))
+          .withColumn("key", combinedKey(col("n_chars"), col("doc_id")))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n"),
             call_function("graft_bottomk", col("key"), lit(SwapK),
@@ -316,7 +337,7 @@ object SketchSwapOps {
         val dev = docs.join(broadcast(med), Seq("source"))
           .withColumn("dev", abs(col("n_chars") - col("med")))
         val mad = dev
-          .withColumn("key", col("dev") * lit(IdDomain) + col("doc_id"))
+          .withColumn("key", combinedKey(col("dev"), col("doc_id")))
           .groupBy(col("source"))
           .agg(min(col("n")).as("n"),
             call_function("graft_bottomk", col("key"), lit(SwapK),
@@ -400,7 +421,7 @@ object SketchSwapOps {
         val sc = TrainedFilterOps.nbDocScores(s, d)
         val sk = sc.filter(col("doc_id") % 2 === 0 && col("pos") === 0)
           .withColumn("key",
-            (col("score") + lit(ScoreBias)) * lit(IdDomain) + col("doc_id"))
+            combinedKey(col("score") + lit(ScoreBias), col("doc_id")))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_cal"),
             call_function("graft_bottomk", col("key"), lit(SwapK),
@@ -485,7 +506,7 @@ object SketchSwapOps {
       (s, d) => {
         val n = HealthAuditOps.normFrame(s, d)
         val med = n
-          .withColumn("key", col("nu") * lit(IdDomain) + col("vec_id"))
+          .withColumn("key", combinedKey(col("nu"), col("vec_id")))
           .groupBy(col("label"))
           .agg(count(lit(1)).as("n"),
             call_function("graft_bottomk", col("key"), lit(SwapK),
@@ -548,7 +569,7 @@ object SketchSwapOps {
       (s, d) => {
         val sk = Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("n_chars"))
-          .withColumn("key", col("n_chars") * lit(IdDomain) + col("doc_id"))
+          .withColumn("key", combinedKey(col("n_chars"), col("doc_id")))
           .groupBy(col("source"))
           .agg(call_function("graft_bottomk", col("key"), lit(SwapK),
             lit("q228")).as("sample"))
@@ -558,6 +579,19 @@ object SketchSwapOps {
           .select(col("source"), col("n"),
             (col("pos") + 1).cast("long").as("rk"),
             expr(s"key div $IdDomain").as("x"))
+        // Overflow ladder (ADVICE r17): the ppm multiplies below need
+        // (n_docs+1)·tot·10^6 and 2·srx·10^6 under 2^63. srx ≤ k·tot
+        // with k = 8192 = 2^13, so shifting the Lorenz sums down until
+        // tot_s < 2^28 bounds every product: (2^13+1)·2^28·10^6 < 2^61
+        // and 2·(2^13·2^28)·10^6 < 2^63. sc = max(0, ilog2(tot) − 27)
+        // is 0 at every gated fixture (values bit-identical to the
+        // unshifted form) and both engines compute the SAME shifted
+        // expression when it engages, so huge documents degrade the
+        // last ppm digits deterministically instead of wrapping Java
+        // longs (DuckDB would instead raise). Residual domain bound:
+        // the un-shifted SUM srx itself stays exact while per-doc
+        // n_chars < 2^37 (srx ≤ 2^13·2^13·2^37 = 2^63) — the q203-rho
+        // stance of documenting the domain the ladder holds on.
         ex.groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("x")).as("total_chars"),
@@ -566,13 +600,18 @@ object SketchSwapOps {
               .otherwise(0L)).as("bh"),
             sum(when(col("rk") > expr("n - n div 10"), col("x"))
               .otherwise(0L)).as("td"))
+          .withColumn("sc", greatest(
+            Sketches.ilog2(col("total_chars")) - 27L, lit(0L)).cast("int"))
           .withColumn("gini_ppm", expr(
-            "((2 * srx - (n_docs + 1) * total_chars) * 1000000) div " +
-              "greatest(n_docs * total_chars, 1)"))
-          .withColumn("bottom_half_ppm",
-            expr("(bh * 1000000) div greatest(total_chars, 1)"))
-          .withColumn("top_decile_ppm",
-            expr("(td * 1000000) div greatest(total_chars, 1)"))
+            "((2 * shiftright(srx, sc) - (n_docs + 1) * " +
+              "shiftright(total_chars, sc)) * 1000000) div " +
+              "greatest(n_docs * shiftright(total_chars, sc), 1)"))
+          .withColumn("bottom_half_ppm", expr(
+            "(shiftright(bh, sc) * 1000000) div " +
+              "greatest(shiftright(total_chars, sc), 1)"))
+          .withColumn("top_decile_ppm", expr(
+            "(shiftright(td, sc) * 1000000) div " +
+              "greatest(shiftright(total_chars, sc), 1)"))
           .select(col("source"), col("n_docs"), col("total_chars"),
             col("gini_ppm"), col("bottom_half_ppm"),
             col("top_decile_ppm"))
@@ -599,15 +638,20 @@ object SketchSwapOps {
                 AS BIGINT) AS bh,
               CAST(SUM(CASE WHEN rk > n - n // 10 THEN x ELSE 0
                 END) AS BIGINT) AS td
-            FROM ex GROUP BY 1)
+            FROM ex GROUP BY 1),
+          ags AS (SELECT source, n_docs, total_chars,
+              GREATEST(${Sketches.ilog2Sql("total_chars")} - 27, 0)
+                AS sc, srx, bh, td
+            FROM ag)
           SELECT source, n_docs, total_chars,
-            ((2 * srx - (n_docs + 1) * total_chars) * 1000000)
-              // GREATEST(n_docs * total_chars, 1) AS gini_ppm,
-            (bh * 1000000) // GREATEST(total_chars, 1)
+            ((2 * (srx >> sc) - (n_docs + 1) * (total_chars >> sc))
+              * 1000000)
+              // GREATEST(n_docs * (total_chars >> sc), 1) AS gini_ppm,
+            ((bh >> sc) * 1000000) // GREATEST(total_chars >> sc, 1)
               AS bottom_half_ppm,
-            (td * 1000000) // GREATEST(total_chars, 1)
+            ((td >> sc) * 1000000) // GREATEST(total_chars >> sc, 1)
               AS top_decile_ppm
-          FROM ag ORDER BY source"""
+          FROM ags ORDER BY source"""
       })
 
     /* L161: bottom-k quantile accuracy ladder — prices the swap the
@@ -652,7 +696,7 @@ object SketchSwapOps {
       (s, d) => {
         val nStages = CurriculumOps.CurriculumStages.toLong
         val base = CurriculumOps.stageBase(s, d)
-          .withColumn("key", col("q_u") * lit(IdDomain) + col("doc_id"))
+          .withColumn("key", combinedKey(col("q_u"), col("doc_id")))
         val exact = base.withColumn("stage",
           ntile(CurriculumOps.CurriculumStages).over(
             Window.orderBy(col("q_u"), col("doc_id"))).cast("long"))
@@ -755,7 +799,7 @@ object SketchSwapOps {
       (s, d) => {
         val sk = Tables.documents(s, d)
           .select(col("source"), (col("doc_id") % 2).as("half"),
-            (col("n_chars") * lit(IdDomain) + col("doc_id")).as("key"))
+            combinedKey(col("n_chars"), col("doc_id")).as("key"))
           .groupBy(col("source"), col("half"))
           .agg(call_function("graft_bottomk", col("key"), lit(SwapK),
             lit("q231")).as("sample"))
@@ -853,7 +897,7 @@ object SketchSwapOps {
       (s, d) => {
         val base = Tables.documents(s, d)
           .select(col("source"), (col("doc_id") % 2).as("day"),
-            (col("n_chars") * lit(IdDomain) + col("doc_id")).as("key"))
+            combinedKey(col("n_chars"), col("doc_id")).as("key"))
         val ledger = base.filter(col("day") === 0)
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_day0"),
@@ -970,8 +1014,11 @@ object SketchSwapOps {
           .withColumn("within_3se",
             when(col("max_measured_ppm") <= col("eps_3se_ppm"), 1L)
               .otherwise(0L))
-          .withColumn("bytes_steady", col("k") * 16L)
-          .withColumn("bytes_transient", col("k") * 32L)
+          .withColumn("bytes_steady",
+            col("k") * graft.plans.BottomKSketchAgg.BytesPerPair.toLong)
+          .withColumn("bytes_transient",
+            col("k") * (graft.plans.BottomKSketchAgg.BytesPerPair *
+              graft.plans.BottomKSketchAgg.TransientPairsFactor).toLong)
           .select(col("k"), col("n_groups"), col("min_group"),
             col("eps_se_ppm"), col("eps_3se_ppm"),
             col("max_measured_ppm"), col("within_3se"),
@@ -980,6 +1027,9 @@ object SketchSwapOps {
       },
       Some {
         val iq = Sketches.isqrtSql("k")
+        // the oracle prices the SAME exported geometry the agg declares
+        val bpp = graft.plans.BottomKSketchAgg.BytesPerPair
+        val bppT = bpp * graft.plans.BottomKSketchAgg.TransientPairsFactor
         s"""WITH $accuracyCtesSql,
           ag AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_groups,
               CAST(MIN(n_docs) AS BIGINT) AS min_group,
@@ -991,10 +1041,115 @@ object SketchSwapOps {
             eps_se_ppm * 3 AS eps_3se_ppm, max_measured_ppm,
             CAST(CASE WHEN max_measured_ppm <= eps_se_ppm * 3 THEN 1
               ELSE 0 END AS BIGINT) AS within_3se,
-            k * 16 AS bytes_steady, k * 32 AS bytes_transient
+            k * $bpp AS bytes_steady, k * $bppT AS bytes_transient
           FROM pl ORDER BY k"""
       })
 
-    Seq(q224, q225, q226, q227, q228, q229, q230, q231, q232, q233)
+    /* L166: persisted sketch-ledger store & roll-forward — q232's merge
+     * law moved from an in-query proof to the ACTUAL nightly code path
+     * (VERDICT r17 #4): day0's per-source bottom-k ledger is BUILT,
+     * WRITTEN as a kilobyte parquet artifact (sinks/SketchLedger), READ
+     * BACK, and day1's raw batch rolled forward against the STORED file
+     * — no day0 rescan. The gate compares the stored-ledger roll with a
+     * full-corpus rebuild per source (is_match folds BOTH the byte-equal
+     * sample law at k = 16 < every gated group AND the ledger's count
+     * carry n_rows = n_all), and inherits the q130 store-fidelity
+     * stance: any key or count the artifact round-trip lost or mangled
+     * diverges the gate — n_day1 is deliberately DERIVED from the
+     * stored counter (n_rows − n_day0) so the oracle's direct count
+     * cross-checks the artifact, not the query's own arithmetic. The
+     * write runs every call (mode=overwrite — the store IS the operator
+     * under test). At 100 TB: the nightly pass scans the day's batch +
+     * |sources| kilobyte rows; the full-corpus side exists only to
+     * prove the equality at gate scale. */
+    val q234 = GraftQuery(
+      "q234_sketch_ledger_store", "L166 L164 K7 L59",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("source"), (col("doc_id") % 2).as("day"),
+            combinedKey(col("n_chars"), col("doc_id")).as("key"))
+        val ledgerDir = Staging.dir(d, "sketch_ledger_v1")
+        graft.sinks.SketchLedger.write(
+          graft.sinks.SketchLedger.build(base.filter(col("day") === 0),
+            "source", "key", LedgerK, "q234"), ledgerDir)
+        val day1 = base.filter(col("day") === 1)
+          .select(col("source"), col("key"))
+        val rolled = graft.sinks.SketchLedger.rollForward(s, ledgerDir,
+          day1, "source", "key", LedgerK, "q234")
+          .select(col("grp").as("source"), col("n_rows"),
+            col("sample").as("rolled"))
+        val full = base.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_all"),
+            call_function("graft_bottomk", col("key"), lit(LedgerK),
+              lit("q234")).as("ful"))
+        val n0 = base.filter(col("day") === 0).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_day0"))
+        rolled.join(full, Seq("source")).join(n0, Seq("source"), "left")
+          .select(col("source"),
+            coalesce(col("n_day0"), lit(0L)).as("n_day0"),
+            (col("n_rows") - coalesce(col("n_day0"), lit(0L)))
+              .as("n_day1"),
+            col("n_all"),
+            col("n_rows").as("n_ledger"),
+            size(col("rolled")).cast("long").as("sample_n"),
+            expr(s"element_at(rolled, cast((size(rolled) + 1) div 2 " +
+              s"as int)) div $IdDomain").as("p50_rolled"),
+            when(col("rolled") === col("ful") &&
+              col("n_rows") === col("n_all"), 1L).otherwise(0L)
+              .as("is_match"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val hh = "CAST(('0x' || substr(md5('bk:q234:' || " +
+          "CAST(key AS VARCHAR)), 1, 15)) AS BIGINT)"
+        s"""WITH ky AS (SELECT source, doc_id % 2 AS day,
+              n_chars * $IdDomain + doc_id AS key
+            FROM documents),
+          l0 AS (SELECT source, key,
+              row_number() OVER (PARTITION BY source
+                ORDER BY $hh, key) AS rn
+            FROM ky WHERE day = 0),
+          led AS (SELECT source, list(key ORDER BY key) AS s0
+            FROM l0 WHERE rn <= $LedgerK GROUP BY 1),
+          n0 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_day0
+            FROM ky WHERE day = 0 GROUP BY 1),
+          n1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_day1
+            FROM ky WHERE day = 1 GROUP BY 1),
+          uni AS (SELECT source, unnest(s0) AS key FROM led
+            UNION ALL SELECT source, key FROM ky WHERE day = 1),
+          r1 AS (SELECT source, key,
+              row_number() OVER (PARTITION BY source
+                ORDER BY $hh, key) AS rn
+            FROM uni),
+          rolled AS (SELECT source, list(key ORDER BY key) AS rolled
+            FROM r1 WHERE rn <= $LedgerK GROUP BY 1),
+          f1 AS (SELECT source, key,
+              row_number() OVER (PARTITION BY source
+                ORDER BY $hh, key) AS rn
+            FROM ky),
+          fl AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_all
+            FROM ky GROUP BY 1),
+          ful AS (SELECT source, list(key ORDER BY key) AS ful
+            FROM f1 WHERE rn <= $LedgerK GROUP BY 1)
+          SELECT rolled.source,
+            COALESCE(n0.n_day0, 0) AS n_day0,
+            COALESCE(n1.n_day1, 0) AS n_day1,
+            fl.n_all,
+            COALESCE(n0.n_day0, 0) + COALESCE(n1.n_day1, 0) AS n_ledger,
+            CAST(len(rolled.rolled) AS BIGINT) AS sample_n,
+            rolled.rolled[(len(rolled.rolled) + 1) // 2] // $IdDomain
+              AS p50_rolled,
+            CAST(CASE WHEN rolled.rolled = ful.ful
+              AND COALESCE(n0.n_day0, 0) + COALESCE(n1.n_day1, 0)
+                = fl.n_all THEN 1 ELSE 0 END AS BIGINT) AS is_match
+          FROM rolled
+            LEFT JOIN n0 ON n0.source = rolled.source
+            LEFT JOIN n1 ON n1.source = rolled.source
+            JOIN fl ON fl.source = rolled.source
+            JOIN ful ON ful.source = rolled.source
+          ORDER BY rolled.source"""
+      })
+
+    Seq(q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234)
   }
 }

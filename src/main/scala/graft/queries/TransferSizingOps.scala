@@ -121,31 +121,41 @@ object TransferSizingOps {
      * bytes-per-guarantee before anyone allocates executor memory —
      * the L123/L136/L147 planner stance aimed at the sketch tier
      * itself. SELF-CONSISTENT sizing (ADVICE r16): the key-universe
-     * input n is the planner's OWN tier's graft_hll estimate (the
-     * q137 64-register integer estimator over the same fp — fp is
-     * already the portable 60-bit hash, so it feeds the registers
-     * directly), because a planner whose premise is "exact distincts
-     * don't scale" cannot itself ride one; the exact count stays in
-     * the gate as the truth/error columns (the L38 price-the-sketch
-     * stance aimed at the planner itself). At 100 TB: one map-side
-     * register pass + a 64-row aggregate for the estimate; the exact
-     * distinct aggregate exists only to measure the error, and a
-     * production run can drop it. Planner math on 7 rows. */
+     * input n is the planner's OWN tier's graft_hll estimate — at the
+     * planner-grade m = 256 geometry with the TWO-REGIME estimator
+     * (VERDICT r17 #2): zero registers + raw under 5m/2 switches to
+     * linear counting m·ln(m/V) on the shared integer ladder, the
+     * branch that removes the measured ~146k ppm small-range bias the
+     * old raw-only m = 64 readout carried at sf0.001 (fp is already
+     * the portable 60-bit hash, so it feeds the registers directly).
+     * The planner cannot ride an exact distinct — its premise is that
+     * exact distincts don't scale; the exact count stays in the gate
+     * as the truth/error columns, and `lc_used` records which regime
+     * sized the table (the L38 price-the-sketch stance aimed at the
+     * planner itself). At 100 TB: one map-side register pass + a
+     * 256-row aggregate for the estimate; the exact distinct aggregate
+     * exists only to measure the error, and a production run can drop
+     * it. Planner math on 7 rows. */
     val q222 = GraftQuery(
       "q222_sketch_capacity_planner", "L154 L64 L67 L69 L38",
       (s, d) => {
-        import TextCorpusOps.{HllM, HllRhoCap, HllNumerator, hllReg,
-          hllRhoC}
+        import TextCorpusOps.{Hll256M, Hll256RemBits, Hll256Numerator,
+          HllRhoCap, hllRegP, hllRhoCP, hllLcCol, hllLcUsed}
         val fp = Tables.documents(s, d)
           .select(Sketches.h64(col("text")).as("fp"))
-        val est = fp.groupBy(hllReg(col("fp")).as("reg"))
-          .agg(max(hllRhoC(col("fp"))).as("r"))
+        val est = fp.groupBy(hllRegP(col("fp"), Hll256RemBits).as("reg"))
+          .agg(max(hllRhoCP(col("fp"), Hll256RemBits)).as("r"))
           .agg(count(lit(1)).as("n_hit"),
             sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoCap - r)"))
               .as("s_hit"))
-          .withColumn("n_est", expr(s"$HllNumerator div ((s_hit + " +
-            s"($HllM - n_hit) * ${1L << HllRhoCap}) * 1000)"))
-          .select(col("n_est"))
+          .withColumn("est_raw", expr(s"$Hll256Numerator div ((s_hit + " +
+            s"($Hll256M - n_hit) * ${1L << HllRhoCap}) * 1000)"))
+          .withColumn("n_zero", lit(Hll256M.toLong) - col("n_hit"))
+          .withColumn("lc_used",
+            hllLcUsed(Hll256M, col("est_raw"), col("n_zero")))
+          .withColumn("n_est", when(col("lc_used") === 1L,
+            hllLcCol(Hll256M, col("n_zero"))).otherwise(col("est_raw")))
+          .select(col("n_est"), col("lc_used"))
         val n = fp.agg(count_distinct(col("fp")).as("n_exact"))
           .crossJoin(broadcast(est))
           .withColumn("est_err_ppm", expr(
@@ -170,27 +180,29 @@ object TransferSizingOps {
             lit(1L << log2).as("bytes"))
         }
         n.select(col("n_est"), col("n_exact"), col("est_err_ppm"),
+            col("lc_used"),
             explode(array(bloom ++ cms ++ hll: _*)).as("x"))
           .select(col("x.sketch").as("sketch"), col("x.dial").as("dial"),
             col("n_est"), col("n_exact"), col("est_err_ppm"),
+            col("lc_used"),
             col("x.p1").as("p1"), col("x.p2").as("p2"),
             col("x.bytes").as("bytes"))
           .orderBy(col("sketch"), col("dial"))
       },
       Some {
-        import TextCorpusOps.{HllM, HllRemBits, HllRemMask, HllRhoCap,
-          HllNumerator}
+        import TextCorpusOps.{Hll256M, Hll256RemBits, Hll256RemMask,
+          HllRhoCap, Hll256Numerator, hllLcSql}
         val fp = Sketches.h64Sql("text")
         val bloomRows = BloomFpExps.map(b =>
           s"""SELECT 'bloom' AS sketch, CAST($b AS BIGINT) AS dial,
-              n_est, n_exact, est_err_ppm,
+              n_est, n_exact, est_err_ppm, lc_used,
               (n_est * $b * $InvLn2Q10) // 1024 AS p1,
               CAST($b AS BIGINT) AS p2,
               ((n_est * $b * $InvLn2Q10) // 1024 + 7) // 8 AS bytes
             FROM nk""").mkString("\n          UNION ALL\n          ")
         val cmsRows = CmsErrExps.map(e =>
           s"""SELECT 'cms' AS sketch, CAST($e AS BIGINT) AS dial,
-              n_est, n_exact, est_err_ppm,
+              n_est, n_exact, est_err_ppm, lc_used,
               ($EQ10 * ${1L << e} + 1023) // 1024 AS p1,
               CAST($CmsDepthFixed AS BIGINT) AS p2,
               ((($EQ10 * ${1L << e} + 1023) // 1024) * $CmsDepthFixed)
@@ -200,31 +212,41 @@ object TransferSizingOps {
           val mReq = (1040L / pm) * (1040L / pm)
           val log2 = 64L - java.lang.Long.numberOfLeadingZeros(mReq - 1L)
           s"""SELECT 'hll' AS sketch, CAST($pm AS BIGINT) AS dial,
-              n_est, n_exact, est_err_ppm,
+              n_est, n_exact, est_err_ppm, lc_used,
               CAST(${1L << log2} AS BIGINT) AS p1,
               CAST($log2 AS BIGINT) AS p2,
               CAST(${1L << log2} AS BIGINT) AS bytes
             FROM nk"""
         }.mkString("\n          UNION ALL\n          ")
         s"""WITH f AS (SELECT $fp AS fp FROM documents),
-          regs AS (SELECT fp >> $HllRemBits AS reg,
-              MAX(LEAST(CASE WHEN (fp & $HllRemMask) = 0
-                THEN ${HllRemBits + 1}
-                ELSE ${HllRemBits + 1}
-                  - length(format('{:b}', fp & $HllRemMask)) END,
+          regs AS (SELECT fp >> $Hll256RemBits AS reg,
+              MAX(LEAST(CASE WHEN (fp & $Hll256RemMask) = 0
+                THEN ${Hll256RemBits + 1}
+                ELSE ${Hll256RemBits + 1}
+                  - length(format('{:b}', fp & $Hll256RemMask)) END,
                 $HllRhoCap)) AS r
             FROM f GROUP BY 1),
           pe AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit,
               CAST(SUM(1::BIGINT << ($HllRhoCap - r)) AS BIGINT) AS s_hit
             FROM regs),
-          ee AS (SELECT $HllNumerator // ((s_hit + ($HllM - n_hit)
-              * ${1L << HllRhoCap}) * 1000) AS n_est FROM pe),
+          er AS (SELECT n_hit, $Hll256M - n_hit AS n_zero,
+              $Hll256Numerator // ((s_hit + ($Hll256M - n_hit)
+                * ${1L << HllRhoCap}) * 1000) AS est_raw FROM pe),
+          ec AS (SELECT *, CASE WHEN n_zero > 0
+                AND est_raw * 2 <= ${5 * Hll256M} THEN 1 ELSE 0 END
+                AS lc_used
+            FROM er),
+          ee AS (SELECT CASE WHEN lc_used = 1
+                THEN ${hllLcSql(Hll256M, "n_zero")} ELSE est_raw END
+                AS n_est,
+              CAST(lc_used AS BIGINT) AS lc_used FROM ec),
           nk AS (SELECT ee.n_est,
               CAST(COUNT(DISTINCT f.fp) AS BIGINT) AS n_exact,
               abs(ee.n_est - CAST(COUNT(DISTINCT f.fp) AS BIGINT))
                 * 1000000 // GREATEST(COUNT(DISTINCT f.fp), 1)
-                AS est_err_ppm
-            FROM f CROSS JOIN ee GROUP BY 1)
+                AS est_err_ppm,
+              ee.lc_used
+            FROM f CROSS JOIN ee GROUP BY 1, 4)
           SELECT * FROM (
           $bloomRows
           UNION ALL

@@ -22,12 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object StreamingCardinality {
 
-  import graft.queries.TextCorpusOps.{HllM, hllEstimate, hllReg, hllRhoC}
+  import graft.queries.TextCorpusOps.{HllM, hllEstimateCorrected,
+    hllReg, hllRhoC}
 
   case class Arrival(doc_id: Long, w: String)
 
   /** Fold one micro-batch into `regs` (unmodified; a new array returns)
-    * and report the running integer estimate after the merge. The batch
+    * and report the running integer estimate after the merge — the
+    * TWO-REGIME readout q137's `est` column computes relationally
+    * (linear counting while zero registers remain and the raw estimate
+    * sits under 5m/2, raw harmonic mean after), so stream == batch
+    * holds for the corrected estimator, not just the raw one. The batch
     * pass is one explode-free map + a ≤64-row aggregate; only the
     * register rows cross to the driver.
     */
@@ -45,7 +50,7 @@ object StreamingCardinality {
       val r = row.getLong(1)
       if (r > (out(reg) & 0xff)) out(reg) = r.toByte
     }
-    (out, hllEstimate(out))
+    (out, hllEstimateCorrected(out))
   }
 
   /** Drain a memory-stream query: fold every pending micro-batch through

@@ -83,8 +83,9 @@ object StreamingDrift {
     * histograms.
     */
   def psiReport(h: Hist): Seq[(String, Long, Long, Long, Long)] = {
-    def ilog2(x: Long): Long =
-      63L - java.lang.Long.numberOfLeadingZeros(math.max(x, 1L))
+    // the shared JVM ladder twin — NOT a local re-derivation, so the
+    // streaming readout cannot drift from the Column/SQL forms
+    import graft.functions.Sketches.{ilog2Scala => ilog2}
     h.groupBy(_._1._1).toSeq.sortBy(_._1).map { case (src, entries) =>
       val byBin = entries.groupBy(_._1._3).map { case (bin, es) =>
         bin -> (es.collect { case ((_, 0L, _), c) => c }.sum,

@@ -56,7 +56,7 @@ object StreamingPostings {
   def idf(st: Stats, gram: String): Long = {
     val df = st.df.getOrElse(gram, 0L)
     val x = ((st.n - df + 1L) * 1048576L) / (df + 1L)
-    63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, x))
+    graft.functions.Sketches.ilog2Scala(x)
   }
 
   /** avgdl of the held statistics (the tf-normalization input). */

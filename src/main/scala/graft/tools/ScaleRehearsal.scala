@@ -408,7 +408,10 @@ object ScaleRehearsal {
       // production path
       "q232_sketch_ledger_rollforward",
       // error-budget planner: the q229 passes + a 3-row rollup
-      "q233_sketch_error_budget")
+      "q233_sketch_error_budget",
+      // persisted ledger: q232's aggregates + a kilobyte artifact
+      // write/read - the actual nightly path
+      "q234_sketch_ledger_store")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)

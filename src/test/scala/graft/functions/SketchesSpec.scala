@@ -108,6 +108,41 @@ class SketchesSpec extends SparkSpec {
     assert(banded >= 0.9, s"banded recall $banded should recover planted twins")
   }
 
+  test("linear-counting ladder: m·ln(m/V) pinned against float truth, Column == Scala twin") {
+    import graft.queries.TextCorpusOps
+    // pinned integers — the ladder's DEFINED outputs (the gate value,
+    // not a float replay), with the float truth beside each to show the
+    // mantissa-linear + rounded-ln2 budget stays ≤ ~2% of m
+    val pinned = Seq(
+      (64, 1L) -> 266L,   // 64·ln(64)  = 266.2
+      (64, 2L) -> 221L,   // 64·ln(32)  = 221.8
+      (64, 32L) -> 44L,   // 64·ln(2)   = 44.4
+      (64, 37L) -> 37L,   // 64·ln(64/37) = 35.1 (ladder mantissa error)
+      (64, 63L) -> 1L,    // 64·ln(64/63) = 1.0
+      (256, 1L) -> 1420L, // 256·ln(256) = 1419.6
+      (256, 37L) -> 504L, // 256·ln(256/37) = 495.2
+      (256, 128L) -> 177L, // 256·ln(2) = 177.4
+      (256, 255L) -> 1L)
+    pinned.foreach { case ((m, v), expect) =>
+      assert(TextCorpusOps.hllLcScala(m, v) === expect, s"lc($m, $v)")
+      // ladder budget: 0.0861 bits of mantissa-linear log2 error scales
+      // to m·0.0861·ln2 ≈ 6% of m on the correction (the scaladoc bound)
+      val truth = m * math.log(m.toDouble / v)
+      assert(math.abs(TextCorpusOps.hllLcScala(m, v) - truth) <=
+        math.max(2.0, 0.06 * m), s"lc($m, $v) vs float truth $truth")
+    }
+    // the Column form computes the identical ladder (all V, both m)
+    val df = (1L to 256L).toDF("v")
+    Seq(64, 256).foreach { m =>
+      val got = df.filter(col("v") <= m)
+        .select(col("v"), TextCorpusOps.hllLcCol(m, col("v")).as("lc"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got.foreach { case (v, lc) =>
+        assert(lc === TextCorpusOps.hllLcScala(m, v), s"Column lc($m, $v)")
+      }
+    }
+  }
+
   test("integer-ladder domain guards: ilog2/log2q10/isqrt clamp 0/negative identically") {
     // VERDICT r16 #7: the belts live INSIDE the twins (greatest(x,1) /
     // greatest(x,0)), so a future caller passing a signed value cannot
@@ -125,11 +160,9 @@ class SketchesSpec extends SparkSpec {
         Sketches.isqrt(col("x")).as("s"))
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    def ilog2Scala(v: Long): Long =
-      63L - java.lang.Long.numberOfLeadingZeros(math.max(v, 1L))
     edges.foreach { v =>
       val (i, l, sq) = got(v)
-      assert(i === ilog2Scala(v), s"ilog2($v)")
+      assert(i === Sketches.ilog2Scala(v), s"ilog2($v)")
       assert(l === Sketches.log2q10Scala(v), s"log2q10($v)")
       assert(sq === Sketches.isqrtScala(v), s"isqrt($v)")
     }

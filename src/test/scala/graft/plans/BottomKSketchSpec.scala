@@ -35,6 +35,31 @@ class BottomKSketchSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("exported buffer geometry matches the serializer's real layout") {
+    // BytesPerPair/TransientPairsFactor are consumed by the q233
+    // error-budget planner — they must describe the ACTUAL serialized
+    // form, or the planner prices a fictional geometry (VERDICT r17 #6)
+    val agg = BottomKSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.LongType, nullable = false), 8, "geom")
+    val buf = agg.createAggregationBuffer()
+    (1L to 5L).foreach(v => buf += ((BottomKSketchAgg.hash("geom", v), v)))
+    val bytes = agg.serialize(buf)
+    assert(bytes.length === 5 * BottomKSketchAgg.BytesPerPair)
+    val back = agg.deserialize(bytes)
+    assert(back.toSeq.sorted === buf.toSeq.sorted)
+    // the transient bound: k=8 compacts at TransientPairsFactor*k pairs,
+    // so a buffer fed n >> k rows through update() never exceeds it
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+    val big = agg.createAggregationBuffer()
+    (1L to 100L).foreach { v =>
+      row.update(0, v)
+      agg.update(big, row)
+      assert(big.length < BottomKSketchAgg.TransientPairsFactor * 8,
+        "post-update buffer stays under the transient bound")
+    }
+  }
+
   test("duplicate values keep their multiplicity in the sample") {
     // 100 copies of value 7 and nothing else: a k=8 sample is 8 sevens
     val got = sketch(Seq.fill(100)(7L).toDF("v").repartition(3), 8, "dup")

@@ -30,6 +30,77 @@ class SketchSwapSpec extends SparkSpec {
       .agg(max(col("n")), max(col("mv")))
       .collect().map(r => (r.getLong(0), r.getLong(1))).head
     assert(maxLabelN <= 8192L && maxVec < (1L << 20))
+    // q226's signed-score precondition (ADVICE r17): the +2^30 bias
+    // keeps every combined key non-negative ONLY while NB scores stay
+    // above -2^30 — and the 2^52 product claim needs the biased value
+    // under 2^32. Assert both on the engine's own score frame, so a
+    // future scoring change that breaks either bound fails HERE, not
+    // silently outside the gated fixture.
+    val (minScore, maxScore) = graft.core.CacheScope.scoped {
+      TrainedFilterOps.nbDocScores(spark, dir)
+        .agg(min(col("score")), max(col("score")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    }
+    assert(minScore > -(1L << 30), s"min NB score $minScore must exceed -ScoreBias")
+    assert(maxScore + (1L << 30) < (1L << 32),
+      s"max biased score must stay under 2^32 for the 2^52 key-product bound")
+  }
+
+  test("combined-key guard raises loudly outside the id domain") {
+    // VERDICT r17 #7: a production corpus whose ids outgrow 2^IdBits
+    // must fail loudly, not collide silently. The guard is the shared
+    // key constructor, so one raise here covers every q224–q233 site.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ok = Seq((5L, 3L), (0L, (1L << 20) - 1L)).toDF("v", "id")
+      .select(SketchSwapOps.combinedKey(col("v"), col("id")).as("key"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(ok === Seq(5L * (1L << 20) + 3L, (1L << 20) - 1L))
+    def raises(v: Long, id: Long): Unit = {
+      val e = intercept[Exception] {
+        Seq((v, id)).toDF("v", "id")
+          .select(SketchSwapOps.combinedKey(col("v"), col("id")))
+          .collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("combined-key domain violation")),
+        s"($v, $id) must raise the guard, got: ${e.getMessage}")
+    }
+    raises(5L, 1L << 20) // id at the domain edge
+    raises(5L, -1L)      // negative id
+    raises(-1L, 3L)      // negative (post-bias) value
+  }
+
+  test("q228 overflow ladder: shifted Lorenz sums track BigInt truth where longs wrap") {
+    // ADVICE r17: (2·srx − (n+1)·tot)·10^6 wraps a Java long once docs
+    // near ~90K chars fill an 8192-sample. Replay the shifted form on a
+    // synthetic regime PAST the wrap point and pin it against exact
+    // BigInt arithmetic: the ladder must stay within the truncation
+    // budget (n_docs+2 units of the final ppm) while the UNSHIFTED
+    // numerator provably leaves the long domain.
+    val n = 8192L
+    // one ~1.2 GB doc among 8191 one-char docs: Gini → 1, so the
+    // numerator difference itself approaches n·tot and its ppm
+    // multiply leaves the long domain
+    val xs = (1L until n).map(_ => 1L) :+ 1200000000L
+    val tot = xs.sum
+    val srx = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val unshifted = BigInt(2) * srx - BigInt(n + 1) * tot
+    assert(unshifted * 1000000 > BigInt(Long.MaxValue),
+      "fixture must sit past the long wrap point")
+    val sc = math.max(graft.functions.Sketches.ilog2Scala(tot) - 27L, 0L)
+    assert(sc > 0L, "the ladder must engage in this regime")
+    val giniShifted = ((2L * (srx >> sc) - (n + 1) * (tot >> sc)) *
+      1000000L) / math.max(n * (tot >> sc), 1L)
+    val giniTrue = ((BigInt(2) * srx - BigInt(n + 1) * tot) *
+      1000000 / (BigInt(n) * tot)).toLong
+    assert(math.abs(giniShifted - giniTrue) <= 2L,
+      s"shifted $giniShifted vs true $giniTrue")
+    // every product in the shifted form stays under 2^63
+    assert((BigInt(2) * (srx >> sc) * 1000000).bitLength < 63)
+    assert((BigInt(n + 1) * (tot >> sc) * 1000000).bitLength < 63)
   }
 
   test("q224 == q167: sketched stage cuts reproduce the ntile table") {
@@ -207,6 +278,30 @@ class SketchSwapSpec extends SparkSpec {
     }
   }
 
+  test("q234: stored-artifact roll-forward equals full rebuild; counts carry") {
+    val out = rows("q234_sketch_ledger_store").map(r =>
+      r(0).asInstanceOf[String] -> (r(1).asInstanceOf[Long],
+        r(2).asInstanceOf[Long], r(3).asInstanceOf[Long],
+        r(4).asInstanceOf[Long], r(5).asInstanceOf[Long],
+        r(6).asInstanceOf[Long], r(7).asInstanceOf[Long])).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (src, (n0, n1, nAll, nLed, sn, _, m)) =>
+      assert(m === 1L, s"$src stored roll-forward must equal full rebuild")
+      assert(n0 + n1 === nAll, s"$src day split partitions the corpus")
+      assert(nLed === nAll, s"$src ledger count carry")
+      assert(sn === math.min(nAll, 16L), s"$src sample size")
+      assert(nAll > 16L, s"$src truncates at k=16 (the law, not retention)")
+    }
+    // q232 (in-query law) and q234 (stored-artifact law) see the same
+    // corpus: the day splits and totals agree row for row
+    val inQuery = rows("q232_sketch_ledger_rollforward").map(r =>
+      r(0).asInstanceOf[String] -> (r(1).asInstanceOf[Long],
+        r(2).asInstanceOf[Long], r(3).asInstanceOf[Long])).toMap
+    out.foreach { case (src, (n0, n1, nAll, _, _, _, _)) =>
+      assert(inQuery(src) === ((n0, n1, nAll)), s"$src splits agree with q232")
+    }
+  }
+
   test("q233: budget rollup is consistent with q229; theory columns replay") {
     val acc = rows("q229_bottomk_accuracy_ladder").map(r =>
       (r(1).asInstanceOf[Long], r(7).asInstanceOf[Long]))
@@ -221,7 +316,13 @@ class SketchSwapSpec extends SparkSpec {
       val sq = math.sqrt(k.toDouble).toLong
       assert(sq * sq === k, "grid is perfect squares")
       assert(se === 1000000L / (2L * sq) && se3 === 3L * se)
-      assert(bS === 16L * k && bT === 32L * k)
+      // memory geometry priced off the agg's OWN exported constants
+      // (VERDICT r17 #6), and those constants must match the real
+      // serialized layout: two 8-byte longs per kept pair
+      val bpp = graft.plans.BottomKSketchAgg.BytesPerPair.toLong
+      val tf = graft.plans.BottomKSketchAgg.TransientPairsFactor.toLong
+      assert(bpp === 16L && tf === 2L, "exported geometry matches serializer")
+      assert(bS === bpp * k && bT === bpp * tf * k)
       // measured rollup: the worst q229 source at this k, exactly
       val expect = acc.filter(_._1 == k).map(_._2).max
       assert(maxM === expect, s"k=$k worst measured error")

@@ -68,17 +68,29 @@ class TransferSizingSpec extends SparkSpec {
   }
 
   test("q222: sizing laws hold row by row off the HLL estimate") {
-    // (sketch, dial) -> (n_est, n_exact, est_err_ppm, p1, p2, bytes)
-    val rows = run("q222_sketch_capacity_planner").map(r =>
+    // (sketch, dial) -> (n_est, n_exact, est_err_ppm, lc_used, p1, p2, bytes)
+    val raw = run("q222_sketch_capacity_planner").map(r =>
       (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
-    assert(rows.size === 7)
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8))).toMap
+    assert(raw.size === 7)
+    val rows = raw.map { case (k, (a, b, c, _, p1, p2, bytes)) =>
+      k -> (a, b, c, p1, p2, bytes)
+    }
     val (nEst, nExact, errPpm, _, _, _) = rows.values.head
     assert(rows.values.forall(v => v._1 == nEst && v._2 == nExact &&
       v._3 == errPpm), "one key universe")
     // the error column is the measured |est − exact| in ppm of exact
     assert(errPpm ===
       math.abs(nEst - nExact) * 1000000L / math.max(nExact, 1L))
+    // the m=256 + linear-counting estimator (VERDICT r17 #2): at this
+    // fixture (500 distinct keys, V ≈ 37 zero registers) the LC branch
+    // MUST fire and the corrected estimate lands within 5% of exact —
+    // the raw-only m=64 readout previously carried ~146k ppm here
+    val lcUsed = raw.values.head._4
+    assert(lcUsed === 1L, "sf0.001 sits in the linear-counting regime")
+    assert(errPpm < 50000L,
+      s"LC-corrected estimate within 5% of exact, got $errPpm ppm")
     // sizing rides the ESTIMATE (self-consistency), not the exact count
     // Bloom: m = n_est·b/ln2 (Q10 floor), k = b, bytes = ceil(m/8)
     Seq(10L, 16L, 20L).foreach { b =>

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Maintain bench_ref.json, the per-query clean-reference ledger the
+Bench drift re-probe keys on (VERDICT r17 #1).
+
+The ledger is a flat {"query_name": steady_seconds} map committed at
+the repo root. It is updated ONLY from runs whose own artifact
+counters certify them clean, and merged by per-query MIN — a stall in
+one otherwise-clean run can inflate individual queries, and the min
+across clean runs converges on the box's true steady floor.
+
+Usage:
+  python3 tools/bench_ref_update.py [target/bench_full.json ...]
+
+Each argument is a full-precision bench dump. A run is accepted when:
+  - no failed queries,
+  - no steady-over-cold inversions and no low-CPU passes,
+  - max_tstart_gap under 2 s (no between-query freezes),
+  - cold_total under 1.8x steady_total (a frozen cold tail marks the
+    whole run suspect even when steady passes look clean).
+Rejected runs are reported and skipped; the ledger is never degraded.
+"""
+import json
+import sys
+
+
+def load_ledger(path="bench_ref.json"):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def run_clean(d):
+    reasons = []
+    if d.get("failed"):
+        reasons.append(f"failed queries: {sorted(d['failed'])[:3]}")
+    if d.get("steady_over_cold"):
+        reasons.append(f"inversions: {d['steady_over_cold'][:3]}")
+    if d.get("low_cpu_passes"):
+        reasons.append(f"low-cpu passes: {d['low_cpu_passes'][:3]}")
+    if d.get("max_tstart_gap", 0) > 2.0:
+        reasons.append(f"max_tstart_gap {d['max_tstart_gap']:.2f}s")
+    steady = d.get("steady_total", 0)
+    cold = d.get("total", 0)
+    if steady > 0 and cold > 1.8 * steady:
+        reasons.append(f"cold_total {cold:.1f}s vs steady {steady:.1f}s")
+    return reasons
+
+
+def main():
+    paths = sys.argv[1:] or ["target/bench_full.json"]
+    ledger = load_ledger()
+    before = dict(ledger)
+    for p in paths:
+        with open(p) as f:
+            d = json.load(f)
+        reasons = run_clean(d)
+        if reasons:
+            print(f"REJECT {p}: " + "; ".join(reasons))
+            continue
+        merged = 0
+        for name, sec in d["steady"].items():
+            if name not in ledger or sec < ledger[name]:
+                ledger[name] = round(float(sec), 4)
+                merged += 1
+        print(f"accept {p}: steady_total={d['steady_total']:.2f}s, "
+              f"{merged} entries improved/added")
+    if ledger != before:
+        with open("bench_ref.json", "w") as f:
+            json.dump(dict(sorted(ledger.items())), f, indent=1)
+            f.write("\n")
+        print(f"bench_ref.json: {len(ledger)} queries, "
+              f"sum {sum(ledger.values()):.2f}s")
+    else:
+        print("ledger unchanged")
+
+
+if __name__ == "__main__":
+    main()
