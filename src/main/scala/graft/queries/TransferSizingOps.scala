@@ -43,6 +43,14 @@ object TransferSizingOps {
   private[queries] val EQ10 = 2783L
   private[queries] val CmsDepthFixed = 7L
 
+  /** L167 planted-cardinality dials: straddle both geometries' LC/raw
+    * boundaries (5m/2 = 160 at m = 64, 640 at m = 256) — min(dial,
+    * |corpus|) distinct values are planted per dial, so the small dials
+    * exercise deep-LC, 128/512 sit near each boundary, 2048 is raw at
+    * both m (corpus permitting).
+    */
+  private[queries] val LcDialNs = Seq(8L, 32L, 128L, 512L, 2048L)
+
   def all: Seq[GraftQuery] = {
 
     /* L153: threshold-transfer matrix — the conformal guarantee is
@@ -256,6 +264,116 @@ object TransferSizingOps {
           ORDER BY sketch, dial"""
       })
 
-    Seq(q221, q222)
+    /* L167: HLL two-regime calibration sweep — the L38 price-the-sketch
+     * stance aimed at the r18 linear-counting branch itself: the
+     * corrected estimator (q137/q222's arithmetic) swept across PLANTED
+     * cardinalities at both shipped geometries (m = 64 and the
+     * planner-grade m = 256). Dial n plants exactly min(n, |corpus|)
+     * distinct values via doc_id % n (ids are contiguous, so the
+     * planted cardinality is known in-query — n_exact stays the truth
+     * column); per (m, dial) the sweep reads zero registers, both
+     * regimes' estimates, which regime FIRED, and err_ppm of the branch
+     * that ran — one gated table showing where the LC/raw boundary sits
+     * for each geometry and what each regime costs there, so an
+     * operator choosing a precision dials it from measurement (the
+     * q229-for-bottom-k stance, aimed at graft_hll). Measured at the
+     * gated fixtures: LC beats raw at EVERY dial where it fires (at
+     * n = 8/m = 64: est 9 vs raw 48), and m = 256 keeps LC alive
+     * through n = 500 where m = 64 has none (58k vs 204k ppm) — but
+     * the integer ladder carries an m-scaled ABSOLUTE floor at tiny n
+     * (≤ 0.0861 bits of log2q10 mantissa error → ≤ ~0.06·m on the
+     * estimate: at m = 256, n = 8 the est reads 11), the price of
+     * engine-exact determinism over float ln; the sweep is where that
+     * price is measured rather than assumed. At 100 TB: one
+     * corpus scan exploded |dials|×, a ≤ m-row aggregate per (m, dial);
+     * the exact distinct is per-dial bounded by the dial itself. */
+    val q235 = GraftQuery(
+      "q235_hll_regime_calibration", "L167 L69 L154 L38",
+      (s, d) => {
+        import TextCorpusOps.{HllM, HllRemBits, Hll256M, Hll256RemBits,
+          HllRhoCap, HllNumerator, Hll256Numerator, hllRegP, hllRhoCP,
+          hllLcCol, hllLcUsed}
+        val base = Tables.documents(s, d).select(col("doc_id"))
+          .select(explode(array(LcDialNs.map(lit): _*)).as("dial"),
+            col("doc_id"))
+          .withColumn("v", col("doc_id") % col("dial"))
+          .withColumn("h",
+            Sketches.h64(concat(lit("lc:"), col("v").cast("string"))))
+        val exact = base.groupBy(col("dial"))
+          .agg(count_distinct(col("v")).as("n_exact"))
+        def sweep(m: Int, remBits: Int, numerator: Long) = {
+          val est = base
+            .groupBy(col("dial"), hllRegP(col("h"), remBits).as("reg"))
+            .agg(max(hllRhoCP(col("h"), remBits)).as("r"))
+            .groupBy(col("dial"))
+            .agg(count(lit(1)).as("n_hit"),
+              sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoCap - r)"))
+                .as("s_hit"))
+            .withColumn("est_raw", expr(s"$numerator div ((s_hit + " +
+              s"($m - n_hit) * ${1L << HllRhoCap}) * 1000)"))
+            .withColumn("n_zero_regs", lit(m.toLong) - col("n_hit"))
+            .withColumn("lc_used",
+              hllLcUsed(m, col("est_raw"), col("n_zero_regs")))
+            .withColumn("est", when(col("lc_used") === 1L,
+              hllLcCol(m, col("n_zero_regs"))).otherwise(col("est_raw")))
+          est.select(lit(m.toLong).as("m"), col("dial"),
+            col("n_zero_regs"), col("est_raw"), col("est"),
+            col("lc_used"))
+        }
+        sweep(HllM, HllRemBits, HllNumerator)
+          .unionByName(sweep(Hll256M, Hll256RemBits, Hll256Numerator))
+          .join(broadcast(exact), Seq("dial"))
+          .withColumn("err_ppm", expr(
+            "abs(est - n_exact) * 1000000 div greatest(n_exact, 1)"))
+          .select(col("m"), col("dial"), col("n_exact"),
+            col("n_zero_regs"), col("est_raw"), col("est"),
+            col("lc_used"), col("err_ppm"))
+          .orderBy(col("m"), col("dial"))
+      },
+      Some {
+        import TextCorpusOps.{HllM, HllRemBits, Hll256M, Hll256RemBits,
+          HllRhoCap, HllNumerator, Hll256Numerator, hllLcSql}
+        val dials = LcDialNs.mkString(", ")
+        val hv = Sketches.h64Sql("'lc:' || CAST(v AS VARCHAR)")
+        def sweep(m: Int, remBits: Int, numerator: Long): String = {
+          val mask = (1L << remBits) - 1
+          val raw = s"($numerator // ((s_hit + ($m - n_hit) " +
+            s"* ${1L << HllRhoCap}) * 1000))"
+          s"""SELECT CAST($m AS BIGINT) AS m, dial,
+              $m - n_hit AS n_zero_regs, $raw AS est_raw,
+              CASE WHEN ($m - n_hit) > 0 AND $raw * 2 <= ${5 * m}
+                THEN ${hllLcSql(m, s"($m - n_hit)")} ELSE $raw END AS est,
+              CAST(CASE WHEN ($m - n_hit) > 0 AND $raw * 2 <= ${5 * m}
+                THEN 1 ELSE 0 END AS BIGINT) AS lc_used
+            FROM (SELECT dial, CAST(COUNT(*) AS BIGINT) AS n_hit,
+                CAST(SUM(1::BIGINT << ($HllRhoCap - r)) AS BIGINT)
+                  AS s_hit
+              FROM (SELECT dial, h >> $remBits AS reg,
+                  MAX(LEAST(CASE WHEN (h & $mask) = 0
+                    THEN ${remBits + 1}
+                    ELSE ${remBits + 1}
+                      - length(format('{:b}', h & $mask)) END,
+                    $HllRhoCap)) AS r
+                FROM hh GROUP BY 1, 2)
+              GROUP BY 1)"""
+        }
+        s"""WITH dl AS (SELECT unnest([$dials]) AS dial),
+          vv AS (SELECT dl.dial, d.doc_id % dl.dial AS v
+            FROM documents d CROSS JOIN dl),
+          hh AS (SELECT dial, $hv AS h FROM vv),
+          ex AS (SELECT dial, CAST(COUNT(DISTINCT v) AS BIGINT)
+              AS n_exact FROM vv GROUP BY 1),
+          sw AS (${sweep(HllM, HllRemBits, HllNumerator)}
+            UNION ALL
+            ${sweep(Hll256M, Hll256RemBits, Hll256Numerator)})
+          SELECT sw.m, sw.dial, ex.n_exact, sw.n_zero_regs, sw.est_raw,
+            sw.est, sw.lc_used,
+            abs(sw.est - ex.n_exact) * 1000000
+              // GREATEST(ex.n_exact, 1) AS err_ppm
+          FROM sw JOIN ex ON ex.dial = sw.dial
+          ORDER BY sw.m, sw.dial"""
+      })
+
+    Seq(q221, q222, q235)
   }
 }

@@ -74,4 +74,67 @@ object StreamingQuantiles {
       (src, n, sn, at((sn + 3) / 4), at((sn + 1) / 2),
         at((3 * sn + 3) / 4))
     }
+
+  // ---- L156 live curriculum dial (VERDICT r17 #5) ----
+
+  /** q224's geometry, shared: one GLOBAL bottom-k over the combined
+    * (q_u, doc_id) key — salt "q224", k = the batch tier's SwapK — so
+    * the streaming state is the batch sketch, mergeable by
+    * construction.
+    */
+  val StageSalt = "q224"
+  val StageK: Int = graft.queries.SketchSwapOps.SwapK
+
+  case class StageArrival(doc_id: Long, q_u: Long)
+
+  /** Global stage state: (total rows seen, combined-key sample). */
+  type StageState = (Long, Vector[Long])
+  val emptyStage: StageState = (0L, Vector.empty)
+
+  /** Fold one micro-batch of (doc_id, q_u) arrivals into the global
+    * stage state. Each micro-batch runs the SAME guarded-key
+    * `graft_bottomk` aggregate q224 ships (the id-domain guard raises
+    * in-stream exactly as in batch); only (n, ≤k keys) cross to the
+    * driver, and the merge keeps the k smallest under the (hash, key)
+    * order — so the accumulated state equals a one-shot build under
+    * any chunking or arrival order, which is what makes [[stageCuts]]
+    * equal the batch q224 cuts after every micro-batch.
+    */
+  def observeStageBatch(mb: Dataset[StageArrival],
+      st: StageState): StageState = {
+    val sp = mb.sparkSession
+    import sp.implicits._
+    val (n, sample) = mb.toDF()
+      .select(graft.queries.SketchSwapOps
+        .combinedKey(col("q_u"), col("doc_id")).as("key"))
+      .agg(count(lit(1)).as("n"),
+        call_function("graft_bottomk", col("key"), lit(StageK),
+          lit(StageSalt)).as("sample"))
+      .as[(Long, Seq[Long])].collect().head
+    val merged = (st._2 ++ sample)
+      .sortBy(v => (BottomKSketchAgg.hash(StageSalt, v), v))
+      .take(StageK).sorted.toVector
+    (st._1 + n, merged)
+  }
+
+  /** Stage-cut readout — q224's cut arithmetic over the held state:
+    * cut_t = sample[greatest(1, (cum_t·sample_n) div n)] at the exact
+    * ntile tile boundaries cum_t = t·(n div S) + min(t, n mod S).
+    * Returns the S−1 boundary KEYS (a doc is in stage 1 + #{t : key >
+    * cut_t}, q224's map-side assignment) — the live curriculum dial:
+    * after every micro-batch these are the batch q224 cuts for the
+    * rows seen so far (StreamingQuantilesSpec pins the equality under
+    * chunking).
+    */
+  def stageCuts(st: StageState,
+      stages: Int = graft.queries.CurriculumOps.CurriculumStages)
+      : Seq[Long] = {
+    val (n, sample) = st
+    require(n > 0L && sample.nonEmpty, "stageCuts needs observed rows")
+    val sn = sample.length.toLong
+    (1L until stages.toLong).map { t =>
+      val cum = t * (n / stages) + math.min(t, n % stages)
+      sample(math.max(1L, cum * sn / n).toInt - 1)
+    }
+  }
 }

@@ -411,7 +411,9 @@ object ScaleRehearsal {
       "q233_sketch_error_budget",
       // persisted ledger: q232's aggregates + a kilobyte artifact
       // write/read - the actual nightly path
-      "q234_sketch_ledger_store")
+      "q234_sketch_ledger_store",
+      // HLL regime sweep: one scan exploded 5x, <= m-row aggregates
+      "q235_hll_regime_calibration")
     println(f"${"query"}%-28s ${"1x_sec"}%8s ${"10x_sec"}%8s ${"ratio"}%6s")
     val rows = queries.map { q =>
       val w1 = timeQuery(spark, q, Base)
@@ -726,6 +728,27 @@ object ScaleRehearsal {
       },
       measured(s"q103 @${factor}x") {
         graft.SparkEntry.queries("q103_minhash_calibration")(
+          spark, out).count()
+      },
+      // round-18 additions (VERDICT r17 #3): the sketch-swap crossover
+      // measured where the tier's thesis lives — the exact forms
+      // against their registered sketch twins at 100× (the combined-key
+      // id domain widened to 2^27 this round, so the sketched forms run
+      // VERBATIM on the replica corpus instead of raising the guard).
+      // q167-vs-q224: the corpus-wide single-partition ntile sort vs
+      // one mergeable hash aggregate + broadcast cuts. q171-vs-q225:
+      // two per-source rank windows vs two bottom-k aggregates (q171
+      // itself is measured above).
+      measured(s"q167 @${factor}x") {
+        graft.SparkEntry.queries("q167_curriculum_stages")(
+          spark, out).count()
+      },
+      measured(s"q224 @${factor}x") {
+        graft.SparkEntry.queries("q224_curriculum_stages_sketched")(
+          spark, out).count()
+      },
+      measured(s"q225 @${factor}x") {
+        graft.SparkEntry.queries("q225_mad_outliers_sketched")(
           spark, out).count()
       })
     spark.sparkContext.removeSparkListener(listener)

@@ -16,23 +16,23 @@ class SketchSwapSpec extends SparkSpec {
       graft.SparkEntry.queries(q)(spark, dir).collect().toSeq.map(_.toSeq)
     }
 
-  test("exactness preconditions: group sizes under k, ids under 2^20") {
+  test("exactness preconditions: group sizes under k, ids inside the guard domain") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.documents(spark, dir)
     val (nDocs, maxDoc) = docs
       .agg(count(lit(1)), max(col("doc_id")))
       .collect().map(r => (r.getLong(0), r.getLong(1))).head
     assert(nDocs <= 8192L, "global sketch (q224) must hold the corpus")
-    assert(maxDoc < (1L << 20), "combined-key id domain")
+    assert(maxDoc < SketchSwapOps.IdDomain, "combined-key id domain")
     val emb = graft.core.Tables.embeddings(spark, dir)
     val (maxLabelN, maxVec) = emb.groupBy(col("label"))
       .agg(count(lit(1)).as("n"), max(col("vec_id")).as("mv"))
       .agg(max(col("n")), max(col("mv")))
       .collect().map(r => (r.getLong(0), r.getLong(1))).head
-    assert(maxLabelN <= 8192L && maxVec < (1L << 20))
+    assert(maxLabelN <= 8192L && maxVec < SketchSwapOps.IdDomain)
     // q226's signed-score precondition (ADVICE r17): the +2^30 bias
     // keeps every combined key non-negative ONLY while NB scores stay
-    // above -2^30 — and the 2^52 product claim needs the biased value
+    // above -2^30 — and the 2^59 key bound needs the biased value
     // under 2^32. Assert both on the engine's own score frame, so a
     // future scoring change that breaks either bound fails HERE, not
     // silently outside the gated fixture.
@@ -43,7 +43,7 @@ class SketchSwapSpec extends SparkSpec {
     }
     assert(minScore > -(1L << 30), s"min NB score $minScore must exceed -ScoreBias")
     assert(maxScore + (1L << 30) < (1L << 32),
-      s"max biased score must stay under 2^32 for the 2^52 key-product bound")
+      s"max biased score must stay under 2^32 for the 2^59 key bound")
   }
 
   test("combined-key guard raises loudly outside the id domain") {
@@ -52,10 +52,11 @@ class SketchSwapSpec extends SparkSpec {
     // key constructor, so one raise here covers every q224–q233 site.
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val ok = Seq((5L, 3L), (0L, (1L << 20) - 1L)).toDF("v", "id")
+    val ok = Seq((5L, 3L), (0L, SketchSwapOps.IdDomain - 1L)).toDF("v", "id")
       .select(SketchSwapOps.combinedKey(col("v"), col("id")).as("key"))
       .collect().map(_.getLong(0)).toSeq
-    assert(ok === Seq(5L * (1L << 20) + 3L, (1L << 20) - 1L))
+    assert(ok === Seq(5L * SketchSwapOps.IdDomain + 3L,
+      SketchSwapOps.IdDomain - 1L))
     def raises(v: Long, id: Long): Unit = {
       val e = intercept[Exception] {
         Seq((v, id)).toDF("v", "id")
@@ -68,9 +69,10 @@ class SketchSwapSpec extends SparkSpec {
       assert(msgs(e).exists(_.contains("combined-key domain violation")),
         s"($v, $id) must raise the guard, got: ${e.getMessage}")
     }
-    raises(5L, 1L << 20) // id at the domain edge
+    raises(5L, SketchSwapOps.IdDomain) // id at the domain edge
     raises(5L, -1L)      // negative id
     raises(-1L, 3L)      // negative (post-bias) value
+    raises(SketchSwapOps.ValueBound, 3L) // value past the int64-safe bound
   }
 
   test("q228 overflow ladder: shifted Lorenz sums track BigInt truth where longs wrap") {
@@ -159,13 +161,14 @@ class SketchSwapSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     }
     base.groupBy(_._1).foreach { case (src, docs) =>
-      val keys = docs.map { case (_, id, tok) => tok * 1048576L + id }
+      val keys = docs.map { case (_, id, tok) =>
+        tok * SketchSwapOps.IdDomain + id }
       val n = keys.length.toLong
       val sample = keys
         .sortBy(v => (graft.plans.BottomKSketchAgg.hash("q229:16", v), v))
         .take(16).sorted
       val idx = math.max(1L, ((n + 1) / 2) * sample.length / n)
-      val expectP50 = sample(idx.toInt - 1) / 1048576L
+      val expectP50 = sample(idx.toInt - 1) / SketchSwapOps.IdDomain
       val expectRank = keys.count(_ <= sample(idx.toInt - 1)).toLong
       val (nn, _, skP50, _, rank, rErr) = out((src, 16L))
       assert(nn === n)
@@ -268,12 +271,14 @@ class SketchSwapSpec extends SparkSpec {
       .sortBy(v => (graft.plans.BottomKSketchAgg.hash("q232", v), v))
       .take(16).sorted
     base.groupBy(_._1).foreach { case (src, docs) =>
-      val keys = docs.map { case (_, id, c) => (id, c * 1048576L + id) }
+      val keys = docs.map { case (_, id, c) =>
+        (id, c * SketchSwapOps.IdDomain + id) }
       val led = bk(keys.filter(_._1 % 2 == 0).map(_._2))
       val rolled = bk(led ++ keys.filter(_._1 % 2 == 1).map(_._2))
       val full = bk(keys.map(_._2))
       assert(rolled === full, s"$src merge law replay")
-      val expectP50 = rolled((rolled.length + 1) / 2 - 1) / 1048576L
+      val expectP50 = rolled((rolled.length + 1) / 2 - 1) /
+        SketchSwapOps.IdDomain
       assert(out(src)._5 === expectP50, s"$src p50 replay")
     }
   }
@@ -341,7 +346,7 @@ class SketchSwapSpec extends SparkSpec {
     // order, and the downscaled rank index lands inside the sample for
     // every rank — the production (k < n) regime's two load-bearing
     // properties, testable without an engine
-    val keys = (0L until 100L).map(v => v * 1048576L + v)
+    val keys = (0L until 100L).map(v => v * SketchSwapOps.IdDomain + v)
     def sample(k: Int): Seq[Long] = keys
       .sortBy(v => (graft.plans.BottomKSketchAgg.hash("spec", v), v))
       .take(k).sorted

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.SparkSpec
+import graft.functions.Sketches
 
 /** L153–L154 semantics beyond the oracles: the transfer matrix's
   * diagonal must reproduce the registered conformal coverage
@@ -116,6 +117,50 @@ class TransferSizingSpec extends SparkSpec {
       assert(m === bytes && (m & (m - 1)) === 0L, s"hll pow2 at $pm")
       assert(m >= req && m < req * 2L, s"hll tight pow2 at $pm")
       assert(lg === java.lang.Long.numberOfTrailingZeros(m).toLong)
+    }
+  }
+
+  test("q235: the LC/raw boundary sits where the predicate puts it; LC beats raw wherever it fires") {
+    // (m, dial) -> (n_exact, n_zero_regs, est_raw, est, lc_used, err_ppm)
+    val rows = run("q235_hll_regime_calibration").map(r =>
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(rows.size === 10)
+    val corpusN = 500L // sf0.001 documents
+    rows.foreach { case ((m, dial), (nExact, v, raw, est, lc, err)) =>
+      // the planted cardinality is exact: min(dial, |corpus|)
+      assert(nExact === math.min(dial, corpusN), s"m=$m dial=$dial")
+      // the switch IS the documented predicate, and est IS the branch
+      assert(lc === (if (v > 0 && raw * 2 <= 5 * m) 1L else 0L))
+      if (lc == 1L)
+        assert(est === TextCorpusOps.hllLcScala(m.toInt, v),
+          s"m=$m dial=$dial ladder identity")
+      else assert(est === raw)
+      // wherever LC fires it beats (or ties) the raw estimate — the
+      // branch never makes things worse
+      if (lc == 1L)
+        assert(math.abs(est - nExact) <= math.abs(raw - nExact),
+          s"m=$m dial=$dial LC ($est) vs raw ($raw) vs truth $nExact")
+      assert(err === math.abs(est - nExact) * 1000000L /
+        math.max(nExact, 1L))
+    }
+    // the m-dial story: 256 registers keep LC alive at every dial where
+    // 64 have it, and specifically through n = 500 where m = 64 is
+    // already raw-and-biased — the planner upgrade q222 rode this round
+    TransferSizingOps.LcDialNs.foreach { dial =>
+      assert(rows((256L, dial))._5 >= rows((64L, dial))._5,
+        s"dial=$dial LC coverage grows with m")
+    }
+    assert(rows((64L, 512L))._5 === 0L && rows((256L, 512L))._5 === 1L)
+    assert(rows((256L, 512L))._6 < rows((64L, 512L))._6,
+      "at n=500 the m=256 LC estimate beats the m=64 raw one")
+    // the ladder's m-scaled absolute floor at tiny n is MEASURED, not
+    // hidden: deep-LC rows stay within 0.06·m + 1σ sampling slack
+    rows.foreach { case ((m, _), (nExact, _, _, est, lc, _)) =>
+      if (lc == 1L)
+        assert(math.abs(est - nExact) <=
+          (6L * m) / 100L + 2L * Sketches.isqrtScala(nExact) + 2L,
+          s"m=$m n=$nExact est=$est ladder floor")
     }
   }
 }

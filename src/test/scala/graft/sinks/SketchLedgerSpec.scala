@@ -22,7 +22,8 @@ class SketchLedgerSpec extends SparkSpec {
     val base = graft.core.Tables.documents(spark, dir)
       .select(col("source"),
         (col("doc_id") % 2).as("day"),
-        (col("n_chars") * lit(1048576L) + col("doc_id")).as("key"))
+        (col("n_chars") * lit(graft.queries.SketchSwapOps.IdDomain) +
+          col("doc_id")).as("key"))
     day.fold(base)(d => base.filter(col("day") === d))
       .select(col("source"), col("key"))
   }

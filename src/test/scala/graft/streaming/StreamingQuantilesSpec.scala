@@ -76,4 +76,61 @@ class StreamingQuantilesSpec extends SparkSpec {
     }
     assert(StreamingQuantiles.report(st) === batchRows)
   }
+
+  test("streaming stage cuts equal the batch q224 cuts under any chunking") {
+    implicit val sqlCtx = spark.sqlContext
+    // the REGISTERED staging frame (quality + token ladders), collected
+    // once for both the stream and the plain-Scala batch replay
+    val base = graft.core.CacheScope.scoped {
+      graft.queries.CurriculumOps.stageBase(spark, sf)
+        .select(col("doc_id"), col("q_u"))
+        .as[StreamingQuantiles.StageArrival].collect()
+    }
+    assert(base.length === 500)
+
+    val chunks = {
+      val (a, rest) = base.reverse.splitAt(base.length / 4)
+      val (b, c) = rest.splitAt(rest.length / 3)
+      Seq(a.toSeq, b.toSeq, c.toSeq)
+    }
+    var st = StreamingQuantiles.emptyStage
+    val stream = MemoryStream[StreamingQuantiles.StageArrival]
+    val q = stream.toDS().writeStream
+      .foreachBatch {
+        (mb: org.apache.spark.sql.Dataset[StreamingQuantiles.StageArrival],
+            _: Long) =>
+          st = StreamingQuantiles.observeStageBatch(mb, st)
+          ()
+      }
+      .start()
+    chunks.foreach { ch => stream.addData(ch); q.processAllAvailable() }
+    q.stop()
+
+    // plain-Scala replay of the batch q224 cut arithmetic
+    val keys = base.map(a =>
+      a.q_u * graft.queries.SketchSwapOps.IdDomain + a.doc_id)
+    val n = keys.length.toLong
+    val sample = keys
+      .sortBy(v => (graft.plans.BottomKSketchAgg.hash("q224", v), v))
+      .take(StreamingQuantiles.StageK).sorted
+    val sn = sample.length.toLong
+    val expectCuts = (1L until 4L).map { t =>
+      val cum = t * (n / 4) + math.min(t, n % 4)
+      sample(math.max(1L, cum * sn / n).toInt - 1)
+    }
+    assert(st._1 === n, "all rows observed")
+    val cuts = StreamingQuantiles.stageCuts(st)
+    assert(cuts === expectCuts, "accumulated cuts == batch q224 cuts")
+
+    // the live dial assigns the SAME stage populations the registered
+    // q224 table gates: stage = 1 + #{t : key > cut_t}
+    val liveStages = keys.groupBy(k => 1L + cuts.count(k > _))
+      .view.mapValues(_.length.toLong).toMap
+    val gated = graft.core.CacheScope.scoped {
+      graft.SparkEntry.queries("q224_curriculum_stages_sketched")(spark, sf)
+        .select(col("stage"), col("n_docs"))
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(liveStages === gated, "live dial reproduces the gated stage table")
+  }
 }
