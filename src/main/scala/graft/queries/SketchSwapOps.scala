@@ -266,10 +266,16 @@ object SketchSwapOps {
      * the exact sort has NOT hit its wall yet at 50 MB of keys; the
      * sketch pays a bounded ~1.6× constant (two corpus scans of the
      * quality/token ladders vs one scan + sort) to REMOVE the
-     * single-partition ceiling entirely, which is the trade that
-     * matters when the key column no longer fits one task (compare
-     * q225 vs q171 at the same scale, where the per-source windows
-     * already lose 2.5× to the sketch). */
+     * single-partition ceiling entirely. The ISOLATED sort-vs-sketch
+     * term (ScaleRehearsal probeswap, r18 — synthetic keys through
+     * this very key constructor, no text scan) shows the crossover
+     * already crossed and widening: sketch/exact walls 5.2/7.7 s at
+     * N = 5M keys, 15.6/23.8 s at 30M, 47.5/95.4 s at 100M (2.0×),
+     * with the sketch side's shuffle CONSTANT at 4 MB against the
+     * sort's linearly growing 39 → 790 MB — and stage populations
+     * inside the q233 3σ budget at every N (worst 1.5% at k = 8192).
+     * (Compare q225 vs q171 at 100×, where the per-source windows
+     * already lose 2.5× to the sketch end-to-end.) */
     val q224 = GraftQuery(
       "q224_curriculum_stages_sketched", "L156 L99 L59 L9",
       (s, d) => {

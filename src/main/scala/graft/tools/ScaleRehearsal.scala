@@ -757,6 +757,109 @@ object ScaleRehearsal {
     }.mkString(s"""[{"factor":$factor,"docs":$n},""", ",", "]"))
   }
 
+  /** Isolated sketch-swap crossover curve (the term the L156 swap
+    * replaces, measured ALONE). The registered-query probe100 pair
+    * (q167 vs q224) is scan-dominated at 500k docs: both forms pay the
+    * quality/token text ladders, so the sort-vs-aggregate difference
+    * hides inside a ~1.6× constant. This probe strips the scan away —
+    * synthetic (q_u, id) keys from `spark.range` through the REAL
+    * guarded key constructor (`SketchSwapOps.combinedKey`, so the ids
+    * stay inside the 2^27 domain by construction) — and times, at each
+    * N, exactly the two plans the swap trades:
+    *
+    *  - EXACT: ntile(4) OVER (ORDER BY key) — the corpus-wide
+    *    single-partition sort — folded to the 4-row stage table;
+    *  - SKETCH: q224's shape — one graft_bottomk hash aggregate,
+    *    3 broadcast cut keys, map-side stage assignment, same fold.
+    *
+    * Both sides' stage populations are asserted EQUAL in-probe (ntile
+    * tile sizes, the q224 exactness law — a wrong answer would make
+    * the timing meaningless). Walls + shuffle bytes per side per N
+    * land in target/scale_rehearsal_probeswap.json.
+    */
+  def probeSwap(spark: SparkSession,
+      ns: Seq[Long] = Seq(5000000L, 30000000L, 100000000L)): Unit = {
+    import graft.queries.SketchSwapOps
+    // synthetic keys never touch Tables, whose loader normally wires
+    // the engine functions into ad-hoc sessions — wire them here
+    graft.plans.GraftExtensions.register(spark)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(
+          sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def keys(n: Long) = spark.range(n).select(
+      col("id").as("doc_id"),
+      // deterministic pseudo-quality in [0, 10^6): a Knuth multiplicative
+      // mix of the id — cheap, uniform, and id-decorrelated so the sort
+      // actually has to work
+      ((col("id") * 2654435761L) % 1000003L).as("q_u"))
+      .withColumn("key",
+        SketchSwapOps.combinedKey(col("q_u"), col("doc_id")))
+    def measured(label: String)(body: => Seq[(Long, Long)])
+        : (String, Double, Long, Seq[(Long, Long)]) = {
+      spark.sharedState.cacheManager.clearCache()
+      Thread.sleep(300); shuffleBytes.set(0L)
+      val t0 = System.nanoTime()
+      val stages = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      val sb = shuffleBytes.get()
+      println(f"$label%-26s $wall%8.2fs shuffle=${sb >> 20}%6d MB stages=${stages.map(_._2).mkString(",")}")
+      (label, wall, sb, stages)
+    }
+    val rows = ns.flatMap { n =>
+      val exact = measured(s"exact ntile  N=$n") {
+        keys(n).withColumn("stage", ntile(4).over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("key"))).cast("long"))
+          .groupBy(col("stage")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("stage"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      }
+      val sketch = measured(s"sketch cuts  N=$n") {
+        val base = keys(n)
+        val cuts = base.agg(count(lit(1)).as("n"),
+            call_function("graft_bottomk", col("key"),
+              lit(8192), lit("probeswap")).as("sample"))
+          .withColumn("sample_n", size(col("sample")).cast("long"))
+        val cutCols = (1L until 4L).map { t =>
+          expr(s"element_at(sample, cast(greatest(1, ((($t * (n div 4) " +
+            s"+ least($t, n % 4))) * sample_n) div n) as int))").as(s"c$t")
+        }
+        base.crossJoin(broadcast(cuts.select(cutCols: _*)))
+          .withColumn("stage", (1L until 4L)
+            .map(t => when(col("key") > col(s"c$t"), 1L).otherwise(0L))
+            .foldLeft(lit(1L))(_ + _))
+          .groupBy(col("stage")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("stage"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      }
+      // the sketch is only a fair timing if it is also RIGHT: at
+      // k=8192 < N the cuts are estimates with rank-space standard
+      // error 1/(2√k) ≈ 0.55% each (q229/q233's budget); a stage
+      // population is the difference of two cut ranks (σ ≈ 0.78%), so
+      // assert within 3σ ≈ 2.4% — measured at N=30M: worst 1.07%
+      val exactPop = exact._4.map(_._2)
+      val sketchPop = sketch._4.map(_._2)
+      require(exactPop.map(_.toDouble).sum == n.toDouble)
+      require(sketchPop.sum == n, "sketch partitions the corpus")
+      exactPop.zip(sketchPop).foreach { case (e, s) =>
+        require(math.abs(e - s) <= n * 24 / 1000,
+          s"stage populations within the 3-sigma sketch budget at N=$n: $e vs $s")
+      }
+      Seq(exact, sketch).map { case (l, w, sb, st) =>
+        s"""{"label":"$l","n":$n,"wall":${num(w)},"shuffle_bytes":$sb,""" +
+          s""""stages":[${st.map(_._2).mkString(",")}]}"""
+      }
+    }
+    spark.sparkContext.removeSparkListener(listener)
+    emit("probeswap", rows.mkString("[", ",", "]"))
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = if (args.nonEmpty) args(0) else "all"
     val factor = if (args.length > 1) args(1).toInt else 10
@@ -769,6 +872,7 @@ object ScaleRehearsal {
       case "minhashdial" => minhashDial(spark)
       case "probe100" =>
         probe100(spark, if (args.length > 1) args(1).toInt else 100)
+      case "probeswap" => probeSwap(spark)
       case _ =>
         gen(spark, factor); run(spark); dial(spark); bloomDial(spark)
         minhashDial(spark)
@@ -777,7 +881,8 @@ object ScaleRehearsal {
     // the modes this invocation ran), so a single-mode re-run refreshes
     // its section without clobbering the rest of the committed evidence
     if (sections.nonEmpty) {
-      val all = Seq("run", "dial", "bloomdial", "minhashdial", "probe100")
+      val all = Seq("run", "dial", "bloomdial", "minhashdial", "probe100",
+        "probeswap")
         .flatMap { name =>
           val p = Paths.get("target", s"scale_rehearsal_$name.json")
           if (Files.exists(p))

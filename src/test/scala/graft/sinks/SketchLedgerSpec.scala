@@ -57,6 +57,37 @@ class SketchLedgerSpec extends SparkSpec {
     }
   }
 
+  test("a multi-night chain of stored rolls equals the one-shot full build") {
+    // the production shape is not one roll but a CHAIN: every night
+    // reads yesterday's artifact, rolls the day in, and WRITES a new
+    // artifact the next night reads. Associativity of the bottom-k
+    // merge makes the chain equal the one-shot build — prove it over
+    // three real store/read cycles, not in-memory unions.
+    graft.core.CacheScope.scoped {
+      import org.apache.spark.sql.functions._
+      val base = graft.core.Tables.documents(spark, dir)
+        .select(col("source"),
+          (col("doc_id") % 3).as("day"),
+          (col("n_chars") * lit(graft.queries.SketchSwapOps.IdDomain) +
+            col("doc_id")).as("key"))
+      def day(i: Int) = base.filter(col("day") === i)
+        .select(col("source"), col("key"))
+      val dirs = (0 to 2).map(i => java.nio.file.Files
+        .createTempDirectory(s"ledger_night$i").toString)
+      SketchLedger.write(
+        SketchLedger.build(day(0), "source", "key", K, Salt), dirs(0))
+      SketchLedger.write(SketchLedger.rollForward(
+        spark, dirs(0), day(1), "source", "key", K, Salt), dirs(1))
+      SketchLedger.write(SketchLedger.rollForward(
+        spark, dirs(1), day(2), "source", "key", K, Salt), dirs(2))
+      val chained = collectLedger(SketchLedger.read(spark, dirs(2)))
+      val full = collectLedger(SketchLedger.build(
+        base.select(col("source"), col("key")), "source", "key", K, Salt))
+      assert(chained === full,
+        "three stored nights == one-shot full build, byte for byte")
+    }
+  }
+
   test("groups new in the batch and groups silent today both survive the roll") {
     graft.core.CacheScope.scoped {
       import spark.implicits._
