@@ -75,6 +75,34 @@ object StreamingQuantiles {
         at((3 * sn + 3) / 4))
     }
 
+  // ---- stream/batch state interop over the persisted ledger ----
+
+  /** The held per-source state AS ledger rows — the exact (grp,
+    * n_rows, sample) schema [[graft.sinks.SketchLedger]] stores. A
+    * streaming job's saved state IS the nightly artifact: write it
+    * with `SketchLedger.write`, and a BATCH `rollForward` against the
+    * stored file continues exactly where the stream stopped (and vice
+    * versa via [[fromLedger]]) — one persisted format, two execution
+    * modes, the same merge law (StreamingQuantilesSpec proves the
+    * round-trip and the cross-mode continuation both equal one-shot
+    * builds).
+    */
+  def toLedger(spark: org.apache.spark.sql.SparkSession,
+      st: State): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    st.toSeq.sortBy(_._1)
+      .map { case (g, (n, s)) => (g, n, s) }
+      .toDF("grp", "n_rows", "sample")
+  }
+
+  /** Rebuild streaming state from a ledger frame (read back from the
+    * stored artifact, or produced by a batch `SketchLedger` build).
+    */
+  def fromLedger(df: org.apache.spark.sql.DataFrame): State =
+    df.collect().map { r =>
+      r.getString(0) -> (r.getLong(1), r.getSeq[Long](2).toVector)
+    }.toMap
+
   // ---- L156 live curriculum dial (VERDICT r17 #5) ----
 
   /** q224's geometry, shared: one GLOBAL bottom-k over the combined

@@ -77,6 +77,42 @@ class StreamingQuantilesSpec extends SparkSpec {
     assert(StreamingQuantiles.report(st) === batchRows)
   }
 
+  test("stream and batch share one persisted state format (ledger interop)") {
+    val rows = arrivals()
+    val (head, tail) = rows.splitAt(rows.length / 2)
+
+    // stream the first half, persist the state as the LEDGER artifact
+    val st1 = StreamingQuantiles.observeBatch(
+      spark.createDataset(head.toSeq), StreamingQuantiles.empty)
+    val out = java.nio.file.Files
+      .createTempDirectory("sq_ledger").toString
+    graft.sinks.SketchLedger.write(
+      StreamingQuantiles.toLedger(spark, st1), out)
+
+    // continuation A: RESTART THE STREAM from the stored artifact
+    val restored = StreamingQuantiles.fromLedger(
+      graft.sinks.SketchLedger.read(spark, out))
+    assert(restored === st1, "state round-trips through the artifact")
+    val streamed = StreamingQuantiles.observeBatch(
+      spark.createDataset(tail.toSeq), restored)
+
+    // continuation B: a BATCH roll-forward against the same stored file
+    val batchRolled = StreamingQuantiles.fromLedger(
+      graft.sinks.SketchLedger.rollForward(spark, out,
+        spark.createDataset(tail.toSeq).toDF()
+          .select(col("source"), col("tok").as("key")),
+        "source", "key", StreamingQuantiles.K, StreamingQuantiles.Salt))
+
+    // both continuations equal the one-shot build over everything —
+    // one persisted format, two execution modes, one merge law
+    val oneShot = StreamingQuantiles.observeBatch(
+      spark.createDataset(rows.toSeq), StreamingQuantiles.empty)
+    assert(streamed === oneShot, "stream continuation == one-shot")
+    assert(batchRolled === oneShot, "batch continuation == one-shot")
+    assert(StreamingQuantiles.report(batchRolled) ===
+      StreamingQuantiles.report(oneShot))
+  }
+
   test("streaming stage cuts equal the batch q224 cuts under any chunking") {
     implicit val sqlCtx = spark.sqlContext
     // the REGISTERED staging frame (quality + token ladders), collected
