@@ -264,7 +264,20 @@ object Bench {
     // inversion repairs, so only freezes that escaped every other
     // counter reach here. The probe feeds steady_total_adjusted ONLY —
     // the raw protocol headline is untouched.
-    val refLedger = loadRef()
+    // the ledger is SF-scoped (its "_sf" marker, written by the updater):
+    // references are only comparable within one scale factor, so a run
+    // at any other SF disables the re-probe instead of flagging the
+    // whole registry (or trusting floors from the wrong data size)
+    val refLedger0 = loadRef()
+    val runSf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).toDouble)
+    val refLedger = (refLedger0.get("_sf"), runSf) match {
+      case (Some(rs), Some(s)) if rs != s =>
+        System.err.println(s"[bench] bench_ref.json is for sf=$rs, " +
+          s"run is sf=$s - drift re-probe disabled")
+        Map.empty[String, Double]
+      case _ => refLedger0 - "_sf"
+    }
     if (refLedger.isEmpty)
       System.err.println(
         "[bench] no bench_ref.json ledger - drift re-probe disabled")

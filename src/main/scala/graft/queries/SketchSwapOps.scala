@@ -101,8 +101,12 @@ object SketchSwapOps {
     */
   private[graft] def combinedKey(value: org.apache.spark.sql.Column,
       id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(id >= 0L && id < IdDomain && value >= 0L && value < ValueBound,
-      value * lit(IdDomain) + id)
+    // nulls pass THROUGH as null keys (the aggregate skips them — the
+    // pre-guard semantics: one bad row costs one sample draw, not the
+    // whole nightly job); only PRESENT out-of-domain values raise
+    when(value.isNull || id.isNull, lit(null).cast("long"))
+      .when(id >= 0L && id < IdDomain && value >= 0L && value < ValueBound,
+        value * lit(IdDomain) + id)
       .otherwise(raise_error(concat(
         lit(s"graft combined-key domain violation (IdBits=$IdBits): value="),
         value.cast("string"), lit(" id="), id.cast("string"))))
@@ -127,10 +131,24 @@ object SketchSwapOps {
     * Columns `sample`, `sample_n`, and the named rank/size must be in
     * scope; emitted as SQL text so both engines share one rendering.
     */
-  private def idxExpr(r: String, n: String): String =
+  private[graft] def idxExpr(r: String, n: String): String =
     s"element_at(sample, cast(greatest(1, (($r) * sample_n) div ($n)) as int))"
   private def idxSql(r: String, n: String): String =
     s"sample[GREATEST(1, ((($r) * len(sample)) // ($n)))]"
+
+  /** Exact ntile tile boundary — the cumulative count through tile t of
+    * S — as Spark-expr text (`n` must be in scope) plus the JVM twins
+    * of it and [[idxExpr]], shared by q224/q230, the streaming stage
+    * cuts and the probeswap rehearsal so the cut arithmetic has ONE
+    * source of truth (the ilog2Scala stance applied to this tier's own
+    * formula).
+    */
+  private[graft] def tileCumExpr(t: Long, stages: Long): String =
+    s"($t * (n div $stages) + least($t, n % $stages))"
+  private[graft] def tileCumScala(t: Long, n: Long, stages: Long): Long =
+    t * (n / stages) + math.min(t, n % stages)
+  private[graft] def cutIndexScala(r: Long, n: Long, sampleN: Long): Long =
+    math.max(1L, r * sampleN / n)
 
   /** DuckDB bottom-k sample CTE chain over `src(grp, key)` (grp may be
     * a constant for global sketches): ends in `sm<sfx>(grp, sample)`
@@ -287,8 +305,7 @@ object SketchSwapOps {
               lit("q224")).as("sample"))
           .withColumn("sample_n", size(col("sample")).cast("long"))
         val cutCols = (1L until nStages).map { t =>
-          val cum = s"($t * (n div $nStages) + least($t, n % $nStages))"
-          expr(idxExpr(cum, "n")).as(s"c$t")
+          expr(idxExpr(tileCumExpr(t, nStages), "n")).as(s"c$t")
         }
         val cutRow = cuts.select(cutCols: _*)
         val assigned = base.crossJoin(broadcast(cutRow))
@@ -630,8 +647,13 @@ object SketchSwapOps {
           .withColumn("sc", greatest(
             Sketches.ilog2(col("total_chars")) - 27L, lit(0L)).cast("int"))
           .withColumn("gini_ppm", expr(
-            "((2 * shiftright(srx, sc) - (n_docs + 1) * " +
-              "shiftright(total_chars, sc)) * 1000000) div " +
+            // clamped at 0: the UNSHIFTED numerator is >= 0 (Chebyshev:
+            // x is rank-sorted ascending), but the two independent
+            // floor-shifts can push the shifted form to -1, where Spark
+            // div (truncate) and DuckDB // (floor) diverge — the clamp
+            // is both the engine-parity fix and mathematically correct
+            "(greatest(2 * shiftright(srx, sc) - (n_docs + 1) * " +
+              "shiftright(total_chars, sc), 0) * 1000000) div " +
               "greatest(n_docs * shiftright(total_chars, sc), 1)"))
           .withColumn("bottom_half_ppm", expr(
             "(shiftright(bh, sc) * 1000000) div " +
@@ -671,8 +693,8 @@ object SketchSwapOps {
                 AS sc, srx, bh, td
             FROM ag)
           SELECT source, n_docs, total_chars,
-            ((2 * (srx >> sc) - (n_docs + 1) * (total_chars >> sc))
-              * 1000000)
+            (GREATEST(2 * (srx >> sc) - (n_docs + 1)
+              * (total_chars >> sc), 0) * 1000000)
               // GREATEST(n_docs * (total_chars >> sc), 1) AS gini_ppm,
             ((bh >> sc) * 1000000) // GREATEST(total_chars >> sc, 1)
               AS bottom_half_ppm,
@@ -733,8 +755,7 @@ object SketchSwapOps {
         val sk = base.agg(aggs.head, aggs.tail: _*)
         val cutRows = StageKGrid.map { k =>
           val cutCols = (1L until nStages).map { t =>
-            val cum = s"($t * (n div $nStages) + least($t, n % $nStages))"
-            expr(idxExpr(cum, "n")).as(s"c$t")
+            expr(idxExpr(tileCumExpr(t, nStages), "n")).as(s"c$t")
           }
           sk.select(col("n"), col(s"s$k").as("sample"))
             .withColumn("sample_n", size(col("sample")).cast("long"))

@@ -60,20 +60,38 @@ object SketchLedger {
   def rollForward(spark: SparkSession, ledgerDir: String, batch: DataFrame,
       grp: String, key: String, k: Int, salt: String): DataFrame = {
     val stored = read(spark, ledgerDir)
-    val storedKeys = stored
-      .select(col("grp"), explode(col("sample")).as("key"))
-    val batchKeys = batch.select(col(grp).as("grp"), col(key).as("key"))
-    val merged = storedKeys.unionByName(batchKeys)
+    // ONE batch scan: the per-group count and the day's bottom-k come
+    // out of a single aggregate (the merge law makes bottom-k over
+    // bottom-k unions equal bottom-k over the raw union, so merging
+    // the day's ≤ k-key sample is exact — and the kilobyte frames are
+    // all that meet afterwards). count(lit(1)) counts every batch row,
+    // null keys included, so the count carry survives rows the sketch
+    // skips.
+    val batchAgg = batch.select(col(grp).as("grp"), col(key).as("key"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_batch"),
+        call_function("graft_bottomk", col("key"), lit(k), lit(salt))
+          .as("bs"))
+    val merged = stored.select(col("grp"), explode(col("sample")).as("key"))
+      .unionByName(batchAgg
+        .select(col("grp"), explode(col("bs")).as("key")))
       .groupBy(col("grp"))
       .agg(call_function("graft_bottomk", col("key"), lit(k), lit(salt))
         .as("sample"))
-    val counts = stored.select(col("grp"), col("n_rows").as("n_stored"))
-      .join(batch.select(col(grp).as("grp")).groupBy(col("grp"))
-        .agg(count(lit(1)).as("n_batch")), Seq("grp"), "full_outer")
+    // counts drive the output (full-outer, then LEFT to the merged
+    // samples with an empty-array default): a group whose keys have
+    // all been null — stored (grp, n>0, []) and silent-or-null today —
+    // explodes to zero key rows, so an inner join here would silently
+    // drop its running count from every later night
+    stored.select(col("grp"), col("n_rows").as("n_stored"))
+      .join(batchAgg.select(col("grp"), col("n_batch")),
+        Seq("grp"), "full_outer")
       .select(col("grp"),
         (coalesce(col("n_stored"), lit(0L)) +
           coalesce(col("n_batch"), lit(0L))).as("n_rows"))
-    counts.join(merged, Seq("grp"))
-      .select(col("grp"), col("n_rows"), col("sample"))
+      .join(merged, Seq("grp"), "left")
+      .select(col("grp"), col("n_rows"),
+        coalesce(col("sample"), array().cast("array<bigint>"))
+          .as("sample"))
   }
 }

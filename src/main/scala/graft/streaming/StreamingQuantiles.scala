@@ -160,9 +160,11 @@ object StreamingQuantiles {
     val (n, sample) = st
     require(n > 0L && sample.nonEmpty, "stageCuts needs observed rows")
     val sn = sample.length.toLong
+    // the tier's shared cut arithmetic — NOT a local re-derivation, so
+    // the live dial cannot drift from the gated q224 formula
+    import graft.queries.SketchSwapOps.{cutIndexScala, tileCumScala}
     (1L until stages.toLong).map { t =>
-      val cum = t * (n / stages) + math.min(t, n % stages)
-      sample(math.max(1L, cum * sn / n).toInt - 1)
+      sample(cutIndexScala(tileCumScala(t, n, stages), n, sn).toInt - 1)
     }
   }
 }

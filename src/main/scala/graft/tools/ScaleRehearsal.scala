@@ -827,8 +827,8 @@ object ScaleRehearsal {
               lit(8192), lit("probeswap")).as("sample"))
           .withColumn("sample_n", size(col("sample")).cast("long"))
         val cutCols = (1L until 4L).map { t =>
-          expr(s"element_at(sample, cast(greatest(1, ((($t * (n div 4) " +
-            s"+ least($t, n % 4))) * sample_n) div n) as int))").as(s"c$t")
+          expr(SketchSwapOps.idxExpr(
+            SketchSwapOps.tileCumExpr(t, 4L), "n")).as(s"c$t")
         }
         base.crossJoin(broadcast(cuts.select(cutCols: _*)))
           .withColumn("stage", (1L until 4L)

@@ -29,12 +29,17 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(!Bench.driftSuspect(12.05, 1.23, 100, 3000), "GC-heavy volume")
     // no reference entry (new query this round) → never flagged
     assert(!Bench.driftSuspect(12.05, 0.0, 0, 0), "no ledger entry")
-    // sub-second noise floor: 0.3 s absolute slack
+    // sub-second noise floor: 0.5 s absolute slack
     assert(!Bench.driftSuspect(0.35, 0.02, 0, 0), "scheduling-floor noise")
   }
 
   test("ledger loads the committed bench_ref.json as a flat name->seconds map") {
-    val ref = Bench.loadRef()
+    val full = Bench.loadRef()
+    // the ledger is SF-scoped: the "_sf" marker must be present so a
+    // run at another scale factor disables the re-probe instead of
+    // flagging the whole registry against wrong-sized floors
+    assert(full.get("_sf") === Some(0.1), "ledger carries its SF scope")
+    val ref = full - "_sf"
     assert(ref.size >= 233, s"ledger carries the full registry, got ${ref.size}")
     assert(ref.keys.forall(_.startsWith("q")))
     assert(ref.values.forall(v => v > 0.0 && v < 60.0))
@@ -54,7 +59,7 @@ class BenchDriftSpec extends AnyFunSuite {
     // (near-zero JIT/GC). The detector must catch the big freezes, and
     // simulating the re-probe with the clean value (what a post-freeze
     // probe measures) must recover well under 150 s from ~196 s data.
-    val ref = Bench.loadRef()
+    val ref = Bench.loadRef() - "_sf"
     assert(ref.nonEmpty)
     val bigFreeze = Map(
       "q60_nullsafe_locale_sanitize" -> 12.05,

@@ -73,6 +73,37 @@ class SketchSwapSpec extends SparkSpec {
     raises(5L, -1L)      // negative id
     raises(-1L, 3L)      // negative (post-bias) value
     raises(SketchSwapOps.ValueBound, 3L) // value past the int64-safe bound
+    // nulls pass THROUGH as null keys (the aggregate skips them): one
+    // bad row costs one sample draw, never the whole nightly job
+    val withNull = Seq((Some(5L), Some(3L)), (None, Some(4L)),
+        (Some(6L), None)).toDF("v", "id")
+      .select(SketchSwapOps.combinedKey(col("v"), col("id")).as("key"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(withNull === Seq(Some(5L * SketchSwapOps.IdDomain + 3L),
+      None, None), "null inputs yield null keys, no raise")
+  }
+
+  test("q228 clamp: the shifted Gini numerator never goes negative across engines") {
+    // code-review r18: two equal docs of 2^27+1 chars — the unshifted
+    // numerator is exactly 0 (perfect equality), but the two
+    // independent floor-shifts push the shifted form to -1, where
+    // Spark div (truncation, -> 0) and DuckDB // (floor, -> -1)
+    // diverge. The clamp at 0 is the parity fix AND the truth: the
+    // unshifted numerator is >= 0 by the Chebyshev sum inequality
+    // (x is rank-sorted ascending).
+    val x = (1L << 27) + 1L
+    val xs = Seq(x, x)
+    val n = xs.length.toLong
+    val tot = xs.sum
+    val srx = xs.zipWithIndex.map { case (v, i) => (i + 1) * v }.sum
+    assert(2L * srx - (n + 1) * tot === 0L, "unshifted numerator is zero")
+    val sc = math.max(graft.functions.Sketches.ilog2Scala(tot) - 27L, 0L)
+    assert(sc === 1L, "the ladder engages")
+    val shifted = 2L * (srx >> sc) - (n + 1) * (tot >> sc)
+    assert(shifted === -1L, "floor-shifts push the numerator negative")
+    val clamped = math.max(shifted, 0L) * 1000000L /
+      math.max(n * (tot >> sc), 1L)
+    assert(clamped === 0L, "clamped Gini is the true 0 on both engines")
   }
 
   test("q228 overflow ladder: shifted Lorenz sums track BigInt truth where longs wrap") {

@@ -88,6 +88,41 @@ class SketchLedgerSpec extends SparkSpec {
     }
   }
 
+  test("a group whose keys are all null keeps its running count across rolls") {
+    // code-review r18: build() counts every row but graft_bottomk skips
+    // null keys, so an all-null group persists as (grp, n>0, sample=[])
+    // — its exploded sample is zero rows, and an inner join on the
+    // merged side would silently drop the count carry forever
+    graft.core.CacheScope.scoped {
+      import spark.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory("sketch_ledger_null").toString
+      val day0 = Seq(("a", Some(1L)), ("nul", None), ("nul", None))
+        .toDF("source", "key")
+      SketchLedger.write(
+        SketchLedger.build(day0, "source", "key", K, Salt), out)
+      val stored = collectLedger(SketchLedger.read(spark, out))
+      assert(stored("nul") === ((2L, Seq.empty[Long])),
+        "all-null group persists with its count and an empty sample")
+      // roll a batch that is silent for "nul": the count must survive
+      val day1 = Seq(("a", Some(2L))).toDF("source", "key")
+      val rolled = collectLedger(SketchLedger.rollForward(
+        spark, out, day1, "source", "key", K, Salt))
+      assert(rolled("nul") === ((2L, Seq.empty[Long])),
+        "silent all-null group survives the roll with its count")
+      assert(rolled("a") === ((2L, Seq(1L, 2L))))
+      // ...and a later non-null arrival for it starts sampling normally
+      val day2 = Seq(("nul", Some(7L))).toDF("source", "key")
+      val out2 = java.nio.file.Files
+        .createTempDirectory("sketch_ledger_null2").toString
+      SketchLedger.write(SketchLedger.rollForward(
+        spark, out, day1, "source", "key", K, Salt), out2)
+      val rolled2 = collectLedger(SketchLedger.rollForward(
+        spark, out2, day2, "source", "key", K, Salt))
+      assert(rolled2("nul") === ((3L, Seq(7L))))
+    }
+  }
+
   test("groups new in the batch and groups silent today both survive the roll") {
     graft.core.CacheScope.scoped {
       import spark.implicits._

@@ -18,9 +18,24 @@ Each argument is a full-precision bench dump. A run is accepted when:
   - cold_total under 1.8x steady_total (a frozen cold tail marks the
     whole run suspect even when steady passes look clean).
 Rejected runs are reported and skipped; the ledger is never degraded.
+
+Staleness: min-merge means a reference can only fall. If a query is
+INTENTIONALLY made slower (heavier semantics), its stale floor keeps
+the drift detector flagging it — harmlessly (the suite-end re-probe
+confirms the slow value and min() changes nothing, visible as
+drift_n > 0 with an empty drift_repaired list), but noisily. Delete
+the query's entry from bench_ref.json in the same commit that slows
+it; the next clean run re-seeds it.
 """
 import json
+import re
 import sys
+
+
+def run_sf(d):
+    """Scale factor of a bench_full.json artifact, parsed from its sf dir."""
+    m = re.search(r"sf([0-9.]+)", str(d.get("sf", "")))
+    return float(m.group(1)) if m else None
 
 
 def load_ledger(path="bench_ref.json"):
@@ -56,9 +71,19 @@ def main():
         with open(p) as f:
             d = json.load(f)
         reasons = run_clean(d)
+        # SF gate: references are only comparable within one scale
+        # factor — an sf0.01 run min-merged into an sf0.1 ledger would
+        # permanently poison every floor (min-only merge never recovers)
+        sf = run_sf(d)
+        if sf is None:
+            reasons.append("artifact carries no parseable sf")
+        elif "_sf" in ledger and ledger["_sf"] != sf:
+            reasons.append(
+                f"sf {sf} does not match the ledger's sf {ledger['_sf']}")
         if reasons:
             print(f"REJECT {p}: " + "; ".join(reasons))
             continue
+        ledger["_sf"] = sf
         merged = 0
         for name, sec in d["steady"].items():
             if name not in ledger or sec < ledger[name]:
