@@ -76,6 +76,11 @@ object Bench {
     * the inflation instead of chasing a phantom regression. False
     * positives are harmless: the re-probe of a genuinely slow query
     * measures the same slow value and the min changes nothing.
+    *
+    * Counter pairing contract: callers pass the wall of ONE steady pass
+    * together with THAT SAME pass's JIT and GC deltas (the signature is
+    * per-pass: a wall the pass's own counters never worked for). The
+    * suite loop passes the min-wall steady pass's triple.
     */
   def driftSuspect(steadySec: Double, refSec: Double,
       jitSteadyMs: Long, gcSteadyMs: Long): Boolean =
@@ -83,18 +88,53 @@ object Bench {
       (jitSteadyMs + gcSteadyMs).toDouble <
         math.max(500.0, steadySec * 100.0)
 
+  /** Stale-floor verdict after a drift re-probe (VERDICT r18 #5): the
+    * probe CONFIRMED the slow value — min(steady, probe) still sits above
+    * the drift band vs the committed floor. That is not a transient
+    * freeze (a freeze's re-probe lands back near the floor and the min
+    * repairs it): the query is genuinely slower than its ledger entry —
+    * either a real regression, or an INTENTIONAL slowdown (heavier
+    * semantics) whose min-merged floor was never pruned, in which case
+    * the detector would flag it noisily forever. The suite prints which
+    * queries confirmed slow and points at the pruning tool
+    * (`tools/bench_ref_update.py --prune <query>`) so the two states are
+    * distinguishable from the run output alone.
+    */
+  def staleFloor(steadySec: Double, probeSec: Double, refSec: Double): Boolean =
+    refSec > 0.0 && math.min(steadySec, probeSec) > refSec * 2.0 + 0.5
+
   /** Per-query clean-reference ledger: a flat {"name": steadySec} JSON
     * map committed at the repo root, updated ONLY from clean runs
     * (tools/bench_ref_update.py gates on the artifact's own counters).
     * Absent file → empty map → the drift re-probe silently disables.
+    * Entries parse INDIVIDUALLY (ADVICE r18): one malformed numeric
+    * token skips that entry with a named warning instead of silently
+    * discarding the whole ledger — "file exists but is damaged" and
+    * "file missing" are distinguishable on stderr.
     */
-  def loadRef(path: String = "bench_ref.json"): Map[String, Double] =
+  def loadRef(path: String = "bench_ref.json"): Map[String, Double] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return Map.empty
     try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)), "UTF-8")
-      """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val entries = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+        .findAllMatchIn(txt).flatMap { m =>
+          try Some(m.group(1) -> m.group(2).toDouble)
+          catch { case _: NumberFormatException =>
+            System.err.println(s"[bench] $path: unparseable value for " +
+              s"'${m.group(1)}': '${m.group(2)}' (entry skipped)")
+            None
+          }
+        }.toMap
+      if (entries.isEmpty)
+        System.err.println(
+          s"[bench] $path exists but yielded no parseable entries")
+      entries
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] $path exists but failed to read: $e")
+      Map.empty
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -159,8 +199,11 @@ object Bench {
     // caches) and (b) cached relations don't accumulate across the suite.
     case class QueryRun(name: String, tStart: Double, cold: Pass,
         steady1: Pass, steady2: Pass,
-        jitColdMs: Long, jitSteadyMs: Long, codeCacheMb: Long,
+        jitColdMs: Long, jitS1Ms: Long, jitS2Ms: Long, codeCacheMb: Long,
         repair: Option[Pass] = None) {
+      // combined steady-pass JIT, for the full dump's jit_steady_ms field;
+      // the drift detector uses the PER-PASS values (same-pass pairing)
+      def jitSteadyMs: Long = jitS1Ms + jitS2Ms
       // pre-repair best-of-2 — the raw protocol number both steady passes
       // produced inside the main suite loop
       def steadyRaw: Double = math.min(steady1.wall, steady2.wall)
@@ -229,10 +272,14 @@ object Bench {
         val cold = once(name, fn)
         val jit1 = Jvm.jitMs - jit0
         val steady1 = once(name, fn)
-        val jit2 = Jvm.jitMs - jit0 - jit1
+        val jitS1 = Jvm.jitMs - jit0 - jit1
         val steady2 = once(name, fn)
+        // per-pass JIT deltas (ADVICE r18): the drift detector pairs each
+        // steady pass's wall with THAT pass's own JIT, so steady2 needs
+        // its delta captured too (it was previously unmeasured)
+        val jitS2 = Jvm.jitMs - jit0 - jit1 - jitS1
         System.err.println(f"[bench] $name%-28s cold=${cold.wall}%6.2fs steady=${math.min(steady1.wall, steady2.wall)}%6.2fs (${steady1.wall}%.2f/${steady2.wall}%.2f)  cpu=${cold.cpuMs}%d/${steady1.cpuMs}%d/${steady2.cpuMs}%dms  jit+${jit1}%5dms  gc+${cold.gcMs}%5dms  codecache=${Jvm.codeCacheMb}%4dMB")
-        Some(QueryRun(name, tStart, cold, steady1, steady2, jit1, jit2, Jvm.codeCacheMb))
+        Some(QueryRun(name, tStart, cold, steady1, steady2, jit1, jitS1, jitS2, Jvm.codeCacheMb))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -282,9 +329,18 @@ object Bench {
       System.err.println(
         "[bench] no bench_ref.json ledger - drift re-probe disabled")
     val driftProbes: Map[String, Double] = results.flatMap { r =>
+      // same-pass counter pairing (ADVICE r18): the freeze signature is a
+      // property of ONE pass — its wall advanced while ITS OWN jit+gc
+      // stood still — so the detector sees the counters of exactly the
+      // pass that produced the headline steady wall, not a min across
+      // passes. The suite-end repair pass sits outside the JIT sampling
+      // points; it contributes its gc with jit 0, which can only make the
+      // detector probe once more — harmless, the probe min-merges.
+      val steadyPasses = Seq((r.steady1, r.jitS1Ms), (r.steady2, r.jitS2Ms)) ++
+        r.repair.map(p => (p, 0L))
+      val (minPass, minPassJit) = steadyPasses.minBy(_._1.wall)
       val suspect = refLedger.get(r.name).exists(rf => driftSuspect(
-        r.steady, rf, r.jitSteadyMs,
-        math.min(r.steady1.gcMs, r.steady2.gcMs)))
+        minPass.wall, rf, minPassJit, minPass.gcMs))
       if (!suspect) None
       else try {
         val p = once(r.name, qfns(r.name))
@@ -297,6 +353,17 @@ object Bench {
         None
       }
     }.toMap
+    // distinguish "transient freeze (repaired)" from "confirmed slow vs a
+    // stale/regressed floor" in the run output itself (VERDICT r18 #5)
+    driftProbes.foreach { case (name, probe) =>
+      val r = results.find(_.name == name).get
+      if (staleFloor(r.steady, probe, refLedger(name)))
+        System.err.println(f"[bench] $name%-28s CONFIRMED slow: " +
+          f"re-probe $probe%.2fs ~ steady ${r.steady}%.2fs vs ref " +
+          f"${refLedger(name)}%.2fs - real regression, or a stale ledger " +
+          "floor after an intentional slowdown (prune with: python3 " +
+          s"tools/bench_ref_update.py --prune $name)")
+    }
     def adjustedSteady(r: QueryRun): Double =
       driftProbes.get(r.name).fold(r.steady)(p => math.min(r.steady, p))
     val driftRepaired = results

@@ -15,7 +15,9 @@ import graft.queries._
   * ScalaTest specs instead:
   *
   *  - S1 subscription pushdown / S3 poll TTL / S8 fan-out fetch / S12 tile
-  *    fetch / J8 rate-limited lookup / T10 retry-backoff → RestPatternsSpec;
+  *    fetch / T10 retry-backoff → RestPatternsSpec; J8's imperative loop →
+  *    RestPatternsSpec, with its rate-limit LEDGER ACCOUNTING oracle-gated
+  *    as q237 (RestLedgerSpec proves loop == relational form);
   *    the DSv2 form (pushdown incl. In/StringContains, O(log n) page
   *    discovery, HTTP transport, micro-batch streaming + admission
   *    control) → Dsv2RestSpec
@@ -38,7 +40,9 @@ import graft.queries._
   *  - S15 TTL config scan → ConfigSourceSpec
   *  - K3 PNG codec / C18 geoid bilinear / R2-R4 tile ops / S11 GTX decode
   *    → RasterSpec; multimodal binary batching → MultimodalSpec
-  *  - K4 idempotent resume + K5 JSON write → ResumableSinkSpec; the JDBC
+  *  - K4 idempotent resume + the K5 JSON-write mechanics →
+  *    ResumableSinkSpec, with the K5 sitrep sink's full write/read-back
+  *    lifecycle oracle-gated as q236 (SitRepSpec replays it); the JDBC
   *    MBTiles form (unique-index resume, duplicate classification) →
   *    MbtilesSinkSpec; K7 training-shard writer (hash-sharded, key-sorted,
   *    size-capped parquet layout) → ShardWriterSpec + the q129 inventory

@@ -100,6 +100,18 @@ object GraftExtensions {
             children(3).eval().asInstanceOf[Number].intValue()
           else 0)
       }),
+    ("graft_maxsim",
+      new ExpressionInfo(classOf[MaxSimExpression].getName, "graft_maxsim"),
+      (children: Seq[Expression]) => {
+        // tokens/tokDims ride as foldable int literals
+        require(children.length == 4,
+          s"graft_maxsim expects (q, d, tokens, tokDims), got ${children.length} args")
+        require(children.drop(2).forall(_.foldable),
+          "graft_maxsim tokens/tokDims must be literal")
+        MaxSimExpression(children(0), children(1),
+          children(2).eval().asInstanceOf[Number].intValue(),
+          children(3).eval().asInstanceOf[Number].intValue())
+      }),
     ("graft_any_contains",
       new ExpressionInfo(classOf[AnyContainsExpression].getName, "graft_any_contains"),
       (children: Seq[Expression]) => {

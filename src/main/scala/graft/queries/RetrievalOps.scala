@@ -162,21 +162,21 @@ object RetrievalOps {
     */
   private[graft] def maxsimRerank(s: SparkSession, d: String,
       stride: Long): DataFrame = {
-    val toks = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        explode(sequence(lit(0), lit(7))).as("i"))
-      .withColumn("tok", expr("slice(embedding, i*8+1, 8)"))
-      .drop("embedding")
-    val qt = toks.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("qid"), col("i").as("qi"),
-        col("tok").as("qtok"))
-    val dt = toks.select(col("vec_id").as("did"), col("tok").as("dtok"))
-    val mx = broadcast(qt).join(dt, col("did") =!= col("qid"))
-      .withColumn("d8", Sketches.dot(col("qtok"), col("dtok"), 8))
-      .groupBy(col("qid"), col("did"), col("qi"))
-      .agg(floor(max(col("d8")) * lit(1e6)).as("mx_u"))
-    mx.groupBy(col("qid"), col("did"))
-      .agg(sum(col("mx_u")).as("score_u"))
+    // one native Σᵢ maxⱼ pass per (query, doc) pair
+    // (plans/MaxSimExpression — VERDICT r18 #3: the composed form
+    // exploded both sides 8× into 64 rows per pair through two pair-
+    // keyed hash aggregates; this keeps the pair row count at 1 and the
+    // token loops inside whole-stage codegen), bit-identical to the
+    // exploded chain and the DuckDB twin
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    broadcast(q)
+      .join(e.select(col("vec_id").as("did"), col("embedding").as("de")),
+        col("did") =!= col("qid"))
+      .select(col("qid"), col("did"),
+        call_function("graft_maxsim", col("qe"), col("de"),
+          lit(8), lit(8)).as("score_u"))
       .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("score_u").desc, col("did"))))
       .filter(col("rank") <= MaxSimTopK)
@@ -231,13 +231,15 @@ object RetrievalOps {
   private val strideMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  /** Query stride resolved from the corpus row count (parquet-metadata
-    * count, memoized per immutable fixture dir; production resolves it
-    * from catalog stats).
+  /** Query stride resolved from the corpus row count read from parquet
+    * footers ([[Tables.footerRowCount]]: zero Spark jobs at plan-build
+    * time, VERDICT r18 #2), memoized per immutable fixture dir;
+    * production resolves it from catalog stats.
     */
   private[graft] def queryStride(s: SparkSession, d: String): Long =
     strideMemo.computeIfAbsent(d, _ => java.lang.Long.valueOf(
-      Sketches.queryStrideFor(Tables.embeddings(s, d).count()))).longValue()
+      Sketches.queryStrideFor(
+        Tables.footerRowCount(s, d, "embeddings")))).longValue()
 
   /** Drop every memoized stride. The memo key is the directory PATH, so
     * a dir whose contents are regenerated at a different scale within
@@ -275,22 +277,18 @@ object RetrievalOps {
         .orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .filter(col("rs") <= firstStageDepth)
       .select(col("qid"), col("doc_id"), col("rs"))
-    val toks = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        explode(sequence(lit(0), lit(7))).as("i"))
-      .withColumn("tok", expr("slice(embedding, i*8+1, 8)"))
-      .drop("embedding")
-    val qt = toks.filter(col("vec_id") % 50 === 0 && col("vec_id") <= 150)
-      .select(expr("vec_id div 50").as("qid"), col("i").as("qi"),
-        col("tok").as("qtok"))
-    val dt = toks.select(col("vec_id").as("doc_id"), col("tok").as("dtok"))
-    val mx = broadcast(cand).join(dt, Seq("doc_id"))
-      .join(broadcast(qt), Seq("qid"))
-      .withColumn("d8", Sketches.dot(col("qtok"), col("dtok"), 8))
-      .groupBy(col("qid"), col("doc_id"), col("rs"), col("qi"))
-      .agg(floor(max(col("d8")) * lit(1e6)).as("mx_u"))
-    mx.groupBy(col("qid"), col("doc_id"), col("rs"))
-      .agg(sum(col("mx_u")).as("score_u"))
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val qe = e.filter(col("vec_id") % 50 === 0 && col("vec_id") <= 150)
+      .select(expr("vec_id div 50").as("qid"), col("embedding").as("qe"))
+    // same native single-pass scorer as maxsimRerank: candidates join
+    // their doc vectors by id, exemplars broadcast, one row per pair
+    broadcast(cand)
+      .join(e.select(col("vec_id").as("doc_id"), col("embedding").as("de")),
+        Seq("doc_id"))
+      .join(broadcast(qe), Seq("qid"))
+      .select(col("qid"), col("doc_id"), col("rs"),
+        call_function("graft_maxsim", col("qe"), col("de"),
+          lit(8), lit(8)).as("score_u"))
       .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("score_u").desc, col("doc_id"))))
       .filter(col("rank") <= MaxSimTopK)
@@ -329,16 +327,20 @@ object RetrievalOps {
 
     /* L96: late-interaction (maxsim) reranking — the ColBERT scoring
      * shape: each embedding is read as 8 token sub-vectors of 8 dims,
-     * score(q, d) = Σ_i max_j <q_i, d_j>. Token rows are exploded ONCE
-     * (vec × 8), the query side broadcasts, and the two-stage aggregate
-     * (max over doc tokens, then sum over query tokens) is map-side
-     * combined — no window touches a wide expression. The per-token max
-     * is quantized to µ-units BEFORE the cross-token sum so the final
-     * score is an order-free integer sum (the q86 rule; a float sum
-     * across groups would be shuffle-order-dependent). At 100 TB the
-     * doc-token side stays partitioned by vec_id and only candidate
-     * pairs from a first-stage retriever are scored — here the
-     * candidate set is the full corpus so the oracle sees every pair. */
+     * score(q, d) = Σ_i max_j <q_i, d_j>. The score is ONE native loop
+     * expression per (query, doc) pair (plans/MaxSimExpression): the
+     * query side broadcasts, the doc side streams map-side, and both
+     * token loops run inside whole-stage codegen — no row fan-out, no
+     * pair-keyed aggregate (the previous composed form exploded both
+     * sides 8× into 64 rows per pair through two hash aggregates —
+     * VERDICT r18 #3). The per-token max is quantized to µ-units BEFORE
+     * the cross-token sum so the final score is an order-free integer
+     * sum (the q86 rule), bit-identical to the composed chain and the
+     * oracle's exploded formulation. At 100 TB the doc side stays
+     * partitioned by vec_id and only candidate pairs from a first-stage
+     * retriever are scored (rerankPipeline, RerankPipelineSpec) — here
+     * the candidate set is the full corpus so the oracle sees every
+     * pair. */
     val q164 = GraftQuery(
       "q164_maxsim_rerank", "L96 L6 L27",
       (s, d) => maxsimRerank(s, d, 50L),

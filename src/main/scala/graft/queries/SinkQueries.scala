@@ -221,10 +221,74 @@ object SinkQueries {
         FROM documents GROUP BY 1 ORDER BY source"""
     })
 
+  /** K5 promoted from spec-only to oracle-gated (VERDICT r18 #6): the
+    * full SitRep lifecycle — stale filter (F8) → deleted-quality drop
+    * (F9) → context projection (P5) → per-report LLM summarization (the
+    * deterministic stub, SitRepSpec's contract) → brace-balanced JSON
+    * extraction (C25) → the K5 JSON SINK — with the sink's artifact READ
+    * BACK and its inventory oracled relationally (the q129/q130
+    * read-back stance). The oracle recomputes, from `events` alone, each
+    * report key's surviving feature count AND the md5 of the exact
+    * summary-JSON string the stub must have produced — a row the write
+    * or read-back lost, duplicated, or mangled (one byte of the JSON)
+    * diverges the hash. The write runs every call (mode=overwrite — the
+    * store IS the operator under test, the q130/q234 stance). Features
+    * derive deterministically from events: report key = event_id % 64,
+    * stale horizon and quality flags are pure event_id arithmetic, so
+    * the same semantics hold at every SF. At 100 TB: one filtered scan →
+    * a per-report-key aggregate (map-side combined) → one summarizer
+    * call per report (|reports| ≪ corpus — the LLM stage is per-GROUP,
+    * not per-row) → a |reports|-row JSON write; the read-back inventory
+    * is a |reports|-row scan.
+    */
+  val q236 = GraftQuery(
+    "q236_sitrep_json_store", "K5 P5 C25 F8 F9",
+    (s, d) => {
+      val features = Tables.events(s, d).select(
+        concat(lit("EV"), lpad((col("event_id") % 64).cast("string"),
+          2, "0")).as("callsign"),
+        expr("ts div 1000000000").as("time_sec"),
+        to_json(struct(col("event_type").as("type"),
+          when(col("event_id") % 17 === 0, lit("deleted"))
+            .otherwise(lit("ok")).as("quality"))).as("metadata"),
+        when(col("event_id") % 7 === 0, lit(null).cast("long"))
+          .otherwise(lit(1000L) + col("event_id") % 2000).as("stale_sec"))
+      val context = graft.sitrep.SitRep.buildContext(features, nowSec = 2000L)
+      val reports = graft.sitrep.SitRep.summarizeReports(
+        context, "callsign", graft.sitrep.SitRep.StubSummarizer)
+        .toDF("report_key", "summary")
+      val path = Staging.dir(d, "sitrep_json_v1")
+      reports.write.mode("overwrite").json(path)
+      s.read.schema("report_key STRING, summary STRING").json(path)
+        .select(col("report_key"),
+          get_json_object(col("summary"), "$.n_features").cast("long")
+            .as("n_features"),
+          md5(col("summary")).as("summary_md5"))
+        .orderBy(col("report_key"))
+    },
+    Some {
+      // the reconstructed summary string must match the stub's output
+      // byte for byte — the C25 extraction hands exactly the brace-
+      // balanced object to the sink
+      s"""WITH f AS (SELECT
+            'EV' || lpad(CAST(event_id % 64 AS VARCHAR), 2, '0')
+              AS report_key
+          FROM events
+          WHERE (event_id % 7 = 0 OR 1000 + event_id % 2000 > 2000)
+            AND event_id % 17 <> 0),
+        g AS (SELECT report_key, CAST(COUNT(*) AS BIGINT) AS n_features
+          FROM f GROUP BY 1)
+        SELECT report_key, n_features,
+          md5('{"summary": "auto", "n_features": '
+            || CAST(n_features AS VARCHAR) || ', "confidence": 0.9}')
+            AS summary_md5
+        FROM g ORDER BY report_key"""
+    })
+
   /** Untimed pre-stage hook for Bench's warmup (q129's layout and the
     * q145/q148 interchange exports; q130 rebuilds its store every call
-    * by design). Constructing the interchange frames runs their
-    * Staging.once writes if absent.
+    * by design, as does q236's sitrep sink). Constructing the
+    * interchange frames runs their Staging.once writes if absent.
     */
   def stageAll(s: SparkSession, d: String): Unit = {
     stageShardLayout(s, d)
@@ -233,5 +297,5 @@ object SinkQueries {
     ()
   }
 
-  val all: Seq[GraftQuery] = Seq(q129, q130, q145, q148)
+  val all: Seq[GraftQuery] = Seq(q129, q130, q145, q148, q236)
 }

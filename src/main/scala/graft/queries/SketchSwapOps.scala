@@ -974,10 +974,15 @@ object SketchSwapOps {
             coalesce(col("n_day1"), lit(0L)).as("n_day1"),
             col("n_all"),
             size(col("rolled")).cast("long").as("sample_n"),
-            expr(s"element_at(rolled, cast((size(rolled) + 1) div 2 " +
-              s"as int)) div $IdDomain").as("p50_rolled"),
-            expr(s"element_at(ful, cast((size(ful) + 1) div 2 " +
-              s"as int)) div $IdDomain").as("p50_full"),
+            // empty-sample guard (ADVICE r18): an all-null-key group
+            // yields an empty sample (the aggregate skips nulls) and
+            // element_at at index 0 raises — null is the honest readout
+            expr(s"CASE WHEN size(rolled) > 0 THEN element_at(rolled, " +
+              s"cast((size(rolled) + 1) div 2 as int)) div $IdDomain " +
+              s"END").as("p50_rolled"),
+            expr(s"CASE WHEN size(ful) > 0 THEN element_at(ful, " +
+              s"cast((size(ful) + 1) div 2 as int)) div $IdDomain " +
+              s"END").as("p50_full"),
             when(col("rolled") === col("ful"), 1L).otherwise(0L)
               .as("is_match"))
           .orderBy(col("source"))
@@ -1019,9 +1024,12 @@ object SketchSwapOps {
             COALESCE(n1.n_day1, 0) AS n_day1,
             fl.n_all,
             CAST(len(rolled.rolled) AS BIGINT) AS sample_n,
-            rolled.rolled[(len(rolled.rolled) + 1) // 2] // $IdDomain
-              AS p50_rolled,
-            ful.ful[(len(ful.ful) + 1) // 2] // $IdDomain AS p50_full,
+            CASE WHEN len(rolled.rolled) > 0 THEN
+              rolled.rolled[(len(rolled.rolled) + 1) // 2] // $IdDomain
+              END AS p50_rolled,
+            CASE WHEN len(ful.ful) > 0 THEN
+              ful.ful[(len(ful.ful) + 1) // 2] // $IdDomain
+              END AS p50_full,
             CAST(CASE WHEN rolled.rolled = ful.ful THEN 1 ELSE 0 END
               AS BIGINT) AS is_match
           FROM rolled
@@ -1140,8 +1148,12 @@ object SketchSwapOps {
             col("n_all"),
             col("n_rows").as("n_ledger"),
             size(col("rolled")).cast("long").as("sample_n"),
-            expr(s"element_at(rolled, cast((size(rolled) + 1) div 2 " +
-              s"as int)) div $IdDomain").as("p50_rolled"),
+            // empty-sample guard (ADVICE r18): rollForward yields an
+            // empty sample for all-null-key groups (SketchLedgerSpec
+            // pins it) and element_at at index 0 raises — null readout
+            expr(s"CASE WHEN size(rolled) > 0 THEN element_at(rolled, " +
+              s"cast((size(rolled) + 1) div 2 as int)) div $IdDomain " +
+              s"END").as("p50_rolled"),
             when(col("rolled") === col("ful") &&
               col("n_rows") === col("n_all"), 1L).otherwise(0L)
               .as("is_match"))
@@ -1185,8 +1197,9 @@ object SketchSwapOps {
             fl.n_all,
             COALESCE(n0.n_day0, 0) + COALESCE(n1.n_day1, 0) AS n_ledger,
             CAST(len(rolled.rolled) AS BIGINT) AS sample_n,
-            rolled.rolled[(len(rolled.rolled) + 1) // 2] // $IdDomain
-              AS p50_rolled,
+            CASE WHEN len(rolled.rolled) > 0 THEN
+              rolled.rolled[(len(rolled.rolled) + 1) // 2] // $IdDomain
+              END AS p50_rolled,
             CAST(CASE WHEN rolled.rolled = ful.ful
               AND COALESCE(n0.n_day0, 0) + COALESCE(n1.n_day1, 0)
                 = fl.n_all THEN 1 ELSE 0 END AS BIGINT) AS is_match

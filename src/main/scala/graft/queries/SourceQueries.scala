@@ -272,11 +272,106 @@ object SourceQueries {
       FROM events WHERE event_type = 'click' AND ${Synthetic.kSql} >= 10
       ORDER BY event_id"""))
 
+  /** J8 promoted from spec-only to oracle-gated (VERDICT r18 #6): the
+    * rate-limited lookup's LEDGER ACCOUNTING as a relational query over
+    * a fixture request log — the relational shadow of the imperative
+    * loop RestPatternsSpec proves (`RestPatterns.rateLimitedLookup`;
+    * reference behavior `scripts/find-missing-types.js:36-92`,
+    * `docs/NAME_LOOKUP.md:17-37`). The log derives from events: vessel =
+    * event_id % 311, lookup-eligible iff vessel % 3 == 0 (the missing-
+    * type trigger), day = the event's epoch day. Per day the accounting
+    * reproduces the reference contract exactly:
+    *  - ≤ 1 lookup / vessel / day (the 24 h cache): the day's FIRST
+    *    request per vessel is the lookup, the rest are cache skips;
+    *  - 1 req / 2 s queue spacing: lookups schedule in (first-request
+    *    time, vessel) order at 2 s offsets — span_sec is the day's queue
+    *    drain time, (n_lookups − 1) · 2;
+    *  - suggested-mapping aggregation: each lookup's type text maps to
+    *    an AIS code (the C26 CASE ladder shape, vessel % 5 → code) and
+    *    the day's suggestions aggregate to n_codes + the top code
+    *    ((count desc, code asc) total order — the post-limit rank
+    *    stance).
+    * RestLedgerSpec replays the same log through the IMPERATIVE
+    * rateLimitedLookup and asserts the relational accounting matches
+    * call for call. At 100 TB: the aggregate is keyed by (day, vessel)
+    * — bounded by fleet size × days, not event volume; the schedule
+    * window partitions by day over ≤ |fleet| rows.
+    */
+  val q237 = GraftQuery(
+    "q237_lookup_rate_ledger", "J8",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val req = Tables.events(s, d)
+        .select((col("event_id") % 311).as("vessel"),
+          expr("ts div 1000").as("tsu"))
+        .filter(col("vessel") % 3 === 0)
+        .withColumn("day", expr("tsu div 86400000000"))
+      val firsts = req.groupBy(col("day"), col("vessel"))
+        .agg(min(col("tsu")).as("first_tsu"), count(lit(1)).as("n_req"))
+      val sched = firsts
+        .withColumn("rk", row_number().over(Window.partitionBy(col("day"))
+          .orderBy(col("first_tsu"), col("vessel"))))
+        .withColumn("code", expr("CAST(CASE vessel % 5 " +
+          "WHEN 0 THEN 30 WHEN 1 THEN 37 WHEN 2 THEN 52 " +
+          "WHEN 3 THEN 60 ELSE 70 END AS BIGINT)"))
+      val perDay = sched.groupBy(col("day"))
+        .agg(sum(col("n_req")).as("n_requests"),
+          count(lit(1)).as("n_lookups"),
+          (sum(col("n_req")) - count(lit(1))).as("n_cache_skips"),
+          max((col("rk") - 1) * 2).cast("long").as("span_sec"))
+      val codes = sched.groupBy(col("day"), col("code"))
+        .agg(count(lit(1)).as("n_suggest"))
+      val top = codes
+        .withColumn("rn", row_number().over(Window.partitionBy(col("day"))
+          .orderBy(col("n_suggest").desc, col("code"))))
+        .filter(col("rn") === 1)
+        .select(col("day"), col("code").as("top_code"),
+          col("n_suggest").as("top_code_n"))
+      val nCodes = codes.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_codes"))
+      perDay.join(nCodes, Seq("day")).join(top, Seq("day"))
+        .select(col("day"), col("n_requests"), col("n_lookups"),
+          col("n_cache_skips"), col("span_sec"), col("n_codes"),
+          col("top_code"), col("top_code_n"))
+        .orderBy(col("day"))
+    },
+    Some {
+      s"""WITH req AS (SELECT event_id % 311 AS vessel, epoch_us(ts) AS tsu,
+            epoch_us(ts) // 86400000000 AS day
+          FROM events WHERE (event_id % 311) % 3 = 0),
+        f AS (SELECT day, vessel, MIN(tsu) AS first_tsu,
+            CAST(COUNT(*) AS BIGINT) AS n_req
+          FROM req GROUP BY 1, 2),
+        sch AS (SELECT *,
+            row_number() OVER (PARTITION BY day
+              ORDER BY first_tsu, vessel) AS rk,
+            CAST(CASE vessel % 5 WHEN 0 THEN 30 WHEN 1 THEN 37
+              WHEN 2 THEN 52 WHEN 3 THEN 60 ELSE 70 END AS BIGINT) AS code
+          FROM f),
+        pd AS (SELECT day, CAST(SUM(n_req) AS BIGINT) AS n_requests,
+            CAST(COUNT(*) AS BIGINT) AS n_lookups,
+            CAST(SUM(n_req) - COUNT(*) AS BIGINT) AS n_cache_skips,
+            CAST(MAX((rk - 1) * 2) AS BIGINT) AS span_sec
+          FROM sch GROUP BY 1),
+        cd AS (SELECT day, code, CAST(COUNT(*) AS BIGINT) AS n_suggest
+          FROM sch GROUP BY 1, 2),
+        tp AS (SELECT day, code AS top_code, n_suggest AS top_code_n,
+            row_number() OVER (PARTITION BY day
+              ORDER BY n_suggest DESC, code) AS rn
+          FROM cd),
+        nc AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_codes
+          FROM cd GROUP BY 1)
+        SELECT pd.day, pd.n_requests, pd.n_lookups, pd.n_cache_skips,
+          pd.span_sec, nc.n_codes, tp.top_code, tp.top_code_n
+        FROM pd JOIN nc USING (day) JOIN tp USING (day)
+        WHERE tp.rn = 1 ORDER BY pd.day"""
+    })
+
   /** Untimed pre-stage hook for Bench's warmup. */
   def stageAll(s: SparkSession, d: String): Unit = {
     stageCsv(s, d); stageArcgisJson(s, d); stageGeojson(s, d)
     stageHtml(s, d); stagePaged(s, d); stagePagedFiles(s, d)
   }
 
-  val all: Seq[GraftQuery] = Seq(q52, q53, q54, q55, q56, q68)
+  val all: Seq[GraftQuery] = Seq(q52, q53, q54, q55, q56, q68, q237)
 }

@@ -33,6 +33,40 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(!Bench.driftSuspect(0.35, 0.02, 0, 0), "scheduling-floor noise")
   }
 
+  test("stale-floor verdict separates transient freezes from confirmed slowness") {
+    // transient freeze: the suite-end re-probe lands back near the clean
+    // floor — min repairs the headline, NOT a stale floor
+    assert(!Bench.staleFloor(12.05, 1.30, 1.23), "repaired freeze")
+    // confirmed slow: the re-probe measures the same slow value — either
+    // a real regression or a stale min-merged floor after an intentional
+    // slowdown; the run output must say so (VERDICT r18 #5)
+    assert(Bench.staleFloor(12.05, 11.80, 1.23), "confirmed slow")
+    // the probe being the smaller side doesn't rescue it if still above
+    // the drift band vs the reference
+    assert(Bench.staleFloor(5.00, 3.20, 1.23), "probe slow too")
+    // probe inside the band (≤ 2x ref + 0.5s): honest, not stale
+    assert(!Bench.staleFloor(5.00, 2.90, 1.23), "probe in band")
+    // no reference → never stale
+    assert(!Bench.staleFloor(12.05, 11.80, 0.0), "no ledger entry")
+  }
+
+  test("a damaged ledger skips only the bad entries, never the whole file") {
+    val p = java.nio.file.Files.createTempFile("bench_ref_damaged", ".json")
+    try {
+      java.nio.file.Files.write(p,
+        """{"_sf": 0.1, "q01_ok": 1.25, "q02_bad": 1.2.3, "q03_ok": 0.5}"""
+          .getBytes("UTF-8"))
+      val ref = Bench.loadRef(p.toString)
+      // the malformed q02 value is skipped with a warning; q01/q03 and
+      // the sf marker survive (ADVICE r18: a single bad token used to
+      // silently discard the ENTIRE ledger)
+      assert(ref.get("q01_ok") === Some(1.25))
+      assert(ref.get("q03_ok") === Some(0.5))
+      assert(ref.get("_sf") === Some(0.1))
+      assert(!ref.contains("q02_bad"))
+    } finally java.nio.file.Files.delete(p)
+  }
+
   test("ledger loads the committed bench_ref.json as a flat name->seconds map") {
     val full = Bench.loadRef()
     // the ledger is SF-scoped: the "_sf" marker must be present so a

@@ -53,4 +53,29 @@ class SitRepSpec extends SparkSpec {
       .toDF("report", "summary").write.mode("overwrite").json(dir)
     assert(spark.read.json(dir).count() === 2)
   }
+
+  test("q236 (K5 oracle promotion): sink round-trip replays in plain Scala") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q236_sitrep_json_store")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // independent replay: the surviving-feature count per report key and
+    // the md5 of the EXACT summary string the stub emits, from raw
+    // event ids alone (F8: null stale OR horizon > 2000; F9: not the
+    // %17 deleted-quality slice)
+    val ids = graft.core.Tables.events(spark, dir)
+      .select("event_id").collect().map(_.getLong(0))
+    val expect = ids
+      .filter(id => (id % 7 == 0 || 1000 + id % 2000 > 2000) && id % 17 != 0)
+      .groupBy(id => f"EV${id % 64}%02d")
+      .map { case (k, xs) =>
+        val json = s"""{"summary": "auto", "n_features": ${xs.length}, """ +
+          s""""confidence": 0.9}"""
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(json.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        (k, xs.length.toLong, md5)
+      }.toSeq.sortBy(_._1)
+    assert(got.toSeq === expect)
+  }
 }

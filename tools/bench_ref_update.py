@@ -10,6 +10,7 @@ across clean runs converges on the box's true steady floor.
 
 Usage:
   python3 tools/bench_ref_update.py [target/bench_full.json ...]
+  python3 tools/bench_ref_update.py --prune <query> [<query> ...]
 
 Each argument is a full-precision bench dump. A run is accepted when:
   - no failed queries,
@@ -23,9 +24,10 @@ Staleness: min-merge means a reference can only fall. If a query is
 INTENTIONALLY made slower (heavier semantics), its stale floor keeps
 the drift detector flagging it — harmlessly (the suite-end re-probe
 confirms the slow value and min() changes nothing, visible as
-drift_n > 0 with an empty drift_repaired list), but noisily. Delete
-the query's entry from bench_ref.json in the same commit that slows
-it; the next clean run re-seeds it.
+drift_n > 0 with an empty drift_repaired list), but noisily. The
+Bench prints "CONFIRMED slow ... prune with" for exactly this state
+(Bench.staleFloor); run `--prune <query>` in the same commit that
+slows it — the entry is removed and the next clean run re-seeds it.
 """
 import json
 import re
@@ -63,7 +65,34 @@ def run_clean(d):
     return reasons
 
 
+def prune(names):
+    """Drop stale floors (VERDICT r18 #5): after an INTENTIONAL slowdown
+    the min-merged reference can never rise, so the drift detector would
+    flag the query forever. Pruning removes the entry; the next clean
+    run re-seeds it at the new honest floor.
+    """
+    ledger = load_ledger()
+    for name in names:
+        if name == "_sf":
+            print(f"refuse: '_sf' is the ledger's scale marker, not a query")
+        elif name in ledger:
+            del ledger[name]
+            print(f"pruned {name}")
+        else:
+            print(f"not in ledger: {name}")
+    with open("bench_ref.json", "w") as f:
+        json.dump(dict(sorted(ledger.items())), f, indent=1)
+        f.write("\n")
+    qs = {k: v for k, v in ledger.items() if k != "_sf"}
+    print(f"bench_ref.json: {len(qs)} queries, sum {sum(qs.values()):.2f}s")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--prune":
+        if len(sys.argv) < 3:
+            sys.exit("--prune needs at least one query name")
+        prune(sys.argv[2:])
+        return
     paths = sys.argv[1:] or ["target/bench_full.json"]
     ledger = load_ledger()
     before = dict(ledger)
@@ -95,8 +124,11 @@ def main():
         with open("bench_ref.json", "w") as f:
             json.dump(dict(sorted(ledger.items())), f, indent=1)
             f.write("\n")
-        print(f"bench_ref.json: {len(ledger)} queries, "
-              f"sum {sum(ledger.values()):.2f}s")
+        # the "_sf" scale-factor marker is ledger metadata, not a query —
+        # keep it out of the count and the seconds sum
+        qs = {k: v for k, v in ledger.items() if k != "_sf"}
+        print(f"bench_ref.json: {len(qs)} queries, "
+              f"sum {sum(qs.values()):.2f}s")
     else:
         print("ledger unchanged")
 
