@@ -454,6 +454,28 @@ object ScaleRehearsal {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .repartition(64)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // events at factor x too (same span-shift replica scheme as [[gen]]):
+    // the r19 full-registry table put one EVENTS-based query (q62) above
+    // the 6x explanation bar, so its probe needs the table here
+    val ev = spark.read.parquet(s"$Base/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val (minUs, maxUs) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .as[(Long, Long)].head()
+    val spanUs = maxUs - minUs + 3600L * 1000000L
+    ev.crossJoin(broadcast(reps))
+      .select(
+        (col("event_id") + col("rep") * lit(1000000L)).as("event_id"),
+        timestamp_micros(unix_micros(col("ts")) + col("rep") * lit(spanUs))
+          .as("ts"),
+        (col("user_id") + col("rep") * lit(1000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    // the probe corpus just replaced what these paths hold
+    graft.queries.RetrievalOps.resetStrideMemo()
+    graft.queries.LlmPipeline.resetDialMemos()
+    graft.core.Tables.resetSchemaMemo()
     val n = spark.read.parquet(s"$out/documents.parquet").count()
     println(s"[scale-probe] documents at ${factor}x: $n rows -> " +
       s"rowsPerBand=${graft.functions.Sketches.rowsPerBandFor(n)}")
@@ -576,6 +598,24 @@ object ScaleRehearsal {
       },
       measured(s"q225 @${factor}x") {
         graft.SparkEntry.queries("q225_mad_outliers_sketched")(
+          spark, out).count()
+      },
+      // round-19 additions (VERDICT r18 #1): the two full-registry 10x
+      // ratios above the ~6x explanation bar, probed with shuffle-byte
+      // accounting. q116 runs three exploded-word corpus passes (per-
+      // source token counts, the global top-64 vocabulary, the per-
+      // (source, top-word) counts) — the scan is the cost and the
+      // shuffle must stay vocab/|sources|-bounded, not token-bounded.
+      // q62 is a pure map-side JSON build + single-parse chain per
+      // event — wall should track the row count with near-zero shuffle
+      // (its 10x ratio is the absence of fixed overhead, not a scaling
+      // term).
+      measured(s"q116 @${factor}x") {
+        graft.SparkEntry.queries("q116_term_divergence")(
+          spark, out).count()
+      },
+      measured(s"q62 @${factor}x") {
+        graft.SparkEntry.queries("q62_property_cleaning")(
           spark, out).count()
       })
     spark.sparkContext.removeSparkListener(listener)
