@@ -136,6 +136,33 @@ object GraftExtensions {
           s"graft_scalar_keys expects (map), got ${children.length} args")
         ScalarKeysExpression(children.head)
       }),
+    ("graft_cdc_chunks",
+      new ExpressionInfo(classOf[CdcChunksExpression].getName, "graft_cdc_chunks"),
+      (children: Seq[Expression]) => {
+        // mod rides as a foldable long literal
+        require(children.length == 2,
+          s"graft_cdc_chunks expects (text, mod), got ${children.length} args")
+        require(children(1).foldable, "graft_cdc_chunks mod must be literal")
+        CdcChunksExpression(children.head,
+          children(1).eval().asInstanceOf[Number].longValue())
+      }),
+    ("graft_char_entropy",
+      new ExpressionInfo(classOf[CharEntropyExpression].getName, "graft_char_entropy"),
+      (children: Seq[Expression]) => {
+        // cap rides as a foldable int literal
+        require(children.length == 2,
+          s"graft_char_entropy expects (text, cap), got ${children.length} args")
+        require(children(1).foldable, "graft_char_entropy cap must be literal")
+        CharEntropyExpression(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+      }),
+    ("graft_top_word_count",
+      new ExpressionInfo(classOf[TopWordCountExpression].getName, "graft_top_word_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_top_word_count expects (text), got ${children.length} args")
+        TopWordCountExpression(children.head)
+      }),
     ("graft_stopword_count",
       new ExpressionInfo(classOf[StopwordCountExpression].getName, "graft_stopword_count"),
       (children: Seq[Expression]) => {

@@ -1,6 +1,5 @@
 package graft.plans
 
-import java.util.regex.Pattern
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -45,28 +44,18 @@ case class WordGramsExpression(child: Expression, n: Int)
 }
 
 object WordGramsExpression {
-  private val Ws = Pattern.compile("\\s+")
-
   /** Static kernel the generated code calls — order-preserving, with
-    * duplicates (tf survives). `UTF8String.trim` strips U+0020 only
-    * (the engine/oracle trim contract, see the shingle node's note).
+    * duplicates (tf survives). Byte-level since r19 ([[WordBytes]]):
+    * same trim/split/join contract, no String round trips.
     */
   def grams(s: UTF8String, n: Int): ArrayData = {
-    val words = Ws.split(s.trim.toString, -1)
-    if (words.length < n) new GenericArrayData(Array.empty[Any])
+    val w = WordBytes.split(s)
+    if (w.count < n) new GenericArrayData(Array.empty[Any])
     else {
-      val out = new Array[Any](words.length - n + 1)
-      val sb = new java.lang.StringBuilder
+      val out = new Array[Any](w.count - n + 1)
       var i = 0
-      while (i <= words.length - n) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(words(i + j))
-          j += 1
-        }
-        out(i) = UTF8String.fromString(sb.toString)
+      while (i <= w.count - n) {
+        out(i) = w.joined(i, n)
         i += 1
       }
       new GenericArrayData(out)

@@ -1,6 +1,5 @@
 package graft.plans
 
-import java.util.regex.Pattern
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -51,28 +50,19 @@ case class WordShinglesExpression(child: Expression, n: Int)
 }
 
 object WordShinglesExpression {
-  private val Ws = Pattern.compile("\\s+")
 
-  /** Static kernel the generated code calls. `UTF8String.trim` strips
-    * spaces (U+0020) only — parity with `trim(text)` in the lambda
-    * reference form and the DuckDB twin, NOT Java's `String.trim`.
+  /** Static kernel the generated code calls. Byte-level since r19
+    * ([[WordBytes]]): no UTF-8 decode, no regex, no per-shingle String
+    * round trip — same trim/split/join/distinct contract, spec-pinned.
     */
   def shingles(s: UTF8String, n: Int): ArrayData = {
-    val words = Ws.split(s.trim.toString, -1)
-    if (words.length < n) new GenericArrayData(Array.empty[Any])
+    val w = WordBytes.split(s)
+    if (w.count < n) new GenericArrayData(Array.empty[Any])
     else {
       val out = new java.util.LinkedHashSet[UTF8String]
-      val sb = new java.lang.StringBuilder
       var i = 0
-      while (i <= words.length - n) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(words(i + j))
-          j += 1
-        }
-        out.add(UTF8String.fromString(sb.toString))
+      while (i <= w.count - n) {
+        out.add(w.joined(i, n))
         i += 1
       }
       new GenericArrayData(out.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])

@@ -87,6 +87,17 @@ object AllocationSketchOps {
           .select(col("source"), col("bkt"), col("n"),
             col("rwgt"), col("srw"), col("wgt"), col("sw"),
             expr("(n * 1000000) div t").as("m"))
+          // r19 optimization: the running frame is ≤ |sources|·|buckets|
+          // rows BY CONSTRUCTION at any corpus scale (it is the cell
+          // histogram), yet each of the 2·IpfIters alternating window
+          // rescales below re-hashes it source↔bkt — 2·IpfIters exchanges
+          // and stage barriers of ~nothing (measured 3.55 s steady at
+          // sf0.1, almost all scheduling). A single partition SATISFIES
+          // every ClusteredDistribution, so after coalesce(1) the whole
+          // iteration runs exchange-free in one task over the tiny frame
+          // (guide §2.4); the one corpus-sized pass (the histogram) keeps
+          // its full parallelism upstream.
+          .coalesce(1)
         // each half-step reads the running frame ONCE (a window sum,
         // not an aggregate-and-join-back) so the logical plan grows
         // linearly in IpfIters — the join-back form doubles the plan

@@ -205,6 +205,18 @@ object HealthAuditOps {
     val q220 = GraftQuery(
       "q220_transitivity_audit", "L152 L19 L4",
       (s, d) => {
+        // r19 note: the audit reads the verified edge set five ways and
+        // the shingle frame four ways, and the tempting sharing "fixes"
+        // both measured WORSE than recomputation here. A lazy persist on
+        // the reused frames was catastrophic in suite context (13.9 s vs
+        // 6.9 s baseline: AQE materializes independent stages
+        // concurrently, and concurrent scanners of a not-yet-populated
+        // InMemoryRelation each recompute the whole kernel while
+        // fighting for memory); a doc_id repartition to force exchange
+        // sharing measured ~5.4 s vs ~4.1 s for the plain recomputing
+        // form (the map-side shingle pass is cheaper than shuffling it).
+        // So: plain frames, recompute over share — measured, not
+        // assumed (OPTIMIZATION_r19.md §8).
         val ex = LlmPipeline.shingleRows(s, d)
         val sig = LlmPipeline.signaturesOf(ex)
         val cand = LlmPipeline.lshCandidates(

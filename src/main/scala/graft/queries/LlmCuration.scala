@@ -273,14 +273,30 @@ object LlmCuration {
     val q102 = GraftQuery(
       "q102_novelty_score", "L37 L26 L10",
       (s, d) => {
+        // r19 optimization (guide §2.3): a fingerprint with df == 1 has
+        // exactly ONE owning document, so its owner rides the df
+        // aggregate itself as min(doc_id) — the old form joined the full
+        // gram-level frame back against the df table (a second shuffle of
+        // every (doc, g) row) and re-aggregated the joined frame by doc,
+        // i.e. three corpus-scale exchanges where two suffice. n_shingles
+        // and n_unique now come from two independent doc/g-keyed
+        // aggregates joined at |docs| size. Row set identical: every gram
+        // has a df row (the old inner join dropped nothing), and
+        // sum(df = 1) per doc ≡ count of df-1 fingerprints whose
+        // min(doc_id) is that doc.
         val gr = LlmPipeline.shingleRows(s, d)
           .select(col("doc_id"), TextFunctions.md5Fingerprint(col("s")).as("g"))
-        val dfq = gr.groupBy(col("g")).agg(count(lit(1)).as("df"))
-        gr.join(dfq, Seq("g"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_shingles"),
-            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        val uniq = gr.groupBy(col("g"))
+          .agg(count(lit(1)).as("df"), min(col("doc_id")).as("d0"))
+          .filter(col("df") === 1)
+          .groupBy(col("d0").as("doc_id"))
+          .agg(count(lit(1)).as("n_unique"))
+        gr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+          .join(uniq, Seq("doc_id"), "left")
+          .withColumn("n_unique", coalesce(col("n_unique"), lit(0L)))
           .withColumn("novelty_ppm", expr("n_unique * 1000000 div n_shingles"))
+          .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+            col("novelty_ppm"))
           .orderBy(col("doc_id"))
       },
       Some {

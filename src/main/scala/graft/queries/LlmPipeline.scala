@@ -203,11 +203,20 @@ object LlmPipeline {
         FROM documents GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY first_doc"""
     })
 
-  /* Shared relational shingle frame: posexplode words, build each n-gram
-   * with window `lead`s, distinct — (doc_id, shingle) rows, one per
-   * distinct shingle. Fully codegen'd (the array-lambda formulation is
-   * interpreted and 5-10× slower); the window partitions by doc_id, so
-   * there is no global sort. */
+  /* Shared shingle frame: one codegen'd native loop expression
+   * ([[graft.plans.WordShinglesExpression]], `graft_shingles`) builds each
+   * document's DISTINCT n-gram set in a single pass, exploded to
+   * (doc_id, shingle) rows — zero exchanges: the r19 optimization round
+   * replaced the earlier posexplode + window-`lead` + global `distinct`
+   * form, which paid an Exchange(doc_id)+sort for the leads and a second
+   * exchange for the distinct in EVERY shingle consumer (guide §2.4:
+   * remove shuffles outright). Semantics are bit-identical: the native
+   * expression is spec-pinned to the same trim/split/join/distinct
+   * contract, and the DuckDB twin ([[Sketches.shinglesSql]], interpolated
+   * by every shingle oracle) has always modeled exactly this per-document
+   * distinct-set form. Per-doc distinctness equals the old global
+   * distinct because doc_id is unique in every caller's frame (base
+   * tables key on it; planted replicas re-key beyond the id space). */
   private[queries] def shingleRows(s: org.apache.spark.sql.SparkSession, d: String,
       n: Int = ShingleN, carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
     shingleRowsOf(Tables.documents(s, d), n, carry)
@@ -217,17 +226,28 @@ object LlmPipeline {
     */
   private[queries] def shingleRowsOf(docs: org.apache.spark.sql.DataFrame,
       n: Int = ShingleN, carry: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val keep = col("doc_id") +: carry.map(col)
-    val base = docs
-      .select(keep :+ posexplode(Sketches.words(col("text"))).as(Seq("pos", "w0")): _*)
-    val withLeads = (1 until n).foldLeft(base)((df, i) =>
-      df.withColumn(s"w$i", lead(col("w0"), i).over(w)))
-    withLeads
-      .filter(col(s"w${n - 1}").isNotNull)
-      .select(keep :+ concat_ws(" ", (0 until n).map(i => col(s"w$i")): _*).as("s"): _*)
-      .distinct()
+    docs.select(keep :+ explode(Sketches.shingles(col("text"), n)).as("s"): _*)
   }
+
+  /** L16 per-document quality raw stats `(doc_id, n_words, maxc, dist2)`
+    * as ONE codegen'd map-side projection — no shuffle: every stat is a
+    * function of a single document's text (n_words = |split words|,
+    * maxc = the native `graft_top_word_count` top-word multiplicity,
+    * dist2 = |distinct 2-grams| via the native `graft_shingles` set).
+    * Replaces (r19 optimization) the exploded/windowed construction that
+    * paid an Exchange(doc_id)+sort plus a (doc_id, word) aggregate.
+    * Null-text documents are dropped, exactly as `posexplode` of a null
+    * words array dropped them. Shared by q75 and [[funnelFlagsOver]].
+    */
+  private[queries] def qualityStats(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(Sketches.words(col("text"))).cast("long").as("n_words"),
+        call_function("graft_top_word_count", col("text")).as("maxc"),
+        size(Sketches.shingles(col("text"), 2)).cast("long").as("dist2"))
 
   /** The funnel's L17 eval-contamination model: distinct 3-gram
     * fingerprints of the EVAL documents (`doc_id % 97 == 0` — the same
@@ -280,16 +300,9 @@ object LlmPipeline {
     val canon = docs
       .withColumn("fp", TextFunctions.md5Fingerprint(col("text")))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
-    // L16: repetition/quality keep flag (q75's exact construction)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val withGram = docs
-      .select(col("doc_id"), posexplode(Sketches.words(col("text"))).as(Seq("pos", "w0")))
-      .withColumn("gram", concat(col("w0"), lit(" "), lead(col("w0"), 1).over(w)))
-    val gstats = withGram.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"), countDistinct(col("gram")).as("dist2"))
-    val wstats = withGram.groupBy(col("doc_id"), col("w0")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("maxc"))
-    val quality = gstats.join(wstats, Seq("doc_id"))
+    // L16: repetition/quality keep flag (q75's exact construction —
+    // the shared map-side qualityStats projection since r19)
+    val quality = qualityStats(docs)
       .select(col("doc_id"),
         (col("n_words") >= 10 &&
           col("maxc").cast("double") / col("n_words").cast("double") <= 0.2 &&
@@ -1550,35 +1563,24 @@ object LlmPipeline {
      * duplicate-2-gram ratio (how much of the document is the same phrase
      * repeated) and top-word fraction (machine-generated and boilerplate
      * pages are dominated by one token), plus a minimum word count. All
-     * relational: ONE posexplode of the word stream feeds both the 2-gram
-     * window (partitioned by doc_id — bounded sort, the shingleRows shape)
-     * and the word-frequency aggregate; no array lambdas in the hot path.
-     * The thresholds are the published C4/Gopher ballpark; the output
-     * carries the raw ratios so a 100 TB run re-tunes them by filtering,
-     * not recomputing. */
+     * three stats are pure functions of ONE document's text, so since the
+     * r19 optimization round they are a single codegen'd map-side
+     * projection (guide §2.4: the earlier posexplode + window + two
+     * aggregate branches paid an Exchange(doc_id)+sort plus a
+     * (doc_id, word) aggregate for per-doc-local values): n_words =
+     * |split|, dist2 = |distinct 2-grams| (the native graft_shingles
+     * set), maxc = the native graft_top_word_count loop. Zero shuffles
+     * before the output sort. The thresholds are the published C4/Gopher
+     * ballpark; the output carries the raw ratios so a 100 TB run
+     * re-tunes them by filtering, not recomputing. */
     val q75 = GraftQuery(
       "q75_repetition_filter", "L16 L9",
       (s, d) => {
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        // BOTH aggregate branches read the same exploded+windowed frame:
-        // the branches' child subtrees are identical up to the doc_id
-        // exchange, so ReuseExchange executes the corpus scan + explode
-        // ONCE; and since the frame is already hash-partitioned by doc_id,
-        // the (doc_id, w0) and doc_id aggregations need no further shuffle
-        // (subset-clustering satisfaction) — one corpus pass total.
-        val withGram = Tables.documents(s, d)
-          .select(col("doc_id"), posexplode(Sketches.words(col("text"))).as(Seq("pos", "w0")))
-          .withColumn("gram", concat(col("w0"), lit(" "), lead(col("w0"), 1).over(w)))
-        val gstats = withGram
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_words"), countDistinct(col("gram")).as("dist2"))
-        val wstats = withGram.groupBy(col("doc_id"), col("w0")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id")).agg(max(col("c")).as("maxc"))
         val top = col("maxc").cast("double") / col("n_words").cast("double")
         val dup = when(col("n_words") >= 2,
           lit(1.0) - col("dist2").cast("double") / (col("n_words") - 1).cast("double"))
           .otherwise(lit(0.0))
-        gstats.join(wstats, Seq("doc_id"))
+        qualityStats(Tables.documents(s, d))
           .select(col("doc_id"), col("n_words"), top.as("top_frac"), dup.as("dup2_ratio"))
           .withColumn("keep",
             col("n_words") >= 10 && col("top_frac") <= 0.2 && col("dup2_ratio") <= 0.3)
@@ -2426,6 +2428,14 @@ object LlmPipeline {
     val q94 = GraftQuery(
       "q94_source_overlap", "L29 L17 J9",
       (s, d) => {
+        // r19 note: `fps` feeds three DAG branches (tot + both self-join
+        // sides); its distinct's exchange subtree is identical under all
+        // three, and the executed plan confirms ReusedExchange fires, so
+        // the shingle+md5 map work runs once. A lazy persist here
+        // measured WORSE in suite context (1.80 s vs ~1.5 s) — the q220
+        // lesson: concurrent AQE stages racing to populate an
+        // InMemoryRelation recompute it per scanner, while exchange
+        // stage reuse is concurrency-safe.
         val fps = shingleRows(s, d, ShingleN, carry = Seq("source"))
           .select(col("source"), Sketches.h64(col("s")).as("g")).distinct()
         val tot = fps.groupBy(col("source")).agg(count(lit(1)).as("n_fp"))

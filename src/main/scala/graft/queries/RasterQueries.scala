@@ -298,42 +298,53 @@ object RasterQueries {
     "q136_png_roundtrip", "K3 R1 C17",
     (s, d) => {
       import s.implicits._
-      val byTile = Window.partitionBy(col("tile_id")).orderBy(col("event_id"))
+      // r19 optimization (guide §2.4): the old form derived `pos` with a
+      // row_number window and completeness (`tile_n == 64`) with a second
+      // window over the same key — an Exchange(tile_id) + sort paid
+      // BEFORE the typed groupByKey repeated its own shuffle on the
+      // opaque key. For a COMPLETE tile both are pure arithmetic:
+      // event_id is unique, tile_id = event_id div 64, so a tile with 64
+      // rows holds exactly the 64 consecutive ids and
+      // pos == event_id % 64; an incomplete tile is dropped by the group
+      // itself (flatMapGroups emits nothing under 64 rows — the same
+      // rows the tile_n filter removed). One shuffle total, no windows.
       val px = Tables.events(s, d)
         .withColumn("k", Synthetic.k)
         .withColumn("tile_id", expr("event_id div 64"))
-        .withColumn("pos", row_number().over(byTile) - 1)
-        .withColumn("tile_n",
-          count(lit(1)).over(Window.partitionBy(col("tile_id"))))
-        .filter(col("tile_n") === PixelsPerTile)
+        .withColumn("pos", (col("event_id") % 64).cast("int"))
         .withColumn("v", (col("k") + (col("event_id") % 2).cast("int") * 128))
         .withColumn("a", when(col("k") % 11 === 0, 0).otherwise(255))
         .select(col("tile_id"), col("pos"), col("v"), col("a"))
         .as[(Long, Int, Int, Int)]
-      val sums = px.groupByKey(_._1).mapGroups { (tid, rows) =>
+      val sums = px.groupByKey(_._1).flatMapGroups { (tid, rows) =>
         val arr = new Array[Byte](PixelsPerTile * 4)
+        var nRows = 0
         rows.foreach { case (_, pos, v, a) =>
           arr(pos * 4) = v.toByte
           arr(pos * 4 + 3) = a.toByte
+          nRows += 1
         }
-        val tile = Tile(0, (tid % 2).toInt, ((tid / 2) % 2).toInt, Side, Side, arr)
-        val rec = Tiles.recolor(tile)
-        val bytes = graft.raster.Png.encode(rec)
-        val back = graft.raster.Png.decode(rec.z, rec.x, rec.y, bytes)
-        var (sr, sg, sb, n) = (0L, 0L, 0L, 0L)
-        var i = 0
-        while (i < back.pixels.length) {
-          sr += back.pixels(i) & 0xff
-          sg += back.pixels(i + 1) & 0xff
-          sb += back.pixels(i + 2) & 0xff
-          if ((back.pixels(i + 3) & 0xff) != 0) n += 1
-          i += 4
+        if (nRows != PixelsPerTile) Iterator.empty
+        else {
+          val tile = Tile(0, (tid % 2).toInt, ((tid / 2) % 2).toInt, Side, Side, arr)
+          val rec = Tiles.recolor(tile)
+          val bytes = graft.raster.Png.encode(rec)
+          val back = graft.raster.Png.decode(rec.z, rec.x, rec.y, bytes)
+          var (sr, sg, sb, n) = (0L, 0L, 0L, 0L)
+          var i = 0
+          while (i < back.pixels.length) {
+            sr += back.pixels(i) & 0xff
+            sg += back.pixels(i + 1) & 0xff
+            sb += back.pixels(i + 2) & 0xff
+            if ((back.pixels(i + 3) & 0xff) != 0) n += 1
+            i += 4
+          }
+          val ok = bytes.length > 8 && (bytes(0) & 0xff) == 0x89 &&
+            bytes(1) == 'P'.toByte && bytes(2) == 'N'.toByte &&
+            bytes(3) == 'G'.toByte &&
+            java.util.Arrays.equals(back.pixels, rec.pixels)
+          Iterator.single((tid, sr, sg, sb, n, ok))
         }
-        val ok = bytes.length > 8 && (bytes(0) & 0xff) == 0x89 &&
-          bytes(1) == 'P'.toByte && bytes(2) == 'N'.toByte &&
-          bytes(3) == 'G'.toByte &&
-          java.util.Arrays.equals(back.pixels, rec.pixels)
-        (tid, sr, sg, sb, n, ok)
       }
       sums
         .toDF("tile_id", "sum_r", "sum_g", "sum_b", "n_opaque", "roundtrip_ok")

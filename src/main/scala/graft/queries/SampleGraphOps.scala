@@ -96,30 +96,24 @@ object SampleGraphOps {
     * its governance curve (q146) so signal and sweep can never diverge.
     * `pos` is the planted-positive label (1 on the plant slice).
     */
-  private[queries] def entropyPerDoc(s: SparkSession, d: String): DataFrame = {
-    val src = Tables.documents(s, d)
+  private[queries] def entropyPerDoc(s: SparkSession, d: String): DataFrame =
+    // one codegen'd map-side pass (r19 optimization): the native
+    // graft_char_entropy loop replicates the relational ladder —
+    // per-char counts over the first EntropyCap code points, the
+    // floor-log2 binary-length surprise, the ·10⁶ double divide with
+    // truncating cast — bit-for-bit (CharEntropyExpressionSpec replays
+    // the old explode/substring/two-aggregate form). Zero shuffles where
+    // the relational form paid a doc_id repartition + two exchanges.
+    Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         when(col("doc_id") % EntropyPlantStride === 0,
           lit(LowEntropyBlock)).otherwise(col("text")).as("text"))
       .filter(length(col("text")) >= 1)
-      .withColumn("nn", least(length(col("text")), lit(EntropyCap)))
-      // spread before the 512x char explode (single-split scan
-      // otherwise serializes the whole probe — see q141's note)
-      .repartition(col("doc_id"))
-    src
-      .select(col("doc_id"), col("source"), col("nn"),
-        explode(expr("sequence(1, nn)")).as("i"), col("text"))
-      .select(col("doc_id"), col("source"), col("nn"),
-        expr("substring(text, i, 1)").as("c"))
-      .groupBy(col("doc_id"), col("source"), col("nn"), col("c"))
-      .agg(count(lit(1)).as("n"))
-      .groupBy(col("doc_id"), col("source"))
-      .agg((sum(col("n") *
-        (length(bin(expr("nn div n"))) - 1)) * 1000000L / max(col("nn")))
-        .cast("long").as("hp"))
-      .withColumn("pos",
-        when(col("doc_id") % EntropyPlantStride === 0, 1L).otherwise(0L))
-  }
+      .select(col("doc_id"), col("source"),
+        call_function("graft_char_entropy", col("text"), lit(EntropyCap))
+          .as("hp"),
+        when(col("doc_id") % EntropyPlantStride === 0, 1L).otherwise(0L)
+          .as("pos"))
 
   /** DuckDB twin of [[entropyPerDoc]] as CTEs ending in
     * `h(doc_id, source, hp, pos)`.
@@ -255,6 +249,10 @@ object SampleGraphOps {
             explode(Sketches.shingles(col("text"), 3)).as("s3"))
           .select(col("doc_id"), Sketches.h64(col("s3")).as("h"))
           .filter(col("h") % PrShingleMod === 0)
+        // r19 note: an h-keyed repartition here (to share the explode+md5
+        // across sh's three consumers) measured WORSE (4.0 s vs 2.7 s
+        // isolated) — the recomputed map pass is cheaper than the extra
+        // exchange. Recompute over share, measured (the q220 lesson).
         val sz = sh.groupBy(col("h")).agg(count(lit(1)).as("n"))
           .filter(col("n").between(2L, PrBucketCap)).select(col("h"))
         val pe = sh.join(sz, Seq("h"))
@@ -380,6 +378,15 @@ object SampleGraphOps {
         val wf0 = Tables.documents(s, d)
           .select(explode(Sketches.words(col("text"))).as("w"))
           .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+          // r19 optimization: everything past the corpus collapse is
+          // |vocab|-sized; a single partition satisfies every
+          // ClusteredDistribution, so the whole 4-step merge loop (pair
+          // aggregates, TakeOrdered argmax, token recounts) runs
+          // exchange-free in one task instead of paying ~3 exchanges ×
+          // 4 steps of 32-partition scheduling over ~31 vocab rows
+          // (guide §2.4; the corpus-sized explode+count above keeps its
+          // parallelism).
+          .coalesce(1)
         def pairTop(vf: DataFrame): DataFrame = vf
           .filter(length(col("w")) >= 2)
           .select(col("w"), col("freq"),

@@ -52,6 +52,21 @@ object TextCorpusOps {
   /** Containment report floor (ppm of the contained doc's chunks). */
   private[queries] val ContainPpm = 600000L
 
+  /** Shared CDC chunk frame `(doc_id, chunk_id, cfp, n_w, chunk_text)` —
+    * one codegen'd `graft_cdc_chunks` map pass per document (r19
+    * optimization; CdcChunksExpressionSpec pins it to the old
+    * posexplode+window construction bit-for-bit). Used by q118 and q133.
+    */
+  private[queries] def cdcChunkRows(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(call_function("graft_cdc_chunks", col("text"), lit(CdcMod)))
+          .as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        col("c.cfp").as("cfp"), col("c.n_w").as("n_w"),
+        col("c.chunk_text").as("chunk_text"))
+
   /** L62's homoglyph fold table (Cyrillic lookalikes → Latin) and the
     * planted adversarial prefix — ONE Scala value interpolated into both
     * the engine Columns and the oracle SQL, so the two sides can never
@@ -454,36 +469,17 @@ object TextCorpusOps {
           docs.filter(col("doc_id") % 97 === 1)
             .withColumn("doc_id", col("doc_id") + 2000000L)
             .withColumn("text", concat(lit("ins "), col("text"))))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val base = planted
-          .select(col("doc_id"),
-            posexplode(Sketches.words(col("text"))).as(Seq("pos", "w0")))
-          .withColumn("w1", lead(col("w0"), 1).over(w))
-          .withColumn("w2", lead(col("w0"), 2).over(w))
-          .withColumn("boundary",
-            col("w2").isNotNull &&
-              Sketches.h64(concat_ws(" ", col("w0"), col("w1"), col("w2")))
-                % CdcMod === 0)
-          .withColumn("chunk_id", coalesce(
-            sum(when(col("boundary"), 1L).otherwise(0L))
-              .over(w.rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0L)))
-        // chunk-relative position WITHOUT re-partitioning on (doc, chunk):
-        // the chunk start is (last boundary strictly before pos) + 1, a
-        // max over the same (doc_id ORDER BY pos) sort every other window
-        // here already uses — one sort, no second exchange. Integer-exact
-        // equivalent of the oracle's min(pos) per (doc, chunk) form.
-        val chunks = base
-          .withColumn("start", coalesce(
-            max(when(col("boundary"), col("pos")))
-              .over(w.rowsBetween(Window.unboundedPreceding, -1)) + 1L,
-            lit(0L)))
-          .withColumn("term",
-            (Sketches.h64(col("w0")) % lit(4294967296L)) *
-              (col("pos") - col("start") + 1L))
-          .groupBy(col("doc_id"), col("chunk_id"))
-          .agg(sum(col("term")).as("cfp"), count(lit(1)).as("n_w"),
-            min(col("doc_id") * 1048576L + col("chunk_id")).as("k"))
+        // r19 optimization (guide §2.4/§4): the boundary scan, chunk ids,
+        // position-weighted fingerprints and chunk word counts are pure
+        // functions of one document's text — the native graft_cdc_chunks
+        // loop ([[graft.plans.CdcChunksExpression]], spec-pinned to the
+        // old windowed construction bit-for-bit) computes them in one
+        // codegen'd map pass, where the relational form paid an
+        // Exchange(doc_id)+sort for three windows plus a (doc, chunk)
+        // aggregate exchange.
+        val chunks = cdcChunkRows(planted)
+          .select(col("doc_id"), col("chunk_id"), col("cfp"), col("n_w"),
+            (col("doc_id") * 1048576L + col("chunk_id")).as("k"))
         val cl = chunks.groupBy(col("cfp"))
           .agg(count(lit(1)).as("n"), min(col("k")).as("keeper"))
         chunks.join(cl, Seq("cfp"))
@@ -624,18 +620,11 @@ object TextCorpusOps {
       (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val withGram = docs
-          .select(col("doc_id"),
-            posexplode(Sketches.words(col("text"))).as(Seq("pos", "w0")))
-          .withColumn("gram",
-            concat(col("w0"), lit(" "), lead(col("w0"), 1).over(w)))
-        val gstats = withGram.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_words"),
-            countDistinct(col("gram")).as("dist2"))
-        val wstats = withGram.groupBy(col("doc_id"), col("w0"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id")).agg(max(col("c")).as("maxc"))
+        // r19 optimization: the L16 stats ride the shared map-side
+        // qualityStats projection (native graft_top_word_count +
+        // graft_shingles — zero shuffles) instead of this query's own
+        // copy of the exploded/windowed frame; only the classifier score
+        // still needs its word explode + doc aggregate.
         val cls = docs
           .select(col("doc_id"),
             explode(Sketches.words(lower(col("text")))).as("w"))
@@ -644,7 +633,7 @@ object TextCorpusOps {
             (TextFunctions.md5Fingerprint(col("w")) % lit(1024L))
               * lit(2654435761L) % lit(1001L) - lit(500L))
           .groupBy(col("doc_id")).agg(sum(col("weight")).as("score"))
-        val flags = gstats.join(wstats, Seq("doc_id"))
+        val flags = LlmPipeline.qualityStats(docs)
           .join(cls, Seq("doc_id"))
           .select(col("doc_id"),
             (col("n_words") < 10).as("k_len"),
@@ -1163,49 +1152,33 @@ object TextCorpusOps {
       (s, d) => {
         val docs = LlmCuration.withReplays(
           Tables.documents(s, d).select(col("doc_id"), col("text")))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val base = docs
-          .select(col("doc_id"),
-            posexplode(Sketches.words(col("text"))).as(Seq("pos", "w0")))
-          .withColumn("w1", lead(col("w0"), 1).over(w))
-          .withColumn("w2", lead(col("w0"), 2).over(w))
-          .withColumn("boundary",
-            col("w2").isNotNull &&
-              Sketches.h64(concat_ws(" ", col("w0"), col("w1"), col("w2")))
-                % CdcMod === 0)
-          .withColumn("chunk_id", coalesce(
-            sum(when(col("boundary"), 1L).otherwise(0L))
-              .over(w.rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0L)))
-          .withColumn("start", coalesce(
-            max(when(col("boundary"), col("pos")))
-              .over(w.rowsBetween(Window.unboundedPreceding, -1)) + 1L,
-            lit(0L)))
-        val chunks = base
-          .withColumn("term",
-            (Sketches.h64(col("w0")) % lit(4294967296L)) *
-              (col("pos") - col("start") + 1L))
-          .groupBy(col("doc_id"), col("chunk_id"))
-          .agg(sum(col("term")).as("cfp"),
-            min(col("doc_id") * 1048576L + col("chunk_id")).as("k"))
+        // r19 optimization: the chunk frame rides the native
+        // graft_cdc_chunks loop (see q118's note) — one codegen'd map
+        // pass instead of posexplode + three windows + two aggregate
+        // exchanges; the rebuild joins chunk TEXTS (chunks tile the
+        // document contiguously, so kept chunk_texts joined in chunk
+        // order with one space reproduce the pos-ordered word join
+        // byte-for-byte) instead of re-aggregating every word row.
+        val chunks = cdcChunkRows(docs)
+          .select(col("doc_id"), col("chunk_id"), col("cfp"),
+            (col("doc_id") * 1048576L + col("chunk_id")).as("k"),
+            col("n_w"), col("chunk_text"))
         val cl = chunks.groupBy(col("cfp"))
           .agg(count(lit(1)).as("n"), min(col("k")).as("keeper"))
         val verdicts = chunks.join(cl, Seq("cfp"))
-          .select(col("doc_id"), col("chunk_id"),
+          .select(col("doc_id"), col("chunk_id"), col("n_w"),
+            col("chunk_text"),
             (col("n") > 1 && col("k") =!= col("keeper")).as("dropped"))
         val stats = verdicts.groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_chunks"),
             sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"))
-        val rebuilt = base
-          .select(col("doc_id"), col("chunk_id"), col("pos"), col("w0"))
-          .join(verdicts.filter(!col("dropped"))
-            .select(col("doc_id"), col("chunk_id")),
-            Seq("doc_id", "chunk_id"))
+        val rebuilt = verdicts.filter(!col("dropped"))
           .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_words_kept"),
+          .agg(sum(col("n_w")).as("n_words_kept"),
             array_join(transform(
-              sort_array(collect_list(struct(col("pos"), col("w0")))),
-              x => x.getField("w0")), " ").as("cleaned"))
+              sort_array(collect_list(struct(col("chunk_id"),
+                col("chunk_text")))),
+              x => x.getField("chunk_text")), " ").as("cleaned"))
         stats.join(rebuilt, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_chunks"), col("n_dropped"),
             coalesce(col("n_words_kept"), lit(0L)).as("n_words_kept"),

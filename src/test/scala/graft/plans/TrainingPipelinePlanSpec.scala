@@ -57,12 +57,19 @@ class TrainingPipelinePlanSpec extends SparkSpec {
     }
   }
 
-  test("q75 repetition windows partition only on doc_id (no global window)") {
-    val keyLists = windowPartitionKeys("q75_repetition_filter")
-    assert(keyLists.nonEmpty, "q75 must build 2-grams with a per-doc window")
-    keyLists.foreach { keys =>
-      assert(keys.nonEmpty && keys.forall(_ == "doc_id"),
-        s"q75 Window partitions on ${keys.mkString(",")} — per-document only")
+  test("q75 repetition stats are map-side: no windows, no aggregates") {
+    // r19 optimization strengthened the invariant: the L16 stats ride the
+    // native qualityStats projection (graft_top_word_count +
+    // graft_shingles), so the plan has NO window at all — a global-window
+    // hazard is impossible by construction — and no aggregate either
+    // (per-doc values are pure functions of the text).
+    graft.core.CacheScope.scoped {
+      val plan = graft.SparkEntry.queries("q75_repetition_filter")(spark, sfDir)
+        .queryExecution.optimizedPlan
+      assert(plan.collect { case w: Window => w }.isEmpty,
+        "q75 must not window — its stats are one codegen'd map pass")
+      assert(plan.collect { case a: Aggregate => a }.isEmpty,
+        "q75 must not aggregate — per-doc stats are per-row expressions")
     }
   }
 
