@@ -136,6 +136,25 @@ object GraftExtensions {
           s"graft_scalar_keys expects (map), got ${children.length} args")
         ScalarKeysExpression(children.head)
       }),
+    ("graft_winnow_stats",
+      new ExpressionInfo(classOf[WinnowStatsExpression].getName, "graft_winnow_stats"),
+      (children: Seq[Expression]) => {
+        // n and w ride as foldable int literals
+        require(children.length == 3,
+          s"graft_winnow_stats expects (text, n, w), got ${children.length} args")
+        require(children(1).foldable && children(2).foldable,
+          "graft_winnow_stats n and w must be literal")
+        WinnowStatsExpression(children.head,
+          children(1).eval().asInstanceOf[Number].intValue(),
+          children(2).eval().asInstanceOf[Number].intValue())
+      }),
+    ("graft_cls_score",
+      new ExpressionInfo(classOf[ClsScoreExpression].getName, "graft_cls_score"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_cls_score expects (text), got ${children.length} args")
+        ClsScoreExpression(children.head)
+      }),
     ("graft_cdc_chunks",
       new ExpressionInfo(classOf[CdcChunksExpression].getName, "graft_cdc_chunks"),
       (children: Seq[Expression]) => {

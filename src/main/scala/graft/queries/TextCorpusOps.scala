@@ -383,34 +383,24 @@ object TextCorpusOps {
     val q117 = GraftQuery(
       "q117_winnowing", "L52 L10 L3",
       (s, d) => {
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val sh = Tables.documents(s, d)
-          .select(col("doc_id"),
-            posexplode(Sketches.words(col("text"))).as(Seq("pos", "w0")))
-          .withColumn("w1", lead(col("w0"), 1).over(w))
-          .withColumn("w2", lead(col("w0"), 2).over(w))
-          .filter(col("w2").isNotNull)
-          .withColumn("pack",
-            (Sketches.h64(concat_ws(" ", col("w0"), col("w1"), col("w2")))
-              % lit(1099511627776L)) * lit(1048576L) + col("pos"))
-        val stats = sh.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_shingles"))
-        val wins = sh
-          .withColumn("winmin",
-            min(col("pack")).over(w.rowsBetween(0, WinnowW - 1)))
-          .withColumn("full", lead(col("pack"), WinnowW - 1).over(w)
-            .isNotNull)
-          .filter(col("full"))
-        val sel = wins.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_windows"),
-            countDistinct(col("winmin")).as("n_selected"))
-        stats.join(sel, Seq("doc_id"), "left")
-          .withColumn("n_windows", coalesce(col("n_windows"), lit(0L)))
-          .withColumn("n_selected", coalesce(col("n_selected"), lit(0L)))
+        // r19 optimization (guide §2.4/§4): trigram packs, the sliding
+        // window minima and the selected-fingerprint census are pure
+        // functions of one document's text — the native
+        // graft_winnow_stats loop ([[graft.plans.WinnowStatsExpression]],
+        // spec-pinned to the old windowed construction) computes all
+        // three in one codegen'd map pass, where the relational form
+        // paid an Exchange(doc_id)+sort for three windows plus two
+        // doc-keyed aggregates. Null stats = docs without a full
+        // trigram, exactly the rows the old inner aggregates dropped.
+        Tables.documents(s, d)
+          .select(col("doc_id"), call_function("graft_winnow_stats",
+            col("text"), lit(3), lit(WinnowW)).as("st"))
+          .filter(col("st").isNotNull)
+          .select(col("doc_id"), col("st.n_shingles").as("n_shingles"),
+            col("st.n_windows").as("n_windows"),
+            col("st.n_selected").as("n_selected"))
           .withColumn("density_ppm",
             expr("n_selected * 1000000 div n_shingles"))
-          .select(col("doc_id"), col("n_shingles"), col("n_windows"),
-            col("n_selected"), col("density_ppm"))
           .orderBy(col("doc_id"))
       },
       Some {
@@ -622,19 +612,19 @@ object TextCorpusOps {
         val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
         // r19 optimization: the L16 stats ride the shared map-side
         // qualityStats projection (native graft_top_word_count +
-        // graft_shingles — zero shuffles) instead of this query's own
-        // copy of the exploded/windowed frame; only the classifier score
-        // still needs its word explode + doc aggregate.
-        val cls = docs
+        // graft_shingles) and the classifier score rides the native
+        // graft_cls_score loop (spec-pinned to the explode + md5-weight
+        // aggregate) — the whole flag frame is ONE zero-shuffle map
+        // projection; the inner-join-on-cls semantics (docs with no
+        // non-empty words drop out) survive as a null filter.
+        val flags = docs
+          .filter(col("text").isNotNull)
           .select(col("doc_id"),
-            explode(Sketches.words(lower(col("text")))).as("w"))
-          .filter(length(col("w")) > 0)
-          .withColumn("weight",
-            (TextFunctions.md5Fingerprint(col("w")) % lit(1024L))
-              * lit(2654435761L) % lit(1001L) - lit(500L))
-          .groupBy(col("doc_id")).agg(sum(col("weight")).as("score"))
-        val flags = LlmPipeline.qualityStats(docs)
-          .join(cls, Seq("doc_id"))
+            size(Sketches.words(col("text"))).cast("long").as("n_words"),
+            call_function("graft_top_word_count", col("text")).as("maxc"),
+            size(Sketches.shingles(col("text"), 2)).cast("long").as("dist2"),
+            call_function("graft_cls_score", col("text")).as("score"))
+          .filter(col("score").isNotNull)
           .select(col("doc_id"),
             (col("n_words") < 10).as("k_len"),
             (when(col("n_words") >= 2,
