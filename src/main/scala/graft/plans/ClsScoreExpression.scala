@@ -29,10 +29,13 @@ case class ClsScoreExpression(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val f = "graft.plans.ClsScoreExpression.score"
+    // fresh local: a fixed name would collide if two instances land in
+    // one codegen scope (Janino failure -> whole-stage fallback)
+    val r = ctx.freshName("clsScore")
     nullSafeCodeGen(ctx, ev, c => s"""
-      java.lang.Long r = $f($c);
-      ${ev.isNull} = r == null;
-      ${ev.value} = ${ev.isNull} ? -1L : r.longValue();
+      java.lang.Long $r = $f($c);
+      ${ev.isNull} = $r == null;
+      ${ev.value} = ${ev.isNull} ? -1L : $r.longValue();
     """)
   }
 
