@@ -29,9 +29,12 @@ object Sketches {
 
   // --- portable 60-bit hash ---
 
-  /** Low-60-bit md5 prefix as BIGINT — the engine-portable hash. */
-  def h64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Low-60-bit md5 prefix as BIGINT — the engine-portable hash. Native
+    * since r20 ([[graft.plans.H64Expression]]): one digest, no hex round
+    * trip — value-identical to the legacy
+    * `conv(substring(md5(c), 1, 15), 16, 10)` chain (spec-pinned).
+    */
+  def h64(c: Column): Column = call_function("graft_h64", c)
   def h64Sql(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
 

@@ -223,7 +223,7 @@ object TextFunctions {
     * cast inside signed-long range on both engines.
     */
   def md5Fingerprint(text: Column): Column =
-    conv(substring(md5(text), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.functions.call_function("graft_h64", text)
 
   def md5FingerprintSql(text: String): String =
     s"CAST(('0x' || substr(md5($text), 1, 15)) AS BIGINT)"

@@ -27,6 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_h64",
+      new ExpressionInfo(classOf[H64Expression].getName, "graft_h64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_h64 expects (text), got ${children.length} args")
+        H64Expression(children.head)
+      }),
     ("graft_normalize_key",
       new ExpressionInfo(classOf[NormalizeKeyExpression].getName, "graft_normalize_key"),
       (children: Seq[Expression]) => {

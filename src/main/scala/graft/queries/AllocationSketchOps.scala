@@ -290,7 +290,10 @@ object AllocationSketchOps {
         val dw = w.distinct()
         val regs = w.withColumn("h", Sketches.h64(col("w")))
           .groupBy(col("source"), hllReg(col("h")).as("reg"))
-          .agg(max(hllRhoC(Sketches.h64(col("w")))).as("r"))
+          // r20: rho reads the already-computed h column — the old form
+          // re-evaluated h64(w) (a second md5 per shingle occurrence)
+          // inside the aggregate; value identical by construction
+          .agg(max(hllRhoC(col("h"))).as("r"))
         // the TWO-REGIME estimator (VERDICT r17 #2): the set-algebra
         // reads inherit the same linear-counting branch as q137, so a
         // small source (or a small union) is no longer read through
